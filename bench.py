@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+"value" is the total wall time of all headline queries (each fully
+materialized via a count-style action on the driver, mirroring the
+driver's collect). Per-query seconds are reported under "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_broadcast_dim",
+    "join_left_outer",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kinesumer_spark.registry import all_queries
+    from kinesumer_spark.session import get_spark
+
+    spark = get_spark(app_name="kinesumer_spark_bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session bootstrap.
+    registry["q6_forecast_revenue"].spark(spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].spark(spark, sf_dir)
+        df.collect()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_all, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

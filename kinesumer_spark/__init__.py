@@ -1,0 +1,29 @@
+"""kinesumer_spark — a PySpark-native analytics engine with the capability
+surface of daangn/kinesumer (a Kinesis consumer-group client), rebuilt
+Spark-first.
+
+The reference (/root/reference, daangn/kinesumer) is a client-side
+distributed stream-ingestion library: partitioned, checkpointed,
+rebalancing, at-least-once delivery of opaque records (kinesumer.go:97-102)
+coordinated through a DynamoDB state store (statestore.go). On Spark,
+nearly all of that machinery is built into Structured Streaming; this
+package exposes
+
+- ``streaming/`` — the consumer-group parity surface: ``Engine.consume``
+  returning a streaming DataFrame in the reference's record envelope
+  (RECORD_SCHEMA), checkpoint/mark/commit parity, the consumer_state
+  observability view (statemodel.go:17-53 analog).
+- ``operators/`` — the declared relational/analytic surface (SURVEY.md
+  §2.2): projections, joins, aggregations, window functions, set ops,
+  plus LLM-pipeline extensions (dedup, similarity search, text analysis).
+- ``functions/`` — scalar helpers (sequence-number ordering, envelope
+  construction, vector math).
+- ``sources/`` / ``plans/`` — batch/stream source adapters and plan
+  inspection utilities (pushdown/broadcast audits).
+"""
+
+from kinesumer_spark.session import get_spark
+from kinesumer_spark.catalog import TABLES, load_tables
+
+__all__ = ["get_spark", "load_tables", "TABLES"]
+__version__ = "0.1.0"

@@ -1,0 +1,50 @@
+"""Testdata catalog: load the driver-generated parquet tables.
+
+The reference has no tables — its only input is a Kinesis stream of
+opaque records (kinesumer.go:97-102). Our engine's batch surface reads
+the driver's TPC-H-ish star schema (TESTDATA.md). This module is the
+single place that maps table name → DataFrame and registers temp views
+so both the DataFrame API and ``spark.sql`` see the same catalog.
+
+At 100 TB these would be partitioned/bucketed external tables; reading
+plain parquet directories keeps the same plan shape (columnar scan with
+predicate pushdown + column pruning — verify via plans.inspect).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load every testdata table; optionally register same-named temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Replaces the reference's client bootstrap ``NewKinesumer(cfg)``
+(kinesumer.go:188-291): there is no state-store registration or AWS
+session to build — a SparkSession with AQE and Arrow enabled is the
+whole bootstrap. Config knobs that matter at 100 TB scale are set here
+once so every entry point (tests, bench, driver) runs the same plan
+environment:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  selection) — replaces hand-tuning shuffle partition counts per query.
+- ``spark.sql.session.timeZone=UTC`` — deterministic timestamp semantics
+  (and required for DuckDB-oracle comparison).
+- Arrow on — vectorized Pandas-UDF / toPandas path.
+- shuffle partitions default to the local core count; on a real cluster
+  AQE coalescing makes the initial number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kinesumer_spark",
+    cpus: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the canonical SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` else all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if driver_memory is None:
+        driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
