@@ -37,13 +37,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing engine-specific physical types.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as a
+    raw long (legacy conf) and truncate to a microsecond timestamp —
+    the same truncation DuckDB's epoch_us / strftime apply — so both
+    engines see identical instants.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer division: epoch-nanos (~1e18) exceeds double's 53-bit
+        # mantissa, so a float divide would round the microsecond
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
 ) -> dict[str, DataFrame]:
     """Load every testdata table; optionally register same-named temp views."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = read_table(spark, sf_dir, name)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -1,0 +1,224 @@
+"""Aggregate-function surface beyond basic sum/avg (SURVEY.md §2.2
+"Aggregations"): distinct counts, exact statistical moments, exact
+percentiles, collect_list/set, and the approximate sketches
+(approx_count_distinct / percentile_approx) the 100 TB path relies on.
+
+Determinism discipline: statistical moments are computed from exact
+decimal power sums (sum, sum of squares, sum of products) and combined
+with a handful of IEEE double ops — identical in Spark and DuckDB —
+rather than Spark's single-pass M2 accumulators, whose merge order is
+partition-dependent. Spark's native `stddev`/`corr` remain available;
+the oracle-checked forms are these order-independent ones.
+
+Sketch aggregates (HLL++, GK-quantile) cannot hash-match an exact
+oracle by construction → registered rows-only; tests assert bounded
+relative error against the exact answer instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.functions.exact import dec, oracle_sum
+from kinesumer_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey)  AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_count_distinct", oracle=_DISTINCT_ORACLE, tags=("agg",))
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) (Expand-based single pass)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Exact moments from decimal power sums. var = (n*Sxx - Sx^2) / (n*(n-1)),
+# computed in doubles from exact sums → order-independent.
+_STATS_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
+       sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+       round((n * sxy - sx * sy) /
+         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('l_quantity')} AS sx,
+         {oracle_sum('l_quantity * l_quantity')} AS sxx,
+         {oracle_sum('l_extendedprice')} AS sy,
+         {oracle_sum('l_extendedprice * l_extendedprice')} AS syy,
+         {oracle_sum('l_quantity * l_extendedprice')} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_stats_moments", oracle=_STATS_ORACLE, tags=("agg", "stats"))
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / Pearson correlation from exact power sums."""
+    l = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec(q)).cast("double").alias("sx"),
+        F.sum(dec(q * q)).cast("double").alias("sxx"),
+        F.sum(dec(p)).cast("double").alias("sy"),
+        F.sum(dec(p * p)).cast("double").alias("syy"),
+        F.sum(dec(q * p)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return (
+        sums.select(
+            "l_returnflag",
+            n.cast("bigint").alias("n"),
+            ((n * sxx - sx * sx) / (n * (n - 1))).alias("var_qty"),
+            F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("stddev_qty"),
+            # rounded: the quotient's last ulp is at the mercy of libm/FMA
+            # differences between engines; 12 dp is far beyond any real use
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                12,
+            ).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT l_linestatus,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("agg_percentile_exact", oracle=_MEDIAN_ORACLE, tags=("agg", "stats"))
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sort-based; fine per-group, the
+    whole-table exact form is what percentile_approx replaces at scale)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT n_regionkey,
+       list_sort(list(n_name))          AS nations,
+       list_sort(list(DISTINCT n_name)) AS nations_set
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("agg_collect_list_set", oracle=_COLLECT_ORACLE, tags=("agg", "array"))
+def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set (sorted for determinism — collection
+    order is partition-dependent, so golden queries must sort)."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.sort_array(F.collect_set("n_name")).alias("nations_set"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # sketches are engine-specific; tests bound the error instead
+    tags=("agg", "approx"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + percentile_approx (GK) — the
+    100 TB substitutes for exact distinct/percentile: mergeable fixed-size
+    sketches, no shuffle of distinct values."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_MINMAXBY_ORACLE = """
+SELECT o_orderpriority,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+       arg_min(o_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) * 10000000 + o_orderkey)
+         AS first_orderkey,
+       arg_max(o_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) * 10000000 + o_orderkey)
+         AS last_orderkey
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_min_max_by", oracle=_MINMAXBY_ORACLE, tags=("agg",))
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax) — ordered-companion aggregates.
+
+    Ties on the ordering column are engine-arbitrary, so the ordering
+    key is made unique by folding the row key into its low digits
+    (epoch·1e7 + orderkey) — deterministic in both engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    ord_key = (
+        F.unix_timestamp("o_orderdate").cast("bigint") * 10_000_000
+        + F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+            F.min_by("o_orderkey", ord_key).alias("first_orderkey"),
+            F.max_by("o_orderkey", ord_key).alias("last_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,1 +1,242 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream analytics in batch form (SURVEY.md §2.2 "Streaming ops"
+batch analogs) plus the record-envelope construction that is the
+reference's actual data model (kinesumer.go:97-102).
+
+`events_envelope` is the load-bearing one for parity: it produces the
+exact RECORD_SCHEMA the streaming engine emits (stream, shard_id,
+sequence_number, partition_key, data, arrival_ts) from the events
+table, with shard assignment = hash(partition_key) → shard, mirroring
+Kinesis's partition-key→shard hashing (kinesumer_test.go:119-127) via
+the FIXTURES.md §2 recipe (pmod(user_id, 5), zero-padded seqnum).
+
+Scale notes: sessionization and as-of join are both one shuffle on the
+entity key followed by in-partition window evaluation — the canonical
+layout for per-entity ordered processing at 100 TB (same layout the
+reference gets per-shard via its single-goroutine-per-shard loops,
+SURVEY.md §2.1 O1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.functions.exact import exact_sum, oracle_sum
+from kinesumer_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+_ENVELOPE_ORACLE = """
+SELECT 'events' AS stream,
+       'shardId-' || lpad(CAST(((user_id % 5) + 5) % 5 AS VARCHAR), 12, '0')
+         AS shard_id,
+       lpad(CAST(event_id AS VARCHAR), 21, '0') AS sequence_number,
+       CAST(user_id AS VARCHAR) AS partition_key,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS arrival_ts_str,
+       length(json_object('event_id', event_id, 'event_type', event_type,
+                          'value', "value")::VARCHAR) > 0 AS has_payload
+FROM events
+ORDER BY sequence_number
+"""
+
+
+@register("events_envelope", oracle=_ENVELOPE_ORACLE, tags=("envelope", "parity"))
+def events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap events into the reference's record envelope (RECORD_SCHEMA).
+
+    Matches Record{Stream, ShardID, SequenceNumber, PartitionKey, Data,
+    ApproximateArrivalTimestamp} of kinesumer.go:97-102. The opaque
+    `data` payload is JSON bytes (schema-on-read, SURVEY.md §1.1); the
+    oracle checks its presence, not its key order (JSON key order is
+    engine-specific).
+    """
+    e = _t(spark, sf_dir, "events")
+    payload = F.to_json(F.struct("event_id", "event_type", "value"))
+    return (
+        e.select(
+            F.lit("events").alias("stream"),
+            F.concat(
+                F.lit("shardId-"),
+                F.lpad(F.pmod("user_id", F.lit(5)).cast("string"), 12, "0"),
+            ).alias("shard_id"),
+            F.lpad(F.col("event_id").cast("string"), 21, "0").alias(
+                "sequence_number"
+            ),
+            F.col("user_id").cast("string").alias("partition_key"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "arrival_ts_str"
+            ),
+            (F.length(payload) > 0).alias("has_payload"),
+        )
+        .orderBy("sequence_number")
+    )
+
+
+_TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_sum('"value"')} AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("events_tumbling_hourly", oracle=_TUMBLING_ORACLE, tags=("events", "window"))
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregate (batch analog of streaming window();
+    `window(ts, '1 hour')` aligns to epoch, i.e. exactly date_trunc)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, _TS_FMT).alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+  FROM ordered
+)
+SELECT user_id, session_no,
+       strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+@register("events_sessionize", oracle=_SESSION_ORACLE, tags=("events", "session"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (lag + gap-flag +
+    running sum — the batch analog of session_window; one shuffle on
+    user_id, then in-partition windows)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(
+            0
+        ),
+    ).withColumn("session_no", F.sum("new_session").over(wrun))
+    return (
+        flagged.groupBy("user_id", "session_no")
+        .agg(
+            F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+# As-of join: for each purchase, the latest click by the same user at or
+# before the purchase time. Clicks are pre-deduplicated per (user, ts) so
+# the as-of pick is unique → deterministic in both engines.
+_ASOF_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+       strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+       c.click_event_id
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@register("events_asof_join", oracle=_ASOF_ORACLE, tags=("events", "asof"))
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — Spark lacks a native one (SURVEY.md
+    §2.2 Joins); composed as equi-join on the entity key + time predicate
+    + row_number dedup keeping the latest match.
+
+    Scale note: this formulation expands to all (purchase, earlier-click)
+    pairs per user before dedup — fine when per-key fan-out is bounded
+    (AQE skew handling otherwise); the unbounded-fan-out alternative is
+    applyInPandas + pandas.merge_asof per key partition, kept in
+    operators/custom_asof (M2+) for the hot path.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    w = W.partitionBy("event_id").orderBy(F.desc("c_ts"))
+    return (
+        p.join(c, "user_id")
+        .filter(F.col("p_ts") >= F.col("c_ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("p_ts", _TS_FMT).alias("purchase_ts"),
+            F.date_format("c_ts", _TS_FMT).alias("click_ts"),
+            "click_event_id",
+        )
+        .orderBy("event_id")
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+"""
+
+
+@register("topk_orderby_limit", oracle=_TOPK_ORACLE, tags=("sort", "topk"))
+def topk_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — per-partition heap + merge of
+    k·P candidates on the driver; never a full global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )

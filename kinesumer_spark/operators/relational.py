@@ -23,13 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesumer_spark.catalog import table_path
+from kinesumer_spark.catalog import read_table
 from kinesumer_spark.functions.exact import exact_avg, exact_sum, oracle_avg, oracle_sum
 from kinesumer_spark.registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    return read_table(spark, sf_dir, name)
 
 
 # --------------------------------------------------------------------------

@@ -1,1 +1,268 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar-function surface (SURVEY.md §2.2 "Scalar functions"): string,
+date/time, math, array, map/json, and conditional families — each as one
+oracle-checked query so the driver inventory shows per-family coverage.
+
+The reference's only scalar computation is state-store key formatting
+(`fmt.Sprintf("client::{app}")` etc., statemodel.go:8-14,:24-26,:35-37)
+and a base64 id suffix (pkg/xrand/xrand.go:16); `scalar_string_funcs`
+reproduces both shapes (concat_ws/format_string, base64) among the
+general string set.
+
+All functions here are built-in `pyspark.sql.functions` — JVM-side,
+inside whole-stage codegen; nothing in this module touches Python at
+row level. Math demos stick to IEEE-exact operations (sqrt is
+correctly-rounded; pow on small integer exponents is exact) so the
+cross-engine hash match is not at the mercy of libm rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       concat_ws('#', p_brand, p_type)                    AS part_key_fmt,
+       printf('part::%s::%d', p_brand, p_size)            AS part_key_printf,
+       upper(p_name)                                      AS name_upper,
+       lower(p_brand)                                     AS brand_lower,
+       substring(p_name, 1, 8)                            AS name_prefix,
+       length(p_name)                                     AS name_len,
+       regexp_extract(p_type, '([A-Z]+)', 1)              AS type_first_word,
+       replace(p_brand, 'BRAND', 'B')                     AS brand_short,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')              AS size_padded,
+       trim('  ' || p_brand || ' ')                       AS brand_trim,
+       to_base64(encode(p_brand))                         AS brand_b64,
+       md5(p_name)                                        AS name_md5,
+       sha256(p_name)                                     AS name_sha256
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("scalar_string_funcs", oracle=_STRING_ORACLE, tags=("scalar", "string"))
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family incl. the reference's key-format and base64 shapes."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.concat_ws("#", "p_brand", "p_type").alias("part_key_fmt"),
+            F.format_string("part::%s::%d", "p_brand", "p_size").alias(
+                "part_key_printf"
+            ),
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("type_first_word"),
+            F.replace(F.col("p_brand"), F.lit("BRAND"), F.lit("B")).alias(
+                "brand_short"
+            ),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias(
+                "brand_trim"
+            ),
+            F.base64(F.col("p_brand").cast("binary")).alias("brand_b64"),
+            F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+            F.sha2(F.col("p_name").cast("binary"), 256).alias("name_sha256"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_DATE_ORACLE = """
+SELECT event_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')  AS day_start,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(year(ts)  AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(day(ts)   AS BIGINT) AS d,
+       CAST(hour(ts)  AS BIGINT) AS h,
+       CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS unix_sec,
+       CAST(datediff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+         AS days_since_ny,
+       strftime(date_trunc('day', ts) + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+@register("scalar_date_funcs", oracle=_DATE_ORACLE, tags=("scalar", "datetime"))
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: trunc, field extraction, epoch, diff, arithmetic."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return (
+        e.select(
+            "event_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "day_start"
+            ),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            F.year("ts").cast("bigint").alias("y"),
+            F.month("ts").cast("bigint").alias("m"),
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+            F.hour("ts").cast("bigint").alias("h"),
+            (F.weekday(F.col("ts")) + 1).cast("bigint").alias("iso_weekday"),
+            F.unix_timestamp(F.date_trunc("second", "ts")).alias("unix_sec"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("days_since_ny"),
+            F.date_format(
+                F.date_add(F.to_date(F.date_trunc("day", "ts")), 7), "yyyy-MM-dd"
+            ).alias("plus_week"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_MATH_ORACLE = """
+SELECT p_partkey,
+       round(p_retailprice, 1)            AS price_round,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT)  AS price_ceil,
+       abs(p_size - 25)                   AS size_dev,
+       ((p_size % 7) + 7) % 7             AS size_mod7,
+       power(2.0, p_size % 10)            AS pow2,
+       sqrt(CAST(p_size AS DOUBLE))       AS size_sqrt,
+       CAST(sign(p_size - 25) AS DOUBLE)  AS size_sign,
+       greatest(p_size, 25)               AS size_max25,
+       least(p_size, 25)                  AS size_min25
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("scalar_math_funcs", oracle=_MATH_ORACLE, tags=("scalar", "math"))
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (IEEE-exact subset; see module docstring)."""
+    p = _t(spark, sf_dir, "part")
+    size = F.col("p_size")
+    return (
+        p.select(
+            "p_partkey",
+            F.round("p_retailprice", 1).alias("price_round"),
+            F.floor("p_retailprice").alias("price_floor"),
+            F.ceil("p_retailprice").alias("price_ceil"),
+            F.abs(size - 25).alias("size_dev"),
+            F.pmod(size, F.lit(7)).alias("size_mod7"),
+            F.pow(F.lit(2.0), size % 10).alias("pow2"),
+            F.sqrt(size.cast("double")).alias("size_sqrt"),
+            F.signum(size - 25).cast("double").alias("size_sign"),
+            F.greatest(size, F.lit(25)).cast("bigint").alias("size_max25"),
+            F.least(size, F.lit(25)).cast("bigint").alias("size_min25"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT doc_id,
+       len(words)                                   AS n_words,
+       len(list_distinct(words))                    AS n_unique_words,
+       list_contains(words, 'spark')                AS has_spark,
+       list_sort(list_distinct(words))[1:5]         AS first_words,
+       words[1]                                     AS head_word,
+       array_to_string(list_sort(list_distinct(words))[1:3], ',') AS top3_csv
+FROM (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register("scalar_array_funcs", oracle=_ARRAY_ORACLE, tags=("scalar", "array"))
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized documents: size, distinct, contains,
+    sort, slice, element_at, join."""
+    d = _t(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
+    uniq_sorted = F.sort_array(F.array_distinct("words"))
+    return (
+        d.select(
+            "doc_id",
+            F.size("words").cast("bigint").alias("n_words"),
+            F.size(F.array_distinct("words")).cast("bigint").alias("n_unique_words"),
+            F.array_contains("words", "spark").alias("has_spark"),
+            F.slice(uniq_sorted, 1, 5).alias("first_words"),
+            F.element_at("words", 1).alias("head_word"),
+            F.array_join(F.slice(uniq_sorted, 1, 3), ",").alias("top3_csv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+       json_extract_string(props, '$.missing')            AS missing_key,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod10
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+"""
+
+
+@register("scalar_json_funcs", oracle=_JSON_ORACLE, tags=("scalar", "json"))
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over the events payload — the schema-on-read decode the
+    reference leaves to its application (SURVEY.md §1.1)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select(
+            "event_id",
+            k.alias("k_value"),
+            F.get_json_object("props", "$.missing").alias("missing_key"),
+            (k % 10).alias("k_mod10"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_COND_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END                           AS bal_bucket,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+       CASE WHEN c_acctbal >= 0 THEN c_acctbal END    AS bal_nonneg,
+       c_nationkey IN (1, 2, 3)                       AS in_first_nations,
+       c_acctbal BETWEEN 0 AND 1000                   AS small_positive
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("scalar_conditional_funcs", oracle=_COND_ORACLE, tags=("scalar", "cond"))
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, coalesce, nullif, isin, between."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return (
+        c.select(
+            "c_custkey",
+            F.when(bal < 0, "debt")
+            .when(bal < 5000, "low")
+            .otherwise("high")
+            .alias("bal_bucket"),
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "segment_masked"
+            ),
+            F.when(bal >= 0, bal).alias("bal_nonneg"),
+            F.col("c_nationkey").isin(1, 2, 3).alias("in_first_nations"),
+            bal.between(0, 1000).alias("small_positive"),
+        )
+        .orderBy("c_custkey")
+    )

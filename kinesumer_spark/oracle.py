@@ -44,9 +44,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         # tz-aware (Spark/UTC) vs naive (DuckDB) timestamps compare equal
         if isinstance(df[c].dtype, pd.DatetimeTZDtype):
             df[c] = df[c].dt.tz_localize(None)
+        # unify pandas datetime resolutions (Spark→ns, DuckDB→us)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
         if df[c].dtype == object:
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+                else v
             )
     sort_cols = [c for c in df.columns if df[c].map(lambda v: not isinstance(v, tuple)).all()]
     df = df.sort_values(by=sort_cols or list(df.columns), kind="mergesort")
@@ -61,6 +66,13 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         return [f"column mismatch: spark={list(a.columns)} oracle={list(b.columns)}"]
     if len(a) != len(b):
         return [f"row count mismatch: spark={len(a)} oracle={len(b)}"]
+    for c in a.columns:
+        # strict dtype parity: the driver compares schemas, so int32-vs-int64
+        # drift between Spark and DuckDB must fail locally too
+        if a[c].dtype != b[c].dtype:
+            problems.append(
+                f"dtype mismatch col {c!r}: spark={a[c].dtype} oracle={b[c].dtype}"
+            )
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):

@@ -59,6 +59,8 @@ def all_queries() -> dict[str, Query]:
         relational,
         windows,
         setops,
+        groupings,
+        aggregates,
         scalars,
         dedup,
         similarity,
