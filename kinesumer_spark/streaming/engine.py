@@ -1,0 +1,246 @@
+"""Consumer-group engine: the reference's public API surface, Spark-first.
+
+Maps daangn/kinesumer's client (kinesumer.go) onto Structured Streaming:
+
+| reference                                   | here |
+|---------------------------------------------|------|
+| ``NewKinesumer(cfg)`` bootstrap :188-291    | ``Engine(spark, app, ...)`` |
+| ``Consume(streams)`` → record chan :346-370 | ``consume(streams)`` → streaming DF in RECORD_SCHEMA (multi-stream unionByName) |
+| shard scan loops O1/O2 :615-704, :513-607   | file-microbatch source (``maxFilesPerTrigger`` ≈ ScanLimit pacing) |
+| ``MarkRecord``/``Commit`` O12/O13 :746-804  | per-batch offset ledger written by ``run()``'s foreachBatch wrapper (at-least-once), on top of Spark's exactly-once checkpoint WAL |
+| state store (statestore.go)                 | ``checkpoint_root`` dirs + ``consumer_state()`` observability view (statemodel.go:17-53 schema) |
+| ``Errors()`` chan O20 :833-844              | ``errors()`` (listener-captured, non-blocking) |
+| ``Refresh(streams)`` O18 :817-831           | ``refresh()`` — stop + restart with new source set |
+| ``Close()`` drain O22 :846-869              | ``close()`` |
+
+Partition assignment, leader election, heartbeats, rebalance (O5-O10,
+O17) have no code here at all: the Spark driver plans each microbatch
+and the scheduler assigns source partitions to executors — that is the
+entire point of rebuilding on Spark (SURVEY.md §1.3).
+
+Delivery semantics: Spark's checkpoint WAL gives exactly-once batch
+bookkeeping; the ledger reproduces the reference's *observable*
+at-least-once contract (commit every batch ≈ commit interval → replay
+window on crash is one microbatch instead of 5 s of marks).
+
+Scale notes: one streaming DF per stream, unioned — each source lists
+and plans its own files/offsets per batch (driver-side, like the
+leader's shard-cache refresh O10 but free); state (dedup/window) is
+keyed by (stream, shard_id) downstream, so executors scale with shard
+count × partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesumer_spark.streaming.envelope import (
+    EVENTS_RAW_SCHEMA,
+    RECORD_SCHEMA,
+    events_to_envelope,
+)
+
+
+@dataclass
+class CommitConfig:
+    """Mirror of the reference's CommitConfig (kinesumer.go:77-95).
+
+    ``auto=True`` → the run() wrapper writes the offset ledger after
+    every microbatch (the reference flushes marks every 5 s; a
+    microbatch is our commit interval). ``auto=False`` → the caller
+    invokes ``Engine.commit(batch_df, batch_id)`` inside its sink."""
+
+    auto: bool = True
+
+
+@dataclass
+class StreamSource:
+    """One named stream backed by a parquet directory (stand-in for a
+    Kinesis stream; same envelope a Kinesis/Kafka connector would emit)."""
+
+    name: str
+    path: str
+    max_files_per_trigger: int | None = 1
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        app: str,
+        checkpoint_root: str,
+        commit: CommitConfig | None = None,
+    ) -> None:
+        if not app:
+            # errEmptyAppName parity (kinesumer.go:189-193)
+            raise ValueError("app name must not be empty")
+        self.spark = spark
+        self.app = app
+        self.checkpoint_root = checkpoint_root
+        self.commit_config = commit or CommitConfig()
+        self._streams: dict[str, StreamSource] = {}
+        self._query = None
+        self._errors: list[str] = []
+        self._lock = threading.Lock()
+        os.makedirs(self._ledger_dir(), exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def _ledger_dir(self) -> str:
+        return os.path.join(self.checkpoint_root, self.app, "ledger")
+
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.checkpoint_root, self.app, "wal")
+
+    # -- source construction ----------------------------------------------
+    def consume(self, sources: list[StreamSource]) -> DataFrame:
+        """Multi-stream merged envelope (O4: N streams → one channel).
+
+        Returns a *streaming* DataFrame in RECORD_SCHEMA; the caller
+        attaches transformations and hands a sink to ``run()``.
+        """
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        self._streams = {s.name: s for s in sources}
+        merged: DataFrame | None = None
+        for s in sources:
+            reader = self.spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            if s.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", s.max_files_per_trigger)
+            raw = reader.parquet(s.path)
+            env = events_to_envelope(raw, stream=s.name)
+            merged = env if merged is None else merged.unionByName(env)
+        assert merged is not None, "at least one stream required"
+        return merged
+
+    # -- mark / commit ledger ---------------------------------------------
+    def commit(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Write per-(stream, shard) high-water marks for one batch —
+        the ShardCheckPoint row set of statemodel.go:40-45. Idempotent
+        per batch_id (overwrite), like the reference's re-put commits."""
+        marks = (
+            batch_df.groupBy("stream", "shard_id")
+            .agg(F.max("sequence_number").alias("sequence_number"))
+            .collect()
+        )
+        path = os.path.join(self._ledger_dir(), f"batch-{batch_id:020d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "app": self.app,
+                    "batch_id": batch_id,
+                    "checkpoints": [
+                        {
+                            "stream": r["stream"],
+                            "shard_id": r["shard_id"],
+                            "sequence_number": r["sequence_number"],
+                        }
+                        for r in marks
+                    ],
+                },
+                f,
+            )
+        os.replace(tmp, path)  # atomic, crash-safe like a DDB batch-put
+
+    def run(
+        self,
+        records: DataFrame,
+        sink: Callable[[DataFrame, int], None],
+        query_name: str = "consume",
+    ):
+        """Start the delivery query: user sink + auto-commit ledger in one
+        foreachBatch (the reference's records-channel + auto-mark of the
+        batch's last record, kinesumer.go:551-554, :656-658)."""
+
+        def deliver(batch_df: DataFrame, batch_id: int) -> None:
+            try:
+                batch_df.persist()
+                sink(batch_df, batch_id)
+                if self.commit_config.auto:
+                    self.commit(batch_df, batch_id)
+            except Exception as exc:  # error side-channel, non-blocking (O20)
+                with self._lock:
+                    self._errors.append(f"batch {batch_id}: {exc}")
+                raise
+            finally:
+                batch_df.unpersist()
+
+        self._query = (
+            records.writeStream.queryName(query_name)
+            .option("checkpointLocation", self._ckpt_dir())
+            .foreachBatch(deliver)
+            .start()
+        )
+        return self._query
+
+    # -- lifecycle ---------------------------------------------------------
+    def refresh(self, sources: list[StreamSource]) -> DataFrame:
+        """O18 Refresh: a Spark query's source set is fixed, so refresh is
+        stop → new consume() (documented semantic gap, SURVEY.md §7)."""
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+        return self.consume(sources)
+
+    def errors(self) -> list[str]:
+        """Error side-channel (O20) — never blocks the query."""
+        with self._lock:
+            return list(self._errors)
+
+    def close(self) -> None:
+        """Graceful close: stop + final commit is already on disk because
+        commits are per-batch (stricter than the reference's 5 s flush)."""
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    # -- observability -----------------------------------------------------
+    def checkpoints(self) -> dict[tuple[str, str], str]:
+        """Latest committed sequence number per (stream, shard_id) —
+        ``ListCheckPoints`` parity (statestore.go:224-257)."""
+        out: dict[tuple[str, str], str] = {}
+        for fn in sorted(os.listdir(self._ledger_dir())):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(self._ledger_dir(), fn)) as f:
+                doc = json.load(f)
+            for cp in doc["checkpoints"]:
+                out[(cp["stream"], cp["shard_id"])] = cp["sequence_number"]
+        return out
+
+    def consumer_state(self) -> DataFrame:
+        """The state-store observability view (FIXTURES.md §1 schema;
+        replaces the DynamoDB table of statemodel.go:17-53). Entities:
+        'check_point' rows from the ledger; 'client' is the driver."""
+        rows = [
+            {
+                "entity": "check_point",
+                "app": self.app,
+                "stream": stream,
+                "shard_id": shard,
+                "client_id": None,
+                "sequence_number": seq,
+            }
+            for (stream, shard), seq in self.checkpoints().items()
+        ]
+        rows.append(
+            {
+                "entity": "client",
+                "app": self.app,
+                "stream": None,
+                "shard_id": None,
+                "client_id": "driver",
+                "sequence_number": None,
+            }
+        )
+        schema = (
+            "entity string, app string, stream string, shard_id string, "
+            "client_id string, sequence_number string"
+        )
+        return self.spark.createDataFrame(rows, schema=schema)

@@ -1,1 +1,231 @@
-"""Placeholder — populated in M2/M3."""
+"""Streaming analytics surface (SURVEY.md §2.2 "Streaming ops"),
+registered as driver-checkable queries.
+
+Each query runs a real Structured Streaming job over the events parquet
+(file-stream source → memory sink → ``processAllAvailable``), then
+returns the materialized result. Because the input is finite, results
+are deterministic and — for the SQL-expressible ones — oracle-checked
+against DuckDB like any batch query: the streaming engine must converge
+to the batch answer.
+
+State/scale notes: all aggregations here are keyed (window, type, user)
+→ state store partitions by key; watermarks bound state in the
+unbounded case (`withWatermark` before windowed aggs / dedup). On a
+real cluster the same code runs with a Kinesis/Kafka source emitting
+the identical envelope (streaming/envelope.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import table_path
+from kinesumer_spark.functions.exact import oracle_sum
+from kinesumer_spark.registry import register
+from kinesumer_spark.streaming.envelope import EVENTS_RAW_SCHEMA
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events table (ts normalized to µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources require a directory; glob down to the one table
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_sum('"value"')} AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register(
+    "stream_tumbling_hourly", oracle=_STREAM_TUMBLING_ORACLE, tags=("streaming",)
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 1 h window agg — must converge to the batch
+    answer (same oracle shape as events_tumbling_hourly)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(agg, "ks_stream_tumbling").orderBy(
+        "window_start", "event_type"
+    )
+
+
+_STREAM_SLIDING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts) - off * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) t(off)
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register(
+    "stream_sliding_2h_1h", oracle=_STREAM_SLIDING_ORACLE, tags=("streaming",)
+)
+def stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2 h window, 1 h slide: each event lands in two windows
+    (oracle replicates via a 2-row offset cross join)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+        )
+    )
+    return _run_to_table(agg, "ks_stream_sliding").orderBy("window_start")
+
+
+_STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "stream_session_window", oracle=_STREAM_SESSION_ORACLE, tags=("streaming",)
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(30 min gap) per user. Session semantics: merge while
+    gap < 30 min (a gap of exactly 30 min starts a new session — the
+    oracle's >= mirrors that boundary; heartbeat-staleness analog of the
+    reference's 10 s prune window, syncleader.go:11-13)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), _TS_FMT).alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return _run_to_table(agg, "ks_stream_session").orderBy(
+        "user_id", "session_start"
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("stream_dedup", oracle=_STREAM_DEDUP_ORACLE, tags=("streaming", "dedup"))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) + count — the
+    payload-dedup op (SURVEY.md §2.2 streaming row: dropDuplicates).
+    Unbounded variant adds withWatermark + dropDuplicatesWithinWatermark."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return _run_to_table(agg, "ks_stream_dedup").orderBy("event_type")
+
+
+_STREAM_STATIC_JOIN_ORACLE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       {oracle_sum('"value"')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "stream_static_join",
+    oracle=_STREAM_STATIC_JOIN_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⨝ static dimension (broadcast — no stream-side shuffle),
+    then keyed agg: the enrich-then-aggregate pipeline shape."""
+    from kinesumer_spark.catalog import read_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    return _run_to_table(agg, "ks_stream_static_join").orderBy("c_mktsegment")

@@ -1,0 +1,190 @@
+"""Engine (consumer-group parity) tests — the Spark analogs of the
+reference's integration suite (SURVEY.md §5):
+
+- delivery test ≙ TestKinesumer_Consume (kinesumer_test.go:137-193)
+- checkpoint/commit test ≙ TestKinesumer_Commit (:415-464)
+- kill/restart recovery ≙ TestShardsRebalancing's reassignment checks
+  (:195-317) — on Spark, recovery-from-WAL is the equivalent guarantee
+- error channel ≙ sendOrDiscardError (kinesumer.go:833-844)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from kinesumer_spark.streaming.engine import CommitConfig, Engine, StreamSource
+from kinesumer_spark.streaming.envelope import RECORD_SCHEMA
+
+from .conftest import SF_SMALL
+
+EVENTS_PARQUET = os.path.join(SF_SMALL, "events.parquet")
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """The events table split into 4 parquet files (microbatch fodder)."""
+    t = pq.read_table(EVENTS_PARQUET)
+    d = tmp_path / "events_in"
+    d.mkdir()
+    n = t.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        chunk = t.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, d / f"part-{i}.parquet")
+    return str(d), n
+
+
+def _collecting_sink(store: list):
+    def sink(batch_df, batch_id):
+        rows = batch_df.select("stream", "shard_id", "sequence_number").collect()
+        store.append((batch_id, rows))
+
+    return sink
+
+
+def test_consume_delivers_all_records(spark, tmp_path, events_dir):
+    path, n_total = events_dir
+    eng = Engine(spark, app="t-deliver", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", path, max_files_per_trigger=2)])
+    assert records.isStreaming
+    # name/type parity (nullability is expression-derived in Spark)
+    assert [(f.name, f.dataType) for f in records.schema.fields] == [
+        (f.name, f.dataType) for f in RECORD_SCHEMA.fields
+    ]
+
+    seen: list = []
+    q = eng.run(records, _collecting_sink(seen))
+    q.processAllAvailable()
+    eng.close()
+
+    delivered = [r for _, rows in seen for r in rows]
+    assert len(delivered) == n_total
+    assert len(seen) >= 2  # maxFilesPerTrigger=2 over 4 files → ≥2 batches
+    assert {r["stream"] for r in delivered} == {"events"}
+    assert len({r["shard_id"] for r in delivered}) == 5  # 5-shard fixture
+
+
+def test_commit_ledger_has_shard_high_water_marks(spark, tmp_path, events_dir):
+    path, _ = events_dir
+    eng = Engine(spark, app="t-commit", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", path)])
+    q = eng.run(records, lambda df, bid: None)
+    q.processAllAvailable()
+    eng.close()
+
+    cps = eng.checkpoints()
+    assert len(cps) == 5
+    # ListCheckPoints parity: committed seq == true max per shard
+    t = pq.read_table(EVENTS_PARQUET).to_pandas()
+    for (stream, shard), seq in cps.items():
+        shard_no = int(shard.removeprefix("shardId-"))
+        expected = t[t.user_id % 5 == shard_no].event_id.max()
+        assert seq == f"{expected:021d}", (shard, seq, expected)
+
+    state = eng.consumer_state().collect()
+    assert sum(1 for r in state if r["entity"] == "check_point") == 5
+    assert sum(1 for r in state if r["entity"] == "client") == 1
+
+
+def test_restart_from_checkpoint_resumes_without_loss(spark, tmp_path):
+    """Process half the files, stop, add the rest, restart with the same
+    checkpoint — every record delivered exactly once across the restart."""
+    t = pq.read_table(EVENTS_PARQUET)
+    d = tmp_path / "in"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "a.parquet")
+
+    seen: list = []
+    eng = Engine(spark, app="t-recover", checkpoint_root=str(tmp_path / "ck"))
+    q = eng.run(eng.consume([StreamSource("events", str(d))]), _collecting_sink(seen))
+    q.processAllAvailable()
+    eng.close()
+    assert sum(len(rows) for _, rows in seen) == half
+
+    pq.write_table(t.slice(half), d / "b.parquet")
+    eng2 = Engine(spark, app="t-recover", checkpoint_root=str(tmp_path / "ck"))
+    q2 = eng2.run(
+        eng2.consume([StreamSource("events", str(d))]), _collecting_sink(seen)
+    )
+    q2.processAllAvailable()
+    eng2.close()
+
+    delivered = [r["sequence_number"] for _, rows in seen for r in rows]
+    assert len(delivered) == t.num_rows  # no replay of file a
+    assert len(set(delivered)) == t.num_rows  # no loss, all unique
+
+
+def test_multi_stream_union(spark, tmp_path, events_dir):
+    path, n_total = events_dir
+    eng = Engine(spark, app="t-multi", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s1", path), StreamSource("s2", path)]
+    )
+    seen: list = []
+    q = eng.run(records, _collecting_sink(seen))
+    q.processAllAvailable()
+    eng.close()
+    per_stream: dict[str, int] = {}
+    for _, rows in seen:
+        for r in rows:
+            per_stream[r["stream"]] = per_stream.get(r["stream"], 0) + 1
+    assert per_stream == {"s1": n_total, "s2": n_total}
+    assert set(eng.checkpoints()) == {
+        (s, f"shardId-{i:012d}") for s in ("s1", "s2") for i in range(5)
+    }
+
+
+def test_empty_app_name_rejected(spark, tmp_path):
+    with pytest.raises(ValueError):
+        Engine(spark, app="", checkpoint_root=str(tmp_path))
+
+
+def test_error_side_channel(spark, tmp_path, events_dir):
+    path, _ = events_dir
+    eng = Engine(spark, app="t-errors", checkpoint_root=str(tmp_path / "ck"))
+
+    def bad_sink(df, bid):
+        raise RuntimeError("sink exploded")
+
+    q = eng.run(eng.consume([StreamSource("events", path)]), bad_sink)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    eng.close()
+    errs = eng.errors()
+    assert errs and "sink exploded" in errs[0]
+
+
+def test_manual_commit_mode(spark, tmp_path, events_dir):
+    """commit.auto=False → nothing in the ledger unless the sink commits
+    (CommitConfig parity, kinesumer.go:77-95)."""
+    path, _ = events_dir
+    eng = Engine(
+        spark,
+        app="t-manual",
+        checkpoint_root=str(tmp_path / "ck"),
+        commit=CommitConfig(auto=False),
+    )
+    q = eng.run(eng.consume([StreamSource("events", path)]), lambda df, bid: None)
+    q.processAllAvailable()
+    eng.close()
+    assert eng.checkpoints() == {}
+
+    eng2 = Engine(
+        spark,
+        app="t-manual2",
+        checkpoint_root=str(tmp_path / "ck"),
+        commit=CommitConfig(auto=False),
+    )
+
+    def committing_sink(df, bid):
+        eng2.commit(df, bid)
+
+    q2 = eng2.run(eng2.consume([StreamSource("events", path)]), committing_sink)
+    q2.processAllAvailable()
+    eng2.close()
+    assert len(eng2.checkpoints()) == 5
