@@ -1,1 +1,351 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all batch-first over the `documents` table:
+
+- ``dedup_exact``       — content-hash (sha256) grouping. Oracle-checked.
+- ``dedup_ngram_jaccard`` — exact 3-word-shingle Jaccard pairs via a
+  purely relational formulation (explode → self-join → count). Oracle-
+  checked; also serves as ground truth for the approximate tiers.
+- ``dedup_minhash_lsh`` — MinHash signatures (32 permutations) + LSH
+  banding (8 bands × 4 rows) + exact-Jaccard verification of candidate
+  pairs. Deterministic (crc32-based hashing) but not SQL-portable →
+  rows-only; tests assert candidate pairs ⊆ / ≅ the exact pair set.
+- ``dedup_simhash``     — 32-bit SimHash + banded Hamming-distance
+  candidate generation. Rows-only.
+
+Scale design (100 TB of documents):
+- exact: map-side sha256 then hash-shuffle on the 32-byte digest —
+  minimal width, no text movement; keeper = min(doc_id) per digest.
+- ngram-exact: the shingle explode multiplies data ~L×; at scale this
+  tier is for *verification of candidates only* (as minhash does here),
+  never run all-pairs. The relational form shuffles (shingle → pairs),
+  so hot shingles are salted away by blocking keys (lang here).
+- minhash: signatures are fixed-size (32×8 B) regardless of doc length;
+  banding turns all-pairs O(n²) into per-bucket joins. Buckets are the
+  skew risk → AQE skew-join + the band index in the key spreads them.
+- Every stage is built-in columnar expressions (crc32/pmod/least/
+  aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT doc_id,
+       sha256(text) AS content_hash,
+       (doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))) AS is_canonical,
+       COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: sha256(text) grouping, min-doc_id keeper."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text").cast("binary"), 256)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(h)
+    return (
+        d.select(
+            "doc_id",
+            h.alias("content_hash"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+            F.count("*").over(w).alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles (shared by the exact-Jaccard and MinHash tiers)
+# --------------------------------------------------------------------------
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, shingle, n_shingles) — distinct 3-word shingles.
+
+    Built with element_at over a generated index sequence — all JVM
+    expressions, no UDF. Docs with <3 words contribute their whole text.
+    """
+    words = F.split("text", " ")
+    sh = F.when(
+        F.size(words) >= 3,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 3), i -> "
+                "concat_ws(' ', element_at(split(text, ' '), i + 1), "
+                "element_at(split(text, ' '), i + 2), "
+                "element_at(split(text, ' '), i + 3)))"
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return (
+        d.select("doc_id", "lang", sh.alias("shingles"))
+        .withColumn("n_shingles", F.size("shingles").cast("bigint"))
+        .select("doc_id", "lang", "n_shingles", F.explode("shingles").alias("shingle"))
+    )
+
+
+def _verified_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard pairs from an exploded shingle table (relational:
+    shared-count via self-join on shingle, |A∪B| = nA + nB - shared)."""
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("a.n_shingles").alias("na"),
+            F.first("b.n_shingles").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard", "shared")
+    )
+
+
+_NGRAM_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), e AS (
+  SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS shingle FROM s
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM e a JOIN e b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard,
+       shared
+FROM p
+WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5), relational."""
+    d = _t(spark, sf_dir, "documents")
+    return _verified_pairs(_shingles(d), 0.5).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+_P32 = 4_294_967_311  # smallest prime > 2^32: the permutation modulus
+_N_HASHES = 64
+_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+# Deterministic coefficients for h_i(x) = (a_i·x + b_i) mod p. a_i is
+# capped below 2^30 so a·h (h < 2^32) stays inside int64; it must be
+# large enough that a·h wraps p many times — a tiny a would make the
+# "permutation" monotone in h and collapse every minhash position onto
+# the same argmin shingle.
+_COEF = [
+    ((2654435761 * i) % (1 << 30) | 1, (40503 * i * i + 97) % (1 << 30))
+    for i in range(1, _N_HASHES + 1)
+]
+
+
+def _minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """(doc_id, lang, sig: array<bigint>) via min over permuted crc32s.
+
+    crc32 is a stable public checksum (same values on any engine/JVM),
+    so signatures — and therefore buckets — are reproducible run-to-run
+    and cluster-to-cluster, unlike murmur-seeded ml.feature.MinHashLSH.
+    """
+    h = F.crc32(F.col("shingle").cast("binary"))
+    mins = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P32)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_COEF)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)])
+    return (
+        shingled.groupBy("doc_id", "lang")
+        .agg(*mins)
+        .select("doc_id", "lang", sig.alias("sig"))
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) candidate generation, exact-Jaccard verify.
+
+    Pipeline: shingles → signatures (fixed 64×8B per doc) → band keys →
+    self-join per (band, key) bucket → candidate pairs → verify with the
+    exact relational Jaccard (≥0.5) → (doc_a, doc_b, jaccard, shared).
+    With b=16, r=4: P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.9998 at j=0.8.
+    """
+    d = _t(spark, sf_dir, "documents")
+    shingled = _shingles(d)
+    sigs = _minhash_signatures(shingled)
+
+    bands = sigs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.element_at("sig", i * _ROWS_PER_BAND + r + 1)
+                                for r in range(_ROWS_PER_BAND)
+                            ],
+                        ).alias("key"),
+                    )
+                    for i in range(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "lang", "bk.band", "bk.key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("cand_a"), F.col("b.doc_id").alias("cand_b")
+        )
+        .distinct()
+    )
+
+    verified = _verified_pairs(shingled, 0.5)
+    return (
+        verified.join(
+            candidates,
+            (verified.doc_a == candidates.cand_a)
+            & (verified.doc_b == candidates.cand_b),
+            "left_semi",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_HAM_BANDS = 4  # 4 bands × 8 bits for candidate blocking
+
+
+def _simhash(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, simhash) — 32-bit SimHash over word crc32s.
+
+    bit_j(simhash) = 1 iff Σ_words (±1 per word's bit_j) > 0; built as 32
+    conditional sums over the exploded word table — pure JVM expressions.
+    """
+    words = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .withColumn("h", F.crc32(F.col("w").cast("binary")))
+    )
+    contribs = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id", "lang").agg(*contribs)
+    sim: Column = F.lit(0).cast("bigint")
+    for j in range(_SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return agg.select("doc_id", "lang", sim.alias("simhash"))
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking (a shared 8-bit band is
+    necessary for Hamming distance ≤ 3 by pigeonhole over 4 bands),
+    then exact Hamming ≤ 3 verification via bit_count(xor)."""
+    d = _t(spark, sf_dir, "documents")
+    s = _simhash(d)
+    bands = s.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255)).alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(_HAM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "lang", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

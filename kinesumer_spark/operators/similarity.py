@@ -1,1 +1,250 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the embeddings table (`embedding: array<float>`,
+64-dim) — the ANN layer of a training-data pipeline.
+
+- ``similarity_cosine_topk`` — brute-force exact cosine top-k for a
+  query set. Oracle-checked (DuckDB list_dot_product on DOUBLE[] mirrors
+  the left-fold accumulation order; similarities rounded to 6 dp before
+  ranking so cross-engine ulp noise cannot flip ranks).
+- ``similarity_ann_hyperplane`` — LSH-bucketed approximate variant:
+  random-hyperplane (sign) signatures → bucket join → exact re-rank
+  within bucket. Deterministic (crc32-derived planes), rows-only;
+  tests measure recall against the brute-force answer.
+
+Scale (100 TB / billions of vectors):
+- brute-force is the correctness baseline and stays viable when the
+  query set is small: broadcast queries, one scan of the corpus, per-
+  partition top-k via window — no corpus shuffle at all.
+- hyperplane LSH cuts the scan to matching buckets; signatures are
+  computed scan-side (columnar expressions, no UDF) and the bucket key
+  becomes the shuffle/bucketing key. An IVF variant would replace the
+  signature with a nearest-centroid id — same plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.registry import register
+
+_TOP_K = 5
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold Σ aᵢ·bᵢ in doubles — same accumulation order as a plain
+    loop, hence bit-identical to DuckDB's list_dot_product on DOUBLE[]."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+_COSINE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.q_id, v.vec_id, v.label,
+         round(list_dot_product(q.qe, v.e) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+  FROM q CROSS JOIN v
+  WHERE q.q_id <> v.vec_id
+)
+SELECT q_id, vec_id, label, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= {_TOP_K}
+ORDER BY q_id, rnk
+"""
+
+
+@register("similarity_cosine_topk", oracle=_COSINE_ORACLE, tags=("similarity",))
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k}: broadcast query set × corpus scan × window
+    rank. The corpus is never shuffled — only (q_id, candidate) scores."""
+    v = _t(spark, sf_dir).select("vec_id", "label", _as_double("embedding").alias("e"))
+    q = (
+        v.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (
+                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(_dot(F.col("e"), F.col("e")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# -- hyperplane LSH --------------------------------------------------------
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane_sign(dim: int, plane: int) -> int:
+    """Deterministic ±1 hyperplane coefficients from a public checksum
+    (crc32 of "plane:dim"), so every engine/run builds the same planes."""
+    import zlib
+
+    return 1 if zlib.crc32(f"{plane}:{dim}".encode()) & 1 else -1
+
+
+_PLANES = [
+    [_plane_sign(d, p) for d in range(_DIM)] for p in range(_N_PLANES)
+]
+
+
+def _signature(e: Column) -> Column:
+    """LSH bucket id: bit_p = [Σ_d ±e_d > 0] — sign of the projection on
+    each ±1 hyperplane, packed into a bigint."""
+    sig: Column = F.lit(0).cast("bigint")
+    for p, coefs in enumerate(_PLANES):
+        proj: Column = F.lit(0.0)
+        for d, c in enumerate(coefs):
+            term = F.element_at(e, d + 1)
+            proj = proj + (term if c > 0 else -term)
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return sig
+
+
+@register("similarity_ann_hyperplane", oracle=None, tags=("similarity", "approx"))
+def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates share the query's 8-bit hyperplane bucket
+    (plus all buckets at Hamming distance ≤ 2 — multiprobe), exact cosine
+    re-rank within candidates. Rows-only; recall measured in tests."""
+    return ann_topk(spark, sf_dir, F.col("vec_id") < _N_QUERIES)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str, query_pred: Column) -> DataFrame:
+    """Hyperplane-LSH ANN with an arbitrary query-set predicate."""
+    v = _t(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    sigs = v.withColumn("sig", _signature(F.col("e")))
+    # multiprobe: each vector is indexed under its own bucket; each query
+    # probes all buckets within Hamming distance 2 of its own signature
+    # (1 + 8 + 28 = 37 of 256 buckets → ~14% of the corpus scanned)
+    masks = [0] + [1 << p for p in range(_N_PLANES)] + [
+        (1 << p1) | (1 << p2)
+        for p1 in range(_N_PLANES)
+        for p2 in range(p1 + 1, _N_PLANES)
+    ]
+    q = (
+        sigs.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.explode(
+                F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("probe"),
+        )
+    )
+    cand = (
+        q.join(sigs, q.probe == sigs.sig)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "qe",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (
+                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(_dot(F.col("e"), F.col("e")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id", "label", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+_PAIRS_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) *
+              sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) *
+             sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("similarity_dup_pairs", oracle=_PAIRS_ORACLE, tags=("similarity", "dedup"))
+def similarity_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks — the
+    embedding-based dedup tier; blocking bounds the pair explosion
+    exactly as lang does for text dedup. Threshold 0.4 suits this
+    synthetic corpus (no true dups; max pairwise cosine ≈ 0.5); a real
+    dedup pass would use ≥0.95 with the identical plan."""
+    v = _t(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e"))
+        / (
+            F.sqrt(_dot(F.col("a.e"), F.col("a.e")))
+            * F.sqrt(_dot(F.col("b.e"), F.col("b.e")))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,265 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for training-data curation over `documents`:
+stats, quality scoring, token counting, heuristic language ID, and
+document fingerprinting. All pure columnar expressions (no Python UDFs);
+every query here is oracle-checked, including the fingerprint (the
+rolling hash is built from md5, which both engines share).
+
+Scale: each operator is a narrow map over the text column — no shuffle
+at all until the final ORDER BY (which exists only for golden-test
+determinism); at 100 TB these run at scan speed and pipeline into the
+dedup/similarity stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+_STATS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, n_chars, regexp_split_to_array(text, ' ') AS words,
+         length(replace(text, ' ', '')) AS letters
+  FROM documents
+)
+SELECT doc_id,
+       n_chars,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_unique,
+       round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+         AS type_token_ratio,
+       round(letters / CAST(len(words) AS DOUBLE), 6) AS avg_word_len,
+       CAST(list_max(list_transform(words, w -> length(w))) AS BIGINT)
+         AS longest_word
+FROM w
+ORDER BY doc_id
+"""
+
+
+@register("text_stats", oracle=_STATS_ORACLE, tags=("text",))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (length, vocabulary, word shape)."""
+    d = _t(spark, sf_dir)
+    words = F.split("text", " ")
+    letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.size(words).cast("bigint").alias("n_words"),
+            F.size(F.array_distinct(words)).cast("bigint").alias("n_unique"),
+            F.round(
+                F.size(F.array_distinct(words)) / F.size(words).cast("double"), 6
+            ).alias("type_token_ratio"),
+            F.round(letters / F.size(words).cast("double"), 6).alias("avg_word_len"),
+            F.array_max(F.transform(words, lambda w: F.length(w)))
+            .cast("bigint")
+            .alias("longest_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# words-per-language stoplists for the heuristic language scorer; the
+# point is the operator shape (explode → semi-join → argmax), not NLP
+# accuracy on this synthetic corpus.
+_STOPLISTS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "de": ("der", "die", "das", "und", "ist", "zu"),
+    "es": ("el", "la", "de", "y", "es", "que"),
+    "fr": ("le", "la", "de", "et", "est", "que"),
+    "zh": ("的", "是", "在", "了", "和", "有"),
+}
+
+
+def _sql_array(vals: tuple[str, ...]) -> str:
+    inner = ", ".join(f"'{v}'" for v in vals)
+    return f"[{inner}]"
+
+
+_LANG_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(words, x -> list_contains({_sql_array(_STOPLISTS['en'])}, x))) AS hits_en,
+         len(list_filter(words, x -> list_contains({_sql_array(_STOPLISTS['de'])}, x))) AS hits_de,
+         len(list_filter(words, x -> list_contains({_sql_array(_STOPLISTS['es'])}, x))) AS hits_es,
+         len(list_filter(words, x -> list_contains({_sql_array(_STOPLISTS['fr'])}, x))) AS hits_fr,
+         len(list_filter(words, x -> list_contains({_sql_array(_STOPLISTS['zh'])}, x))) AS hits_zh
+  FROM w
+)
+SELECT doc_id, lang,
+       CAST(hits_en AS BIGINT) AS hits_en,
+       CAST(hits_de AS BIGINT) AS hits_de,
+       CAST(hits_es AS BIGINT) AS hits_es,
+       CAST(hits_fr AS BIGINT) AS hits_fr,
+       CAST(hits_zh AS BIGINT) AS hits_zh,
+       CASE GREATEST(hits_en, hits_de, hits_es, hits_fr, hits_zh)
+         WHEN hits_en THEN 'en' WHEN hits_de THEN 'de' WHEN hits_es THEN 'es'
+         WHEN hits_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", oracle=_LANG_ORACLE, tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax with a fixed precedence
+    order (en > de > es > fr > zh) for deterministic ties."""
+    d = _t(spark, sf_dir)
+    words = F.split("text", " ")
+    def _hit_count(stoplist: tuple[str, ...]):
+        # NB: the closure must be built through a factory — a default-arg
+        # lambda (`lambda w, sl=sl:`) reads as a 2-parameter (element,
+        # index) higher-order-function lambda to Spark
+        return F.size(F.filter(words, lambda w: w.isin(*stoplist))).cast("bigint")
+
+    hits = {lang: _hit_count(sl) for lang, sl in _STOPLISTS.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == hits["en"], "en")
+        .when(best == hits["de"], "de")
+        .when(best == hits["es"], "es")
+        .when(best == hits["fr"], "fr")
+        .otherwise("zh")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            *[hits[lang].alias(f"hits_{lang}") for lang in _STOPLISTS],
+            pred.alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_ORACLE = """
+WITH f AS (
+  SELECT doc_id, n_chars,
+         len(regexp_extract_all(text, '[^a-z ]')) AS n_nonalpha,
+         len(regexp_split_to_array(text, ' ')) AS n_words,
+         len(list_filter(regexp_split_to_array(text, ' '),
+             x -> list_contains(['the','a','of','and','is','to'], x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(n_nonalpha / CAST(n_chars AS DOUBLE), 6) AS nonalpha_ratio,
+       round(n_stop / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
+       (n_chars BETWEEN 100 AND 2000) AND n_words >= 20 AS passes_length_gate,
+       round(LEAST(1.0, n_words / 100.0) *
+             (1.0 - n_nonalpha / CAST(n_chars AS DOUBLE)), 6) AS quality_score
+FROM f
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gates: punctuation/non-alpha ratio, stopword ratio, length
+    gate, and a composite score — the classic pretraining filter set."""
+    d = _t(spark, sf_dir)
+    words = F.split("text", " ")
+    n_nonalpha = F.regexp_count(F.col("text"), F.lit(r"[^a-z ]"))
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPLISTS["en"])))
+    return (
+        d.select(
+            "doc_id",
+            F.round(n_nonalpha / F.col("n_chars").cast("double"), 6).alias(
+                "nonalpha_ratio"
+            ),
+            F.round(n_stop / n_words.cast("double"), 6).alias("stopword_ratio"),
+            (
+                F.col("n_chars").between(100, 2000) & (n_words >= 20)
+            ).alias("passes_length_gate"),
+            F.round(
+                F.least(F.lit(1.0), n_words / F.lit(100.0))
+                * (F.lit(1.0) - n_nonalpha / F.col("n_chars").cast("double")),
+                6,
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TOKENS_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+         AS bpe_ish_tokens,
+       round(n_chars / CAST(len(regexp_extract_all(
+             text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 6)
+         AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_count", oracle=_TOKENS_ORACLE, tags=("text",))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (alpha runs / digit runs / single symbols)."""
+    d = _t(spark, sf_dir)
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+    bpe = F.regexp_count(F.col("text"), F.lit(pat))
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+            bpe.cast("bigint").alias("bpe_ish_tokens"),
+            F.round(F.col("n_chars") / bpe.cast("double"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Rolling (positional polynomial) hash: Σ pos·h(word) mod P, with
+# h = md5-prefix → bigint — order-sensitive (permuted docs differ),
+# engine-portable (md5 everywhere), overflow-safe (h < 1e9+7, pos ≤ 1e4).
+_P = 1_000_000_007
+
+_FPRINT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+), e AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(words[i]), 1, 15)) AS BIGINT) % {_P} AS h
+  FROM w, UNNEST(range(1, len(words) + 1)) AS t(i)
+)
+SELECT doc_id, CAST(SUM(pos * h) % {_P} AS BIGINT) AS fingerprint
+FROM e GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_fingerprint", oracle=_FPRINT_ORACLE, tags=("text",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (positional rolling hash)."""
+    d = _t(spark, sf_dir)
+    e = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10)
+            .cast("bigint")
+            % _P
+        ).alias("h"),
+    )
+    return (
+        e.groupBy("doc_id")
+        .agg((F.sum(F.col("pos") * F.col("h")) % _P).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
