@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core (TPC-H shapes)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -25,6 +26,15 @@ HEADLINE = [
     "q10_returned_items",
     "join_broadcast_dim",
     "join_left_outer",
+    # windows / events
+    "window_topk_per_group",
+    "events_sessionize",
+    "events_asof_join",
+    # training-data pipeline ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_fingerprint",
 ]
 
 

@@ -81,25 +81,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(d: DataFrame) -> DataFrame:
     """(doc_id, lang, shingle, n_shingles) — distinct 3-word shingles.
 
-    Built with element_at over a generated index sequence — all JVM
-    expressions, no UDF. Docs with <3 words contribute their whole text.
+    posexplode + window-lead formulation: higher-order array lambdas
+    (transform) run on Spark's *interpreted* expression path and
+    dominated the whole pipeline's runtime; lead() over the exploded
+    words is whole-stage-codegen'd and one shuffle on doc_id. Docs with
+    <3 words contribute their whole text (union branch).
     """
-    words = F.split("text", " ")
-    sh = F.when(
-        F.size(words) >= 3,
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 3), i -> "
-                "concat_ws(' ', element_at(split(text, ' '), i + 1), "
-                "element_at(split(text, ' '), i + 2), "
-                "element_at(split(text, ' '), i + 3)))"
-            )
-        ),
-    ).otherwise(F.array(F.col("text")))
+    from pyspark.sql import Window as W
+
+    with_words = d.select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("words")
+    )
+    exploded = with_words.filter(F.size("words") >= 3).select(
+        "doc_id", "lang", F.posexplode("words").alias("pos", "w0")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        exploded.withColumn("w1", F.lead("w0", 1).over(win))
+        .withColumn("w2", F.lead("w0", 2).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id", "lang", F.concat_ws(" ", "w0", "w1", "w2").alias("shingle")
+        )
+        .distinct()
+    )
+    short = (
+        with_words.filter(F.size("words") < 3)
+        .select("doc_id", "lang", F.col("text").alias("shingle"))
+        .distinct()
+    )
+    per_doc = W.partitionBy("doc_id")
     return (
-        d.select("doc_id", "lang", sh.alias("shingles"))
-        .withColumn("n_shingles", F.size("shingles").cast("bigint"))
-        .select("doc_id", "lang", "n_shingles", F.explode("shingles").alias("shingle"))
+        tri.unionByName(short)
+        .withColumn("n_shingles", F.count("*").over(per_doc).cast("bigint"))
+        .select("doc_id", "lang", "n_shingles", "shingle")
     )
 
 
@@ -198,14 +213,18 @@ def _minhash_signatures(shingled: DataFrame) -> DataFrame:
     so signatures — and therefore buckets — are reproducible run-to-run
     and cluster-to-cluster, unlike murmur-seeded ml.feature.MinHashLSH.
     """
-    h = F.crc32(F.col("shingle").cast("binary"))
+    # materialize crc32 once per shingle row — aggregate expressions get
+    # no cross-expression CSE, so inlining it would hash every shingle
+    # 64 times
+    hashed = shingled.withColumn("h", F.crc32(F.col("shingle").cast("binary")))
+    h = F.col("h")
     mins = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P32)).alias(f"h{i}")
         for i, (a, b) in enumerate(_COEF)
     ]
     sig = F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)])
     return (
-        shingled.groupBy("doc_id", "lang")
+        hashed.groupBy("doc_id", "lang")
         .agg(*mins)
         .select("doc_id", "lang", sig.alias("sig"))
     )
@@ -221,8 +240,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     With b=16, r=4: P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.9998 at j=0.8.
     """
     d = _t(spark, sf_dir, "documents")
-    shingled = _shingles(d)
-    sigs = _minhash_signatures(shingled)
+    # persisted: the shingle table feeds signatures AND verification; the
+    # signature table feeds 16 band projections
+    shingled = _shingles(d).persist()
+    sigs = _minhash_signatures(shingled).persist()
 
     bands = sigs.select(
         "doc_id",
@@ -261,14 +282,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    verified = _verified_pairs(shingled, 0.5)
+    # verify ONLY candidate pairs (the whole point of LSH: exact Jaccard
+    # never runs all-pairs) — join candidates to per-doc shingle sets and
+    # intersect arrays
+    sets = shingled.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh"), F.first("n_shingles").alias("n")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("cand_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("cand_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     return (
-        verified.join(
-            candidates,
-            (verified.doc_a == candidates.cand_a)
-            & (verified.doc_b == candidates.cand_b),
-            "left_semi",
+        candidates.join(sa, "cand_a")
+        .join(sb, "cand_b")
+        .select(
+            F.col("cand_a").alias("doc_a"),
+            F.col("cand_b").alias("doc_b"),
+            F.round(shared / (F.col("na") + F.col("nb") - shared).cast("double"), 6).alias(
+                "jaccard"
+            ),
+            shared.alias("shared"),
         )
+        .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -1,0 +1,92 @@
+"""Plan audits: assert the physical properties that make the declared
+surface scale — predicate pushdown, column pruning, broadcast joins,
+partial aggregation, no Python in hot paths (SURVEY.md §4: everything
+Catalyst gives us must actually be engaged)."""
+
+from __future__ import annotations
+
+from kinesumer_spark.plans.inspect import (
+    assert_in_plan,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+)
+from kinesumer_spark.registry import all_queries
+
+from .conftest import SF_SMALL
+
+
+def _df(spark, name):
+    return all_queries()[name].spark(spark, SF_SMALL)
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    """Q6's three range predicates must appear as PushedFilters."""
+    df = _df(spark, "q6_forecast_revenue")
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_scan_prunes_columns(spark):
+    """The Q6 scan must read only the 4 referenced columns of 11."""
+    df = _df(spark, "q6_forecast_revenue")
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema in plan"
+    scan = schemas[0]
+    assert "l_extendedprice" in scan and "l_discount" in scan
+    for unused in ("l_comment", "l_orderkey", "l_partkey", "l_returnflag"):
+        assert unused not in scan, f"unpruned column {unused}: {scan}"
+
+
+def test_broadcast_join_is_broadcast(spark):
+    df = _df(spark, "join_broadcast_dim")
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_q5_dimensions_broadcast(spark):
+    """q5's nation/region/supplier joins must be broadcast, and the plan
+    must keep whole-stage codegen (no Python evaluation nodes)."""
+    plan = plan_string(_df(spark, "q5_local_supplier_volume"))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # (AQE shows isFinalPlan=false pre-execution, so codegen spans are not
+    # in this text; JVM-path coverage is the BatchEvalPython absence)
+    assert "BatchEvalPython" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Partial (map-side) + final HashAggregate pair around one exchange."""
+    plan = plan_string(_df(spark, "q1_pricing_summary"))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_no_python_udfs_in_columnar_operators(spark):
+    """Everything except the explicitly-Pandas multimodal featureizer
+    stays JVM-side (Python rows are the 10-100x slow path)."""
+    for name in (
+        "q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "similarity_cosine_topk",
+        "text_fingerprint",
+        "text_lang_id",
+        "events_sessionize",
+    ):
+        plan = plan_string(_df(spark, name))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    """The one intentional Python stage must be Arrow-batched
+    (mapInPandas), never row-at-a-time pickling."""
+    plan = plan_string(_df(spark, "multimodal_features"))
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject (per-
+    partition heaps), not a full Exchange+Sort of the table."""
+    plan = plan_string(_df(spark, "topk_orderby_limit"))
+    assert "TakeOrderedAndProject" in plan, plan
