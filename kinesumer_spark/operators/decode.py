@@ -1,0 +1,153 @@
+"""Payload decoding — the schema-on-read layer the reference leaves to
+its application (SURVEY.md §1.1: `data` is opaque bytes the library
+never parses; README.md:67-70). The engine closes that gap with
+from_json / from_csv over the envelope payload.
+
+Both queries are *round-trip* proofs: encode events into payload
+strings exactly as the envelope does, decode with the schema, and the
+oracle simply selects the original columns — so a hash match proves
+decode(encode(x)) == x, including double round-tripping through JSON
+(Spark writes shortest-round-trip doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.registry import register
+
+_JSON_ROUNDTRIP_ORACLE = """
+SELECT event_id, event_type, "value", user_id
+FROM events
+ORDER BY event_id
+"""
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+@register("decode_json_payload", oracle=_JSON_ROUNDTRIP_ORACLE, tags=("decode",))
+def decode_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json → binary payload → from_json round trip (the streaming
+    `data` column decode path, on the batch table for oracle checking)."""
+    e = read_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct("event_id", "event_type", "value", "user_id")
+    ).cast("binary")
+    return (
+        e.select(payload.alias("data"))
+        .select(
+            F.from_json(F.col("data").cast("string"), _PAYLOAD_SCHEMA).alias("p")
+        )
+        .select("p.event_id", "p.event_type", "p.value", "p.user_id")
+        .orderBy("event_id")
+    )
+
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT event_id, event_type, user_id
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("decode_csv_payload", oracle=_CSV_ROUNDTRIP_ORACLE, tags=("decode",))
+def decode_csv_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat_ws CSV → from_csv round trip (delimited-payload streams)."""
+    e = read_table(spark, sf_dir, "events")
+    line = F.concat_ws(",", "event_id", "event_type", "user_id")
+    return (
+        e.select(line.alias("line"))
+        .select(
+            F.from_csv(
+                "line", "event_id BIGINT, event_type STRING, user_id BIGINT"
+            ).alias("p")
+        )
+        .select("p.event_id", "p.event_type", "p.user_id")
+        .orderBy("event_id")
+    )
+
+
+_PREDICATES_ORACLE = """
+SELECT p_partkey, p_name, p_brand,
+       p_name LIKE '%steel%'                         AS has_steel,
+       regexp_matches(p_type, '^(STANDARD|SMALL)')   AS std_or_small,
+       p_brand IS NOT DISTINCT FROM 'BRAND_1'        AS null_safe_eq,
+       p_size IS NULL                                AS size_missing
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("filter_like_rlike_nullsafe", oracle=_PREDICATES_ORACLE, tags=("filter",))
+def filter_like_rlike_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface beyond comparisons: LIKE, RLIKE, null-safe
+    equality (<=>), IS NULL (SURVEY.md §2.2 projection/filter row)."""
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.col("p_name").like("%steel%").alias("has_steel"),
+            F.col("p_type").rlike("^(STANDARD|SMALL)").alias("std_or_small"),
+            F.col("p_brand").eqNullSafe("BRAND_1").alias("null_safe_eq"),
+            F.col("p_size").isNull().alias("size_missing"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_MAP_ORACLE = """
+WITH m AS (
+  SELECT n_regionkey,
+         map(list(n_name ORDER BY n_nationkey),
+             list(n_nationkey ORDER BY n_nationkey)) AS nation_map
+  FROM nation GROUP BY n_regionkey
+)
+SELECT n_regionkey,
+       CAST(cardinality(nation_map) AS BIGINT) AS n_entries,
+       list_sort(map_keys(nation_map)) AS names,
+       CAST(list_aggregate(map_values(nation_map), 'sum') AS BIGINT) AS key_sum
+FROM m
+ORDER BY n_regionkey
+"""
+
+
+@register("scalar_map_funcs", oracle=_MAP_ORACLE, tags=("scalar", "map"))
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type surface: map_from_arrays, map_keys/values, cardinality
+    (ordered construction so both engines build the identical map)."""
+    n = read_table(spark, sf_dir, "nation")
+    ordered = n.orderBy("n_nationkey").groupBy("n_regionkey").agg(
+        F.map_from_arrays(
+            F.array_sort(F.collect_list(F.struct("n_nationkey", "n_name"))).getField(
+                "n_name"
+            ),
+            F.array_sort(F.collect_list(F.struct("n_nationkey", "n_name"))).getField(
+                "n_nationkey"
+            ),
+        ).alias("nation_map")
+    )
+    return (
+        ordered.select(
+            "n_regionkey",
+            F.size("nation_map").cast("bigint").alias("n_entries"),
+            F.array_sort(F.map_keys("nation_map")).alias("names"),
+            F.aggregate(
+                F.map_values("nation_map"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -67,6 +67,7 @@ def all_queries() -> dict[str, Query]:
         text,
         events_ops,
         multimodal,
+        decode,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -34,7 +34,9 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import threading
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -83,6 +85,10 @@ class Engine:
             raise ValueError("app name must not be empty")
         self.spark = spark
         self.app = app
+        # client-id parity (kinesumer.go:195-204 / pkg/xrand): hostname +
+        # random suffix; purely informational here (the driver is the
+        # only "client"), surfaced via consumer_state()
+        self.client_id = f"{socket.gethostname()}-{uuid.uuid4().hex[:6]}"
         self.checkpoint_root = checkpoint_root
         self.commit_config = commit or CommitConfig()
         self._streams: dict[str, StreamSource] = {}
@@ -217,8 +223,12 @@ class Engine:
     def consumer_state(self) -> DataFrame:
         """The state-store observability view (FIXTURES.md §1 schema;
         replaces the DynamoDB table of statemodel.go:17-53). Entities:
-        'check_point' rows from the ledger; 'client' is the driver."""
-        rows = [
+        'check_point' rows from the ledger, 'client' (this driver, with
+        its hostname+suffix id), and one 'shard_cache' row per stream
+        (stateShardCache parity, statemodel.go:17-22; all shards open —
+        resharding does not exist for file sources)."""
+        cps = self.checkpoints()
+        rows: list[dict] = [
             {
                 "entity": "check_point",
                 "app": self.app,
@@ -226,21 +236,41 @@ class Engine:
                 "shard_id": shard,
                 "client_id": None,
                 "sequence_number": seq,
+                "shards": None,
             }
-            for (stream, shard), seq in self.checkpoints().items()
+            for (stream, shard), seq in cps.items()
         ]
+        per_stream: dict[str, list[str]] = {}
+        for stream, shard in cps:
+            per_stream.setdefault(stream, []).append(shard)
+        rows.extend(
+            {
+                "entity": "shard_cache",
+                "app": self.app,
+                "stream": stream,
+                "shard_id": None,
+                "client_id": None,
+                "sequence_number": None,
+                "shards": [
+                    {"id": s, "closed": False} for s in sorted(shards)
+                ],
+            }
+            for stream, shards in per_stream.items()
+        )
         rows.append(
             {
                 "entity": "client",
                 "app": self.app,
                 "stream": None,
                 "shard_id": None,
-                "client_id": "driver",
+                "client_id": self.client_id,
                 "sequence_number": None,
+                "shards": None,
             }
         )
         schema = (
             "entity string, app string, stream string, shard_id string, "
-            "client_id string, sequence_number string"
+            "client_id string, sequence_number string, "
+            "shards array<struct<id: string, closed: boolean>>"
         )
         return self.spark.createDataFrame(rows, schema=schema)

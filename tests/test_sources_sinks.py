@@ -1,0 +1,151 @@
+"""Source/sink coverage (SURVEY.md §2.2 Scans/Sinks rows): batch parquet
+round trip (partitioned), CSV/JSON batch sources, streaming parquet
+sink, Kinesis connector config mapping, and the applyInPandasWithState
+custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.sources.kinesis import KinesisConfig
+from kinesumer_spark.streaming.engine import Engine, StreamSource
+
+from .conftest import SF_SMALL
+
+
+def test_batch_parquet_sink_roundtrip(spark, tmp_path):
+    """df.write.parquet partitioned by a column → read back identical."""
+    out = str(tmp_path / "out")
+    src = read_table(spark, SF_SMALL, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    a = {r["o_orderkey"]: r["o_totalprice"] for r in src.collect()}
+    b = {r["o_orderkey"]: r["o_totalprice"] for r in back.collect()}
+    assert a == b
+    # partition pruning works on the written layout
+    pruned = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    assert 0 < pruned.count() < src.count()
+
+
+def test_csv_and_json_batch_sources(spark, tmp_path):
+    """CSV and JSON line sources with explicit schemas read back what a
+    sink wrote — the reference's payloads are exactly such lines."""
+    src = read_table(spark, SF_SMALL, "nation")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.option("header", True).csv(csv_dir)
+    src.write.json(json_dir)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    csv_back = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    json_back = spark.read.schema(schema).json(json_dir)
+    expect = {(r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in src.collect()}
+    assert {tuple(r) for r in csv_back.collect()} == expect
+    assert {tuple(r) for r in json_back.collect()} == expect
+
+
+def test_streaming_parquet_sink(spark, tmp_path):
+    """Engine records → parquet sink via foreachBatch (the persistent-
+    sink path; idempotent per batch directory write)."""
+    t = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(t, d / "a.parquet")
+    out = str(tmp_path / "sink")
+
+    eng = Engine(spark, app="t-pq-sink", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", str(d))])
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = eng.run(records, sink)
+    q.processAllAvailable()
+    eng.close()
+    back = spark.read.parquet(out)
+    assert back.count() == t.num_rows
+    assert set(back.columns) == {
+        "stream", "shard_id", "sequence_number", "partition_key", "data", "arrival_ts",
+    }
+
+
+def test_kinesis_config_option_mapping():
+    """Reference Config knobs → public connector options (O1/O2/O19)."""
+    cfg = KinesisConfig(
+        app="the-app",
+        stream="events",
+        region="ap-northeast-2",
+        efo_mode=True,
+        scan_limit=500,
+        role_arn="arn:aws:iam::123:role/x",
+    )
+    opts = cfg.reader_options()
+    assert opts["streamName"] == "events"
+    assert opts["kinesis.executor.maxFetchRecordsPerShard"] == "500"
+    assert opts["kinesis.consumerType"] == "SubscribeToShard"
+    assert opts["kinesis.consumerName"] == "the-app"  # EFO registry key
+    assert opts["kinesis.stsRoleArn"] == "arn:aws:iam::123:role/x"
+    polling = KinesisConfig(app="a", stream="s").reader_options()
+    assert polling["kinesis.consumerType"] == "GetRecords"
+    assert polling["startingposition"] == "LATEST"  # kinesumer.go:720 default
+    assert "kinesis.consumerName" not in polling
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState accumulates per-key state across
+    microbatches; final running totals equal the batch ground truth."""
+    from kinesumer_spark.streaming.envelope import EVENTS_RAW_SCHEMA
+    from kinesumer_spark.streaming.stateful import running_user_totals
+
+    t = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    d = tmp_path / "in"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "a.parquet")
+    pq.write_table(t.slice(half), d / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # memory sink in update mode appends each emission (unordered); the
+    # counter only grows, so the max-n_events row per user is the final
+    emitted = spark.sql("select * from t_stateful").collect()
+    final: dict[int, tuple[int, float]] = {}
+    for r in emitted:
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    truth = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in read_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for uid, (n, s) in truth.items():
+        assert final[uid][0] == n, uid
+        assert abs(final[uid][1] - s) < 1e-4, uid

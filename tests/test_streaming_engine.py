@@ -87,7 +87,16 @@ def test_commit_ledger_has_shard_high_water_marks(spark, tmp_path, events_dir):
 
     state = eng.consumer_state().collect()
     assert sum(1 for r in state if r["entity"] == "check_point") == 5
-    assert sum(1 for r in state if r["entity"] == "client") == 1
+    clients = [r for r in state if r["entity"] == "client"]
+    assert len(clients) == 1
+    # client-id parity: hostname + random suffix (kinesumer.go:195-204)
+    assert clients[0]["client_id"] == eng.client_id
+    caches = [r for r in state if r["entity"] == "shard_cache"]
+    assert len(caches) == 1
+    assert [s["id"] for s in caches[0]["shards"]] == [
+        f"shardId-{i:012d}" for i in range(5)
+    ]
+    assert all(not s["closed"] for s in caches[0]["shards"])
 
 
 def test_restart_from_checkpoint_resumes_without_loss(spark, tmp_path):
