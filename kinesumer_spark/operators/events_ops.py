@@ -240,3 +240,72 @@ def topk_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(15)
     )
+
+
+# Per-shard ordering audit: the guarantee the reference provides by
+# construction (one goroutine per shard, O1) and this engine provides by
+# per-shard sort — asserted as data, not assumed.
+_SHARD_ORDER_ORACLE = """
+WITH env AS (
+  SELECT 'events' AS stream,
+         'shardId-' || lpad(CAST(((user_id % 5) + 5) % 5 AS VARCHAR), 12, '0')
+           AS shard_id,
+         lpad(CAST(event_id AS VARCHAR), 21, '0') AS sequence_number
+  FROM events
+), ordered AS (
+  SELECT stream, shard_id, sequence_number,
+         LAG(sequence_number) OVER (PARTITION BY stream, shard_id
+                                    ORDER BY sequence_number) AS prev_seq
+  FROM env
+)
+SELECT stream, shard_id,
+       COUNT(*) AS n_records,
+       MIN(sequence_number) AS min_seq,
+       MAX(sequence_number) AS max_seq,
+       COUNT(*) FILTER (WHERE prev_seq IS NOT NULL
+                        AND sequence_number <= prev_seq) AS order_violations
+FROM ordered
+GROUP BY stream, shard_id
+ORDER BY stream, shard_id
+"""
+
+
+@register(
+    "envelope_shard_order_audit",
+    oracle=_SHARD_ORDER_ORACLE,
+    tags=("envelope", "parity"),
+)
+def envelope_shard_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(stream, shard) ordering stats over the record envelope:
+    sequence numbers are zero-padded strings ordered lexicographically
+    (statemodel.go:51 semantics); order_violations must be 0. The
+    repartition on the shard key + in-partition window is the layout
+    that preserves per-shard order through any downstream processing
+    (SURVEY.md §4 custom piece #2)."""
+    e = _t(spark, sf_dir, "events")
+    env = e.select(
+        F.lit("events").alias("stream"),
+        F.concat(
+            F.lit("shardId-"),
+            F.lpad(F.pmod("user_id", F.lit(5)).cast("string"), 12, "0"),
+        ).alias("shard_id"),
+        F.lpad(F.col("event_id").cast("string"), 21, "0").alias("sequence_number"),
+    ).repartition("stream", "shard_id")
+    w = W.partitionBy("stream", "shard_id").orderBy("sequence_number")
+    ordered = env.withColumn("prev_seq", F.lag("sequence_number").over(w))
+    return (
+        ordered.groupBy("stream", "shard_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("sequence_number").alias("min_seq"),
+            F.max("sequence_number").alias("max_seq"),
+            F.sum(
+                F.when(
+                    F.col("prev_seq").isNotNull()
+                    & (F.col("sequence_number") <= F.col("prev_seq")),
+                    1,
+                ).otherwise(0)
+            ).alias("order_violations"),
+        )
+        .orderBy("stream", "shard_id")
+    )

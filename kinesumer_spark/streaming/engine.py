@@ -95,6 +95,7 @@ class Engine:
         self._query = None
         self._errors: list[str] = []
         self._lock = threading.Lock()
+        self._generation = 0
         os.makedirs(self._ledger_dir(), exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -102,7 +103,13 @@ class Engine:
         return os.path.join(self.checkpoint_root, self.app, "ledger")
 
     def _ckpt_dir(self) -> str:
-        return os.path.join(self.checkpoint_root, self.app, "wal")
+        # one WAL per query generation: a refresh()ed query has a new
+        # source set, and Spark restores WAL offsets by source ordinal —
+        # reusing the old WAL would alias the new sources onto the old
+        # sources' progress. The cross-generation durable state is the
+        # ledger (per-(stream, shard) high-water marks), mirroring how
+        # the reference keys checkpoints by stream+shard, not by query.
+        return os.path.join(self.checkpoint_root, self.app, f"wal-{self._generation}")
 
     # -- source construction ----------------------------------------------
     def consume(self, sources: list[StreamSource]) -> DataFrame:
@@ -134,7 +141,12 @@ class Engine:
             .agg(F.max("sequence_number").alias("sequence_number"))
             .collect()
         )
-        path = os.path.join(self._ledger_dir(), f"batch-{batch_id:020d}.json")
+        # generation in the name: batch ids restart at 0 after refresh(),
+        # and a same-named file would overwrite the previous generation's
+        # committed marks
+        path = os.path.join(
+            self._ledger_dir(), f"batch-{self._generation:06d}-{batch_id:020d}.json"
+        )
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -192,6 +204,7 @@ class Engine:
         if self._query is not None:
             self._query.stop()
             self._query = None
+        self._generation += 1
         return self.consume(sources)
 
     def errors(self) -> list[str]:

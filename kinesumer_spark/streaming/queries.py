@@ -229,3 +229,57 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(agg, "ks_stream_static_join").orderBy("c_mktsegment")
+
+
+_WATERMARK_ORACLE = """
+WITH b AS (SELECT max(ts) AS max_ts FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM events, b
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= b.max_ts - INTERVAL 1 HOUR
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register(
+    "stream_watermarked_append", oracle=_WATERMARK_ORACLE, tags=("streaming",)
+)
+def stream_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling agg behind a 1 h watermark: only windows the
+    watermark (max event time − 1 h) has passed are finalized and
+    emitted — the late-data/state-GC contract. The oracle replicates the
+    finalization predicate (window_end ≤ max_ts − 1 h) exactly; the
+    no-data microbatch after the input drains advances the watermark."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+        )
+    )
+    return _run_to_table(agg, "ks_stream_wm", mode="append").orderBy(
+        "window_start"
+    )
+
+
+@register("stream_dedup_within_watermark", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup keyed on (user_id, event_type)
+    with state bounded by a 1 h watermark — the scalable unbounded-stream
+    dedup (state is GC'd once the watermark passes; a key recurring later
+    counts again, so this is rows-only, not oracle-equal to global
+    distinct)."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_first_seen"))
+    )
+    return _run_to_table(deduped, "ks_stream_dedup_wm", mode="complete").orderBy(
+        "event_type"
+    )

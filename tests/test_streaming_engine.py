@@ -197,3 +197,28 @@ def test_manual_commit_mode(spark, tmp_path, events_dir):
     q2.processAllAvailable()
     eng2.close()
     assert len(eng2.checkpoints()) == 5
+
+
+def test_refresh_swaps_stream_set(spark, tmp_path, events_dir):
+    """O18 Refresh parity (kinesumer.go:817-831): stop the running query,
+    swap the subscribed stream set, restart — records flow from the new
+    set and checkpoints accumulate for both generations."""
+    path, n_total = events_dir
+    eng = Engine(spark, app="t-refresh", checkpoint_root=str(tmp_path / "ck"))
+    seen: list = []
+    q = eng.run(
+        eng.consume([StreamSource("gen1", path)]), _collecting_sink(seen)
+    )
+    q.processAllAvailable()
+    n_gen1 = sum(len(rows) for _, rows in seen)
+    assert n_gen1 == n_total
+
+    records2 = eng.refresh([StreamSource("gen2", path)])
+    q2 = eng.run(records2, _collecting_sink(seen), query_name="consume2")
+    q2.processAllAvailable()
+    eng.close()
+
+    streams_seen = {r["stream"] for _, rows in seen for r in rows}
+    assert streams_seen == {"gen1", "gen2"}
+    cps = eng.checkpoints()
+    assert {s for s, _ in cps} == {"gen1", "gen2"}
