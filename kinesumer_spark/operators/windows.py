@@ -54,7 +54,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) OVER (
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
          PARTITION BY l_suppkey
          ORDER BY l_shipdate, l_orderkey, l_linenumber
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)

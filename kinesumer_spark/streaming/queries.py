@@ -78,7 +78,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
                 "total_value"
             ),
         )
@@ -223,7 +223,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
                 "total_value"
             ),
         )
