@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
     # Imports are deferred so `import kinesumer_spark` stays cheap.
     from kinesumer_spark.operators import (  # noqa: F401
         relational,
+        relational2,
         windows,
         setops,
         groupings,
