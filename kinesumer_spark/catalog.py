@@ -46,6 +46,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same truncation DuckDB's epoch_us / strftime apply — so both
     engines see identical instants.
     """
+    # queries may run under a caller-built SparkSession (the external
+    # driver's); timestamp formatting/extraction is session-tz dependent,
+    # so pin UTC here — the single choke point every query reads through
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

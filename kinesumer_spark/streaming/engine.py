@@ -50,6 +50,23 @@ from kinesumer_spark.streaming.envelope import (
 )
 
 
+def ordered_per_shard(records: DataFrame, fn, output_schema: str) -> DataFrame:
+    """Apply ``fn(pdf) -> pdf`` per (stream, shard_id) with rows sorted by
+    sequence_number — the reference's processing model (one ordered
+    record feed per shard, kinesumer.go O1) as a first-class operator.
+
+    One shuffle on the shard key, then Arrow-batched per-group apply;
+    parallelism = number of shards × streams, exactly like the
+    reference's goroutine-per-shard fan-out (kinesumer.go:487-499).
+    """
+    import pandas as pd
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return fn(pdf.sort_values("sequence_number").reset_index(drop=True))
+
+    return records.groupBy("stream", "shard_id").applyInPandas(run, output_schema)
+
+
 @dataclass
 class CommitConfig:
     """Mirror of the reference's CommitConfig (kinesumer.go:77-95).
@@ -94,6 +111,8 @@ class Engine:
         self._streams: dict[str, StreamSource] = {}
         self._query = None
         self._errors: list[str] = []
+        self._progress: list[dict] = []
+        self._listener = None
         self._lock = threading.Lock()
         self._generation = 0
         os.makedirs(self._ledger_dir(), exist_ok=True)
@@ -189,6 +208,7 @@ class Engine:
             finally:
                 batch_df.unpersist()
 
+        self._attach_listener()
         self._query = (
             records.writeStream.queryName(query_name)
             .option("checkpointLocation", self._ckpt_dir())
@@ -196,6 +216,23 @@ class Engine:
             .start()
         )
         return self._query
+
+    def run_ordered(
+        self,
+        records: DataFrame,
+        fn,
+        output_schema: str,
+        sink: Callable[[DataFrame, int], None],
+        query_name: str = "consume_ordered",
+    ):
+        """Delivery with the reference's per-shard ordered processing
+        model: each microbatch is shuffled to shard granularity, rows
+        handed to ``fn`` sorted by sequence_number, results to ``sink``."""
+
+        def ordered_sink(batch_df: DataFrame, batch_id: int) -> None:
+            sink(ordered_per_shard(batch_df, fn, output_schema), batch_id)
+
+        return self.run(records, ordered_sink, query_name=query_name)
 
     # -- lifecycle ---------------------------------------------------------
     def refresh(self, sources: list[StreamSource]) -> DataFrame:
@@ -212,12 +249,60 @@ class Engine:
         with self._lock:
             return list(self._errors)
 
+    def _attach_listener(self) -> None:
+        """StreamingQueryListener capture (the O20 'listener bus' path):
+        progress metrics per microbatch + terminal exceptions, without
+        ever blocking the query (matches sendOrDiscardError's
+        non-blocking contract, kinesumer.go:838-844)."""
+        if self._listener is not None:
+            return
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        engine = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                with engine._lock:
+                    engine._progress.append(
+                        {
+                            "batch_id": p.batchId,
+                            "num_input_rows": p.numInputRows,
+                            "name": p.name,
+                        }
+                    )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                if event.exception:
+                    with engine._lock:
+                        engine._errors.append(f"terminated: {event.exception}")
+
+        self._listener = _Listener()
+        self.spark.streams.addListener(self._listener)
+
+    def progress(self) -> list[dict]:
+        """Per-microbatch progress (batch id, input rows) — the
+        observability the reference exposes only as log lines."""
+        with self._lock:
+            return list(self._progress)
+
     def close(self) -> None:
         """Graceful close: stop + final commit is already on disk because
         commits are per-batch (stricter than the reference's 5 s flush)."""
         if self._query is not None:
             self._query.stop()
             self._query = None
+        if self._listener is not None:
+            try:
+                self.spark.streams.removeListener(self._listener)
+            finally:
+                self._listener = None
 
     # -- observability -----------------------------------------------------
     def checkpoints(self) -> dict[tuple[str, str], str]:

@@ -30,6 +30,7 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events table (ts normalized to µs)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-stream sources require a directory; glob down to the one table
     raw = (

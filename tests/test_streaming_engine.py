@@ -222,3 +222,67 @@ def test_refresh_swaps_stream_set(spark, tmp_path, events_dir):
     assert streams_seen == {"gen1", "gen2"}
     cps = eng.checkpoints()
     assert {s for s, _ in cps} == {"gen1", "gen2"}
+
+
+def test_ordered_per_shard_processing(spark, tmp_path, events_dir):
+    """run_ordered hands each shard's records to the callback sorted by
+    sequence_number — the reference's ordered per-shard feed (O1)."""
+    path, _ = events_dir
+    eng = Engine(spark, app="t-ordered", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", path, max_files_per_trigger=2)])
+
+    def check_sorted(pdf):
+        import pandas as pd
+
+        seqs = list(pdf["sequence_number"])
+        return pd.DataFrame(
+            {
+                "shard_id": [pdf["shard_id"].iloc[0]],
+                "n": [len(pdf)],
+                "is_sorted": [seqs == sorted(seqs)],
+                "first_seq": [seqs[0]],
+                "last_seq": [seqs[-1]],
+            }
+        )
+
+    results: list = []
+
+    def sink(df, bid):
+        results.extend(df.collect())
+
+    q = eng.run_ordered(
+        records, check_sorted, "shard_id string, n long, is_sorted boolean, "
+        "first_seq string, last_seq string", sink
+    )
+    q.processAllAvailable()
+    eng.close()
+
+    assert results
+    assert all(r["is_sorted"] for r in results)
+    assert all(r["first_seq"] <= r["last_seq"] for r in results)
+    assert {r["shard_id"] for r in results} == {
+        f"shardId-{i:012d}" for i in range(5)
+    }
+
+
+def test_progress_listener(spark, tmp_path, events_dir):
+    """O20 listener-bus parity: per-microbatch progress rows captured
+    without blocking the query."""
+    path, n_total = events_dir
+    eng = Engine(spark, app="t-progress", checkpoint_root=str(tmp_path / "ck"))
+    q = eng.run(
+        eng.consume([StreamSource("events", path, max_files_per_trigger=2)]),
+        lambda df, bid: None,
+        query_name="t_progress_q",
+    )
+    q.processAllAvailable()
+    eng.close()
+    import time
+
+    for _ in range(50):  # listener delivery is async
+        mine = [p for p in eng.progress() if p["name"] == "t_progress_q"]
+        if sum(p["num_input_rows"] for p in mine) >= n_total:
+            break
+        time.sleep(0.1)
+    assert sum(p["num_input_rows"] for p in mine) == n_total
+    assert len(mine) >= 2
