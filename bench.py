@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "text_fingerprint",
+    # streaming delivery path (consume → envelope → sink, end to end)
+    "stream_consume_envelope",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Reshaping + array-programming surface: explode/posexplode, Spark's
+higher-order array functions, unpivot (melt), and the two-stage salted
+aggregation pattern for skewed keys.
+
+Salting note (100 TB): a hot group key concentrates a whole key's rows
+in one reducer. `agg_salted_skew` shows the standard fix — aggregate on
+(key, salt) first (spreads each hot key over N reducers), then merge
+partials on key. Catalyst's AQE skew handling covers *joins*
+automatically; for aggregations the partial-agg usually suffices, but
+high-cardinality accumulators (collect/distinct) need explicit salt —
+hence a first-class, oracle-checked demonstration that the rewrite is
+semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.functions.exact import dec, oracle_sum
+from kinesumer_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+_EXPLODE_ORACLE = """
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, word
+FROM (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+  WHERE doc_id < 20
+), UNNEST(range(1, len(words) + 1)) AS t(pos0),
+LATERAL (SELECT words[pos0] AS word, pos0 - 1 AS pos)
+ORDER BY doc_id, pos
+"""
+
+
+@register("reshape_posexplode", oracle=_EXPLODE_ORACLE, tags=("reshape",))
+def reshape_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, element) rows (the 1→N generator;
+    UDTF-shaped surface)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+_HOF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50
+)
+SELECT vec_id,
+       round(list_aggregate(list_transform(v, x -> x * 2.0), 'sum'), 6)
+         AS doubled_sum,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive,
+       round(list_aggregate(v, 'max'), 6) AS max_val,
+       round(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 6)
+         AS max_abs
+FROM e
+ORDER BY vec_id
+"""
+
+
+@register("scalar_higher_order_funcs", oracle=_HOF_ORACLE, tags=("scalar", "hof"))
+def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate
+    (fold) / array_max — the lambda-expression surface.
+
+    NB both engines sum element-wise in list order (left fold), so the
+    double sums agree; rounded to 6 dp as belt-and-braces.
+    """
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        em.select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.transform(v, lambda x: x * 2.0),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("doubled_sum"),
+            F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+            F.round(F.array_max(v), 6).alias("max_val"),
+            F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias(
+                "max_abs"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT c_custkey, metric, val
+FROM (
+  SELECT c_custkey,
+         CAST(c_acctbal AS DOUBLE) AS acctbal,
+         CAST(c_nationkey AS DOUBLE) AS nationkey
+  FROM customer WHERE c_custkey <= 50
+) UNPIVOT (val FOR metric IN (acctbal, nationkey))
+ORDER BY c_custkey, metric
+"""
+
+
+@register("reshape_unpivot", oracle=_UNPIVOT_ORACLE, tags=("reshape",))
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns → (metric, value) long format —
+    the inverse of agg_pivot."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+    )
+    return (
+        c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .orderBy("c_custkey", "metric")
+    )
+
+
+_SALT_ORACLE = f"""
+SELECT event_type,
+       {oracle_sum('"value"')} AS total_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_salted_skew", oracle=_SALT_ORACLE, tags=("agg", "skew"))
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a 5-hot-key distribution:
+    stage 1 aggregates (key, salt∈[0,16)) partials, stage 2 merges on
+    key — identical result to the direct groupBy, proven by the oracle.
+    Decimal partials keep the merge order-independent."""
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.sum(dec("value")).alias("pv"),
+        F.count("*").alias("pn"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pv").cast("double").alias("total_value"),
+            F.sum("pn").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -69,6 +69,7 @@ def all_queries() -> dict[str, Query]:
         events_ops,
         multimodal,
         decode,
+        reshape,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 

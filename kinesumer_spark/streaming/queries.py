@@ -284,3 +284,37 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_to_table(deduped, "ks_stream_dedup_wm", mode="complete").orderBy(
         "event_type"
     )
+
+
+_CONSUME_ORACLE = """
+SELECT 'events' AS stream,
+       'shardId-' || lpad(CAST(((user_id % 5) + 5) % 5 AS VARCHAR), 12, '0')
+         AS shard_id,
+       lpad(CAST(event_id AS VARCHAR), 21, '0') AS sequence_number,
+       CAST(user_id AS VARCHAR) AS partition_key
+FROM events
+ORDER BY sequence_number
+"""
+
+
+@register("stream_consume_envelope", oracle=_CONSUME_ORACLE, tags=("streaming", "envelope"))
+def stream_consume_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming consume: file source → record envelope →
+    append-mode sink; the emitted envelope matches the batch-derived one
+    exactly (the engine's core delivery path as an oracle-checked query,
+    and the throughput probe in bench.py)."""
+    from kinesumer_spark.streaming.envelope import events_to_envelope
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    env = events_to_envelope(raw, stream="events").select(
+        "stream", "shard_id", "sequence_number", "partition_key"
+    )
+    return _run_to_table(env, "ks_stream_consume", mode="append").orderBy(
+        "sequence_number"
+    )
