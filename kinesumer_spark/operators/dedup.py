@@ -78,8 +78,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, lang, shingle, n_shingles) — distinct 3-word shingles.
+def _shingles_raw(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, shingle) — 3-word shingles WITH duplicates.
 
     posexplode + window-lead formulation: higher-order array lambdas
     (transform) run on Spark's *interpreted* expression path and
@@ -103,16 +103,22 @@ def _shingles(d: DataFrame) -> DataFrame:
         .select(
             "doc_id", "lang", F.concat_ws(" ", "w0", "w1", "w2").alias("shingle")
         )
-        .distinct()
     )
-    short = (
-        with_words.filter(F.size("words") < 3)
-        .select("doc_id", "lang", F.col("text").alias("shingle"))
-        .distinct()
+    short = with_words.filter(F.size("words") < 3).select(
+        "doc_id", "lang", F.col("text").alias("shingle")
     )
+    return tri.unionByName(short)
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, shingle, n_shingles) — DISTINCT shingles with the
+    per-doc set size (the exact-Jaccard path's input)."""
+    from pyspark.sql import Window as W
+
     per_doc = W.partitionBy("doc_id")
     return (
-        tri.unionByName(short)
+        _shingles_raw(d)
+        .distinct()
         .withColumn("n_shingles", F.count("*").over(per_doc).cast("bigint"))
         .select("doc_id", "lang", "n_shingles", "shingle")
     )
@@ -240,10 +246,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     With b=16, r=4: P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.9998 at j=0.8.
     """
     d = _t(spark, sf_dir, "documents")
-    # persisted: the shingle table feeds signatures AND verification; the
-    # signature table feeds 16 band projections
-    shingled = _shingles(d).persist()
-    sigs = _minhash_signatures(shingled).persist()
+    # Single-pass per-doc aggregation: min over the hash MULTISET equals
+    # min over the set (duplicates can't lower a minimum), so signatures
+    # need no distinct; the verification shingle-set and its size come
+    # from collect_set in the same aggregate. One shuffle (doc_id) for
+    # everything — the earlier formulation paid three (distinct + count
+    # window + separate sig agg).
+    tri = _shingles_raw(d).withColumn(
+        "h", F.crc32(F.col("shingle").cast("binary"))
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P32)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_COEF)
+    ]
+    per_doc = (
+        tri.groupBy("doc_id", "lang")
+        .agg(*mins, F.collect_set("shingle").alias("sh"))
+        .persist()
+    )
+    sigs = per_doc.select(
+        "doc_id",
+        "lang",
+        F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)]).alias("sig"),
+    )
 
     bands = sigs.select(
         "doc_id",
@@ -285,8 +310,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify ONLY candidate pairs (the whole point of LSH: exact Jaccard
     # never runs all-pairs) — join candidates to per-doc shingle sets and
     # intersect arrays
-    sets = shingled.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh"), F.first("n_shingles").alias("n")
+    sets = per_doc.select(
+        "doc_id", "sh", F.size("sh").cast("bigint").alias("n")
     )
     sa = sets.select(
         F.col("doc_id").alias("cand_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
