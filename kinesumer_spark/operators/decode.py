@@ -151,3 +151,68 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+_JSON_TUPLE_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       from_base64(to_base64(encode(event_type)))::VARCHAR AS type_roundtrip
+FROM events
+WHERE event_id < 100
+ORDER BY event_id
+"""
+
+
+@register("scalar_json_tuple_base64", oracle=_JSON_TUPLE_ORACLE, tags=("scalar", "json"))
+def scalar_json_tuple_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple multi-field extraction + base64/unbase64 round trip
+    (the remaining declared json/string functions, SURVEY.md §2.2)."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return (
+        e.select(
+            "event_id",
+            F.json_tuple(F.col("props"), "k").alias("k_str"),
+            F.unbase64(F.base64(F.col("event_type").cast("binary")))
+            .cast("string")
+            .alias("type_roundtrip"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# MERGE INTO emulation (no Delta/Iceberg jars in this environment): the
+# anti-join + union rewrite — upserts land, unmatched target rows pass
+# through. At scale both sides shuffle once on the merge key (or the
+# target is bucketed on it); this is exactly the shuffle MERGE does.
+_MERGE_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey <= 50
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM updates
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("sink_merge_upsert", oracle=_MERGE_ORACLE, tags=("sink", "merge"))
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics via left-anti + union-all (the SCD/CDC
+    apply step without a transactional table format)."""
+    c = read_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") <= 50).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    untouched = c.join(updates.select("c_custkey"), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    return updates.unionByName(untouched).orderBy("c_custkey")

@@ -318,3 +318,50 @@ def stream_consume_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(env, "ks_stream_consume", mode="append").orderBy(
         "sequence_number"
     )
+
+
+_STREAM_STREAM_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY purchase_id, click_id
+"""
+
+
+@register("stream_stream_join", oracle=_STREAM_STREAM_ORACLE, tags=("streaming", "join"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to clicks
+    by the same user within the preceding hour. Both sides carry
+    watermarks + the time-range condition, which is what lets Spark GC
+    join state (SURVEY.md §2.2 streaming row); on finite input the
+    result equals the batch join, which is the oracle."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_to_table(joined, "ks_stream_stream", mode="append").orderBy(
+        "purchase_id", "click_id"
+    )
