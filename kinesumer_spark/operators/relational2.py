@@ -270,3 +270,26 @@ ORDER BY c_nationkey
     "TPC-H Q22 shape: CTE scalar threshold + NOT EXISTS anti-join "
     "(rich customers with no orders).",
 )
+
+
+_register_sql(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    ("subquery", "agg"),
+    "TPC-H Q15 shape: CTE revenue view + uncorrelated scalar MAX subquery "
+    "(top supplier for a quarter).",
+)

@@ -151,6 +151,50 @@ class Engine:
         return merged
 
     # -- mark / commit ledger ---------------------------------------------
+    def mark(self, stream: str, shard_id: str, sequence_number: str) -> None:
+        """Manual offset staging — MarkRecord parity (kinesumer.go:746-764)
+        including its validation set: empty sequence numbers and unknown
+        streams are rejected (errEmptySequenceNumber / errInvalidStream).
+        Marks accumulate in memory until :meth:`commit_marks`."""
+        if not sequence_number:
+            raise ValueError("sequence number must not be empty")
+        if self._streams and stream not in self._streams:
+            raise ValueError(f"invalid stream {stream!r}: not subscribed")
+        with self._lock:
+            if not hasattr(self, "_marks"):
+                self._marks: dict[tuple[str, str], str] = {}
+            prev = self._marks.get((stream, shard_id), "")
+            if sequence_number > prev:
+                self._marks[(stream, shard_id)] = sequence_number
+
+    def commit_marks(self, batch_id: int) -> None:
+        """Flush manually-staged marks to the ledger — Commit() parity
+        (kinesumer.go:767-789; marks are kept after commit, idempotent
+        re-put, exactly like the reference's offsets map)."""
+        with self._lock:
+            marks = dict(getattr(self, "_marks", {}))
+        path = os.path.join(
+            self._ledger_dir(), f"batch-{self._generation:06d}-{batch_id:020d}.json"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "app": self.app,
+                    "batch_id": batch_id,
+                    "checkpoints": [
+                        {
+                            "stream": s,
+                            "shard_id": sh,
+                            "sequence_number": seq,
+                        }
+                        for (s, sh), seq in sorted(marks.items())
+                    ],
+                },
+                f,
+            )
+        os.replace(tmp, path)
+
     def commit(self, batch_df: DataFrame, batch_id: int) -> None:
         """Write per-(stream, shard) high-water marks for one batch —
         the ShardCheckPoint row set of statemodel.go:40-45. Idempotent

@@ -50,7 +50,18 @@ def _run_to_table(df: DataFrame, name: str, mode: str = "complete") -> DataFrame
         .start()
     )
     try:
+        # processAllAvailable drains the data, but append-mode results
+        # behind a watermark are emitted by the no-data microbatch that
+        # runs AFTER the watermark advances — loop until the sink row
+        # count is stable so we never race that final batch
         q.processAllAvailable()
+        prev = -1
+        for _ in range(10):
+            cur = spark.table(name).count()
+            if cur == prev:
+                break
+            prev = cur
+            q.processAllAvailable()
     finally:
         q.stop()
         q.awaitTermination()

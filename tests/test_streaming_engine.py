@@ -286,3 +286,29 @@ def test_progress_listener(spark, tmp_path, events_dir):
         time.sleep(0.1)
     assert sum(p["num_input_rows"] for p in mine) == n_total
     assert len(mine) >= 2
+
+
+def test_mark_validation_parity(spark, tmp_path, events_dir):
+    """Table-driven MarkRecord error cases, ported from
+    TestKinesumer_MarkRecordFails (kinesumer_test.go:351-413): empty
+    sequence number and unknown stream are rejected; valid marks
+    accumulate monotonically and commit to the ledger."""
+    path, _ = events_dir
+    eng = Engine(spark, app="t-mark", checkpoint_root=str(tmp_path / "ck"))
+    eng.consume([StreamSource("events", path)])  # subscribe
+
+    with pytest.raises(ValueError, match="sequence number"):
+        eng.mark("events", "shardId-000000000000", "")
+    with pytest.raises(ValueError, match="invalid stream"):
+        eng.mark("nope", "shardId-000000000000", "1".zfill(21))
+
+    eng.mark("events", "shardId-000000000000", "5".zfill(21))
+    eng.mark("events", "shardId-000000000000", "3".zfill(21))  # stale, ignored
+    eng.mark("events", "shardId-000000000001", "9".zfill(21))
+    eng.commit_marks(batch_id=0)
+    cps = eng.checkpoints()
+    assert cps[("events", "shardId-000000000000")] == "5".zfill(21)
+    assert cps[("events", "shardId-000000000001")] == "9".zfill(21)
+    # marks survive commit (idempotent re-put, kinesumer.go:767-789)
+    eng.commit_marks(batch_id=1)
+    assert eng.checkpoints() == cps
