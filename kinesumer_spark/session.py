@@ -28,10 +28,17 @@ def get_spark(
     cpus: int | None = None,
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the canonical SparkSession.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` else all local cores.
+    ``rocksdb_state_store=True`` switches Structured Streaming state to
+    the RocksDB provider — the 100 TB choice: state lives off-heap /
+    on-disk with changelog checkpointing instead of executor-heap
+    HDFSBackedStateStore maps (which OOM once keyed state outgrows the
+    heap). The conf is also settable per-query at runtime via
+    ``spark.conf.set`` before ``start()``.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -52,6 +59,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
+    if rocksdb_state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

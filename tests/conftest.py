@@ -11,9 +11,15 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from kinesumer_spark.session import get_spark
 
-    s = get_spark(app_name="kinesumer_spark_tests", cpus=8, driver_memory="8g")
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        app_name="kinesumer_spark_tests",
+        cpus=8,
+        driver_memory="8g",
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
