@@ -263,3 +263,93 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.col("pos") * F.col("h")) % _P).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+# The composed curation pipeline: what the individual operators exist
+# FOR. quality-gate → exact-dedup (keep min doc_id per content hash) →
+# near-dup removal (drop the higher doc_id of each verified pair) →
+# per-language stats. Entirely relational → the oracle replays the
+# identical steps, so the full pipeline is hash-checked end to end.
+_PIPELINE_ORACLE = """
+WITH gated AS (
+  SELECT doc_id, lang, text, n_chars FROM documents
+  WHERE n_chars BETWEEN 100 AND 2000
+    AND len(regexp_split_to_array(text, ' ')) >= 20
+), exact_kept AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+    FROM gated
+  ) WHERE doc_id = keeper
+), w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM exact_kept
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), e AS (
+  SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS shingle FROM s
+), neardup_losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM e a JOIN e b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+  HAVING COUNT(*) * 1.0 / (a.n + b.n - COUNT(*)) >= 0.5
+), curated AS (
+  SELECT * FROM exact_kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM neardup_losers)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(regexp_split_to_array(text, ' '))) AS BIGINT) AS total_words
+FROM curated
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("pipeline_curation", oracle=_PIPELINE_ORACLE, tags=("pipeline", "dedup"))
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: quality gate → exact dedup →
+    near-dup removal (exact Jaccard ≥ 0.5 pairs, higher doc_id dropped)
+    → per-language corpus stats. The composition the individual
+    operators exist for, hash-checked as one dataflow.
+
+    Scale shape: gate is a narrow map; exact dedup shuffles 32-byte
+    digests; near-dup here uses the exact pair path (at 100 TB swap in
+    dedup_minhash_lsh's candidates — same join surface); final agg is
+    5 groups.
+    """
+    from pyspark.sql import Window as W
+
+    from kinesumer_spark.operators.dedup import _verified_pairs, _shingles
+
+    d = _t(spark, sf_dir)
+    words = F.split("text", " ")
+    gated = d.filter(
+        F.col("n_chars").between(100, 2000) & (F.size(words) >= 20)
+    )
+    h = F.sha2(F.col("text").cast("binary"), 256)
+    exact_kept = (
+        gated.withColumn("keeper", F.min("doc_id").over(W.partitionBy(h)))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    losers = (
+        _verified_pairs(_shingles(exact_kept), 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    curated = exact_kept.join(losers, "doc_id", "left_anti")
+    return (
+        curated.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_words"),
+        )
+        .orderBy("lang")
+    )

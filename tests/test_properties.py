@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the engine-internal invariants
+that golden fixtures can't sweep: assignment-split algebra, exact
+decimal aggregation vs true rational arithmetic, and sequence-number
+ordering semantics. (The reference has no property tests — SURVEY.md §5
+— this goes beyond its strategy where cheap.)"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings, strategies as st
+
+from kinesumer_spark.streaming.assignment import full_assignment, split_shard_ids
+from kinesumer_spark.streaming.envelope import N_SHARDS
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_shards=st.integers(min_value=0, max_value=200),
+    n_clients=st.integers(min_value=1, max_value=50),
+)
+def test_assignment_partitions_exactly(n_shards, n_clients):
+    """The range split is a partition: concatenating every client's slice
+    in client order reproduces the shard list exactly (no loss, no
+    overlap, order preserved) — for ALL sizes, not just the goldens."""
+    shards = [f"shardId-{i:012d}" for i in range(n_shards)]
+    parts = [split_shard_ids(shards, i, n_clients) for i in range(n_clients)]
+    assert [s for p in parts for s in p] == shards
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    shard_ids=st.lists(st.text(min_size=1, max_size=8), max_size=20, unique=True),
+    client_ids=st.lists(
+        st.text(min_size=1, max_size=8), min_size=1, max_size=8, unique=True
+    ),
+)
+def test_assignment_is_client_order_invariant(shard_ids, client_ids):
+    """full_assignment sorts clients first (statestore.go:121 order), so
+    the mapping is independent of input order — the property that makes
+    every client compute the same assignment independently."""
+    import random
+
+    shuffled = list(client_ids)
+    random.Random(0).shuffle(shuffled)
+    assert full_assignment(shard_ids, client_ids) == full_assignment(
+        shard_ids, shuffled
+    )
+
+
+# money-like decimals: up to 12 integer digits, 6 decimal places —
+# the documented domain of functions.exact.DEC
+_money = st.decimals(
+    min_value=-(10**12), max_value=10**12, places=6, allow_nan=False
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=st.lists(_money, min_size=1, max_size=50))
+def test_exact_decimal_sum_is_order_independent_and_true(values):
+    """Summing DECIMAL(18,6) values is exact (equals Fraction arithmetic)
+    and permutation-invariant — the invariant the whole oracle-equality
+    strategy rests on. (Pure-python model of the Spark/DuckDB decimal
+    semantics; the engines' conformance is covered by the oracle gate.)"""
+    from decimal import Decimal
+
+    fwd = sum((Decimal(v) for v in values), Decimal(0))
+    rev = sum((Decimal(v) for v in reversed(values)), Decimal(0))
+    true = sum((Fraction(v) for v in values), Fraction(0))
+    assert fwd == rev
+    assert Fraction(fwd) == true
+
+
+@settings(max_examples=200, deadline=None)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**18), min_size=2, unique=True))
+def test_sequence_number_padding_preserves_numeric_order(ids):
+    """Zero-padded 21-digit strings order lexicographically exactly like
+    the underlying integers — the property that lets checkpoints compare
+    sequence numbers as strings (statemodel.go:51 semantics)."""
+    padded = [f"{i:021d}" for i in ids]
+    assert sorted(padded) == [f"{i:021d}" for i in sorted(ids)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(key=st.integers(min_value=-(10**9), max_value=10**9))
+def test_shard_assignment_is_stable_and_in_range(key):
+    """pmod-based shard routing: every partition key lands on exactly one
+    of the N shards, consistently (the Kinesis key→shard contract the
+    envelope mirrors)."""
+    shard = ((key % N_SHARDS) + N_SHARDS) % N_SHARDS
+    assert 0 <= shard < N_SHARDS
+    assert shard == ((key % N_SHARDS) + N_SHARDS) % N_SHARDS
