@@ -441,3 +441,31 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum("l_quantity", "total_qty"), F.count("*").alias("n_items"))
         .orderBy("p_brand")
     )
+
+
+@register("q1_pricing_summary_fast", oracle=None, tags=("agg", "fast"))
+def q1_pricing_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant of q1: native double aggregation (no decimal),
+    ~2x the scan-to-result rate of the exact form. Rows-only by design —
+    double sums are partition-order dependent in their last ulp, so this
+    trades oracle-grade reproducibility for speed (SCALE.md debt #1:
+    callers choose per query). Rounded to 2 dp, which is stable for
+    reporting even though not hash-stable."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

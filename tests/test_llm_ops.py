@@ -115,3 +115,22 @@ def test_multimodal_decode_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_fast_q1_agrees_with_exact_to_reporting_precision(spark):
+    """The double-sum fast path must agree with the decimal-exact path
+    within reporting precision (its documented contract)."""
+    exact = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in _run(spark, "q1_pricing_summary").collect()
+    }
+    fast = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in _run(spark, "q1_pricing_summary_fast").collect()
+    }
+    assert set(exact) == set(fast)
+    for k, e in exact.items():
+        f = fast[k]
+        assert abs(e["sum_disc_price"] - f["sum_disc_price"]) < 0.02
+        assert abs(e["avg_qty"] - f["avg_qty"]) < 1e-3
+        assert e["count_order"] == f["count_order"]

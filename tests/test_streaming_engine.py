@@ -312,3 +312,52 @@ def test_mark_validation_parity(spark, tmp_path, events_dir):
     # marks survive commit (idempotent re-put, kinesumer.go:767-789)
     eng.commit_marks(batch_id=1)
     assert eng.checkpoints() == cps
+
+
+def test_at_least_once_replay_after_sink_crash(spark, tmp_path, events_dir):
+    """Delivery-semantics parity (SURVEY.md §2.1 'at-least-once'): a sink
+    crash mid-query replays the failed batch after restart — records can
+    be delivered twice, but an idempotent-by-batch_id sink nets exactly
+    once. This is the reference's crash-replay window (BASELINE.md:
+    'replay window on crash'), shrunk from ≤5 s of marks to one batch."""
+    path, n_total = events_dir
+    deliveries: list = []  # (batch_id, n_rows) every attempt, incl. failed
+    committed: dict[int, int] = {}  # idempotent by batch_id
+
+    class Crash(Exception):
+        pass
+
+    crashed = {"done": False}
+
+    def flaky_sink(batch_df, batch_id):
+        n = batch_df.count()
+        deliveries.append((batch_id, n))
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise Crash("simulated sink crash on batch 1")
+        committed[batch_id] = n  # overwrite = idempotent
+
+    eng = Engine(spark, app="t-alo", checkpoint_root=str(tmp_path / "ck"))
+    q = eng.run(
+        eng.consume([StreamSource("events", path, max_files_per_trigger=1)]),
+        flaky_sink,
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    eng.close()
+
+    # restart with the SAME checkpoint root → WAL resumes at the failed batch
+    eng2 = Engine(spark, app="t-alo", checkpoint_root=str(tmp_path / "ck"))
+    q2 = eng2.run(
+        eng2.consume([StreamSource("events", path, max_files_per_trigger=1)]),
+        flaky_sink,
+    )
+    q2.processAllAvailable()
+    eng2.close()
+
+    attempts_per_batch: dict[int, int] = {}
+    for bid, _ in deliveries:
+        attempts_per_batch[bid] = attempts_per_batch.get(bid, 0) + 1
+    assert attempts_per_batch[1] == 2  # the replayed batch: at-least-once
+    assert sum(committed.values()) == n_total  # idempotent sink: net exactly-once
+    assert eng.errors()  # the crash surfaced on the first engine's error channel
