@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # relational core (TPC-H shapes)
     "q1_pricing_summary",
+    "q1_pricing_summary_fast",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",

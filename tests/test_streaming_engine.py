@@ -361,3 +361,59 @@ def test_at_least_once_replay_after_sink_crash(spark, tmp_path, events_dir):
     assert attempts_per_batch[1] == 2  # the replayed batch: at-least-once
     assert sum(committed.values()) == n_total  # idempotent sink: net exactly-once
     assert eng.errors()  # the crash surfaced on the first engine's error channel
+
+
+def test_rate_source_envelope(spark):
+    """The rate source standing in for Kinesis (SURVEY.md §2.2 scans
+    row): a live unbounded source wrapped into the record envelope with
+    synthetic shard/sequence — schema parity and per-shard sequence
+    monotonicity over a short real-time run."""
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.streaming.envelope import (
+        RECORD_SCHEMA,
+        sequence_number_for,
+        shard_id_for,
+    )
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+    )
+    env = rate.select(
+        F.lit("rate").alias("stream"),
+        shard_id_for(F.col("value")).alias("shard_id"),
+        sequence_number_for(F.col("value")).alias("sequence_number"),
+        F.col("value").cast("string").alias("partition_key"),
+        F.to_json(F.struct("timestamp", "value")).cast("binary").alias("data"),
+        F.col("timestamp").alias("arrival_ts"),
+    )
+    assert [(f.name, f.dataType) for f in env.schema.fields] == [
+        (f.name, f.dataType) for f in RECORD_SCHEMA.fields
+    ]
+    q = (
+        env.writeStream.format("memory")
+        .queryName("t_rate_env")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if spark.sql("select count(*) n from t_rate_env").collect()[0]["n"] >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.sql(
+        "select shard_id, sequence_number from t_rate_env"
+    ).collect()
+    assert len(rows) >= 100
+    per_shard: dict[str, list[str]] = {}
+    for r in rows:
+        per_shard.setdefault(r["shard_id"], []).append(r["sequence_number"])
+    assert set(per_shard) <= {f"shardId-{i:012d}" for i in range(5)}
+    for seqs in per_shard.values():
+        assert sorted(seqs) == sorted(set(seqs))  # unique per shard
