@@ -117,7 +117,8 @@ WITH m AS (
 SELECT n_regionkey,
        CAST(cardinality(nation_map) AS BIGINT) AS n_entries,
        list_sort(map_keys(nation_map)) AS names,
-       CAST(list_aggregate(map_values(nation_map), 'sum') AS BIGINT) AS key_sum
+       CAST(list_aggregate(map_values(nation_map), 'sum') AS BIGINT) AS key_sum,
+       CAST(nation_map['NATION_1'][1] AS BIGINT) AS nation1_key
 FROM m
 ORDER BY n_regionkey
 """
@@ -148,6 +149,9 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
             ).alias("key_sum"),
+            F.element_at("nation_map", "NATION_1").cast("bigint").alias(
+                "nation1_key"
+            ),
         )
         .orderBy("n_regionkey")
     )

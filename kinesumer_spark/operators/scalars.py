@@ -137,6 +137,8 @@ SELECT p_partkey,
        ((p_size % 7) + 7) % 7             AS size_mod7,
        power(2.0, p_size % 10)            AS pow2,
        sqrt(CAST(p_size AS DOUBLE))       AS size_sqrt,
+       round(ln(p_retailprice), 9)        AS price_ln,
+       round(log10(p_retailprice), 9)     AS price_log10,
        CAST(sign(p_size - 25) AS DOUBLE)  AS size_sign,
        greatest(p_size, 25)               AS size_max25,
        least(p_size, 25)                  AS size_min25
@@ -160,6 +162,10 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(size, F.lit(7)).alias("size_mod7"),
             F.pow(F.lit(2.0), size % 10).alias("pow2"),
             F.sqrt(size.cast("double")).alias("size_sqrt"),
+            # libm-backed, not correctly-rounded by IEEE → engines may
+            # differ in the last ulp; rounded to 9 dp (margin ~1e6×)
+            F.round(F.log(F.col("p_retailprice")), 9).alias("price_ln"),
+            F.round(F.log10(F.col("p_retailprice")), 9).alias("price_log10"),
             F.signum(size - 25).cast("double").alias("size_sign"),
             F.greatest(size, F.lit(25)).cast("bigint").alias("size_max25"),
             F.least(size, F.lit(25)).cast("bigint").alias("size_min25"),
