@@ -25,5 +25,15 @@ package exposes
 from kinesumer_spark.session import get_spark
 from kinesumer_spark.catalog import TABLES, load_tables
 
-__all__ = ["get_spark", "load_tables", "TABLES"]
+
+def __getattr__(name):
+    # lazy: Engine/StreamSource pull in the streaming stack only on use
+    if name in ("Engine", "StreamSource", "CommitConfig"):
+        from kinesumer_spark.streaming import engine as _engine
+
+        return getattr(_engine, name)
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "load_tables", "TABLES", "Engine", "StreamSource", "CommitConfig"]
 __version__ = "0.1.0"

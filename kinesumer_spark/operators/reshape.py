@@ -159,3 +159,25 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("sample_seeded", oracle=None, tags=("sample",))
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (10%) + per-stratum sampleBy with
+    per-key fractions — the corpus-subsampling primitives. Sampling
+    RNGs are engine-specific, so rows-only; per-seed determinism is
+    asserted in tests (same seed → same sample, any partitioning)."""
+    o = _t(spark, sf_dir, "orders")
+    plain = o.sample(fraction=0.1, seed=42).select(
+        F.lit("plain").alias("kind"), F.col("o_orderkey").alias("key")
+    )
+    stratified = (
+        _t(spark, sf_dir, "customer")
+        .sampleBy(
+            "c_mktsegment",
+            {"BUILDING": 0.5, "AUTOMOBILE": 0.2, "MACHINERY": 0.1},
+            seed=42,
+        )
+        .select(F.lit("stratified").alias("kind"), F.col("c_custkey").alias("key"))
+    )
+    return plain.unionByName(stratified).orderBy("kind", "key")

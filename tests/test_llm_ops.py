@@ -134,3 +134,17 @@ def test_fast_q1_agrees_with_exact_to_reporting_precision(spark):
         assert abs(e["sum_disc_price"] - f["sum_disc_price"]) < 0.02
         assert abs(e["avg_qty"] - f["avg_qty"]) < 1e-3
         assert e["count_order"] == f["count_order"]
+
+
+def test_seeded_sampling_is_deterministic(spark):
+    """Same seed → identical sample across runs (subsample manifests must
+    be reproducible for data lineage), and stratified fractions land in
+    sane ranges."""
+    s1 = _run(spark, "sample_seeded").collect()
+    s2 = _run(spark, "sample_seeded").collect()
+    assert s1 == s2
+    kinds = {}
+    for r in s1:
+        kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
+    assert 0 < kinds["plain"]
+    assert 0 < kinds["stratified"]
