@@ -141,8 +141,8 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLLECT_ORACLE = """
 SELECT n_regionkey,
-       list_sort(list(n_name))          AS nations,
-       list_sort(list(DISTINCT n_name)) AS nations_set
+       array_to_string(list_sort(list(n_name)), ',')          AS nations,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_set
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
@@ -152,34 +152,84 @@ ORDER BY n_regionkey
 @register("agg_collect_list_set", oracle=_COLLECT_ORACLE, tags=("agg", "array"))
 def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / collect_set (sorted for determinism — collection
-    order is partition-dependent, so golden queries must sort)."""
+    order is partition-dependent, so golden queries must sort).
+
+    The collected arrays are emitted joined into one string per group:
+    external hash gates canonicalize rows with pandas sort/factorize,
+    which cannot handle unhashable list cells — a scalar projection of
+    the same content keeps the check well-defined without changing what
+    the aggregate computes.
+    """
     n = _t(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
-            F.sort_array(F.collect_set("n_name")).alias("nations_set"),
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias(
+                "nations_set"
+            ),
         )
         .orderBy("n_regionkey")
     )
 
 
-@register(
-    "agg_approx_sketches",
-    oracle=None,  # sketches are engine-specific; tests bound the error instead
-    tags=("agg", "approx"),
-)
+# Sketch values are engine-specific, so the oracle checks error BOUNDS
+# instead: the Spark side emits booleans asserting the sketch landed
+# inside a window around the exact answer (computed in the same pass),
+# and the oracle emits the same group keys + exact values + literal TRUE.
+# A sketch outside its advertised error → FALSE → hash mismatch → red row.
+_SKETCH_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS orders_ok,
+       TRUE AS median_ok,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_approx_sketches", oracle=_SKETCH_ORACLE, tags=("agg", "approx"))
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) + percentile_approx (GK) — the
     100 TB substitutes for exact distinct/percentile: mergeable fixed-size
-    sketches, no shuffle of distinct values."""
+    sketches, no shuffle of distinct values.
+
+    The exact companions computed here exist only to make the error bound
+    a checkable column (validation harness); a production run at scale
+    executes the sketch aggregates alone.
+    """
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    agg = (
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
             F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median_qty"),
+            F.expr("percentile(l_quantity, 0.45)").alias("p45"),
+            F.expr("percentile(l_quantity, 0.55)").alias("p55"),
             F.count("*").alias("n_rows"),
+        )
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            "exact_orders",
+            # HLL++ at rsd=0.02: ±10% is 5 standard errors — a real miss,
+            # not noise, if this ever reads FALSE
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.1 * F.col("exact_orders")
+            ).alias("orders_ok"),
+            # GK at accuracy 10000 pins rank error to 1e-4·n — far inside
+            # the exact p45..p55 window
+            F.col("approx_median_qty").between(F.col("p45"), F.col("p55")).alias(
+                "median_ok"
+            ),
+            "n_rows",
         )
         .orderBy("l_returnflag")
     )

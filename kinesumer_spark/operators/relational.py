@@ -469,3 +469,59 @@ def q1_pricing_summary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# The fast (double) path cannot hash-match an exact oracle — its last ulp
+# depends on partition merge order. What CAN be checked: that every fast
+# sum lands within a tight relative tolerance of the exact decimal sum.
+# Both paths run in ONE aggregate pass; the oracle emits the group keys,
+# the exact row count, and literal TRUE for each bound.
+_Q1_FAST_VALID_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       TRUE AS ok_sum_qty,
+       TRUE AS ok_sum_base_price,
+       TRUE AS ok_sum_disc_price,
+       TRUE AS ok_sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_fast_validation", oracle=_Q1_FAST_VALID_ORACLE, tags=("agg", "fast"))
+def q1_fast_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound proof for the q1 fast path: |double_sum − exact_sum|
+    ≤ 1e-9·|exact_sum| per measure (double summation of ~n values drifts
+    by at most ~n·2⁻⁵² relative — 1e-9 is orders of magnitude of slack at
+    any SF the driver runs). A FALSE here means the fast variant's answer
+    is wrong beyond float noise, not merely unhashable."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    pairs = {
+        "sum_qty": F.col("l_quantity"),
+        "sum_base_price": F.col("l_extendedprice"),
+        "sum_disc_price": disc_price,
+        "sum_charge": charge,
+    }
+    aggs = []
+    for name, expr in pairs.items():
+        aggs.append(F.sum(expr).alias(f"fast_{name}"))
+        aggs.append(exact_sum(expr, f"exact_{name}"))
+    agg = (
+        l.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*aggs, F.count("*").alias("count_order"))
+    )
+    checks = [
+        (
+            F.abs(F.col(f"fast_{name}") - F.col(f"exact_{name}"))
+            <= 1e-9 * F.abs(F.col(f"exact_{name}"))
+        ).alias(f"ok_{name}")
+        for name in pairs
+    ]
+    return agg.select(
+        "l_returnflag", "l_linestatus", *checks, "count_order"
+    ).orderBy("l_returnflag", "l_linestatus")
