@@ -6,8 +6,8 @@ Four tiers, all batch-first over the `documents` table:
 - ``dedup_ngram_jaccard`` — exact 3-word-shingle Jaccard pairs via a
   purely relational formulation (explode → self-join → count). Oracle-
   checked; also serves as ground truth for the approximate tiers.
-- ``dedup_minhash_lsh`` — MinHash signatures (32 permutations) + LSH
-  banding (8 bands × 4 rows) + exact-Jaccard verification of candidate
+- ``dedup_minhash_lsh`` — MinHash signatures (64 permutations) + LSH
+  banding (16 bands × 4 rows) + exact-Jaccard verification of candidate
   pairs. Deterministic (crc32-based hashing) but not SQL-portable →
   rows-only; tests assert candidate pairs ⊆ / ≅ the exact pair set.
 - ``dedup_simhash``     — 32-bit SimHash + banded Hamming-distance

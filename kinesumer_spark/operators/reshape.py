@@ -166,7 +166,11 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (10%) + per-stratum sampleBy with
     per-key fractions — the corpus-subsampling primitives. Sampling
     RNGs are engine-specific, so rows-only; per-seed determinism is
-    asserted in tests (same seed → same sample, any partitioning)."""
+    asserted in tests. Spark seeds the sampler per PARTITION (seed +
+    partition index), so reproducibility is 'same seed + same input
+    split layout → same sample' — a repartition changes the sample;
+    pin the layout (or sample on a stable key hash) when a manifest
+    must survive re-layout."""
     o = _t(spark, sf_dir, "orders")
     plain = o.sample(fraction=0.1, seed=42).select(
         F.lit("plain").alias("kind"), F.col("o_orderkey").alias("key")

@@ -16,15 +16,19 @@ from __future__ import annotations
 
 
 def split_shard_ids(shard_ids: list[str], client_index: int, num_clients: int) -> list[str]:
-    """The reference's range split (syncclient.go:114-117):
-    ``shards[floor(i*S/n + 0.5) : floor((i+1)*S/n + 0.5)]``."""
+    """The reference's range split (syncclient.go:113-117):
+    ``r := S/n; shards[round(i*r) : round((i+1)*r)]`` — the division
+    happens FIRST, then the multiply, then the round, exactly as the
+    reference associates it; a fused ``i*S/n`` can round differently at
+    tie boundaries. Go's math.Round is half-away-from-zero, which for
+    non-negative values equals ``int(x + 0.5)``."""
     if num_clients <= 0:
         raise ValueError("num_clients must be positive")
     if not 0 <= client_index < num_clients:
         raise ValueError("client_index out of range")
-    size = len(shard_ids)
-    lo = int(size * client_index / num_clients + 0.5)
-    hi = int(size * (client_index + 1) / num_clients + 0.5)
+    r = len(shard_ids) / num_clients
+    lo = int(client_index * r + 0.5)
+    hi = int((client_index + 1) * r + 0.5)
     return list(shard_ids[lo:hi])
 
 

@@ -110,6 +110,10 @@ class Engine:
         self.commit_config = commit or CommitConfig()
         self._streams: dict[str, StreamSource] = {}
         self._query = None
+        # ids of queries THIS engine started — the session-wide listener
+        # bus delivers every query's events (other engines, test sinks);
+        # progress()/errors() must only reflect ours
+        self._query_ids: set[str] = set()
         self._errors: list[str] = []
         self._progress: list[dict] = []
         self._listener = None
@@ -151,11 +155,28 @@ class Engine:
         return merged
 
     # -- mark / commit ledger ---------------------------------------------
+    @staticmethod
+    def _seq_order_key(seq: str) -> tuple[int, str]:
+        """Numeric ordering key for decimal sequence-number strings:
+        (length, lexicographic) orders unpadded decimals correctly
+        ('9' < '10') without parsing — Kinesis sequence numbers run to
+        ~56 digits, past any fixed-width integer/decimal type. Identical
+        ordering to the padded internal envelope (equal lengths fall back
+        to lexicographic)."""
+        return (len(seq), seq)
+
     def mark(self, stream: str, shard_id: str, sequence_number: str) -> None:
         """Manual offset staging — MarkRecord parity (kinesumer.go:746-764)
         including its validation set: empty sequence numbers and unknown
         streams are rejected (errEmptySequenceNumber / errInvalidStream).
-        Marks accumulate in memory until :meth:`commit_marks`."""
+        Marks accumulate in memory until :meth:`commit_marks`.
+
+        Deviation from the reference: MarkRecord OVERWRITES with the
+        last-marked value (kinesumer.go:764), trusting the caller's
+        ordering; this engine keeps the numeric maximum instead, because
+        microbatch sinks may process a shard's rows on several tasks with
+        no cross-task ordering — a last-write-wins mark could regress the
+        high-water mark that commit() persists."""
         if not sequence_number:
             raise ValueError("sequence number must not be empty")
         if self._streams and stream not in self._streams:
@@ -163,8 +184,8 @@ class Engine:
         with self._lock:
             if not hasattr(self, "_marks"):
                 self._marks: dict[tuple[str, str], str] = {}
-            prev = self._marks.get((stream, shard_id), "")
-            if sequence_number > prev:
+            prev = self._marks.get((stream, shard_id))
+            if prev is None or self._seq_order_key(sequence_number) > self._seq_order_key(prev):
                 self._marks[(stream, shard_id)] = sequence_number
 
     def commit_marks(self, batch_id: int) -> None:
@@ -199,9 +220,21 @@ class Engine:
         """Write per-(stream, shard) high-water marks for one batch —
         the ShardCheckPoint row set of statemodel.go:40-45. Idempotent
         per batch_id (overwrite), like the reference's re-put commits."""
+        # numeric max over decimal strings of any length: order by
+        # (length, string) — plain F.max would rank '9…' above '10…' for
+        # unpadded connector sequence numbers (decimal casts can't help:
+        # Kinesis sequence numbers exceed decimal(38,0))
         marks = (
             batch_df.groupBy("stream", "shard_id")
-            .agg(F.max("sequence_number").alias("sequence_number"))
+            .agg(
+                F.max_by(
+                    "sequence_number",
+                    F.struct(
+                        F.length("sequence_number").alias("l"),
+                        F.col("sequence_number").alias("s"),
+                    ),
+                ).alias("sequence_number")
+            )
             .collect()
         )
         # generation in the name: batch ids restart at 0 after refresh(),
@@ -259,6 +292,8 @@ class Engine:
             .foreachBatch(deliver)
             .start()
         )
+        with self._lock:
+            self._query_ids.add(str(self._query.id))
         return self._query
 
     def run_ordered(
@@ -311,6 +346,8 @@ class Engine:
             def onQueryProgress(self, event):
                 p = event.progress
                 with engine._lock:
+                    if str(p.id) not in engine._query_ids:
+                        return  # another query on the shared listener bus
                     engine._progress.append(
                         {
                             "batch_id": p.batchId,
@@ -325,6 +362,8 @@ class Engine:
             def onQueryTerminated(self, event):
                 if event.exception:
                     with engine._lock:
+                        if str(event.id) not in engine._query_ids:
+                            return
                         engine._errors.append(f"terminated: {event.exception}")
 
         self._listener = _Listener()

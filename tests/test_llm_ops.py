@@ -63,41 +63,39 @@ def test_ann_scores_match_bruteforce(spark):
             assert r["cosine"] == brute[key]
 
 
-def test_ann_bucket_contract(spark):
-    """Structural contract of the LSH index: every returned candidate's
-    signature is within Hamming distance 2 of the query's (multiprobe
-    radius), and results are deterministic across runs. (The fixture has
-    no high-cosine planted dups — max pairwise cosine ≈ 0.5 — so recall
-    is meaningless here; score correctness is covered above.)"""
-    from pyspark.sql import functions as F
-
-    from kinesumer_spark.catalog import read_table
-    from kinesumer_spark.operators.similarity import _as_double, _signature
-
-    sigs = {
-        r["vec_id"]: r["sig"]
-        for r in read_table(spark, SF_SMALL, "embeddings")
-        .select("vec_id", _signature(_as_double("embedding")).alias("sig"))
-        .collect()
+def test_ann_banded_recall_and_determinism(spark):
+    """Recall gate for the banded LSH index (24 bands × 4 bits over 96
+    sha256 hyperplanes): ≥0.9 of the brute-force top-k must survive the
+    bucket prefilter, and results are deterministic across runs. This
+    corpus is near-adversarial for LSH (near-random vectors, strongest
+    neighbor ≈ 0.5 cosine), so ≥0.9 here is a strong floor."""
+    brute = {
+        (r["q_id"], r["vec_id"])
+        for r in _run(spark, "similarity_cosine_topk").collect()
     }
     ann1 = _run(spark, "similarity_ann_hyperplane").collect()
     ann2 = _run(spark, "similarity_ann_hyperplane").collect()
     assert ann1 == ann2
     assert ann1
-    for r in ann1:
-        ham = bin(sigs[r["q_id"]] ^ sigs[r["vec_id"]]).count("1")
-        assert ham <= 2, (r["q_id"], r["vec_id"], ham)
+    got = {(r["q_id"], r["vec_id"]) for r in ann1}
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9"
 
 
 def test_approx_sketches_error_bounds(spark):
+    """The sketch query now emits its error bounds as boolean columns
+    (driver-checkable); every bound must hold and the exact companion
+    must agree with the independent exact-distinct query."""
     rows = {r["l_returnflag"]: r for r in _run(spark, "agg_approx_sketches").collect()}
     exact = {
         r["l_returnflag"]: r for r in _run(spark, "agg_count_distinct").collect()
     }
+    assert set(rows) == set(exact)
     for flag, r in rows.items():
-        true = exact[flag]["n_orders"]
-        assert abs(r["approx_orders"] - true) <= max(5, 0.1 * true)
-        assert 1 <= r["approx_median_qty"] <= 50
+        assert r["orders_ok"], f"HLL outside ±10% for {flag}"
+        assert r["median_ok"], f"GK median outside exact p45..p55 for {flag}"
+        assert r["exact_orders"] == exact[flag]["n_orders"]
+        assert r["n_rows"] == exact[flag]["n_rows"]
 
 
 def test_multimodal_features_deterministic_and_consistent(spark):
