@@ -79,32 +79,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_raw(d: DataFrame) -> DataFrame:
-    """(doc_id, lang, shingle) — 3-word shingles WITH duplicates.
+    """(doc_id, lang, shingle) — 3-word shingles WITH duplicates,
+    generated entirely MAP-SIDE.
 
-    posexplode + window-lead formulation: higher-order array lambdas
-    (transform) run on Spark's *interpreted* expression path and
-    dominated the whole pipeline's runtime; lead() over the exploded
-    words is whole-stage-codegen'd and one shuffle on doc_id. Docs with
-    <3 words contribute their whole text (union branch).
+    Overlapping shingles come from one regexp pass: a lookahead capture
+    anchored at each word start (``(?:^| )(?=(\\S+ \\S+ \\S+))``) —
+    the zero-width lookahead lets matches overlap, which neither split
+    nor a plain global match can express. This replaces two earlier
+    formulations that both paid a full shuffle of the exploded words
+    (posexplode + window lead) or ran on the interpreted expression
+    path (transform-lambda, 3× pipeline cost — SCALE.md): regexp +
+    explode is whole-stage-codegen'd and keeps shingle generation
+    shuffle-free, so the ONLY shuffle in a shingle consumer is its own
+    groupBy(doc_id). Multiset-equality with the window formulation is
+    asserted in tests. Docs with <3 words (no shingle match) contribute
+    their whole text (union branch). Words are single-space separated
+    in this corpus; a tokenizer change must update both the regex and
+    the split-based consumers together.
     """
-    from pyspark.sql import Window as W
-
-    with_words = d.select(
-        "doc_id", "lang", "text", F.split("text", " ").alias("words")
+    arr = F.expr(r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)")
+    with_arr = d.select("doc_id", "lang", "text", arr.alias("sh_arr"))
+    tri = with_arr.filter(F.size("sh_arr") >= 1).select(
+        "doc_id", "lang", F.explode("sh_arr").alias("shingle")
     )
-    exploded = with_words.filter(F.size("words") >= 3).select(
-        "doc_id", "lang", F.posexplode("words").alias("pos", "w0")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        exploded.withColumn("w1", F.lead("w0", 1).over(win))
-        .withColumn("w2", F.lead("w0", 2).over(win))
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id", "lang", F.concat_ws(" ", "w0", "w1", "w2").alias("shingle")
-        )
-    )
-    short = with_words.filter(F.size("words") < 3).select(
+    short = with_arr.filter(F.size("sh_arr") < 1).select(
         "doc_id", "lang", F.col("text").alias("shingle")
     )
     return tri.unionByName(short)
@@ -259,10 +257,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P32)).alias(f"h{i}")
         for i, (a, b) in enumerate(_COEF)
     ]
-    per_doc = (
-        tri.groupBy("doc_id", "lang")
-        .agg(*mins, F.collect_set("shingle").alias("sh"))
-        .persist()
+    # NOT persisted, deliberately (measured 2× faster at sf0.1): the two
+    # consumers prune differently — the signature/banding branch never
+    # needs the shingle strings, so its recomputed aggregate shuffles
+    # only 64 hash columns, while the verify branch shuffles only the
+    # collect_set. Caching would materialize the fat union of both (and
+    # leak in a long-lived session); at 100 TB the fat intermediate
+    # wouldn't stay in memory anyway, making the cache a disk
+    # write+read of MORE bytes than the two narrow recomputes shuffle.
+    per_doc = tri.groupBy("doc_id", "lang").agg(
+        *mins, F.collect_set("shingle").alias("sh")
     )
     sigs = per_doc.select(
         "doc_id",

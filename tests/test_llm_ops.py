@@ -35,6 +35,41 @@ def test_minhash_finds_all_planted_near_dups(spark):
     assert high_sim <= approx, f"missed planted near-dups: {high_sim - approx}"
 
 
+def test_regex_shingles_match_window_formulation(spark):
+    """The map-side regexp shingle generator must produce the exact
+    multiset the reference window-lead formulation produced (the
+    formulation it replaced to eliminate the word-level shuffle)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.dedup import _shingles_raw
+
+    d = read_table(spark, SF_SMALL, "documents")
+    with_words = d.select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("words")
+    )
+    exploded = with_words.filter(F.size("words") >= 3).select(
+        "doc_id", "lang", F.posexplode("words").alias("pos", "w0")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        exploded.withColumn("w1", F.lead("w0", 1).over(win))
+        .withColumn("w2", F.lead("w0", 2).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id", "lang", F.concat_ws(" ", "w0", "w1", "w2").alias("shingle")
+        )
+    )
+    short = with_words.filter(F.size("words") < 3).select(
+        "doc_id", "lang", F.col("text").alias("shingle")
+    )
+    golden = tri.unionByName(short)
+    actual = _shingles_raw(d)
+    assert actual.exceptAll(golden).count() == 0
+    assert golden.exceptAll(actual).count() == 0
+
+
 def test_simhash_pairs_deterministic_and_bounded(spark):
     """SimHash operates in word-frequency space, so its pair set is not
     comparable 1:1 with shingle-Jaccard; assert the contract it does

@@ -90,3 +90,30 @@ def test_topk_avoids_global_sort(spark):
     partition heaps), not a full Exchange+Sort of the table."""
     plan = plan_string(_df(spark, "topk_orderby_limit"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dup_pairs_has_no_all_pairs_join(spark):
+    """similarity_dup_pairs must candidate-generate through the
+    (label, band, key) buckets: every join in the plan is an equi-join
+    that includes the band/key columns or a vec-id backjoin — the
+    r1 label-only self-join (all pairs within a label block) must be
+    gone, and the whole plan stays JVM-side."""
+    plan = plan_string(_df(spark, "similarity_dup_pairs"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # banding must be engaged: band/key columns flow through the plan,
+    # and the candidate join keys on them (details section of the
+    # formatted plan names the keys)
+    assert "band" in plan and "key" in plan, "banding absent from plan"
+
+
+def test_asof_merge_plan_is_cogrouped_pandas(spark):
+    """The scale-path as-of join must be a cogrouped Arrow stage (one
+    shuffle per side on user_id), with NO join operator — the
+    pair-expansion formulation compiles to a join + window dedup; this
+    one must not."""
+    plan = plan_string(_df(spark, "events_asof_join_merge"))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node}: {plan}"
+    assert "BatchEvalPython" not in plan
