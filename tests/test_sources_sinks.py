@@ -5,6 +5,7 @@ custom stateful operator."""
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import pyarrow.parquet as pq
@@ -94,6 +95,61 @@ def test_kinesis_config_option_mapping():
     assert polling["kinesis.consumerType"] == "GetRecords"
     assert polling["startingposition"] == "LATEST"  # kinesumer.go:720 default
     assert "kinesis.consumerName" not in polling
+
+
+def test_kafka_config_option_mapping():
+    """Reference Config knob intents → built-in Kafka connector options
+    (topic≙stream O4, maxOffsetsPerTrigger≙scan_limit O21,
+    minPartitions≙resharding read-parallelism)."""
+    from kinesumer_spark.sources.kafka import KafkaConfig
+
+    cfg = KafkaConfig(
+        app="the-app",
+        topics="events,clicks",
+        bootstrap_servers="broker:9092",
+        starting_position="earliest",
+        max_records_per_trigger=500,
+        min_partitions=64,
+    )
+    opts = cfg.reader_options()
+    assert opts["subscribe"] == "events,clicks"
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    assert opts["minPartitions"] == "64"
+    assert opts["groupIdPrefix"] == "the-app-"
+    defaults = KafkaConfig(app="a", topics="t").reader_options()
+    assert defaults["startingOffsets"] == "latest"
+    assert "minPartitions" not in defaults
+
+
+def test_kafka_envelope_normalization(spark):
+    """Connector-documented output schema → RECORD_SCHEMA: padding keeps
+    lexicographic == numeric order for offsets, null keys become ''."""
+    from kinesumer_spark.sources.kafka import normalize_connector_output
+
+    rows = [
+        ("events", 0, 9, b"k1", b"v1", datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        ("events", 0, 10, None, b"v2", datetime.datetime(2024, 1, 1, 0, 0, 1)),
+        ("events", 12, 7, b"k3", b"v3", datetime.datetime(2024, 1, 1, 0, 0, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, key binary, "
+        "value binary, timestamp timestamp"
+    )
+    out = normalize_connector_output(df).orderBy("shard_id", "sequence_number")
+    got = out.collect()
+    assert [c for c in out.columns] == [
+        "stream", "shard_id", "sequence_number", "partition_key", "data",
+        "arrival_ts",
+    ]
+    assert got[0]["shard_id"] == "shardId-000000000000"
+    assert got[2]["shard_id"] == "shardId-000000000012"
+    # offset 9 must order BEFORE offset 10 lexicographically once padded
+    assert got[0]["sequence_number"] < got[1]["sequence_number"]
+    assert int(got[0]["sequence_number"]) == 9
+    assert got[1]["partition_key"] == ""  # null Kafka key
+    assert bytes(got[0]["data"]) == b"v1"
 
 
 def test_stateful_running_totals_across_batches(spark, tmp_path):
