@@ -210,130 +210,101 @@ _COEF = [
 ]
 
 
-def _minhash_signatures(shingled: DataFrame) -> DataFrame:
-    """(doc_id, lang, sig: array<bigint>) via min over permuted crc32s.
-
-    crc32 is a stable public checksum (same values on any engine/JVM),
-    so signatures — and therefore buckets — are reproducible run-to-run
-    and cluster-to-cluster, unlike murmur-seeded ml.feature.MinHashLSH.
-    """
-    # materialize crc32 once per shingle row — aggregate expressions get
-    # no cross-expression CSE, so inlining it would hash every shingle
-    # 64 times
-    hashed = shingled.withColumn("h", F.crc32(F.col("shingle").cast("binary")))
-    h = F.col("h")
-    mins = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P32)).alias(f"h{i}")
-        for i, (a, b) in enumerate(_COEF)
-    ]
-    sig = F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)])
-    return (
-        hashed.groupBy("doc_id", "lang")
-        .agg(*mins)
-        .select("doc_id", "lang", sig.alias("sig"))
-    )
-
-
 @register("dedup_minhash_lsh", oracle=None, tags=("dedup", "approx"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16×4) candidate generation, exact-Jaccard verify.
 
     Pipeline: shingles → signatures (fixed 64×8B per doc) → band keys →
-    self-join per (band, key) bucket → candidate pairs → verify with the
-    exact relational Jaccard (≥0.5) → (doc_a, doc_b, jaccard, shared).
+    per-(lang, band, key) bucket grouping → in-bucket pair expansion →
+    candidate pairs → verify with the exact relational Jaccard (≥0.5) →
+    (doc_a, doc_b, jaccard, shared).
     With b=16, r=4: P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.9998 at j=0.8.
+
+    crc32 is a stable public checksum (same values on any engine/JVM),
+    so signatures — and therefore buckets — are reproducible run-to-run
+    and cluster-to-cluster, unlike murmur-seeded ml.feature.MinHashLSH.
+
+    Structure choices (all measured at sf0.1):
+    - Candidates come from ONE shuffle: groupBy(lang, band, key) +
+      collect_list(doc_id), then in-bucket pair expansion via a slice of
+      the sorted id list — replacing the earlier two-sided self-join on
+      band keys (two shuffles of the band table + join). A hot bucket of
+      B docs still expands to B²/2 pairs, exactly as the self-join did;
+      band specificity (r=4 64-bit mins via xxhash64) keeps B small.
+    - The two per-doc aggregates stay SEPARATE, deliberately: the
+      signature branch is a codegen'd HashAggregate over 64 min columns,
+      the verify branch an ObjectHashAggregate over collect_set only.
+      Fusing them (or checkpointing the fused row) forces the 64 min
+      expressions onto ObjectHashAggregate's interpreted path — measured
+      2× slower than the two pruned recomputes, and a session-lifetime
+      cache leak besides. At 100 TB the fat intermediate would spill
+      anyway: the two narrow recomputes shuffle fewer bytes.
+    - Hot expression blocks are built as single SQL strings (F.expr /
+      selectExpr): constructing 64 min-aggs + 16 band structs as Column
+      objects costs ~600 py4j round trips ≈ 1.5 s of driver latency per
+      build; one parse-on-the-JVM string costs none of that.
+    - Min over the hash MULTISET equals min over the set (duplicates
+      can't lower a minimum), so signatures need no distinct.
     """
     d = _t(spark, sf_dir, "documents")
-    # Single-pass per-doc aggregation: min over the hash MULTISET equals
-    # min over the set (duplicates can't lower a minimum), so signatures
-    # need no distinct; the verification shingle-set and its size come
-    # from collect_set in the same aggregate. One shuffle (doc_id) for
-    # everything — the earlier formulation paid three (distinct + count
-    # window + separate sig agg).
     tri = _shingles_raw(d).withColumn(
         "h", F.crc32(F.col("shingle").cast("binary"))
     )
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P32)).alias(f"h{i}")
+    min_exprs = [
+        F.expr(f"min(({a}L * h + {b}L) % {_P32}L) AS h{i}")
         for i, (a, b) in enumerate(_COEF)
     ]
-    # NOT persisted, deliberately (measured 2× faster at sf0.1): the two
-    # consumers prune differently — the signature/banding branch never
-    # needs the shingle strings, so its recomputed aggregate shuffles
-    # only 64 hash columns, while the verify branch shuffles only the
-    # collect_set. Caching would materialize the fat union of both (and
-    # leak in a long-lived session); at 100 TB the fat intermediate
-    # wouldn't stay in memory anyway, making the cache a disk
-    # write+read of MORE bytes than the two narrow recomputes shuffle.
-    per_doc = tri.groupBy("doc_id", "lang").agg(
-        *mins, F.collect_set("shingle").alias("sh")
-    )
-    sigs = per_doc.select(
-        "doc_id",
-        "lang",
-        F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)]).alias("sig"),
-    )
+    sig_rows = tri.groupBy("doc_id", "lang").agg(*min_exprs)
 
-    bands = sigs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.element_at("sig", i * _ROWS_PER_BAND + r + 1)
-                                for r in range(_ROWS_PER_BAND)
-                            ],
-                        ).alias("key"),
-                    )
-                    for i in range(_BANDS)
-                ]
-            )
-        ).alias("bk"),
+    # band key = 64-bit hash of the band's r min values: at 10⁹ docs ×
+    # 16 bands the 2⁶⁴ key space keeps random collisions (≈ false
+    # candidates, later rejected by verify) negligible, where a 32-bit
+    # key would already mix ~4 random docs per bucket.
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS key)".format(
+            b=i,
+            cols=", ".join(
+                f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for i in range(_BANDS)
+    )
+    bands = sig_rows.select(
+        "doc_id", "lang", F.expr(f"explode(array({band_structs})) AS bk")
     ).select("doc_id", "lang", "bk.band", "bk.key")
 
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("lang", "band", "key")
+        .agg(F.expr("sort_array(collect_list(doc_id)) AS ids"))
+        .filter(F.expr("size(ids) > 1"))
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("cand_a"), F.col("b.doc_id").alias("cand_b")
-        )
+        buckets.selectExpr("posexplode(ids) AS (i, cand_a)", "ids")
+        .selectExpr("cand_a", "explode(slice(ids, i + 2, size(ids))) AS cand_b")
         .distinct()
     )
 
     # verify ONLY candidate pairs (the whole point of LSH: exact Jaccard
     # never runs all-pairs) — join candidates to per-doc shingle sets and
     # intersect arrays
-    sets = per_doc.select(
-        "doc_id", "sh", F.size("sh").cast("bigint").alias("n")
+    sets = (
+        tri.groupBy("doc_id", "lang")
+        .agg(F.expr("collect_set(shingle) AS sh"))
+        .selectExpr("doc_id", "sh", "cast(size(sh) AS bigint) AS n")
     )
-    sa = sets.select(
-        F.col("doc_id").alias("cand_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("cand_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
-    )
-    shared = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    sa = sets.selectExpr("doc_id AS cand_a", "sh AS sh_a", "n AS na")
+    sb = sets.selectExpr("doc_id AS cand_b", "sh AS sh_b", "n AS nb")
     return (
         candidates.join(sa, "cand_a")
         .join(sb, "cand_b")
-        .select(
-            F.col("cand_a").alias("doc_a"),
-            F.col("cand_b").alias("doc_b"),
-            F.round(shared / (F.col("na") + F.col("nb") - shared).cast("double"), 6).alias(
-                "jaccard"
-            ),
-            shared.alias("shared"),
+        .withColumn(
+            "shared", F.expr("cast(size(array_intersect(sh_a, sh_b)) AS bigint)")
+        )
+        .selectExpr(
+            "cand_a AS doc_a",
+            "cand_b AS doc_b",
+            "round(shared / cast(na + nb - shared AS double), 6) AS jaccard",
+            "shared",
         )
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
