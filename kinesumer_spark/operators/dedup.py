@@ -329,17 +329,18 @@ def _simhash(d: DataFrame) -> DataFrame:
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
         .withColumn("h", F.crc32(F.col("w").cast("binary")))
     )
+    # SQL strings, not Column chains: 32 contrib aggs + the 32-term bit
+    # reassembly as Columns are ~300 py4j round trips of pure driver
+    # latency per build (see _dot_sql in similarity.py)
     contribs = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.expr(f"sum(IF(shiftright(h, {j}) & 1 = 1, 1, -1)) AS b{j}")
         for j in range(_SIMHASH_BITS)
     ]
     agg = words.groupBy("doc_id", "lang").agg(*contribs)
-    sim: Column = F.lit(0).cast("bigint")
-    for j in range(_SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
-    return agg.select("doc_id", "lang", sim.alias("simhash"))
+    sim = " + ".join(
+        f"IF(b{j} > 0, cast({1 << j} AS bigint), 0)" for j in range(_SIMHASH_BITS)
+    )
+    return agg.selectExpr("doc_id", "lang", f"({sim}) AS simhash")
 
 
 @register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
@@ -349,39 +350,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact Hamming ≤ 3 verification via bit_count(xor)."""
     d = _t(spark, sf_dir, "documents")
     s = _simhash(d)
+    structs = ", ".join(
+        f"struct({i} AS band, shiftright(simhash, {i * 8}) & 255 AS key)"
+        for i in range(_HAM_BANDS)
+    )
     bands = s.select(
-        "doc_id",
-        "lang",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255)).alias(
-                            "key"
-                        ),
-                    )
-                    for i in range(_HAM_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", "lang", "simhash", F.expr(f"explode(array({structs})) AS bk")
     ).select("doc_id", "lang", "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    # ONE shuffle for candidates: bucket-group on the band key and expand
+    # pairs in place (sorted by doc_id, so doc_a < doc_b by construction)
+    # — same shape as dedup_minhash_lsh; a two-sided self-join would
+    # shuffle the band table twice
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("bigint").alias("hamming"),
+        bands.groupBy("lang", "band", "key")
+        .agg(F.expr("sort_array(collect_list(struct(doc_id, simhash))) AS items"))
+        .filter(F.expr("size(items) > 1"))
+        .selectExpr("posexplode(items) AS (i, a)", "items")
+        .selectExpr("a", "explode(slice(items, i + 2, size(items))) AS b")
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            "cast(bit_count(a.simhash ^ b.simhash) AS bigint) AS hamming",
         )
         .distinct()
         .filter(F.col("hamming") <= 3)
