@@ -238,7 +238,12 @@ def ann_topk(spark: SparkSession, sf_dir: str, query_pred: Column) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    # verify candidates only: join back for vectors/norms, exact cosine
+    return _exact_rerank(cand, v)
+
+
+def _exact_rerank(cand: DataFrame, v: DataFrame) -> DataFrame:
+    """(q_id, vec_id) candidates → exact-cosine top-k per query: join back
+    for vectors/norms (query side broadcast), score, window rank."""
     qv = v.select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
@@ -343,3 +348,100 @@ def similarity_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# -- IVF (inverted-file) ANN ------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+_IVF_ANCHOR_BASE = 100  # vec_id ∈ [100, 100+_IVF_CELLS) are the anchors
+
+
+def _ivf_anchor_matrix(v: DataFrame) -> np.ndarray:
+    """cells × dim L2-normalized anchor matrix, collected once.
+
+    Anchors are a fixed vec_id slice of the corpus itself — deterministic
+    with no training iteration (a k-means refinement would slot in here
+    unchanged; assignment and probing below only see the matrix). The
+    collect is O(cells × dim) — bounded like the engine's per-shard
+    high-water-mark collect, NOT data-scaled; at 2¹⁶ cells × 1k dims it
+    is a ~256 MB broadcast, which is exactly how FAISS-style IVF ships
+    its codebook to workers.
+    """
+    rows = (
+        v.filter(
+            (F.col("vec_id") >= _IVF_ANCHOR_BASE)
+            & (F.col("vec_id") < _IVF_ANCHOR_BASE + _IVF_CELLS)
+        )
+        .select("vec_id", "e")
+        .collect()
+    )
+    anchors = np.stack([np.array(r["e"]) for r in sorted(rows, key=lambda r: r["vec_id"])])
+    return anchors / np.linalg.norm(anchors, axis=1, keepdims=True)
+
+
+def _make_cell_udfs(anchors: np.ndarray):
+    """(assign_udf, probe_udf): nearest cell per vector / n_probe nearest
+    cells per query, each ONE BLAS matmul per Arrow batch against the
+    closure-captured codebook."""
+
+    @pandas_udf(IntegerType())
+    def assign_cell(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ anchors.T, axis=1).astype(np.int32))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ anchors.T                       # n × cells
+        # ALL cells, nearest first (callers slice to n_probe); argsort is
+        # deterministic (stable ties by cell index)
+        order = np.argsort(-sims, kind="stable", axis=1)
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign_cell, probe_cells
+
+
+@register("similarity_ivf_topk", oracle=None, tags=("similarity", "approx"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are assigned to their nearest anchor
+    cell (one narrow map, shuffle-free); each query probes its
+    ``_IVF_PROBE`` nearest cells; candidates = corpus rows in probed
+    cells (equi-join on cell, query side broadcast); exact cosine
+    re-ranks candidates only.
+
+    Same plan shape as the hyperplane variant with the signature swapped
+    for a centroid id — the IVF scale path SCALE.md promises. At
+    n_probe = cells it degrades to exhaustive search and must equal the
+    brute-force answer exactly (gated in tests via ivf_topk_full_probe);
+    at n_probe < cells recall on THIS corpus is ≈ n_probe/cells by
+    construction (near-random vectors spread neighbors uniformly over
+    cells — documented LSH/IVF worst case; a clustered production
+    corpus concentrates neighbors in few cells, which is the regime IVF
+    exists for).
+    """
+    return ivf_topk(spark, sf_dir, _IVF_PROBE)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+    v = _t(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    assign_cell, probe_cells = _make_cell_udfs(_ivf_anchor_matrix(v))
+    corpus_cells = v.withColumn("cell", assign_cell(F.col("e")))
+    query_cells = (
+        v.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.slice(probe_cells(F.col("e")), 1, n_probe)).alias("cell"),
+        )
+    )
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+    )
+    return _exact_rerank(cand, v)

@@ -181,3 +181,32 @@ def test_seeded_sampling_is_deterministic(spark):
         kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
     assert 0 < kinds["plain"]
     assert 0 < kinds["stratified"]
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """IVF with n_probe = cells is exhaustive search partitioned by cell:
+    it must reproduce the brute-force top-k EXACTLY (same rows, same
+    scores, same ranks). This pins the assignment/probe/re-rank plumbing
+    so the n_probe < cells variant differs only by candidate pruning."""
+    from kinesumer_spark.operators.similarity import _IVF_CELLS, ivf_topk
+
+    brute = _run(spark, "similarity_cosine_topk").collect()
+    full = ivf_topk(spark, SF_SMALL, _IVF_CELLS).collect()
+    assert full == brute
+
+
+def test_ivf_probe_subset_and_determinism(spark):
+    """The registered n_probe=4/16 variant: deterministic, reports exact
+    cosines, and every result lies in a probed cell (⊆ full-probe)."""
+    brute = {
+        (r["q_id"], r["vec_id"]): r["cosine"]
+        for r in _run(spark, "similarity_cosine_topk").collect()
+    }
+    ivf1 = _run(spark, "similarity_ivf_topk").collect()
+    ivf2 = _run(spark, "similarity_ivf_topk").collect()
+    assert ivf1 == ivf2
+    assert ivf1
+    for r in ivf1:
+        key = (r["q_id"], r["vec_id"])
+        if key in brute:
+            assert r["cosine"] == brute[key]
