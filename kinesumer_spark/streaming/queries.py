@@ -376,3 +376,52 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, "ks_stream_stream", mode="append").orderBy(
         "purchase_id", "click_id"
     )
+
+
+_STREAM_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND("value" * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+           AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_stateful_totals",
+    oracle=_STREAM_STATEFUL_ORACLE,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven through a
+    real streaming query: per-user running (count, sum) state across
+    microbatches — the reference's per-shard offsets sync.Map
+    (kinesumer.go:155-160) generalized to arbitrary keys — must converge
+    to the batch GROUP BY answer on a finite stream.
+
+    Floats are summed as integer micro-units (exact in int64 and in the
+    state's double below 2^53), so the incremental per-batch accumulation
+    order can't drift from DuckDB's single-pass sum.
+    """
+    from kinesumer_spark.streaming.stateful import running_user_totals
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value"),
+    )
+    totals = running_user_totals(ev)
+    emitted = _run_to_table(totals, "ks_stream_stateful", mode="update")
+    # update-mode memory sink keeps every emission; n_events is strictly
+    # increasing per user, so max_by picks each user's final state
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (F.max_by("total_value", "n_events") / 1_000_000).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )

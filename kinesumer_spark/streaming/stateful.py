@@ -59,3 +59,92 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EXPIRING_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, expired boolean"
+)
+EXPIRING_STATE_SCHEMA = "n bigint, total double, last_ts_ms bigint"
+
+
+def _make_expiring_update(ttl_ms: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # idle-key GC: emit the final row tagged expired, drop state
+            n, total, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "expired": [True],
+                }
+            )
+            return
+        n, total, last_ts_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max_ms = int(pdf["ts"].max().value // 1_000_000)
+            last_ts_ms = max(last_ts_ms, batch_max_ms)
+        state.update((n, total, last_ts_ms))
+        # Expire when the watermark passes last-seen event time + TTL.
+        # Spark requires the timeout timestamp to be ahead of the current
+        # watermark; a key fed only very-late data is floored just past it
+        # (it will expire at the next watermark advance — already idle).
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ts_ms + ttl_ms, wm + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "expired": [False],
+            }
+        )
+
+    return update
+
+
+def running_user_totals_with_ttl(
+    events: DataFrame,
+    ttl_ms: int = 10_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """``running_user_totals`` + EventTimeTimeout idle-key GC — the
+    analog of the reference's staleness prune (syncclient.go:171-201,
+    O8/O9: clients/shards unseen for 10 s are pruned from the
+    coordination table). A key whose last event time is more than
+    ``ttl_ms`` behind the watermark fires a timeout callback: its final
+    totals are emitted tagged ``expired = true`` and the state row is
+    removed, so state-store size tracks the ACTIVE key set, not the
+    all-time key set — at 100 TB / billions of keys, unbounded per-key
+    state is otherwise a slow leak (RocksDB keeps it off-heap, but
+    compaction and checkpoint size still scale with dead keys).
+
+    Event-time (not wall-clock) expiry is deliberate: it is
+    deterministic under replay/backfill, needs no empty-batch triggers
+    (ProcessingTimeTimeout re-arms timers every microbatch, so a query
+    with pending timers never quiesces), and the watermark is the same
+    lateness contract the windowed aggs already use. ``events`` must
+    carry an event-time column ``ts``; expiry fires at the first
+    microbatch after the watermark passes ``last_seen + ttl_ms``.
+    """
+    return (
+        events.select("user_id", "value", "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_expiring_update(ttl_ms),
+            outputStructType=EXPIRING_OUTPUT_SCHEMA,
+            stateStructType=EXPIRING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -205,3 +205,71 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     for uid, (n, s) in truth.items():
         assert final[uid][0] == n, uid
         assert abs(final[uid][1] - s) < 1e-4, uid
+
+
+def test_stateful_idle_key_ttl_expiry(spark, tmp_path):
+    """EventTimeTimeout GC (the reference's 10 s staleness prune,
+    syncclient.go:171-201): a key whose last event time falls TTL
+    behind the watermark expires — its final totals arrive tagged
+    expired=true and its state row is removed — while a still-active
+    key keeps accumulating. Event-time driven: deterministic, no
+    wall-clock sleeps."""
+    import pyarrow as pa
+
+    from kinesumer_spark.streaming.stateful import running_user_totals_with_ttl
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def write_batch(name, rows):  # rows: (user_id, value, ts_seconds)
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "value": pa.array([r[1] for r in rows], pa.float64()),
+                "ts": pa.array(
+                    [r[2] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl, d / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        running_user_totals_with_ttl(stream, ttl_ms=5_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        # batch 0: both users; user 2 last seen at t=5s -> expires at 10s
+        write_batch("b0", [(1, 1.0, 1), (1, 2.0, 2), (2, 10.0, 5)])
+        q.processAllAvailable()
+        # batch 1: watermark is still 5s when it runs; advances it to 20s
+        write_batch("b1", [(1, 4.0, 20)])
+        q.processAllAvailable()
+        # batch 2: runs with watermark 20s > 10s -> user 2's timer fires
+        write_batch("b2", [(1, 8.0, 21)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    expired = spark.sql(
+        "select * from t_ttl where expired and user_id = 2"
+    ).collect()
+    assert expired, "idle key never expired"
+    assert expired[0]["n_events"] == 1 and expired[0]["total_value"] == 10.0
+    # user 1 stayed live (never expired) and kept accumulating
+    live = spark.sql(
+        "select max(n_events) as n from t_ttl where user_id = 1 and not expired"
+    ).collect()
+    assert live[0]["n"] == 4
+    assert not spark.sql(
+        "select 1 from t_ttl where expired and user_id = 1"
+    ).collect()
