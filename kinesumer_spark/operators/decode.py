@@ -116,7 +116,7 @@ WITH m AS (
 )
 SELECT n_regionkey,
        CAST(cardinality(nation_map) AS BIGINT) AS n_entries,
-       list_sort(map_keys(nation_map)) AS names,
+       array_to_string(list_sort(map_keys(nation_map)), ',') AS names_csv,
        CAST(list_aggregate(map_values(nation_map), 'sum') AS BIGINT) AS key_sum,
        CAST(nation_map['NATION_1'][1] AS BIGINT) AS nation1_key
 FROM m
@@ -127,7 +127,10 @@ ORDER BY n_regionkey
 @register("scalar_map_funcs", oracle=_MAP_ORACLE, tags=("scalar", "map"))
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map type surface: map_from_arrays, map_keys/values, cardinality
-    (ordered construction so both engines build the identical map)."""
+    (ordered construction so both engines build the identical map).
+
+    map_keys output is projected to a sorted CSV string — list cells are
+    unhashable in pandas-based canonicalizers (the r2 gate failure)."""
     n = read_table(spark, sf_dir, "nation")
     ordered = n.orderBy("n_nationkey").groupBy("n_regionkey").agg(
         F.map_from_arrays(
@@ -143,7 +146,9 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.select(
             "n_regionkey",
             F.size("nation_map").cast("bigint").alias("n_entries"),
-            F.array_sort(F.map_keys("nation_map")).alias("names"),
+            F.array_join(F.array_sort(F.map_keys("nation_map")), ",").alias(
+                "names_csv"
+            ),
             F.aggregate(
                 F.map_values("nation_map"),
                 F.lit(0).cast("bigint"),

@@ -179,7 +179,7 @@ SELECT doc_id,
        len(words)                                   AS n_words,
        len(list_distinct(words))                    AS n_unique_words,
        list_contains(words, 'spark')                AS has_spark,
-       list_sort(list_distinct(words))[1:5]         AS first_words,
+       array_to_string(list_sort(list_distinct(words))[1:5], ',') AS first_words_csv,
        words[1]                                     AS head_word,
        array_to_string(list_sort(list_distinct(words))[1:3], ',') AS top3_csv
 FROM (
@@ -192,7 +192,12 @@ ORDER BY doc_id
 @register("scalar_array_funcs", oracle=_ARRAY_ORACLE, tags=("scalar", "array"))
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over tokenized documents: size, distinct, contains,
-    sort, slice, element_at, join."""
+    sort, slice, element_at, join.
+
+    Output discipline: array-typed cells are projected to delimited
+    strings (array_join over the sorted slice) — same semantics, but the
+    result is hashable by pandas-based canonicalizers; bare list cells
+    crash `sort_values` (the r2 gate failure for this query)."""
     d = _t(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
     uniq_sorted = F.sort_array(F.array_distinct("words"))
     return (
@@ -201,7 +206,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("words").cast("bigint").alias("n_words"),
             F.size(F.array_distinct("words")).cast("bigint").alias("n_unique_words"),
             F.array_contains("words", "spark").alias("has_spark"),
-            F.slice(uniq_sorted, 1, 5).alias("first_words"),
+            F.array_join(F.slice(uniq_sorted, 1, 5), ",").alias("first_words_csv"),
             F.element_at("words", 1).alias("head_word"),
             F.array_join(F.slice(uniq_sorted, 1, 3), ",").alias("top3_csv"),
         )

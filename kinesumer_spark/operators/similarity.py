@@ -185,6 +185,8 @@ def _band_keys_udf(emb: pd.Series) -> pd.Series:
     as one keeps the hot loop in vectorized native code, Arrow-batched,
     shuffle-free, and deterministic (fixed sha256-derived ±1 planes).
     """
+    if len(emb) == 0:  # np.stack raises on an empty Arrow batch
+        return pd.Series([], dtype=object)
     m = np.stack(emb.to_numpy())                        # n × 64
     bits = (m @ _PLANES_T) > 0                          # n × 96
     grouped = bits.reshape(len(m), _N_PLANES // _ROWS_PER_BAND, _ROWS_PER_BAND)
@@ -288,23 +290,77 @@ ORDER BY vec_a, vec_b
 
 @register("similarity_dup_pairs", oracle=_PAIRS_ORACLE, tags=("similarity", "dedup"))
 def similarity_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs — LSH-prefiltered: candidate
-    pairs come from shared (label, band, key) buckets (16 bands × 4 bits
-    over 64 planes), then ONLY candidates get the exact cosine verify —
-    the same candidates→verify structure as dedup_minhash_lsh, with no
-    all-pairs join anywhere in the plan.
+    """Embedding-cosine near-duplicate pairs, EXACT: all pairs within a
+    coarse blocking key (label), exact cosine ≥ 0.4. Exact by
+    construction, so it carries the all-pairs oracle — the LSH-
+    prefiltered scale path is ``similarity_dup_pairs_lsh`` below, kept
+    rows-only because banded-LSH recall is probabilistic (its band signs
+    also come from a float BLAS matmul, so near-zero projections could
+    flip across BLAS builds; an exact-oracle registration would be
+    corpus- and hardware-dependent — the r2 advisor's point).
 
-    Oracle = the all-pairs answer. Banded LSH recall is probabilistic, so
-    the band count is sized to the corpus + threshold: at cosine ≥ 0.4
-    (per-bit agreement ≥ 0.63 ⇒ ~16 % band hit) 16 bands capture every
-    qualifying pair at the correctness-gate SFs (measured 5/5 at both
-    sf0.001 and sf0.01; 83/86 at sf0.1) while discarding ~36 % of
-    same-label pairs before the verify stage. The 0.4 threshold itself is
-    an artifact of this synthetic corpus (no true dups; max pairwise
-    cosine ≈ 0.47) — near-random vectors at low thresholds are LSH's
-    worst case. A production dedup pass uses ≥ 0.95, where per-bit
-    agreement ≈ 0.9 makes band capture near-certain AND prunes ≳ 94 % of
-    random pairs per band — the regime this plan is designed for.
+    Scale: quadratic within a label block — viable when blocks are small
+    (a real pipeline blocks on shard/near-dup cluster keys, not 10
+    coarse labels). When blocks outgrow this, switch to the _lsh
+    variant: same output contract, candidates from banded buckets.
+    """
+    v = _t(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            _cosine(_dot("ea", "eb"), F.col("na"), F.col("nb")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "similarity_dup_pairs_lsh", oracle=None, tags=("similarity", "dedup", "approx")
+)
+def similarity_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the LSH-prefiltered scale
+    path: candidate pairs come from shared (label, band, key) buckets
+    (16 bands × 4 bits over 64 sha256 hyperplanes), then ONLY candidates
+    get the exact cosine verify — the same candidates→verify structure
+    as dedup_minhash_lsh, with no all-pairs join anywhere in the plan.
+
+    Rows-only: banded-LSH recall is probabilistic (measured 5/5 at
+    sf0.001/0.01, 83/86 at sf0.1 vs the exact answer — the recall gate
+    in tests/test_llm_ops.py asserts precision == 1 and recall ≥ 0.8).
+    Output contract matches ``similarity_dup_pairs`` exactly, so the two
+    are drop-in interchangeable; every emitted row is exact (the verify
+    stage computes true cosine) — only *recall* is approximate.
+
+    The 0.4 threshold is an artifact of this synthetic corpus (no true
+    dups; max pairwise cosine ≈ 0.47) — near-random vectors at low
+    thresholds are LSH's worst case. A production dedup pass uses
+    ≥ 0.95, where per-bit agreement ≈ 0.9 makes band capture
+    near-certain AND prunes ≳ 94 % of random pairs per band — the
+    regime this plan is designed for.
     """
     v = _t(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
@@ -387,14 +443,20 @@ def _make_cell_udfs(anchors: np.ndarray):
 
     @pandas_udf(IntegerType())
     def assign_cell(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
         m = np.stack(emb.to_numpy())
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # clamp: a zero-norm vector would divide to NaN and get an
+        # arbitrary argmax cell; eps pins it to a deterministic one
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         return pd.Series(np.argmax(m @ anchors.T, axis=1).astype(np.int32))
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe_cells(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
         m = np.stack(emb.to_numpy())
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = m @ anchors.T                       # n × cells
         # ALL cells, nearest first (callers slice to n_probe); argsort is
         # deterministic (stable ties by cell index)

@@ -89,14 +89,25 @@ def normalize_connector_output(df: DataFrame) -> DataFrame:
 def kafka_stream(spark: SparkSession, cfg: KafkaConfig) -> DataFrame:
     """Streaming DataFrame in RECORD_SCHEMA from Kafka topics.
 
-    Requires the spark-sql-kafka jar on the classpath; raises a clear
-    error here (this environment has no broker or jar)."""
+    Requires the spark-sql-kafka jar on the classpath; ONLY the
+    jar-absent case is rewrapped as a clear 'connector unavailable'
+    error — genuine configuration mistakes (bad option values, schema
+    errors) propagate unchanged so they are not misdiagnosed as a
+    missing classpath."""
     try:
         reader = spark.readStream.format(KAFKA_FORMAT)
         for k, v in cfg.reader_options().items():
             reader = reader.option(k, v)
         return normalize_connector_output(reader.load())
-    except Exception as exc:  # pragma: no cover - jar/broker availability
+    except Exception as exc:  # pragma: no cover - jar availability
+        msg = str(exc)
+        jar_absent = (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+            or "ClassNotFoundException" in msg
+        )
+        if not jar_absent:
+            raise
         raise RuntimeError(
             "Kafka connector unavailable (needs spark-sql-kafka-0-10 jar "
             "+ a reachable broker); use streaming.engine.StreamSource "

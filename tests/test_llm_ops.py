@@ -117,6 +117,27 @@ def test_ann_banded_recall_and_determinism(spark):
     assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9"
 
 
+def test_dup_pairs_lsh_precision_and_recall(spark):
+    """The LSH-prefiltered dup-pairs variant must emit ONLY true pairs
+    (precision 1 — every row also appears in the exact label-blocked
+    answer with the identical cosine) and capture ≥0.8 of them (recall
+    gate; measured 1.0 at the test SFs). Deterministic across runs."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in _run(spark, "similarity_dup_pairs").collect()
+    }
+    lsh1 = _run(spark, "similarity_dup_pairs_lsh").collect()
+    lsh2 = _run(spark, "similarity_dup_pairs_lsh").collect()
+    assert lsh1 == lsh2
+    assert exact, "fixture should produce qualifying pairs"
+    for r in lsh1:
+        key = (r["vec_a"], r["vec_b"])
+        assert key in exact, f"LSH emitted a non-pair {key}"
+        assert r["cosine"] == exact[key]
+    recall = len(lsh1) / len(exact)
+    assert recall >= 0.8, f"LSH dup-pairs recall {recall:.2f} < 0.8"
+
+
 def test_approx_sketches_error_bounds(spark):
     """The sketch query now emits its error bounds as boolean columns
     (driver-checkable); every bound must hold and the exact companion

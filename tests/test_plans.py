@@ -92,15 +92,17 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_dup_pairs_has_no_all_pairs_join(spark):
-    """similarity_dup_pairs must candidate-generate through the
-    (label, band, key) buckets: every join in the plan is an equi-join
-    that includes the band/key columns or a vec-id backjoin — the
-    r1 label-only self-join (all pairs within a label block) must be
-    gone. Python appears ONLY as the vectorized Arrow signature stage
-    (one BLAS matmul per batch; see _band_keys_udf) — never as
-    row-at-a-time BatchEvalPython."""
-    plan = plan_string(_df(spark, "similarity_dup_pairs"))
+def test_dup_pairs_lsh_has_no_all_pairs_join(spark):
+    """similarity_dup_pairs_lsh (the scale path) must candidate-generate
+    through the (label, band, key) buckets: every join in the plan is an
+    equi-join that includes the band/key columns or a vec-id backjoin —
+    no label-only self-join (all pairs within a label block) anywhere.
+    Python appears ONLY as the vectorized Arrow signature stage (one
+    BLAS matmul per batch; see _band_keys_udf) — never as row-at-a-time
+    BatchEvalPython. (The exact variant similarity_dup_pairs keeps the
+    label-blocked join on purpose — it is the oracle-carrying exact
+    form; see its docstring.)"""
+    plan = plan_string(_df(spark, "similarity_dup_pairs_lsh"))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan
     # banding must be engaged: band/key columns flow through the plan,
