@@ -185,3 +185,39 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("stratified").alias("kind"), F.col("c_custkey").alias("key"))
     )
     return plain.unionByName(stratified).orderBy("kind", "key")
+
+
+_HASH_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+ORDER BY o_orderkey
+"""
+
+
+@register("sample_hash_deterministic", oracle=_HASH_SAMPLE_ORACLE, tags=("sample",))
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via a Knuth multiplicative hash on the
+    key: (key * 2654435761) mod 2^32 < 0.1·2^32. Unlike seeded RNG
+    sampling (see ``sample_seeded``), membership depends ONLY on the key
+    value — stable under repartitioning, re-layout, engine choice, and
+    incremental reruns, which is what a training-data manifest needs
+    (the sample taken today must be reproducible against tomorrow's
+    re-sharded copy of the corpus). Pure integer arithmetic → expressed
+    identically in both engines, so this one IS oracle-exact.
+
+    Scale: a narrow filter evaluated map-side at scan speed — no
+    shuffle, no RNG state; the predicate is codegen'd. (Guard: keys must
+    stay < 2^62/2654435761 ≈ 3.5e9 to avoid 64-bit overflow; order keys
+    at any TPC-H SF this engine targets are within that, and the
+    wrap-around would still be deterministic, just no longer uniform.)
+    """
+    o = _t(spark, sf_dir, "orders")
+    keep = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(
+        429496729
+    )
+    return (
+        o.filter(keep)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )

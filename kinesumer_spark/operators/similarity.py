@@ -487,6 +487,73 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, _IVF_PROBE)
 
 
+_CENTROID_ORACLE = f"""
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+), ex AS (
+  SELECT label, d.dim,
+         CAST(floor(e[d.dim + 1] * 1000000) AS BIGINT) AS q
+  FROM v CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
+)
+SELECT label, dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS centroid
+FROM ex
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+@register(
+    "embedding_centroid_by_label", oracle=_CENTROID_ORACLE, tags=("similarity", "agg")
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the k-means 'update' step / IVF codebook
+    trainer), as a fully distributed columnar aggregation: posexplode the
+    vector to (label, dim, value) rows, one groupBy(label, dim) — no
+    driver-side vectors, no UDF.
+
+    Determinism: a double SUM is partition-order dependent, so values are
+    fixed-point quantized map-side (floor(val·10⁶) → BIGINT; float→double
+    widening and the ·10⁶ multiply are exact IEEE ops, identical in both
+    engines) and summed as integers — associative, order-independent,
+    oracle-exact. The final centroid is ONE double division
+    (qsum / (n·10⁶)), deterministic on both sides with no rounding step.
+
+    Scale: the exploded layout is 64 narrow rows per vector feeding a
+    partial+final HashAggregate — shuffle volume is #labels × #dims
+    partials per executor, independent of corpus size; this is the
+    standard shape for billion-vector centroid updates (versus
+    per-partition numpy folds that pin vector width into executor
+    memory). Output is flat (label, dim, n_vecs, centroid) — scalar
+    columns only, canonicalizer-safe by construction.
+    """
+    v = _t(spark, sf_dir).select(
+        "label", _as_double("embedding").alias("e")
+    )
+    ex = v.select(
+        "label", F.posexplode("e").alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val") * 1000000).cast("bigint").alias("q"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.count("*").alias("n_vecs"), F.sum("q").alias("qsum"))
+        .select(
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            "n_vecs",
+            (
+                F.col("qsum").cast("double")
+                / (F.col("n_vecs") * 1000000).cast("double")
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     v = _t(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")

@@ -111,6 +111,28 @@ def test_dup_pairs_lsh_has_no_all_pairs_join(spark):
     assert "band" in plan and "key" in plan, "banding absent from plan"
 
 
+def test_range_join_is_equi_join_on_bin(spark):
+    """The 15-minute range join must compile to an equi-join keyed on
+    (user_id, bin) — never a CartesianProduct or nested-loop theta join.
+    The exact interval predicate is a post-join filter over the bounded
+    candidate set."""
+    plan = plan_string(_df(spark, "events_range_join_binned"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "bin" in plan, "bin key absent from join plan"
+
+
+def test_rollup_multires_scans_raw_data_once(spark):
+    """The hierarchical rollup materializes the minute level (lazy
+    localCheckpoint) and derives hour/day from it: the final plan reads
+    the materialized RDD, with at most the single materialization scan
+    of raw parquet — NOT one rescan per union branch (the naive chain
+    measured 6 scans, ReusedExchange: 0)."""
+    plan = plan_string(_df(spark, "events_rollup_multires"))
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "ExistingRDD" in plan, "checkpointed minute level not engaged"
+
+
 def test_asof_merge_plan_is_cogrouped_pandas(spark):
     """The scale-path as-of join must be a cogrouped Arrow stage (one
     shuffle per side on user_id), with NO join operator — the
