@@ -376,3 +376,128 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering (connected components over dup pairs)
+# --------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), e AS (
+  SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS shingle FROM s
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM e a JOIN e b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM p
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), walk AS (
+  SELECT DISTINCT src AS doc_id, src AS reach FROM edges
+  UNION
+  SELECT wk.doc_id, e2.dst FROM walk wk JOIN edges e2 ON e2.src = wk.reach
+)
+SELECT min(reach) AS cluster_id, doc_id, (min(reach) = doc_id) AS is_canonical
+FROM walk
+GROUP BY doc_id
+ORDER BY cluster_id, doc_id
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("dedup", "iterative"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    3-gram-Jaccard ≥ 0.5 pair graph, labeling every clustered doc with
+    the minimum doc_id reachable from it (cluster_id) and flagging the
+    canonical survivor — the step that turns pairwise dedup output into
+    the keep/drop decision a training-data pipeline actually applies
+    (pairs alone can't: A~B, B~C must drop B AND C, though A~C was
+    never emitted).
+
+    Iterative min-label propagation, Pregel-style on DataFrames: each
+    round joins labels to the symmetric edge list, takes
+    min(own, neighbors' labels), and localCheckpoints the result
+    (truncating lineage, which otherwise grows a join deeper per round).
+    Converged when Σ labels stops falling (labels only ever decrease, so
+    the integer checksum is an exact fixpoint detector — one scalar per
+    round to the driver; data never leaves the cluster). Converges in
+    O(graph diameter) rounds; near-dup graphs are short chains
+    (diameter ≤ ~3 here), and the _CC_MAX_ITERS guard raises rather
+    than silently emitting a half-propagated labeling. For adversarial
+    long-chain graphs the same loop upgrades to large-star/small-star
+    (alternating min-propagation that contracts paths in O(log n)
+    rounds) without changing the contract.
+
+    Edge source here is the EXACT pair generator, mirrored by the
+    oracle's recursive CTE (transitive closure, min per node) — exact in,
+    exact out. At 100 TB swap in the minhash-LSH tier
+    (``dedup_minhash_lsh``) as the edge source: identical contract, the
+    propagation loop is unchanged (it scales with |edges|, and its
+    shuffles are keyed on doc_id — AQE-coalesced, skew-safe since
+    near-dup degree is bounded by cluster size).
+
+    The reference delegates all analytics to its application
+    (kinesumer.go:346-370); this is declared-surface infrastructure, not
+    a port.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = _verified_pairs(_shingles(d), 0.5).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.col("nmin")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds"
+        )
+    return (
+        labels.select(
+            F.col("label").alias("cluster_id"),
+            "doc_id",
+            (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -84,7 +84,8 @@ _FRONT = (
     "events_rollup_multires",
     "sample_hash_deterministic",
     "embedding_centroid_by_label",
-    # r1-proven core, rotated back in as canaries (40 slots)
+    "dedup_clusters",
+    # r1-proven core, rotated back in as canaries (39 slots)
     "q3_shipping_priority",
     "q4_late_orders",
     "q5_local_supplier_volume",
@@ -124,7 +125,6 @@ _FRONT = (
     "agg_stats_moments",
     "set_except",
     "set_intersect",
-    "set_union_by_name",
 )
 
 

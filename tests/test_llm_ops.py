@@ -138,6 +138,30 @@ def test_dup_pairs_lsh_precision_and_recall(spark):
     assert recall >= 0.8, f"LSH dup-pairs recall {recall:.2f} < 0.8"
 
 
+def test_dedup_clusters_consistent_with_pair_graph(spark):
+    """Cluster labels must respect the pair graph: both endpoints of
+    every exact-Jaccard pair share a cluster_id, the cluster_id is the
+    min doc_id of its members, exactly one member is canonical, and
+    every clustered doc appears in some pair (no singletons)."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in _run(spark, "dedup_ngram_jaccard").collect()
+    ]
+    rows = _run(spark, "dedup_clusters").collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert pairs, "fixture should produce dup pairs"
+    for a, b in pairs:
+        assert label[a] == label[b], f"pair ({a},{b}) split across clusters"
+    paired = {d for p in pairs for d in p}
+    assert set(label) == paired
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+
+
 def test_approx_sketches_error_bounds(spark):
     """The sketch query now emits its error bounds as boolean columns
     (driver-checkable); every bound must hold and the exact companion
