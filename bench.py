@@ -53,18 +53,27 @@ def main() -> None:
     # query, not session bootstrap.
     registry["q6_forecast_revenue"].spark(spark, sf_dir).collect()
 
-    # min of two runs per query: steady-state time, robust to GC pauses
-    # and co-tenant noise on the bench host
+    # min of N runs per query: steady-state time, robust to GC pauses
+    # and co-tenant noise on the bench host. r3 showed min-of-2 is not
+    # enough to reject co-tenant noise (total drifted +43% on unchanged
+    # code), so default is 3 with an explicit cold/warm split so noise
+    # vs. plan-regression is distinguishable from the JSON alone.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
+    per_query_cold: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for i in range(runs):
             t0 = time.perf_counter()
             registry[name].spark(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                per_query_cold[name] = round(dt, 4)
+            best = min(best, dt)
         per_query[name] = round(best, 4)
     total = round(sum(per_query.values()), 4)
+    cold_total = round(sum(per_query_cold.values()), 4)
     wall = round(time.perf_counter() - t_all, 4)
 
     # BASELINE.md comparison: the reference's delivery ceiling is the
@@ -88,7 +97,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": 2,
+                "runs_per_query": runs,
+                "queries_cold": per_query_cold,
+                "cold_total": cold_total,
                 "wall_incl_warm": wall,
                 "stream_envelope_rows_per_sec": stream_rows_per_sec,
             }
