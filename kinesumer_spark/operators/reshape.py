@@ -190,7 +190,7 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASH_SAMPLE_ORACLE = """
 SELECT o_orderkey, o_custkey, o_orderstatus
 FROM orders
-WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 < 429496729
 ORDER BY o_orderkey
 """
 
@@ -207,15 +207,19 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines, so this one IS oracle-exact.
 
     Scale: a narrow filter evaluated map-side at scan speed — no
-    shuffle, no RNG state; the predicate is codegen'd. (Guard: keys must
-    stay < 2^62/2654435761 ≈ 3.5e9 to avoid 64-bit overflow; order keys
-    at any TPC-H SF this engine targets are within that, and the
-    wrap-around would still be deterministic, just no longer uniform.)
+    shuffle, no RNG state; the predicate is codegen'd. Overflow guard:
+    the key is reduced mod 2^31 BEFORE the multiply, so the product is
+    < 2^31·2654435761 ≈ 5.7e18 < 2^63−1 in both engines at any key
+    width — without the mask, keys ≳3.5e9 (TPC-H SF ≳ 600) would
+    silently wrap in Spark (sign-preserving %, over-sampling negatives)
+    while DuckDB raises an out-of-range error, i.e. the engines would
+    diverge rather than merely lose uniformity. Sampling is uniform
+    within each 2^31 block of key space.
     """
     o = _t(spark, sf_dir, "orders")
-    keep = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(
-        429496729
-    )
+    keep = (
+        (F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296) < F.lit(429496729)
     return (
         o.filter(keep)
         .select("o_orderkey", "o_custkey", "o_orderstatus")

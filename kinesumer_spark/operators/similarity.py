@@ -514,11 +514,16 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side vectors, no UDF.
 
     Determinism: a double SUM is partition-order dependent, so values are
-    fixed-point quantized map-side (floor(val·10⁶) → BIGINT; float→double
-    widening and the ·10⁶ multiply are exact IEEE ops, identical in both
-    engines) and summed as integers — associative, order-independent,
-    oracle-exact. The final centroid is ONE double division
-    (qsum / (n·10⁶)), deterministic on both sides with no rounding step.
+    fixed-point quantized map-side (floor(val·10⁶) → BIGINT) and summed
+    as integers — associative, order-independent. Note the ·10⁶ multiply
+    is NOT mathematically exact (val*1e6 rounds to nearest double);
+    cross-engine equality holds because BOTH engines evaluate the
+    bit-identical double expression floor(CAST(float AS double)·10⁶) —
+    float→double widening is exact, and IEEE-754 multiply/floor are
+    deterministic given identical inputs. Any "equivalent" rewrite
+    (decimal cast, round() instead of floor()) must change BOTH sides or
+    the oracle match silently breaks. The final centroid is ONE double
+    division (qsum / (n·10⁶)), deterministic on both sides.
 
     Scale: the exploded layout is 64 narrow rows per vector feeding a
     partial+final HashAggregate — shuffle volume is #labels × #dims

@@ -119,7 +119,12 @@ def test_range_join_is_equi_join_on_bin(spark):
     plan = plan_string(_df(spark, "events_range_join_binned"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "bin" in plan, "bin key absent from join plan"
+    # the bin column must appear AS A RESOLVED ATTRIBUTE (`bin#<id>`) in
+    # the plan — a bare "bin" substring would match 'Combine'/'binary'
+    # and pass vacuously even if the key were dropped from the join
+    import re
+
+    assert re.search(r"\bbin#\d+", plan), "bin key attribute absent from join plan"
 
 
 def test_rollup_multires_scans_raw_data_once(spark):

@@ -90,3 +90,20 @@ def test_shard_assignment_is_stable_and_in_range(key):
     shard = ((key % N_SHARDS) + N_SHARDS) % N_SHARDS
     assert 0 <= shard < N_SHARDS
     assert shard == ((key % N_SHARDS) + N_SHARDS) % N_SHARDS
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    nums=st.lists(
+        st.integers(min_value=0, max_value=10**60), min_size=1, max_size=20
+    )
+)
+def test_commit_ledger_length_then_lex_max_is_numeric_max(nums):
+    """The commit ledger's high-water mark uses max_by(struct(length(s),
+    s)) over UNPADDED decimal strings (engine.py:227-236) because Kinesis
+    sequence numbers exceed decimal(38,0). Property: (length, lex) max ==
+    numeric max for any widths, including > 38 digits — plain lex max
+    would rank '9' above '10'."""
+    strs = [str(n) for n in nums]
+    by_len_lex = max(strs, key=lambda s: (len(s), s))
+    assert int(by_len_lex) == max(nums)
