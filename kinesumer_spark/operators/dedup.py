@@ -8,10 +8,11 @@ Four tiers, all batch-first over the `documents` table:
   checked; also serves as ground truth for the approximate tiers.
 - ``dedup_minhash_lsh`` — MinHash signatures (64 permutations) + LSH
   banding (16 bands × 4 rows) + exact-Jaccard verification of candidate
-  pairs. Deterministic (crc32-based hashing) but not SQL-portable →
-  rows-only; tests assert candidate pairs ⊆ / ≅ the exact pair set.
+  pairs. Built ENTIRELY from portable deterministic arithmetic
+  (sha256-prefix hashes, modular folds), so a generated DuckDB oracle
+  replays the whole pipeline and the driver hash-checks the output.
 - ``dedup_simhash``     — 32-bit SimHash + banded Hamming-distance
-  candidate generation. Rows-only.
+  candidate generation. Same portability: full generated oracle.
 
 Scale design (100 TB of documents):
 - exact: map-side sha256 then hash-shuffle on the 32-byte digest —
@@ -23,7 +24,7 @@ Scale design (100 TB of documents):
 - minhash: signatures are fixed-size (32×8 B) regardless of doc length;
   banding turns all-pairs O(n²) into per-bucket joins. Buckets are the
   skew risk → AQE skew-join + the band index in the key spreads them.
-- Every stage is built-in columnar expressions (crc32/pmod/least/
+- Every stage is built-in columnar expressions (sha2/conv/pmod/least/
   aggregate) — no Python in the hot path.
 """
 
@@ -209,8 +210,108 @@ _COEF = [
     for i in range(1, _N_HASHES + 1)
 ]
 
+# Band keys: polynomial fold of the band's r min values, TWO independent
+# components (different multiplier/modulus) joined together — effective
+# key space ~Q1·Q2 ≈ 10¹⁸, same collision regime as the previous single
+# xxhash64 key, but expressible IDENTICALLY in any SQL engine (the whole
+# point: xxhash64 exists only in Spark, so the old key locked the oracle
+# out of the banding stage). Overflow-safe by construction: k < Q < 2³⁰,
+# k·M < 2³⁰·2³² = 2⁶² and +h < 2⁶²+2³² — inside int64 in Spark (which
+# would wrap silently) AND DuckDB (which would raise).
+_FOLD = ((4_294_967_311, 1_000_000_007), (2_654_435_761, 999_999_937))
 
-@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "approx"))
+
+def _sha32(col: str) -> str:
+    """SQL: first 4 bytes of sha256(col) as an unsigned 32-bit integer —
+    the portable shingle/word hash (sha256 is byte-identical in every
+    engine; crc32/xxhash64 are Spark-only)."""
+    return (
+        f"cast(conv(substring(sha2(cast({col} as binary), 256), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+
+
+def _sha32_duck(col: str) -> str:
+    """DuckDB spelling of ``_sha32`` (hex-literal cast instead of conv)."""
+    return f"('0x' || substr(sha256({col}), 1, 8))::BIGINT"
+
+
+def _fold_expr(terms: list[str], mult: int, mod: int) -> str:
+    """SQL: polynomial fold ``((…(t0%Q)·M+t1)%Q…)`` — engine-neutral.
+    Every intermediate is reduced mod Q (< 2³⁰) BEFORE the next multiply,
+    so the running product never exceeds 2⁶² (see ``_FOLD``)."""
+    k = f"(({terms[0]}) % {mod})"
+    for t in terms[1:]:
+        k = f"((({k}) * {mult} + {t}) % {mod})"
+    return k
+
+
+# ---- generated DuckDB oracle: the ENTIRE LSH pipeline, re-expressed ----
+# Every stage is deterministic integer arithmetic over sha256 prefixes,
+# so the oracle replays signatures → band keys → buckets → candidates →
+# exact verify bit-for-bit and the driver hash-compares the final pair
+# set. (This is what rows-only status bought nothing over: approximate
+# RECALL does not mean irreproducible OUTPUT.)
+def _minhash_oracle() -> str:
+    h = _sha32_duck("shingle")
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_P32}) AS h{i}" for i, (a, b) in enumerate(_COEF)
+    )
+    band_rows = []
+    for i in range(_BANDS):
+        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        k1 = _fold_expr(cols, *_FOLD[0])
+        k2 = _fold_expr(cols, *_FOLD[1])
+        band_rows.append(
+            f"SELECT doc_id, lang, {i} AS band, {k1} AS key1, {k2} AS key2 FROM sig"
+        )
+    bands = "\n  UNION ALL ".join(band_rows)
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), t AS (
+  SELECT doc_id, lang, unnest(shingles) AS shingle FROM s
+), hh AS (
+  SELECT doc_id, lang, {h} AS h FROM t
+), sig AS (
+  SELECT doc_id, lang,
+         {mins}
+  FROM hh GROUP BY doc_id, lang
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.lang = b.lang AND a.band = b.band
+   AND a.key1 = b.key1 AND a.key2 = b.key2 AND a.doc_id < b.doc_id
+), e AS (
+  SELECT doc_id, lang, len(list_distinct(shingles)) AS n,
+         unnest(list_distinct(shingles)) AS shingle
+  FROM s
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM e a JOIN e b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard,
+       shared
+FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "approx"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16×4) candidate generation, exact-Jaccard verify.
 
@@ -220,9 +321,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_a, doc_b, jaccard, shared).
     With b=16, r=4: P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.9998 at j=0.8.
 
-    crc32 is a stable public checksum (same values on any engine/JVM),
-    so signatures — and therefore buckets — are reproducible run-to-run
-    and cluster-to-cluster, unlike murmur-seeded ml.feature.MinHashLSH.
+    ORACLE-EXACT despite being "approximate": every stage — sha256-prefix
+    shingle hash, affine permutations mod p, polynomial-fold band keys,
+    bucket pair expansion, exact-Jaccard verify — is deterministic
+    integer arithmetic an ANSI engine can replay bit-for-bit, so the
+    generated DuckDB oracle reproduces the exact candidate set and the
+    driver hash-checks the full output (approximate recall ≠
+    irreproducible output). This is why the hash family is sha256-prefix
+    (byte-identical everywhere) rather than Spark-private crc32/xxhash64
+    or murmur-seeded ml.feature.MinHashLSH, and why band keys are modular
+    folds instead of xxhash64.
 
     Structure choices (all measured at sf0.1):
     - Candidates come from ONE shuffle: groupBy(lang, band, key) +
@@ -230,7 +338,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       the sorted id list — replacing the earlier two-sided self-join on
       band keys (two shuffles of the band table + join). A hot bucket of
       B docs still expands to B²/2 pairs, exactly as the self-join did;
-      band specificity (r=4 64-bit mins via xxhash64) keeps B small.
+      band specificity (r=4 mins folded into a ~10¹⁸ key) keeps B small.
     - The two per-doc aggregates stay SEPARATE, deliberately: the
       signature branch is a codegen'd HashAggregate over 64 min columns,
       the verify branch an ObjectHashAggregate over collect_set only.
@@ -247,34 +355,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       can't lower a minimum), so signatures need no distinct.
     """
     d = _t(spark, sf_dir, "documents")
-    tri = _shingles_raw(d).withColumn(
-        "h", F.crc32(F.col("shingle").cast("binary"))
-    )
+    tri = _shingles_raw(d).withColumn("h", F.expr(_sha32("shingle")))
     min_exprs = [
         F.expr(f"min(({a}L * h + {b}L) % {_P32}L) AS h{i}")
         for i, (a, b) in enumerate(_COEF)
     ]
     sig_rows = tri.groupBy("doc_id", "lang").agg(*min_exprs)
 
-    # band key = 64-bit hash of the band's r min values: at 10⁹ docs ×
-    # 16 bands the 2⁶⁴ key space keeps random collisions (≈ false
-    # candidates, later rejected by verify) negligible, where a 32-bit
-    # key would already mix ~4 random docs per bucket.
-    band_structs = ", ".join(
-        "struct({b} AS band, xxhash64({cols}) AS key)".format(
-            b=i,
-            cols=", ".join(
-                f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
-            ),
-        )
-        for i in range(_BANDS)
-    )
+    # band key = two independent polynomial folds of the band's r min
+    # values (~10¹⁸ key space, see _FOLD): at 10⁹ docs × 16 bands random
+    # collisions (≈ false candidates, later rejected by verify) stay
+    # negligible, where a single 32-bit key would already mix ~4 random
+    # docs per bucket — and unlike xxhash64 the folds are portable SQL.
+    def _band_struct(i: int) -> str:
+        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        k1 = _fold_expr(cols, *_FOLD[0])
+        k2 = _fold_expr(cols, *_FOLD[1])
+        return f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
+
+    band_structs = ", ".join(_band_struct(i) for i in range(_BANDS))
     bands = sig_rows.select(
         "doc_id", "lang", F.expr(f"explode(array({band_structs})) AS bk")
-    ).select("doc_id", "lang", "bk.band", "bk.key")
+    ).select("doc_id", "lang", "bk.band", "bk.key1", "bk.key2")
 
     buckets = (
-        bands.groupBy("lang", "band", "key")
+        bands.groupBy("lang", "band", "key1", "key2")
         .agg(F.expr("sort_array(collect_list(doc_id)) AS ids"))
         .filter(F.expr("size(ids) > 1"))
     )
@@ -320,14 +425,15 @@ _HAM_BANDS = 4  # 4 bands × 8 bits for candidate blocking
 
 
 def _simhash(d: DataFrame) -> DataFrame:
-    """(doc_id, lang, simhash) — 32-bit SimHash over word crc32s.
+    """(doc_id, lang, simhash) — 32-bit SimHash over sha256-prefix word
+    hashes (portable: the oracle replays the identical integers).
 
     bit_j(simhash) = 1 iff Σ_words (±1 per word's bit_j) > 0; built as 32
     conditional sums over the exploded word table — pure JVM expressions.
     """
     words = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
-        .withColumn("h", F.crc32(F.col("w").cast("binary")))
+        .withColumn("h", F.expr(_sha32("w")))
     )
     # SQL strings, not Column chains: 32 contrib aggs + the 32-term bit
     # reassembly as Columns are ~300 py4j round trips of pure driver
@@ -343,11 +449,53 @@ def _simhash(d: DataFrame) -> DataFrame:
     return agg.selectExpr("doc_id", "lang", f"({sim}) AS simhash")
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
+def _simhash_oracle() -> str:
+    h = _sha32_duck("wd")
+    bsums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(text, ' ')) AS wd
+  FROM documents
+), hh AS (
+  SELECT doc_id, lang, {h} AS h FROM w
+), bs AS (
+  SELECT doc_id, lang,
+         {bsums}
+  FROM hh GROUP BY doc_id, lang
+), sh AS (
+  SELECT doc_id, lang, CAST({sim} AS BIGINT) AS simhash FROM bs
+), bands AS (
+  SELECT doc_id, lang, simhash, band,
+         (simhash >> (band * 8)) & 255 AS key
+  FROM sh CROSS JOIN (SELECT unnest(range({_HAM_BANDS})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded blocking (a shared 8-bit band is
     necessary for Hamming distance ≤ 3 by pigeonhole over 4 bands),
-    then exact Hamming ≤ 3 verification via bit_count(xor)."""
+    then exact Hamming ≤ 3 verification via bit_count(xor).
+
+    Oracle-exact like ``dedup_minhash_lsh``: sha256-prefix word hashes +
+    integer bit arithmetic replay identically in DuckDB (generated SQL
+    mirrors the 32 conditional sums, the bit reassembly, and the banded
+    self-join)."""
     d = _t(spark, sf_dir, "documents")
     s = _simhash(d)
     structs = ", ".join(
