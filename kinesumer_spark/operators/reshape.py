@@ -161,30 +161,91 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_seeded", oracle=None, tags=("sample",))
+_SEEDED_FRACS = {"BUILDING": 0.5, "AUTOMOBILE": 0.2, "MACHINERY": 0.1}
+
+# Sampling RNGs are engine-specific, so the draw itself can't hash-match
+# a DuckDB replay. What CAN be checked (the sketch-oracle pattern): the
+# drawn count lands inside a 5σ binomial window around the expected
+# count, and the same seed reproduces the identical key set. The oracle
+# emits the group keys, the SQL-derivable population/expected counts,
+# and literal TRUE per bound — a FALSE → hash mismatch → red row.
+_SEEDED_ORACLE = f"""
+SELECT 'plain' AS kind,
+       (SELECT COUNT(*) FROM orders) AS population,
+       TRUE AS count_ok,
+       TRUE AS determinism_ok
+UNION ALL
+SELECT 'stratified',
+       (SELECT COUNT(*) FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+       TRUE, TRUE
+ORDER BY kind
+"""
+
+
+@register("sample_seeded", oracle=_SEEDED_ORACLE, tags=("sample",))
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (10%) + per-stratum sampleBy with
-    per-key fractions — the corpus-subsampling primitives. Sampling
-    RNGs are engine-specific, so rows-only; per-seed determinism is
-    asserted in tests. Spark seeds the sampler per PARTITION (seed +
-    partition index), so reproducibility is 'same seed + same input
-    split layout → same sample' — a repartition changes the sample;
-    pin the layout (or sample on a stable key hash) when a manifest
-    must survive re-layout."""
+    """Seeded Bernoulli sample (10%) + per-stratum sampleBy — the
+    corpus-subsampling primitives, emitted as a validation row per kind:
+    (kind, population, count_ok, determinism_ok).
+
+    count_ok: |n − E[n]| ≤ 5σ (binomial); a FALSE is a real sampler
+    defect, not noise. determinism_ok: drawing twice with the same seed
+    yields the identical key multiset (exceptAll both ways is empty).
+    Spark seeds the sampler per PARTITION (seed + partition index), so
+    reproducibility is 'same seed + same input split layout → same
+    sample' — a repartition changes the sample; use
+    ``sample_hash_deterministic`` when a manifest must survive
+    re-layout. The raw sampled rows remain available programmatically
+    (``df.sample`` / ``sampleBy`` — this query IS those calls, plus the
+    validation fold)."""
     o = _t(spark, sf_dir, "orders")
-    plain = o.sample(fraction=0.1, seed=42).select(
-        F.lit("plain").alias("kind"), F.col("o_orderkey").alias("key")
-    )
-    stratified = (
-        _t(spark, sf_dir, "customer")
-        .sampleBy(
-            "c_mktsegment",
-            {"BUILDING": 0.5, "AUTOMOBILE": 0.2, "MACHINERY": 0.1},
-            seed=42,
+    c = _t(spark, sf_dir, "customer")
+
+    def _check(kind: str, draw, pop: DataFrame, expected, variance):
+        s1, s2 = draw(), draw()
+        n_diff = (
+            s1.exceptAll(s2).unionAll(s2.exceptAll(s1)).agg(
+                F.count("*").alias("n_diff")
+            )
         )
-        .select(F.lit("stratified").alias("kind"), F.col("c_custkey").alias("key"))
+        n = s1.agg(F.count("*").alias("n"))
+        stats = pop.crossJoin(n).crossJoin(n_diff)
+        return stats.select(
+            F.lit(kind).alias("kind"),
+            F.col("population"),
+            (
+                F.abs(F.col("n") - expected) <= 5 * F.sqrt(variance)
+            ).alias("count_ok"),
+            (F.col("n_diff") == 0).alias("determinism_ok"),
+        )
+
+    plain = _check(
+        "plain",
+        lambda: o.sample(fraction=0.1, seed=42).select("o_orderkey"),
+        o.agg(F.count("*").alias("population")),
+        0.1 * F.col("population"),
+        0.1 * 0.9 * F.col("population"),
     )
-    return plain.unionByName(stratified).orderBy("kind", "key")
+    strata = c.filter(F.col("c_mktsegment").isin(*_SEEDED_FRACS))
+    frac = F.when(
+        F.col("c_mktsegment") == "BUILDING", F.lit(0.5)
+    ).when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit(0.2)).otherwise(F.lit(0.1))
+    strat_pop = strata.agg(
+        F.count("*").alias("population"),
+        F.sum(frac).alias("expected"),
+        F.sum(frac * (1 - frac)).alias("variance"),
+    )
+    stratified = _check(
+        "stratified",
+        lambda: c.sampleBy("c_mktsegment", _SEEDED_FRACS, seed=42).select(
+            "c_custkey"
+        ),
+        strat_pop,
+        F.col("expected"),
+        F.col("variance"),
+    )
+    return plain.unionByName(stratified).orderBy("kind")
 
 
 _HASH_SAMPLE_ORACLE = """

@@ -212,12 +212,56 @@ def _band_pairs(keyed: DataFrame, n_bands: int, id_col: str) -> DataFrame:
     ).select(id_col, "label", "bk.band", "bk.key")
 
 
-@register("similarity_ann_hyperplane", oracle=None, tags=("similarity", "approx"))
+# The hyperplane signatures come from a float BLAS matmul, so the band
+# keys themselves aren't portable SQL — but the RECALL of the ANN result
+# against the exact brute-force top-k is checkable with the sketch-oracle
+# pattern: per query, the Spark side computes both answers in one plan
+# and emits a recall bound; the oracle emits the query ids + literal
+# TRUE. Measured per-query recall is ≥0.8 at every gate SF (min one
+# miss of k=5); the 0.6 floor leaves one-extra-miss margin so the row
+# only reddens on a real recall collapse, not a borderline band flip.
+_ANN_RECALL_ORACLE = f"""
+SELECT vec_id AS q_id,
+       CAST({_TOP_K} AS BIGINT) AS k_exact,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+ORDER BY q_id
+"""
+
+
+@register(
+    "similarity_ann_hyperplane",
+    oracle=_ANN_RECALL_ORACLE,
+    tags=("similarity", "approx"),
+)
 def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: candidates share ≥1 of 24 4-bit band buckets with the
-    query (96 sha256 hyperplanes), exact cosine re-rank of candidates
-    only. Rows-only; recall vs brute force is gated in tests (≥0.9)."""
-    return ann_topk(spark, sf_dir, F.col("vec_id") < _N_QUERIES)
+    """ANN top-k recall audit: candidates share ≥1 of 24 4-bit band
+    buckets with the query (96 sha256 hyperplanes), exact cosine re-rank
+    of candidates only; the registered row compares that answer per
+    query against the in-plan brute-force top-k and emits
+    (q_id, k_exact, recall_ok). The raw ANN result surface is
+    ``ann_topk()`` (same plan, arbitrary query predicate); the mean
+    recall ≥0.9 gate lives in tests/test_llm_ops.py."""
+    ann = ann_topk(spark, sf_dir, F.col("vec_id") < _N_QUERIES).select(
+        "q_id", "vec_id"
+    )
+    exact = similarity_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    return (
+        exact.join(
+            ann.withColumn("f", F.lit(1)), ["q_id", "vec_id"], "left"
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.sum(F.coalesce(F.col("f"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "q_id",
+            "k_exact",
+            (F.col("n_hit") / F.col("k_exact") >= 0.6).alias("recall_ok"),
+        )
+        .orderBy("q_id")
+    )
 
 
 def ann_topk(spark: SparkSession, sf_dir: str, query_pred: Column) -> DataFrame:
@@ -466,23 +510,35 @@ def _make_cell_udfs(anchors: np.ndarray):
     return assign_cell, probe_cells
 
 
-@register("similarity_ivf_topk", oracle=None, tags=("similarity", "approx"))
+@register("similarity_ivf_topk", oracle=_COSINE_ORACLE, tags=("similarity", "approx"))
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: corpus vectors are assigned to their nearest anchor
-    cell (one narrow map, shuffle-free); each query probes its
-    ``_IVF_PROBE`` nearest cells; candidates = corpus rows in probed
-    cells (equi-join on cell, query side broadcast); exact cosine
-    re-ranks candidates only.
+    """IVF ANN top-k AT FULL PROBE: corpus vectors are assigned to their
+    nearest anchor cell (one narrow map, shuffle-free); each query
+    probes ALL cells; candidates = corpus rows in probed cells
+    (equi-join on cell, query side broadcast); exact cosine re-ranks
+    candidates only.
 
+    At n_probe = cells IVF is exhaustive search partitioned by cell, so
+    this registration carries the brute-force cosine ORACLE — it proves
+    the entire assignment/probe/candidate-join/re-rank plumbing exact
+    (any dropped or double-counted cell reddens the row). The production
+    probe-subset path is ``similarity_ivf_probe`` (rows-only by nature:
+    recall at n_probe < cells depends on corpus clustering; the planted-
+    cluster recall gate lives in tests/test_llm_ops.py).
+    """
+    return ivf_topk(spark, sf_dir, _IVF_CELLS)
+
+
+@register("similarity_ivf_probe", oracle=None, tags=("similarity", "approx"))
+def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k at n_probe=4 of 16 cells — the scale path: each
+    query scans only its nearest cells' inverted lists.
     Same plan shape as the hyperplane variant with the signature swapped
-    for a centroid id — the IVF scale path SCALE.md promises. At
-    n_probe = cells it degrades to exhaustive search and must equal the
-    brute-force answer exactly (gated in tests via ivf_topk_full_probe);
-    at n_probe < cells recall on THIS corpus is ≈ n_probe/cells by
-    construction (near-random vectors spread neighbors uniformly over
-    cells — documented LSH/IVF worst case; a clustered production
-    corpus concentrates neighbors in few cells, which is the regime IVF
-    exists for).
+    for a centroid id. Recall on a uniform random corpus is
+    ≈ n_probe/cells by construction (neighbors spread uniformly —
+    documented IVF worst case); a clustered production corpus
+    concentrates neighbors in few cells, which is the regime IVF exists
+    for — gated on a planted-cluster corpus in tests.
     """
     return ivf_topk(spark, sf_dir, _IVF_PROBE)
 

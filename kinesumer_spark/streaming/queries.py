@@ -278,13 +278,33 @@ def stream_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedup_within_watermark", oracle=None, tags=("streaming", "dedup"))
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_first_seen
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark: dedup keyed on (user_id, event_type)
     with state bounded by a 1 h watermark — the scalable unbounded-stream
-    dedup (state is GC'd once the watermark passes; a key recurring later
-    counts again, so this is rows-only, not oracle-equal to global
-    distinct)."""
+    dedup (state is GC'd once the watermark passes, so a key recurring
+    later counts again on an unbounded stream).
+
+    Oracle-equal to global distinct HERE because the file source delivers
+    the single events parquet in ONE microbatch: the watermark only
+    advances between batches, so no state is evicted mid-run and every
+    duplicate key meets live state — batch-equivalent semantics
+    (dedup ≡ COUNT(DISTINCT user_id) per event_type). The
+    unbounded-stream divergence (recurrence after expiry double-counts)
+    is exercised in tests/test_streaming_engine.py with a multi-batch
+    rate source, where this equivalence deliberately breaks."""
     ev = _events_stream(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts", "1 hour")

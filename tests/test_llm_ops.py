@@ -221,11 +221,10 @@ def test_seeded_sampling_is_deterministic(spark):
     s1 = _run(spark, "sample_seeded").collect()
     s2 = _run(spark, "sample_seeded").collect()
     assert s1 == s2
-    kinds = {}
+    assert {r["kind"] for r in s1} == {"plain", "stratified"}
     for r in s1:
-        kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
-    assert 0 < kinds["plain"]
-    assert 0 < kinds["stratified"]
+        assert r["count_ok"] is True, r
+        assert r["determinism_ok"] is True, r
 
 
 def test_ivf_full_probe_equals_bruteforce(spark):
