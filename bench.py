@@ -34,6 +34,10 @@ HEADLINE = [
     # training-data pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    # NOTE dedup_clusters_lsh is deliberately NOT headline: its cost is
+    # fixpoint-round scheduling overhead (~5 s at ANY sf on local mode),
+    # which would swamp the round-over-round total comparison without
+    # measuring data-path speed. It stays oracle-checked in the registry.
     "similarity_cosine_topk",
     "text_fingerprint",
     # streaming delivery path (consume → envelope → sink, end to end)

@@ -252,7 +252,10 @@ def _fold_expr(terms: list[str], mult: int, mod: int) -> str:
 # exact verify bit-for-bit and the driver hash-compares the final pair
 # set. (This is what rows-only status bought nothing over: approximate
 # RECALL does not mean irreproducible OUTPUT.)
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
+    """Shared CTE chain: documents → shingles → signatures → band keys →
+    candidates → exact-verify stats (``p``). Consumed by the pair oracle
+    and, extended with a recursive walk, by the LSH clusters oracle."""
     h = _sha32_duck("shingle")
     mins = ",\n         ".join(
         f"min(({a} * h + {b}) % {_P32}) AS h{i}" for i, (a, b) in enumerate(_COEF)
@@ -266,8 +269,7 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id, lang, {i} AS band, {k1} AS key1, {k2} AS key2 FROM sig"
         )
     bands = "\n  UNION ALL ".join(band_rows)
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
 ), s AS (
   SELECT doc_id, lang,
@@ -301,7 +303,12 @@ WITH w AS (
   FROM e a JOIN e b
     ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_cte()}
 SELECT p.doc_a, p.doc_b,
        round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard,
        shared
@@ -311,8 +318,7 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "approx"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16×4) candidate generation, exact-Jaccard verify.
 
     Pipeline: shingles → signatures (fixed 64×8B per doc) → band keys →
@@ -412,8 +418,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared",
         )
         .filter(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``minhash_pairs`` (see its docstring — the
+    full pipeline and scale rationale live there)."""
+    return minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -579,27 +591,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairs alone can't: A~B, B~C must drop B AND C, though A~C was
     never emitted).
 
-    Iterative min-label propagation, Pregel-style on DataFrames: each
-    round joins labels to the symmetric edge list, takes
-    min(own, neighbors' labels), and localCheckpoints the result
-    (truncating lineage, which otherwise grows a join deeper per round).
-    Converged when Σ labels stops falling (labels only ever decrease, so
-    the integer checksum is an exact fixpoint detector — one scalar per
-    round to the driver; data never leaves the cluster). Converges in
-    O(graph diameter) rounds; near-dup graphs are short chains
-    (diameter ≤ ~3 here), and the _CC_MAX_ITERS guard raises rather
-    than silently emitting a half-propagated labeling. For adversarial
-    long-chain graphs the same loop upgrades to large-star/small-star
-    (alternating min-propagation that contracts paths in O(log n)
-    rounds) without changing the contract.
+    Labels come from ``connected_components`` — the alternating
+    large-star/small-star contraction (O(log n) rounds, see its
+    docstring); r3 shipped O(diameter) min-label propagation and this
+    round executed the documented upgrade.
 
     Edge source here is the EXACT pair generator, mirrored by the
     oracle's recursive CTE (transitive closure, min per node) — exact in,
-    exact out. At 100 TB swap in the minhash-LSH tier
-    (``dedup_minhash_lsh``) as the edge source: identical contract, the
-    propagation loop is unchanged (it scales with |edges|, and its
-    shuffles are keyed on doc_id — AQE-coalesced, skew-safe since
-    near-dup degree is bounded by cluster size).
+    exact out. At 100 TB swap in the minhash-LSH tier as the edge
+    source: that is exactly ``dedup_clusters_lsh`` below — identical
+    contract, same contraction (it scales with |edges|, and its shuffles
+    are keyed on doc_id — AQE-coalesced, skew-safe since near-dup degree
+    is bounded by cluster size).
 
     The reference delegates all analytics to its application
     (kinesumer.go:346-370); this is declared-surface infrastructure, not
@@ -607,40 +610,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     pairs = _verified_pairs(_shingles(d), 0.5).select("doc_a", "doc_b")
-    edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint(eager=False)
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(_CC_MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.col("nmin")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds"
-        )
+    labels, _ = connected_components(pairs)
+    return _cluster_output(labels)
+
+
+def _cluster_output(labels: DataFrame) -> DataFrame:
     return (
         labels.select(
             F.col("label").alias("cluster_id"),
@@ -649,3 +623,148 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected pair list (doc_a, doc_b) →
+    ((doc_id, label=component min), rounds used).
+
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round rewires
+    every node toward its neighborhood minimum —
+      large-star: for each u, hook every LARGER neighbor v to
+        m = min(Γ(u) ∪ {u});
+      small-star: orient edges big→small, hook u and all its smaller
+        non-min neighbors to m = min(N(u)).
+    Path lengths roughly halve per alternation, so convergence is
+    O(log n) rounds even on adversarial chain graphs — the upgrade the
+    O(diameter) min-label propagation loop documented (near-dup graphs
+    are short chains, but the bound shouldn't depend on that). Fixpoint:
+    the edge multiset checksum (count, Σsrc, Σdst) is stable across an
+    alternation — edges only ever rewire downward, so the checksum
+    strictly decreases until converged (one scalar row to the driver per
+    round, like the commit ledger's high-water collect).
+
+    Each star op is two shuffles (neighborhood groupBy + join back);
+    localCheckpoint truncates lineage so plan depth stays O(1) per
+    round. At fixpoint the graph is a star forest: every non-root has
+    exactly one edge to its component min.
+    """
+    sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(
+        eager=False
+    )
+    edges = (
+        sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(
+            eager=True
+        )
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count("*").alias("n"), F.sum("src").alias("s"), F.sum("dst").alias("d")
+        ).collect()[0]
+        return (r["n"], r["s"], r["d"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        s = e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+        mins = s.groupBy("src").agg(F.min("dst").alias("mn"))
+        return (
+            s.join(mins, "src")
+            .withColumn("m", F.least(F.col("src"), F.col("mn")))
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+        hang = (
+            o.join(mins, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        own = mins.select("src", F.col("m").alias("dst"))
+        return (
+            hang.unionByName(own)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    prev = _checksum(edges)
+    rounds = 0
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+
+    lab = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("label"))
+    roots = nodes.join(lab, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    return lab.unionByName(roots), rounds
+
+
+def _clusters_lsh_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte()}, lsh_pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM lsh_pairs
+), walk AS (
+  SELECT DISTINCT src AS doc_id, src AS reach FROM edges
+  UNION
+  SELECT wk.doc_id, e2.dst FROM walk wk JOIN edges e2 ON e2.src = wk.reach
+)
+SELECT min(reach) AS cluster_id, doc_id, (min(reach) = doc_id) AS is_canonical
+FROM walk
+GROUP BY doc_id
+ORDER BY cluster_id, doc_id
+"""
+
+
+@register(
+    "dedup_clusters_lsh",
+    oracle=_clusters_lsh_oracle(),
+    tags=("dedup", "iterative", "approx"),
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` driven by the LSH edge source — the 100 TB
+    composition: candidate pairs from ``minhash_pairs`` (bucketed, never
+    all-pairs), exact-verified ≥ 0.5, then the same alternating-star
+    contraction to component minima. This is the keep/drop decision at
+    the scale the exact pair generator can't reach: the pair stage costs
+    one shuffle over fixed-width signatures, and the contraction costs
+    O(log n) rounds over |edges| — nothing in the plan touches all
+    pairs.
+
+    Oracle-exact end to end: the LSH pipeline is portable arithmetic
+    (see ``dedup_minhash_lsh``), so the oracle rebuilds the identical
+    edge set in SQL and closes it with a recursive CTE — the full
+    approximate-dedup → clustering path is hash-checked, not rows-only.
+    Where LSH recall drops an edge, both engines drop it identically
+    (clusters may split vs the exact graph; tests compare against
+    ``dedup_clusters`` on the gate corpus, where LSH finds every ≥0.5
+    pair and the outputs coincide).
+    """
+    labels, _ = connected_components(
+        minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    return _cluster_output(labels)

@@ -128,11 +128,12 @@ _FRONT = (
     "set_union_all",
     "set_distinct",
     "set_union_by_name",
+    # new r4 operators
+    "dedup_clusters_lsh",
     # placeholders — swapped for new r4 operators as they land
     "q1_fast_validation",
     "agg_approx_sketches",
     "agg_collect_list_set",
-    "scalar_json_funcs",
 )
 
 

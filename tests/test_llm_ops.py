@@ -83,14 +83,23 @@ def test_simhash_pairs_deterministic_and_bounded(spark):
         assert r["doc_a"] < r["doc_b"]
 
 
+def _ann_rows(spark):
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.operators.similarity import _N_QUERIES, ann_topk
+
+    return ann_topk(spark, SF_SMALL, F.col("vec_id") < _N_QUERIES).collect()
+
+
 def test_ann_scores_match_bruteforce(spark):
     """Every (q, candidate) cosine ANN reports must equal the exact score
-    (ANN changes the candidate set, never the metric)."""
+    (ANN changes the candidate set, never the metric). Uses the raw
+    ``ann_topk`` surface — the registered query is the recall audit."""
     brute = {
         (r["q_id"], r["vec_id"]): r["cosine"]
         for r in _run(spark, "similarity_cosine_topk").collect()
     }
-    ann = _run(spark, "similarity_ann_hyperplane").collect()
+    ann = _ann_rows(spark)
     assert ann
     for r in ann:
         key = (r["q_id"], r["vec_id"])
@@ -108,13 +117,16 @@ def test_ann_banded_recall_and_determinism(spark):
         (r["q_id"], r["vec_id"])
         for r in _run(spark, "similarity_cosine_topk").collect()
     }
-    ann1 = _run(spark, "similarity_ann_hyperplane").collect()
-    ann2 = _run(spark, "similarity_ann_hyperplane").collect()
+    ann1 = _ann_rows(spark)
+    ann2 = _ann_rows(spark)
     assert ann1 == ann2
     assert ann1
     got = {(r["q_id"], r["vec_id"]) for r in ann1}
     recall = len(got & brute) / len(brute)
     assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9"
+    # and the registered audit form agrees: every per-query bound TRUE
+    audit = _run(spark, "similarity_ann_hyperplane").collect()
+    assert audit and all(r["recall_ok"] for r in audit)
 
 
 def test_dup_pairs_lsh_precision_and_recall(spark):
@@ -160,6 +172,35 @@ def test_dedup_clusters_consistent_with_pair_graph(spark):
     for cid, members in by_cluster.items():
         assert cid == min(m["doc_id"] for m in members)
         assert sum(m["is_canonical"] for m in members) == 1
+
+
+def test_dedup_clusters_lsh_matches_exact_on_gate_corpus(spark):
+    """On the gate corpus LSH finds every ≥0.5 pair, so the LSH-edge
+    clustering must coincide exactly with the exact-edge clustering —
+    the drop-in-at-scale contract dedup_clusters_lsh claims."""
+    exact = _run(spark, "dedup_clusters").collect()
+    lsh = _run(spark, "dedup_clusters_lsh").collect()
+    assert exact == lsh
+    assert exact, "fixture should produce clusters"
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Alternating large-star/small-star must contract an adversarial
+    CHAIN (diameter n-1) in O(log n) rounds — the upgrade over
+    min-label propagation, which needs ~n rounds. 255-node path:
+    propagation would need ~254 rounds; the star alternation must land
+    well under 16 and label every node with the chain head."""
+    from kinesumer_spark.operators.dedup import connected_components
+
+    n = 255
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(pairs, max_iters=16)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["label"] for r in rows} == {0}
+    assert rounds <= 12, f"chain took {rounds} rounds — not O(log n)"
 
 
 def test_approx_sketches_error_bounds(spark):
