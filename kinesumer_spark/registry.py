@@ -128,12 +128,12 @@ _FRONT = (
     "set_union_all",
     "set_distinct",
     "set_union_by_name",
-    # new r4 operators
+    # new r4 operators / converted-to-oracle this round
     "dedup_clusters_lsh",
-    # placeholders — swapped for new r4 operators as they land
+    "multimodal_decode",
+    "multimodal_features",
+    # placeholder — swapped for new r4 operators as they land
     "q1_fast_validation",
-    "agg_approx_sketches",
-    "agg_collect_list_set",
 )
 
 

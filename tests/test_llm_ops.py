@@ -229,11 +229,38 @@ def test_multimodal_features_deterministic_and_consistent(spark):
         assert 0 <= r["byte_mean"] <= 255
 
 
-def test_multimodal_decode_is_explicit_stub():
-    from kinesumer_spark.operators.multimodal import decode_image
+def test_image_codecs_roundtrip_and_dispatch():
+    """Pure-numpy BMP/PPM codecs: encode → decode must be the identity
+    on every synthetic image shape (exercises BMP row padding for each
+    width mod 4, bottom-up row order, BGR↔RGB); compressed formats stay
+    an explicit NotImplementedError gate."""
+    import numpy as np
 
+    from kinesumer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        synth_pixels,
+    )
+
+    for doc_id in range(30):  # covers all (w, h) = (4..8, 4..8) combos
+        px = synth_pixels(doc_id)
+        bmp, ppm = encode_bmp(px), encode_ppm(px)
+        assert np.array_equal(decode_bmp(bmp), px)
+        assert np.array_equal(decode_ppm(ppm), px)
+        # dispatch by magic bytes
+        assert np.array_equal(decode_image(bmp), px)
+        assert np.array_equal(decode_image(ppm), px)
+    # a non-trivial asymmetric image with distinct corner values
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert np.array_equal(decode_image(encode_bmp(px)), px)
+    assert np.array_equal(decode_image(encode_ppm(px)), px)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+    with pytest.raises(ValueError):
+        decode_bmp(b"P6\n1 1\n255\nabc")
 
 
 def test_fast_q1_agrees_with_exact_to_reporting_precision(spark):
