@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from kinesumer_spark.catalog import read_table
 from kinesumer_spark.registry import register
@@ -635,3 +635,186 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
         .select("q_id", "vec_id")
     )
     return _exact_rerank(cand, v)
+
+
+# -- IVF codebook training: distributed integer-exact k-means (Lloyd) -------
+
+_KM_Q = 1000  # fixed-point scale for embedding quantization
+_KM_ITERS = 3  # fixed Lloyd rounds (production loops to fixpoint instead)
+
+
+def _km_oracle() -> str:
+    """Generate the DuckDB replay of the ENTIRE training loop. Every
+    arithmetic step is integer-exact (see similarity_ivf_train), so the
+    oracle unrolls the _KM_ITERS assignment/update rounds as chained
+    CTEs and must match bit-for-bit."""
+    hi = _IVF_ANCHOR_BASE + _IVF_CELLS
+    parts = [
+        f"""qv AS (
+  SELECT vec_id, d.dim, CAST(floor(e[d.dim + 1] * {_KM_Q}) AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+  CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
+), cent0 AS (
+  SELECT CAST(vec_id - {_IVF_ANCHOR_BASE} AS INTEGER) AS cell, dim, q AS c
+  FROM qv WHERE vec_id >= {_IVF_ANCHOR_BASE} AND vec_id < {hi}
+)"""
+    ]
+    for i in range(_KM_ITERS + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT q.vec_id, c.cell, sum((q.q - c.c) * (q.q - c.c)) AS dist
+  FROM qv q JOIN cent{i} c USING (dim) GROUP BY q.vec_id, c.cell
+), a{i} AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d{i}) t WHERE rn = 1
+)"""
+        )
+        if i < _KM_ITERS:
+            parts.append(
+                f""", u{i} AS (
+  SELECT a.cell, q.dim, CAST(floor(sum(q.q) / count(*)) AS BIGINT) AS c
+  FROM a{i} a JOIN qv q USING (vec_id) GROUP BY a.cell, q.dim
+), cent{i + 1} AS (
+  SELECT p.cell, p.dim, coalesce(u.c, p.c) AS c
+  FROM cent{i} p LEFT JOIN u{i} u ON u.cell = p.cell AND u.dim = p.dim
+)"""
+            )
+    parts.append(
+        f"""
+SELECT c.cell, c.dim, c.c AS centroid_q,
+       coalesce(m.n_members, 0) AS n_members,
+       coalesce(m.inertia, 0) AS inertia
+FROM cent{_KM_ITERS} c
+LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+                  CAST(sum(dist) AS BIGINT) AS inertia
+           FROM a{_KM_ITERS} GROUP BY cell) m USING (cell)
+ORDER BY c.cell, c.dim"""
+    )
+    return "WITH " + "".join(parts)
+
+
+def _km_assign_udf(cent: np.ndarray):
+    """Nearest-centroid assignment over the closure-captured integer
+    codebook — ONE int64 matmul per Arrow batch via the L2 expansion
+    dist = |x|^2 - 2 x.c + |c|^2 (all terms int64-exact; np.argmin
+    breaks ties to the lowest cell, matching the oracle's
+    ORDER BY dist, cell)."""
+    c64 = cent.astype(np.int64)
+    c_norm2 = (c64 * c64).sum(axis=1)
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign(qarr: pd.Series) -> pd.Series:
+        if len(qarr) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(qarr.to_numpy()).astype(np.int64)
+        d = (m * m).sum(axis=1, keepdims=True) - 2 * (m @ c64.T) + c_norm2[None, :]
+        cells = np.argmin(d, axis=1)
+        dist = d[np.arange(len(cells)), cells]
+        return pd.Series([[int(c), int(dd)] for c, dd in zip(cells, dist)])
+
+    return assign
+
+
+@register(
+    "similarity_ivf_train",
+    oracle=_km_oracle(),
+    tags=("similarity", "iterative"),
+)
+def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF codebook training: distributed Lloyd k-means, integer-exact,
+    the WHOLE iterative loop oracle-checked bit-for-bit.
+
+    The r3 IVF registration used a static anchor slice as its codebook
+    and documented "a k-means refinement would slot in here unchanged" —
+    this is that refinement. Per round: (1) assign every vector to its
+    nearest centroid — one int64 matmul per Arrow batch against the
+    broadcast codebook (L2 expanded, |x|^2 - 2x.c + |c|^2); (2) update
+    centroids — posexplode to (cell, dim, q) and ONE groupBy(cell, dim)
+    integer aggregation; the new codebook (cells x dim, bounded like the
+    FAISS codebook collect at similarity.py:433) comes back to the
+    driver for the next broadcast. Empty cells keep their previous
+    centroid. After _KM_ITERS rounds the final assignment emits per-cell
+    membership and inertia beside the trained centroids.
+
+    Determinism (why a float k-means can't be oracle-checked but this
+    can): embeddings are quantized ONCE map-side — q = floor(x*1000),
+    the same both-engines-IEEE-identical floor(double*const) contract as
+    embedding_centroid_by_label. From there every step is integer math:
+    distances are int64-exact in any summation order (|q| <= 578 here,
+    so per-pair dist <= 64*(2*578)^2 ~ 8.6e7 — inertia stays int64-safe
+    past 1e10 vectors), centroid update floor(sum/count) is one
+    correctly-rounded double division (sums < 2^53 up to ~9e12 vectors
+    per cell), and argmin ties break to the lowest cell in both engines.
+    Quantization costs ~0.1% centroid precision — irrelevant for a
+    coarse quantizer whose only job is partitioning the corpus.
+
+    Scale: identical to k-means on a 100 TB corpus — per round one
+    narrow map (matmul) + one shuffle (groupBy(cell, dim)); vectors
+    never leave the cluster, the driver only sees cells x dim integers.
+    The reference delegates analytics to its application
+    (kinesumer.go:346-370); this is declared-surface LLM-pipeline
+    infrastructure (SURVEY.md "similarity search: IVF scale path").
+    """
+    v = _t(spark, sf_dir).select("vec_id", _as_double("embedding").alias("e"))
+    qv = v.select(
+        "vec_id",
+        F.expr(f"transform(e, x -> CAST(floor(x * {_KM_Q}) AS BIGINT))").alias("q"),
+    ).localCheckpoint(eager=True)  # scanned once per round: pin it
+
+    init = (
+        qv.filter(
+            (F.col("vec_id") >= _IVF_ANCHOR_BASE)
+            & (F.col("vec_id") < _IVF_ANCHOR_BASE + _IVF_CELLS)
+        )
+        .collect()
+    )
+    cent = np.stack(
+        [
+            np.array(r["q"], dtype=np.int64)
+            for r in sorted(init, key=lambda r: r["vec_id"])
+        ]
+    )
+
+    for _ in range(_KM_ITERS):
+        assign = _km_assign_udf(cent)
+        asg = qv.select(assign("q").getItem(0).cast("int").alias("cell"), "q")
+        upd = (
+            asg.select("cell", F.posexplode("q").alias("dim", "qval"))
+            .groupBy("cell", "dim")
+            .agg(F.floor(F.sum("qval") / F.count("*")).alias("c"))
+            .collect()
+        )  # bounded: <= cells x dim rows, the codebook itself
+        new = cent.copy()
+        for r in upd:
+            new[r["cell"], r["dim"]] = r["c"]
+        cent = new
+
+    final = _km_assign_udf(cent)
+    asg = qv.select(final("q").alias("cd")).select(
+        F.col("cd").getItem(0).cast("int").alias("cell"),
+        F.col("cd").getItem(1).alias("dist"),
+    )
+    stats = asg.groupBy("cell").agg(
+        F.count("*").alias("n_members"), F.sum("dist").alias("inertia")
+    )
+    cent_df = spark.createDataFrame(
+        [
+            (c, d, int(cent[c, d]))
+            for c in range(_IVF_CELLS)
+            for d in range(_DIM)
+        ],
+        "cell int, dim long, centroid_q long",
+    )
+    return (
+        cent_df.join(F.broadcast(stats), "cell", "left")
+        .select(
+            "cell",
+            "dim",
+            "centroid_q",
+            F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+            F.coalesce("inertia", F.lit(0)).cast("bigint").alias("inertia"),
+        )
+        .orderBy("cell", "dim")
+    )

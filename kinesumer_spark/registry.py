@@ -124,16 +124,18 @@ _FRONT = (
     "scalar_json_tuple_base64",
     "scalar_higher_order_funcs",
     "sink_merge_upsert",
-    # oldest remaining rows (r1)
-    "set_union_all",
+    # oldest remaining rows (r1; setops.py unchanged since, so these are
+    # canaries, not churn-repair)
     "set_distinct",
     "set_union_by_name",
+    # never driver-checked: rows-only by nature (recall at n_probe<cells
+    # is probabilistic) — the one intentional no_oracle row this window
+    "similarity_ivf_probe",
     # new r4 operators / converted-to-oracle this round
     "dedup_clusters_lsh",
     "multimodal_decode",
     "multimodal_features",
-    # placeholder — swapped for new r4 operators as they land
-    "q1_fast_validation",
+    "similarity_ivf_train",
 )
 
 

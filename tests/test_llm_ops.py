@@ -203,6 +203,63 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert rounds <= 12, f"chain took {rounds} rounds — not O(log n)"
 
 
+def test_ivf_train_partitions_corpus_and_reduces_inertia(spark):
+    """The trained codebook must cover the whole corpus (memberships sum
+    to N), keep every centroid inside the quantized value range, and
+    have no worse inertia than the untrained anchor codebook (Lloyd
+    never increases inertia; quantized floor-division updates can in
+    principle, so this is a real check of the update step)."""
+    import numpy as np
+
+    from kinesumer_spark.operators.dedup import _t as _doc_t  # noqa: F401
+    from kinesumer_spark.operators.similarity import (
+        _IVF_ANCHOR_BASE,
+        _IVF_CELLS,
+        _KM_Q,
+        _km_assign_udf,
+        _t,
+    )
+    from pyspark.sql import functions as F
+
+    rows = _run(spark, "similarity_ivf_train").collect()
+    n_corpus = _t(spark, SF_SMALL).count()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], r)
+        assert abs(r["centroid_q"]) <= _KM_Q, r
+    assert len(by_cell) == _IVF_CELLS
+    assert sum(r["n_members"] for r in by_cell.values()) == n_corpus
+    trained_inertia = sum(r["inertia"] for r in by_cell.values())
+
+    # inertia under the UNtrained anchor codebook
+    v = _t(spark, SF_SMALL).select(
+        "vec_id",
+        F.expr(
+            f"transform(CAST(embedding AS array<double>),"
+            f" x -> CAST(floor(x * {_KM_Q}) AS BIGINT))"
+        ).alias("q"),
+    )
+    anchors = np.stack(
+        [
+            np.array(r["q"], dtype=np.int64)
+            for r in sorted(
+                v.filter(
+                    (F.col("vec_id") >= _IVF_ANCHOR_BASE)
+                    & (F.col("vec_id") < _IVF_ANCHOR_BASE + _IVF_CELLS)
+                ).collect(),
+                key=lambda r: r["vec_id"],
+            )
+        ]
+    )
+    assign = _km_assign_udf(anchors)
+    anchor_inertia = (
+        v.select(assign("q").getItem(1).alias("dist"))
+        .agg(F.sum("dist"))
+        .collect()[0][0]
+    )
+    assert trained_inertia <= anchor_inertia, (trained_inertia, anchor_inertia)
+
+
 def test_approx_sketches_error_bounds(spark):
     """The sketch query now emits its error bounds as boolean columns
     (driver-checkable); every bound must hold and the exact companion
