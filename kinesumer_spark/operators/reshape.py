@@ -286,3 +286,60 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     )
+
+
+# -- stratified exact-count sampling ---------------------------------------
+
+_STRAT_N = 20  # rows kept per stratum
+
+
+_STRAT_ORACLE = f"""
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                    doc_id) AS BIGINT) AS rnk
+  FROM documents) t
+WHERE rnk <= {_STRAT_N}
+ORDER BY lang, rnk
+"""
+
+
+@register("sample_stratified_exact", oracle=_STRAT_ORACLE, tags=("sample",))
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly N documents per language stratum, deterministically.
+
+    ``sample_seeded``'s sampleBy draws Bernoulli per row — stratum counts
+    are binomial, not exact, and depend on the input split layout. This
+    operator instead ranks each stratum by the Knuth multiplicative hash
+    of the key (the ``sample_hash_deterministic`` contract: mod-2^31
+    mask before the multiply so the product never overflows int64, see
+    reshape.py:251) and keeps rank <= N — an exact per-stratum quota
+    whose membership depends only on key values, so the manifest is
+    reproducible across engines, re-sharding, and reruns; hash-ordering
+    makes the quota a uniform draw rather than a doc_id-prefix bias.
+    Fully integer → oracle-exact.
+
+    Scale: one hash-partition shuffle on the stratum key, then a
+    per-partition rank — the same shape as any windowed top-k. Skewed
+    strata (one language = 90% of a 100 TB corpus) bound the single
+    largest task by that stratum's row count; for that regime pre-filter
+    with an approximate per-stratum threshold on the hash value (keep
+    hash < N/count(stratum)·2^32 · safety-factor, then exact-rank the
+    survivors) so the shuffle carries ~N rows per stratum, not the
+    stratum. The quota semantics (and the tie-break on doc_id) are
+    unchanged by that optimization."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    hsh = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    w = W.partitionBy("lang").orderBy(hsh.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _STRAT_N)
+        .orderBy("lang", "rnk")
+    )

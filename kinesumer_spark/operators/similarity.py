@@ -818,3 +818,165 @@ def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell", "dim")
     )
+
+
+# -- Product quantization: code compression + ADC top-k ---------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = _DIM // _PQ_M  # dims per subspace
+_PQ_CODES = 16  # codes per sub-codebook (the anchor rows)
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of the full PQ pipeline — quantize, build
+    sub-codebooks from the anchors, encode the corpus (argmin per
+    subspace, ties to the lowest code), ADC-scan, top-k. Integer-exact
+    end to end, so the match is bit-for-bit."""
+    hi = _IVF_ANCHOR_BASE + _PQ_CODES
+    return f"""
+WITH qv AS (
+  SELECT vec_id, d.dim, CAST(floor(e[d.dim + 1] * {_KM_Q}) AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+  CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
+), sub AS (
+  SELECT vec_id, dim // {_PQ_DSUB} AS m, dim % {_PQ_DSUB} AS dsub, q FROM qv
+), cb AS (
+  SELECT m, CAST(vec_id - {_IVF_ANCHOR_BASE} AS INTEGER) AS code, dsub, q AS c
+  FROM sub WHERE vec_id >= {_IVF_ANCHOR_BASE} AND vec_id < {hi}
+), enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, cb.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum((s.q - cb.c) * (s.q - cb.c)), cb.code) AS rn
+    FROM sub s JOIN cb ON cb.m = s.m AND cb.dsub = s.dsub
+    GROUP BY s.vec_id, s.m, cb.code) t WHERE rn = 1
+), qtab AS (
+  SELECT s.vec_id AS q_id, s.m, cb.code,
+         sum((s.q - cb.c) * (s.q - cb.c)) AS d2
+  FROM sub s JOIN cb ON cb.m = s.m AND cb.dsub = s.dsub
+  WHERE s.vec_id < {_N_QUERIES}
+  GROUP BY s.vec_id, s.m, cb.code
+), adc AS (
+  SELECT t.q_id, e.vec_id, CAST(sum(t.d2) AS BIGINT) AS adc_dist
+  FROM enc e JOIN qtab t ON t.m = e.m AND t.code = e.code
+  WHERE e.vec_id <> t.q_id
+  GROUP BY t.q_id, e.vec_id
+)
+SELECT q_id, vec_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist, vec_id) AS BIGINT) AS rnk
+FROM adc QUALIFY rnk <= {_TOP_K} ORDER BY q_id, rnk
+"""
+
+
+def _pq_adc_udf(cb: np.ndarray, qtab: np.ndarray):
+    """Encode + ADC-scan in ONE Arrow stage. ``cb`` is the
+    (M, CODES, DSUB) int64 sub-codebook, ``qtab`` the precomputed
+    (NQ, M, CODES) int64 query-to-code distance table. Per batch: M
+    small int64 matmuls assign codes (argmin ties to the lowest code,
+    matching the oracle's ORDER BY d2, code), then the ADC distance is
+    M table gathers — the corpus vector itself is never compared to any
+    query, only its 8 codes are."""
+    cb_norm2 = (cb * cb).sum(axis=2)  # (M, CODES)
+
+    @pandas_udf(ArrayType(LongType()))
+    def adc(qarr: pd.Series) -> pd.Series:
+        if len(qarr) == 0:
+            return pd.Series([], dtype=object)
+        n = len(qarr)
+        x = np.stack(qarr.to_numpy()).astype(np.int64)
+        x = x.reshape(n, _PQ_M, _PQ_DSUB)
+        tot = np.zeros((n, qtab.shape[0]), dtype=np.int64)
+        for m in range(_PQ_M):
+            xm = x[:, m, :]
+            d = (
+                (xm * xm).sum(axis=1, keepdims=True)
+                - 2 * (xm @ cb[m].T)
+                + cb_norm2[m][None, :]
+            )
+            codes_m = np.argmin(d, axis=1)
+            tot += qtab[:, m, codes_m].T
+        return pd.Series([[int(v) for v in row] for row in tot])
+
+    return adc
+
+
+@register("similarity_pq_topk", oracle=_pq_oracle(), tags=("similarity",))
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8 sub-codebooks x 16 codes compress each
+    64-dim vector to 8 code bytes; queries scan codes, not vectors
+    (asymmetric distance computation), integer-exact and oracle-checked
+    bit-for-bit.
+
+    Pipeline: quantize map-side (the floor(x*1000) contract shared with
+    similarity_ivf_train); sub-codebooks are the anchor rows' subvectors
+    (vec_id in [100,116) — deterministic; similarity_ivf_train is the
+    trainer that would refine them); ONE pandas_udf stage per corpus
+    batch both encodes (M small matmuls + argmin) and ADC-scores against
+    the broadcast (NQ x M x CODES) distance table; posexplode to
+    (q_id, adc_dist); window top-k on (adc_dist, vec_id).
+
+    Scale (the actual point of PQ at 100 TB): a billion-vector corpus is
+    512 B/vector raw but 8 B/vector as codes — the ADC scan reads 64x
+    less than a brute-force scan and never shuffles the corpus; only
+    (q_id, dist) candidate rows move. The distance table is
+    O(NQ*M*CODES) ints broadcast to every executor; re-ranking the ADC
+    top-k with exact distances (as similarity_ivf_topk does for its
+    candidates) is the standard second stage and reuses _exact_rerank
+    unchanged. Reference delegates analytics to its application
+    (kinesumer.go:346-370); this is SURVEY.md 'similarity search: scale
+    path' surface."""
+    v = _t(spark, sf_dir).select("vec_id", _as_double("embedding").alias("e"))
+    qv = v.select(
+        "vec_id",
+        F.expr(f"transform(e, x -> CAST(floor(x * {_KM_Q}) AS BIGINT))").alias("q"),
+    )
+
+    small = qv.filter(
+        (
+            (F.col("vec_id") >= _IVF_ANCHOR_BASE)
+            & (F.col("vec_id") < _IVF_ANCHOR_BASE + _PQ_CODES)
+        )
+        | (F.col("vec_id") < _N_QUERIES)
+    ).collect()
+    anchors = sorted(
+        (r for r in small if r["vec_id"] >= _IVF_ANCHOR_BASE),
+        key=lambda r: r["vec_id"],
+    )
+    queries = sorted(
+        (r for r in small if r["vec_id"] < _N_QUERIES), key=lambda r: r["vec_id"]
+    )
+    cb = (
+        np.stack([np.array(r["q"], dtype=np.int64) for r in anchors])
+        .reshape(_PQ_CODES, _PQ_M, _PQ_DSUB)
+        .transpose(1, 0, 2)
+        .copy()
+    )  # (M, CODES, DSUB)
+    qm = np.stack([np.array(r["q"], dtype=np.int64) for r in queries]).reshape(
+        len(queries), _PQ_M, _PQ_DSUB
+    )
+    # (NQ, M, CODES) exact integer distance table, computed driver-side
+    qtab = ((qm[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    q_ids = [int(r["vec_id"]) for r in queries]
+
+    adc = _pq_adc_udf(cb, qtab)
+    scored = (
+        qv.select("vec_id", adc("q").alias("ds"))
+        .select("vec_id", F.posexplode("ds").alias("qi", "adc_dist"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(i).cast("bigint") for i in q_ids]),
+                F.col("qi") + 1,
+            ).alias("q_id"),
+            "vec_id",
+            "adc_dist",
+        )
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .orderBy("q_id", "rnk")
+    )

@@ -12,7 +12,7 @@ dedup/similarity stages.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesumer_spark.catalog import read_table
@@ -352,4 +352,147 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_words"),
         )
         .orderBy("lang")
+    )
+
+
+# -- BM25 relevance scoring -------------------------------------------------
+
+_BM25_TERMS = ("dup", "vector", "spark", "scan")
+_BM25_TOP = 50
+# k1 = 6/5, b = 3/4 held as exact rationals; see the derivation in the
+# docstring for how they fold into the cleared-denominator integers.
+
+
+def _tf_col(words: Column, term: str) -> Column:
+    # ONE-arg lambda only: a 2-arg HOF lambda makes Spark pass the array
+    # INDEX as the second argument (clobbering any default-arg closure).
+    return F.size(F.filter(words, lambda x: x == F.lit(term))).cast("bigint")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(words, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    s_terms = " + ".join(
+        f"(CAST((2*n_docs - 2*df_{t} + 1) * 22 * tf_{t} * s_len AS DOUBLE)"
+        f" / CAST((2*df_{t} + 1) * (10*s_len*tf_{t} + 3*s_len + 9*dl*n_docs)"
+        f" AS DOUBLE))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, lang,
+         CAST(len(words) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words
+        FROM documents) w
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(dl) AS s_len, {df_cols}
+  FROM tf
+), scored AS (
+  SELECT doc_id, lang, dl,
+         {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+         {s_terms} AS score
+  FROM tf CROSS JOIN stats
+  WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+)
+SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= {_BM25_TOP} ORDER BY rnk
+"""
+
+
+@register("text_bm25", oracle=_bm25_oracle(), tags=("text",))
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query
+    ({dup, vector, spark, scan}), top-50 — the relevance/quality-ranking
+    primitive of a curation pipeline, oracle-checked bit-for-bit.
+
+    Exact-rational formulation (why this is oracle-checkable when
+    textbook BM25 is not): ln() differs between glibc and the JVM by
+    ulps, so the standard log-idf is replaced by its argument, the raw
+    Robertson odds ratio idf = (N - df + ½)/(df + ½) — monotone in the
+    same direction, so ranking semantics are preserved. With k1 = 6/5
+    and b = 3/4, each per-term score
+
+        idf · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl)),  avgdl = S/N
+
+    clears to the integer ratio
+
+        num = (2N − 2df + 1) · 22 · tf · S
+        den = (2df + 1) · (10·S·tf + 3·S + 9·dl·N)
+
+    computed in int64 (exact while num < 2^53 — holds to ~1e8 docs x
+    300-word corpora; beyond that, promote to decimal(38,0), same
+    plan). The only floats are one correctly-rounded int64→double
+    division per term and a fixed left-associated 4-term sum — both
+    engines execute the identical IEEE expression, hence bit-equal
+    scores and a deterministic (score DESC, doc_id) top-50.
+
+    Scale: one corpus scan computes (dl, tf_t); a single-row global
+    aggregate (N, S, df_t) broadcasts back; scoring is map-side
+    arithmetic; top-50 is TakeOrderedAndProject (per-partition heads,
+    driver merge — no global sort shuffle). The df-aggregate is the
+    inverted-index build folded to the 4 query terms; a full index is
+    the same groupBy(term) shape. Reference: kinesumer delegates all
+    analytics to its application (kinesumer.go:346-370); this is
+    SURVEY.md 'text analysis: quality scoring' surface."""
+    words = F.split("text", " ")
+    tf = _t(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(words).cast("bigint").alias("dl"),
+        *[_tf_col(words, t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = tf.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("s_len"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def _s(t: str) -> Column:
+        num = (
+            (2 * F.col("n_docs") - 2 * F.col(f"df_{t}") + 1)
+            * 22
+            * F.col(f"tf_{t}")
+            * F.col("s_len")
+        )
+        den = (2 * F.col(f"df_{t}") + 1) * (
+            10 * F.col("s_len") * F.col(f"tf_{t}")
+            + 3 * F.col("s_len")
+            + 9 * F.col("dl") * F.col("n_docs")
+        )
+        return num.cast("double") / den.cast("double")
+
+    score = _s(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + _s(t)  # fixed left-associated order, both engines
+
+    any_tf = F.col(f"tf_{_BM25_TERMS[0]}")
+    for t in _BM25_TERMS[1:]:
+        any_tf = any_tf + F.col(f"tf_{t}")
+
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_BM25_TOP)  # TakeOrderedAndProject — distributed top-k
+    )
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).orderBy(
+        "rnk"
     )

@@ -122,12 +122,7 @@ _FRONT = (
     "decode_csv_payload",
     "filter_like_rlike_nullsafe",
     "scalar_json_tuple_base64",
-    "scalar_higher_order_funcs",
     "sink_merge_upsert",
-    # oldest remaining rows (r1; setops.py unchanged since, so these are
-    # canaries, not churn-repair)
-    "set_distinct",
-    "set_union_by_name",
     # never driver-checked: rows-only by nature (recall at n_probe<cells
     # is probabilistic) — the one intentional no_oracle row this window
     "similarity_ivf_probe",
@@ -136,6 +131,14 @@ _FRONT = (
     "multimodal_decode",
     "multimodal_features",
     "similarity_ivf_train",
+    "similarity_pq_topk",
+    "text_bm25",
+    "sample_stratified_exact",
+    # dropped from this window to stay within the driver's 50-name
+    # prefix: set_distinct / set_union_by_name (setops.py unchanged
+    # since their r1 rows — pure canaries) and scalar_higher_order_funcs
+    # (r2-green, scalars.py unchanged since before that row); the local
+    # oracle gate still runs all of them every round.
 )
 
 

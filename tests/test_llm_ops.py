@@ -379,3 +379,54 @@ def test_ivf_probe_subset_and_determinism(spark):
         key = (r["q_id"], r["vec_id"])
         if key in brute:
             assert r["cosine"] == brute[key]
+
+
+def test_pq_topk_no_corpus_crossjoin_and_self_excluded(spark):
+    """PQ's scale claim: the corpus meets the queries only through its 8
+    codes — the plan must contain the single Arrow encode+ADC stage and
+    no CartesianProduct/nested-loop of corpus x queries; results must
+    exclude self-matches and rank by (adc_dist, vec_id)."""
+    df = _run(spark, "similarity_pq_topk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan
+    rows = df.collect()
+    assert all(r["q_id"] != r["vec_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["rnk"], r["adc_dist"], r["vec_id"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r[0] for r in rs] == list(range(1, len(rs) + 1))
+        assert rs == sorted(rs, key=lambda t: (t[1], t[2])), f"q{q} misranked"
+
+
+def test_bm25_rare_term_outranks_common_terms(spark):
+    """idf sanity: 'dup' is ~16x rarer than the other query terms, so
+    every doc containing it must outscore every doc that matches only
+    common terms; scores must be positive and ranks dense."""
+    rows = _run(spark, "text_bm25").collect()
+    assert rows and all(r["score"] > 0 for r in rows)
+    with_dup = [r["score"] for r in rows if r["tf_dup"] > 0]
+    without = [r["score"] for r in rows if r["tf_dup"] == 0]
+    assert with_dup, "fixture should contain 'dup' docs in the top-50"
+    if without:
+        assert min(with_dup) > max(without)
+
+
+def test_stratified_sample_exact_quota_per_lang(spark):
+    from collections import Counter
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.reshape import _STRAT_N
+
+    rows = _run(spark, "sample_stratified_exact").collect()
+    langs = {
+        r["lang"]
+        for r in read_table(spark, SF_SMALL, "documents").select("lang").distinct().collect()
+    }
+    counts = Counter(r["lang"] for r in rows)
+    assert set(counts) == langs
+    # every stratum in this fixture has >= _STRAT_N docs → exact quota
+    assert all(n == _STRAT_N for n in counts.values()), counts
