@@ -118,8 +118,6 @@ _FRONT = (
     "events_asof_join_merge",
     "topk_orderby_limit",
     "envelope_shard_order_audit",
-    "decode_json_payload",
-    "decode_csv_payload",
     "filter_like_rlike_nullsafe",
     "scalar_json_tuple_base64",
     "sink_merge_upsert",
@@ -134,11 +132,16 @@ _FRONT = (
     "similarity_pq_topk",
     "text_bm25",
     "sample_stratified_exact",
+    "join_skew_salted",
+    "join_bucketed_colocated",
     # dropped from this window to stay within the driver's 50-name
     # prefix: set_distinct / set_union_by_name (setops.py unchanged
-    # since their r1 rows — pure canaries) and scalar_higher_order_funcs
-    # (r2-green, scalars.py unchanged since before that row); the local
-    # oracle gate still runs all of them every round.
+    # since their r1 rows — pure canaries), scalar_higher_order_funcs
+    # (r2-green, scalars.py unchanged since before that row), and
+    # decode_json_payload / decode_csv_payload (r2-green, decode.py
+    # unchanged since — canaries displaced by the two never-checked new
+    # join queries). The local oracle gate still runs all of them every
+    # round.
 )
 
 
@@ -163,6 +166,7 @@ def all_queries() -> dict[str, Query]:
         decode,
         reshape,
         rollups,
+        skew,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 
