@@ -98,6 +98,63 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRUNE_DAY = "2024-01-15"
+
+_PRUNE_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {oracle_sum('value')} AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '{_PRUNE_DAY} 00:00:00'
+  AND ts < TIMESTAMP '{_PRUNE_DAY} 00:00:00' + INTERVAL 1 DAY
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_partitioned_prune", oracle=_PRUNE_ORACLE, tags=("layout", "prune"))
+def events_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over a day-partitioned events layout: the
+    table is written `partitionBy(day)`, and a one-day query reads ONLY
+    that day's directory — the scan's PartitionFilters prune every other
+    partition before a single byte is read (plan-audited in
+    tests/test_skew_ops.py).
+
+    This is the time-series data-skipping primitive at 100 TB: a year of
+    events is ~365 partitions, and the overwhelmingly common "last
+    day/week" queries touch 0.3–2% of the bytes. Partition pruning is
+    metadata-only (directory listing), unlike row-group min/max skipping
+    which still opens footers — both compose here since each partition's
+    files stay ts-clustered. Partition granularity rule of thumb: keep
+    partitions ≥ ~1 GB (here: day) — hour×type double-partitioning at
+    low volume produces the small-files problem the bucketed layout
+    above avoids.
+
+    The day column derives from ts in UTC (catalog.read_table pins the
+    session zone), so the oracle's half-open [day, day+1) timestamp
+    range selects exactly the rows of the pruned partition.
+    """
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/kinesumer_spark_partitions/{tag}/events"
+    (
+        _t(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("day") == F.lit(_PRUNE_DAY).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _BUCKETED_JOIN_ORACLE = f"""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_items,

@@ -119,7 +119,6 @@ _FRONT = (
     "topk_orderby_limit",
     "envelope_shard_order_audit",
     "filter_like_rlike_nullsafe",
-    "scalar_json_tuple_base64",
     "sink_merge_upsert",
     # never driver-checked: rows-only by nature (recall at n_probe<cells
     # is probabilistic) — the one intentional no_oracle row this window
@@ -134,14 +133,15 @@ _FRONT = (
     "sample_stratified_exact",
     "join_skew_salted",
     "join_bucketed_colocated",
+    "events_partitioned_prune",
     # dropped from this window to stay within the driver's 50-name
     # prefix: set_distinct / set_union_by_name (setops.py unchanged
     # since their r1 rows — pure canaries), scalar_higher_order_funcs
     # (r2-green, scalars.py unchanged since before that row), and
-    # decode_json_payload / decode_csv_payload (r2-green, decode.py
-    # unchanged since — canaries displaced by the two never-checked new
-    # join queries). The local oracle gate still runs all of them every
-    # round.
+    # decode_json_payload / decode_csv_payload / scalar_json_tuple_base64
+    # (r2-green, decode.py unchanged since — canaries displaced by the
+    # three never-checked new layout/skew queries). The local oracle
+    # gate still runs all of them every round.
 )
 
 

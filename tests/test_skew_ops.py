@@ -54,6 +54,21 @@ def test_salted_join_spreads_hot_key_across_partitions(spark):
     assert n_salts is None or n_salts >= 2, n_salts
 
 
+def test_partitioned_scan_prunes_to_one_day(spark):
+    """The one-day filter must appear as a PartitionFilter on the scan
+    (metadata-only pruning) — not merely as a post-scan Filter — and the
+    scan must report exactly one selected partition."""
+    df = _df(spark, "events_partitioned_prune")
+    plan = plan_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan}"
+    assert "day" in m.group(1), m.group(1)
+    # formatted plans print the scan's partition count selected/total
+    pc = re.search(r"partition count: (\d+)", plan)
+    if pc:  # spark prints this in most formatted-scan variants
+        assert pc.group(1) == "1", plan
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Both sides bucketed on the join key → SortMergeJoin with ZERO
     Exchange operators anywhere in the plan (the write paid the shuffle;
