@@ -768,3 +768,96 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     )
     return _cluster_output(labels)
+
+
+# --------------------------------------------------------------------------
+# Corpus-frequency boilerplate removal (C4-style chunk dedup)
+# --------------------------------------------------------------------------
+
+_CHUNK_WORDS = 8   # non-overlapping chunk width (the "line" unit)
+_BOILER_DOCS = 3   # a chunk present in >= this many distinct docs is boilerplate
+
+
+def _boilerplate_oracle() -> str:
+    h = _sha32_duck("chunk")
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(words) / {_CHUNK_WORDS}.0) AS BIGINT)),
+           i -> array_to_string(words[(i * {_CHUNK_WORDS} + 1):((i + 1) * {_CHUNK_WORDS})], ' '))
+           AS chunks
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(chunks) AS chunk FROM c
+), hh AS (
+  SELECT doc_id, {h} AS ch FROM e
+), freq AS (
+  SELECT ch, COUNT(DISTINCT doc_id) AS n_docs FROM hh GROUP BY ch
+), flagged AS (
+  SELECT hh.doc_id,
+         COUNT(*) AS n_chunks,
+         COUNT(*) FILTER (WHERE f.n_docs >= {_BOILER_DOCS}) AS n_boiler
+  FROM hh JOIN freq f ON hh.ch = f.ch
+  GROUP BY hh.doc_id
+)
+SELECT doc_id,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       round(n_boiler / CAST(n_chunks AS DOUBLE), 6) AS boiler_frac,
+       n_boiler * 2 > n_chunks AS drop_doc
+FROM flagged
+ORDER BY doc_id
+"""
+
+
+@register("dedup_boilerplate", oracle=_boilerplate_oracle(), tags=("dedup", "text"))
+def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate detection (the C4 recipe: drop any
+    line occurring in ≥ 3 documents). Documents are split into
+    non-overlapping 8-word chunks; a chunk's corpus frequency (distinct
+    docs) marks it boilerplate, and docs that are mostly boilerplate get
+    the drop flag.
+
+    Scale: chunks are hashed map-side to fixed-width 32-bit sha256
+    prefixes, so the global frequency shuffle moves (hash, doc_id) pairs
+    — ~16 B per chunk regardless of text size — and the per-doc rollup
+    shuffles one row per chunk occurrence. No chunk STRING ever crosses
+    the wire, and nothing is all-pairs: cost is linear in corpus tokens.
+    This is the standing C4/RefinedWeb pre-filter that runs BEFORE
+    near-dup (MinHash) so boilerplate mass doesn't poison signatures.
+    Reference analog: record-level preprocessing delegated to the app
+    (SURVEY.md §2.2 LLM row).
+    """
+    d = _t(spark, sf_dir, "documents")
+    c = d.selectExpr(
+        "doc_id",
+        # Spark slice() is 1-based and truncates at the array end, same
+        # as the DuckDB list slice in the oracle
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {_CHUNK_WORDS}.0)"
+        f"    AS int) - 1),"
+        f"  i -> array_join(slice(split(text, ' '), i * {_CHUNK_WORDS} + 1,"
+        f"       {_CHUNK_WORDS}), ' ')) AS chunks",
+    )
+    e = c.selectExpr("doc_id", "explode(chunks) AS chunk").withColumn(
+        "ch", F.expr(_sha32("chunk"))
+    ).select("doc_id", "ch")
+    freq = e.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = (
+        e.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("n_docs") >= _BOILER_DOCS, 1)).alias("n_boiler"),
+        )
+    )
+    return flagged.selectExpr(
+        "doc_id",
+        "cast(n_chunks AS bigint) AS n_chunks",
+        "cast(n_boiler AS bigint) AS n_boiler",
+        "round(n_boiler / cast(n_chunks AS double), 6) AS boiler_frac",
+        "n_boiler * 2 > n_chunks AS drop_doc",
+    ).orderBy("doc_id")

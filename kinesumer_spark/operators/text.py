@@ -496,3 +496,188 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).orderBy(
         "rnk"
     )
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id, words, len(words) AS n,
+         CASE WHEN len(words) >= 2 THEN
+           list_transform(range(1, len(words)),
+             i -> words[i] || ' ' || words[i+1])
+         ELSE [] END AS g2,
+         CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [] END AS g3
+  FROM w
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       round(CASE WHEN n > 0 THEN
+         (n - len(list_distinct(words))) / CAST(n AS DOUBLE) END, 6)
+         AS dup_word_frac,
+       round(CASE WHEN len(g2) > 0 THEN
+         (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE) END, 6)
+         AS dup_2gram_frac,
+       round(CASE WHEN len(g3) > 0 THEN
+         (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE) END, 6)
+         AS dup_3gram_frac,
+       round(CASE WHEN n > 0 THEN
+         list_max(list_transform(list_distinct(words),
+           t -> len(list_filter(words, x -> x = t)))) / CAST(n AS DOUBLE)
+         END, 6) AS top_word_frac,
+       (CASE WHEN len(g3) > 0 THEN
+          (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE)
+        ELSE 0 END) > 0.5 AS repetitive
+FROM g
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition", oracle=_REPETITION_ORACLE, tags=("text", "quality"))
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText quality
+    filters): duplicate word / 2-gram / 3-gram fractions and the top
+    single word's mass, plus a `repetitive` drop flag.
+
+    Scale: ZERO shuffle — every metric is a per-row columnar expression
+    over the words array (n-grams via transform over sequence, distinct
+    via array_distinct, the top-word count via a nested filter lambda,
+    O(u·n) per row with n ≤ doc length). At 100 TB this runs at parquet
+    scan speed; the ORDER BY exists only for golden-test determinism.
+    Reference analog: per-record filter predicates (kinesumer delegates
+    record-level quality gates to the app; SURVEY.md §2.2 text row).
+    """
+    d = _t(spark, sf_dir)
+    g = d.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS words",
+        "size(split(text, ' ')) AS n",
+        # Spark arrays are 0-indexed; sequence(0, n-2) yields n-1 bigrams
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        "  transform(sequence(0, size(split(text, ' ')) - 2),"
+        "    i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))"
+        " ELSE array() END AS g2",
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+        "  transform(sequence(0, size(split(text, ' ')) - 3),"
+        "    i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],"
+        "                ' ', split(text, ' ')[i+2]))"
+        " ELSE array() END AS g3",
+    )
+    return g.selectExpr(
+        "doc_id",
+        "cast(n AS bigint) AS n_words",
+        "round(CASE WHEN n > 0 THEN"
+        "  (n - size(array_distinct(words))) / cast(n AS double) END, 6)"
+        "  AS dup_word_frac",
+        "round(CASE WHEN size(g2) > 0 THEN"
+        "  (size(g2) - size(array_distinct(g2))) / cast(size(g2) AS double)"
+        "  END, 6) AS dup_2gram_frac",
+        "round(CASE WHEN size(g3) > 0 THEN"
+        "  (size(g3) - size(array_distinct(g3))) / cast(size(g3) AS double)"
+        "  END, 6) AS dup_3gram_frac",
+        "round(CASE WHEN n > 0 THEN"
+        "  array_max(transform(array_distinct(words),"
+        "    t -> size(filter(words, x -> x = t)))) / cast(n AS double)"
+        "  END, 6) AS top_word_frac",
+        "(CASE WHEN size(g3) > 0 THEN"
+        "  (size(g3) - size(array_distinct(g3))) / cast(size(g3) AS double)"
+        " ELSE 0 END) > 0.5 AS repetitive",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Decontamination: eval-set n-gram overlap
+# --------------------------------------------------------------------------
+
+_EVAL_MOD = 97  # doc_id % 97 == 0 → the held-out "eval set" (deterministic)
+
+_DECONTAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), banned AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM s
+  WHERE doc_id % {_EVAL_MOD} = 0
+), corpus AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+  FROM s WHERE doc_id % {_EVAL_MOD} <> 0
+), hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_banned
+  FROM corpus c JOIN banned b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_banned, 0) AS BIGINT) AS n_banned,
+       round(COALESCE(h.n_banned, 0) / CAST(len(s.shingles) AS DOUBLE), 6)
+         AS contamination,
+       COALESCE(h.n_banned, 0) >= 1 AS contaminated
+FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE s.doc_id % {_EVAL_MOD} <> 0
+ORDER BY s.doc_id
+"""
+
+
+@register("text_decontaminate", oracle=_DECONTAM_ORACLE, tags=("text", "dedup"))
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    3-gram with the held-out eval set (docs with doc_id % 97 == 0 stand
+    in for the benchmark suite). Emits per-doc overlap counts, the
+    contamination ratio, and the drop flag.
+
+    Scale: the eval side of the join is tiny relative to the corpus
+    (benchmarks are KBs–MBs vs 100 TB of training data), so the banned
+    shingle set is BROADCAST — the corpus is never shuffled on shingle;
+    the only wide exchange is the per-doc hit count groupBy(doc_id),
+    whose input is just the matched (doc_id) rows. Plan-audited in
+    tests/test_plans.py (BroadcastHashJoin on the shingle probe).
+    Reference analog: record filtering against an external keyset
+    (kinesumer delegates to the app; SURVEY.md §2.2 text row).
+    """
+    d = _t(spark, sf_dir)
+    s = d.selectExpr(
+        "doc_id",
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+        "  array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
+        "    i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],"
+        "                ' ', split(text, ' ')[i+2])))"
+        " ELSE array(text) END AS shingles",
+    )
+    banned = (
+        s.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .selectExpr("explode(shingles) AS shingle")
+        .distinct()
+    )
+    corpus = s.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    exploded = corpus.selectExpr("doc_id", "explode(shingles) AS shingle")
+    hits = (
+        exploded.join(F.broadcast(banned), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_banned"))
+    )
+    return (
+        corpus.selectExpr("doc_id", "cast(size(shingles) AS bigint) AS n_shingles")
+        .join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "cast(coalesce(n_banned, 0) AS bigint) AS n_banned",
+            "round(coalesce(n_banned, 0) / cast(n_shingles AS double), 6)"
+            "  AS contamination",
+            "coalesce(n_banned, 0) >= 1 AS contaminated",
+        )
+        .orderBy("doc_id")
+    )

@@ -116,10 +116,7 @@ _FRONT = (
     "events_sessionize",
     "events_asof_join",
     "events_asof_join_merge",
-    "topk_orderby_limit",
     "envelope_shard_order_audit",
-    "filter_like_rlike_nullsafe",
-    "sink_merge_upsert",
     # never driver-checked: rows-only by nature (recall at n_probe<cells
     # is probabilistic) — the one intentional no_oracle row this window
     "similarity_ivf_probe",
@@ -134,14 +131,19 @@ _FRONT = (
     "join_skew_salted",
     "join_bucketed_colocated",
     "events_partitioned_prune",
+    "text_repetition",
+    "text_decontaminate",
+    "dedup_boilerplate",
     # dropped from this window to stay within the driver's 50-name
     # prefix: set_distinct / set_union_by_name (setops.py unchanged
     # since their r1 rows — pure canaries), scalar_higher_order_funcs
-    # (r2-green, scalars.py unchanged since before that row), and
+    # (r2-green, scalars.py unchanged since before that row),
     # decode_json_payload / decode_csv_payload / scalar_json_tuple_base64
-    # (r2-green, decode.py unchanged since — canaries displaced by the
-    # three never-checked new layout/skew queries). The local oracle
-    # gate still runs all of them every round.
+    # / filter_like_rlike_nullsafe / sink_merge_upsert (r2-green,
+    # decode.py unchanged since — canaries displaced by never-checked
+    # new queries), and topk_orderby_limit (r2-green, events_ops.py
+    # unchanged since). The local oracle gate still runs all of them
+    # every round.
 )
 
 

@@ -41,7 +41,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_table(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+def _run_to_table(
+    df: DataFrame, name: str, mode: str = "complete", stable: bool = True
+) -> DataFrame:
     spark = df.sparkSession
     q = (
         df.writeStream.outputMode(mode)
@@ -53,10 +55,14 @@ def _run_to_table(df: DataFrame, name: str, mode: str = "complete") -> DataFrame
         # processAllAvailable drains the data, but append-mode results
         # behind a watermark are emitted by the no-data microbatch that
         # runs AFTER the watermark advances — loop until the sink row
-        # count is stable so we never race that final batch
+        # count is stable so we never race that final batch. Queries with
+        # no watermark-delayed emission (stateless append projections)
+        # pass stable=False: processAllAvailable alone already guarantees
+        # every input row is committed to the sink, and the extra
+        # count+drain round costs ~0.45 s of pure fixed overhead.
         q.processAllAvailable()
         prev = -1
-        for _ in range(10):
+        for _ in range(10 if stable else 0):
             cur = spark.table(name).count()
             if cur == prev:
                 break
@@ -346,9 +352,12 @@ def stream_consume_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = events_to_envelope(raw, stream="events").select(
         "stream", "shard_id", "sequence_number", "partition_key"
     )
-    return _run_to_table(env, "ks_stream_consume", mode="append").orderBy(
-        "sequence_number"
-    )
+    # stateless append projection — no watermark, so no delayed emission:
+    # skip the sink-stability loop (stable=False), which is pure fixed
+    # overhead here (measured 1.38 s → 0.93 s at sf0.1).
+    return _run_to_table(
+        env, "ks_stream_consume", mode="append", stable=False
+    ).orderBy("sequence_number")
 
 
 _STREAM_STREAM_ORACLE = """

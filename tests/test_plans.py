@@ -148,3 +148,38 @@ def test_asof_merge_plan_is_cogrouped_pandas(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan, f"unexpected {node}: {plan}"
     assert "BatchEvalPython" not in plan
+
+
+def test_repetition_has_no_shuffle(spark):
+    """text_repetition is per-row columnar: no hash exchange anywhere
+    (the only exchange is the rangepartitioning of the cosmetic final
+    ORDER BY)."""
+    plan = plan_string(_df(spark, "text_repetition"))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The banned-shingle probe must be a broadcast join: the corpus
+    side is never shuffled on shingle."""
+    plan = plan_string(_df(spark, "text_decontaminate"))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only hash exchanges are doc_id-keyed (hit-count agg + left join)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert m.group(1).startswith("doc_id"), plan
+
+
+def test_boilerplate_shuffles_hashes_not_strings(spark):
+    """dedup_boilerplate's frequency shuffle must be keyed on the 32-bit
+    chunk hash (ch) or doc_id — never the chunk string itself."""
+    import re
+
+    plan = plan_string(_df(spark, "dedup_boilerplate"))
+    keys = {
+        m.group(1).split("#")[0]
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+#?\d*)", plan)
+    }
+    assert keys <= {"ch", "doc_id"}, keys
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
