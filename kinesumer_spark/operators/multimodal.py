@@ -336,3 +336,173 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     media = d.mapInPandas(_encode_batch, schema="doc_id long, fmt string, media binary")
     return media.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Audio codec (pure numpy — RIFF/WAVE PCM16, no external libraries)
+# --------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_frames, n_channels) int16 array as a canonical
+    44-byte-header RIFF/WAVE PCM file (fmt tag 1, 16-bit little-endian,
+    interleaved frames)."""
+    assert samples.dtype == np.int16 and samples.ndim == 2
+    n_frames, n_ch = samples.shape
+    data = samples.astype("<i2").tobytes()  # interleaved: frame-major
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse RIFF/WAVE bytes → (sample_rate, (n_frames, n_channels) int16).
+
+    A real chunk-walking parser (not a fixed 44-byte slice): tolerates
+    extra chunks between `fmt ` and `data`, validates the PCM format tag
+    and bit depth, and raises ValueError on truncated or non-WAV bytes.
+    Compressed codecs (MP3/AAC/FLAC) raise NotImplementedError — same
+    capability gate as JPEG/PNG on the image side.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt_chunk, 0)
+    if tag != 1:
+        raise NotImplementedError(f"non-PCM WAVE (format tag {tag})")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit PCM (only 16-bit wired)")
+    frames = np.frombuffer(data, dtype="<i2").reshape(-1, n_ch)
+    return rate, frames
+
+
+def synth_samples(doc_id: int) -> tuple[np.ndarray, int]:
+    """Deterministic per-doc waveform, closed-form so SQL can replay it:
+    s[i, ch] = ((doc_id·31 + i·7 + ch·13) mod 4096) − 2048."""
+    n_ch = 1 + doc_id % 2
+    rate = 8000 + 4000 * (doc_id % 3)
+    n_frames = 50 + doc_id % 40
+    i = np.arange(n_frames)[:, None]
+    ch = np.arange(n_ch)[None, :]
+    s = ((doc_id * 31 + i * 7 + ch * 13) % 4096 - 2048).astype(np.int16)
+    return s, rate
+
+
+def _encode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        media = []
+        for i in ids:
+            s, rate = synth_samples(int(i))
+            media.append(encode_wav(s, rate))
+        yield pd.DataFrame({"doc_id": ids, "media": media})
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, n_frames long, "
+    "n_bytes long, duration_us long, peak long, sum_sq long"
+)
+
+
+def _decode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            raw = bytes(payload)
+            rate, frames = decode_wav(raw)
+            x = frames.astype(np.int64)
+            rows.append(
+                (
+                    doc_id,
+                    rate,
+                    frames.shape[1],
+                    frames.shape[0],
+                    len(raw),
+                    frames.shape[0] * 1_000_000 // rate,
+                    int(np.abs(x).max()),
+                    int((x * x).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "n_bytes", "duration_us", "peak", "sum_sq",
+            ],
+        )
+
+
+_AUDIO_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS BIGINT) AS n_ch,
+         CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS rate,
+         CAST(50 + doc_id % 40 AS BIGINT) AS n_frames
+  FROM documents
+), s AS (
+  SELECT d.doc_id,
+         CAST((d.doc_id * 31 + i.g * 7 + c.g * 13) % 4096 - 2048 AS BIGINT) AS v
+  FROM dims d
+  JOIN generate_series(0, 89) i(g) ON i.g < d.n_frames
+  JOIN generate_series(0, 1) c(g) ON c.g < d.n_ch
+), st AS (
+  SELECT doc_id, MAX(abs(v)) AS peak, SUM(v * v) AS sum_sq
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id, d.rate AS sample_rate, d.n_ch AS n_channels, d.n_frames,
+       CAST(44 + 2 * d.n_ch * d.n_frames AS BIGINT) AS n_bytes,
+       d.n_frames * 1000000 // d.rate AS duration_us,
+       CAST(st.peak AS BIGINT) AS peak,
+       CAST(st.sum_sq AS BIGINT) AS sum_sq
+FROM dims d JOIN st USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("multimodal_audio", oracle=_AUDIO_ORACLE, tags=("multimodal",))
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → decode AUDIO round trip, value-level oracle-checked —
+    the audio analog of ``multimodal_decode``: per doc_id a closed-form
+    PCM16 waveform is encoded to real RIFF/WAVE container bytes, shipped
+    through an Arrow binary column, parsed back by the chunk-walking
+    ``decode_wav``, and the query emits what the DECODER saw (rate,
+    channels, frames, byte size, integer duration, peak amplitude, exact
+    sum of squares). The oracle recomputes every value in closed-form
+    SQL, so a header, interleave, endianness, or chunk-alignment bug
+    hash-mismatches.
+
+    Scale: both stages are mapInPandas over Arrow batches — constant
+    memory per task, audio bytes never row-wise in Python. A production
+    corpus swaps the synth stage for a parquet binary column and extends
+    `decode_wav` dispatch with ffmpeg codecs; the Spark plan (and this
+    oracle discipline for the PCM path) is unchanged. Reference analog:
+    payload processing is delegated to the app (kinesumer.go:346-370);
+    SURVEY.md §2.2 multimodal row.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(_encode_audio_batch, schema="doc_id long, media binary")
+    return media.mapInPandas(_decode_audio_batch, schema=_AUDIO_SCHEMA).orderBy(
+        "doc_id"
+    )

@@ -116,7 +116,6 @@ _FRONT = (
     "events_sessionize",
     "events_asof_join",
     "events_asof_join_merge",
-    "envelope_shard_order_audit",
     # never driver-checked: rows-only by nature (recall at n_probe<cells
     # is probabilistic) — the one intentional no_oracle row this window
     "similarity_ivf_probe",
@@ -134,6 +133,7 @@ _FRONT = (
     "text_repetition",
     "text_decontaminate",
     "dedup_boilerplate",
+    "multimodal_audio",
     # dropped from this window to stay within the driver's 50-name
     # prefix: set_distinct / set_union_by_name (setops.py unchanged
     # since their r1 rows — pure canaries), scalar_higher_order_funcs
@@ -141,9 +141,9 @@ _FRONT = (
     # decode_json_payload / decode_csv_payload / scalar_json_tuple_base64
     # / filter_like_rlike_nullsafe / sink_merge_upsert (r2-green,
     # decode.py unchanged since — canaries displaced by never-checked
-    # new queries), and topk_orderby_limit (r2-green, events_ops.py
-    # unchanged since). The local oracle gate still runs all of them
-    # every round.
+    # new queries), and topk_orderby_limit / envelope_shard_order_audit
+    # (r2-green, events_ops.py unchanged since). The local oracle gate
+    # still runs all of them every round.
 )
 
 

@@ -430,3 +430,45 @@ def test_stratified_sample_exact_quota_per_lang(spark):
     assert set(counts) == langs
     # every stratum in this fixture has >= _STRAT_N docs → exact quota
     assert all(n == _STRAT_N for n in counts.values()), counts
+
+
+def test_wav_codec_roundtrip_and_gates():
+    """encode_wav → decode_wav round-trips samples exactly; the parser
+    walks chunks (tolerates an extra chunk before data, including the
+    odd-length word-alignment pad), and gates non-PCM / non-WAV /
+    truncated payloads with the right exception types."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from kinesumer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    for doc_id in (0, 1, 5, 42):
+        s, rate = synth_samples(doc_id)
+        r2, back = decode_wav(encode_wav(s, rate))
+        assert r2 == rate
+        assert np.array_equal(back, s)
+
+    # chunk walking: inject a LIST chunk (odd length → pad byte) between
+    # fmt and data
+    s, rate = synth_samples(3)
+    raw = encode_wav(s, rate)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    r2, back = decode_wav(patched)
+    assert r2 == rate and np.array_equal(back, s)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3\x04...mp3 bytes")
+    with pytest.raises(ValueError):
+        decode_wav(raw[:30])  # truncated inside the fmt chunk
+    non_pcm = bytearray(raw)
+    non_pcm[20] = 3  # format tag 3 = IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(non_pcm))
