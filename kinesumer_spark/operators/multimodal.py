@@ -506,3 +506,188 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_decode_audio_batch, schema=_AUDIO_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Video codec (pure numpy — YUV4MPEG2 uncompressed, no external libraries)
+# --------------------------------------------------------------------------
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode an (n_frames, h, w) uint8 luma stack as a YUV4MPEG2 (Y4M)
+    stream, C420 chroma at constant 128 (grayscale): the standard
+    uncompressed interchange container (`ffmpeg -f yuv4mpegpipe`).
+    Header `YUV4MPEG2 W<w> H<h> F<fps>:1 C420\\n`, then per frame
+    `FRAME\\n` + Y plane + half-res U,V planes."""
+    n, h, w = frames.shape
+    assert frames.dtype == np.uint8 and h % 2 == 0 and w % 2 == 0
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 C420\n".encode()]
+    uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    for f in frames:
+        out.append(b"FRAME\n" + f.tobytes() + uv + uv)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse Y4M bytes → (fps, (n_frames, h, w) uint8 luma stack).
+
+    Real stream parser: reads W/H/F/C tags from the header, walks FRAME
+    markers (tolerating frame-level parameters after FRAME), validates
+    plane sizes, raises ValueError on truncation/garbage. Only C420 is
+    wired; other chroma samplings raise NotImplementedError (same
+    capability-gate pattern as JPEG / non-PCM audio)."""
+    eol = payload.find(b"\n")
+    if eol < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    chroma = "420"
+    for tag in payload[10:eol].split(b" "):
+        if not tag:
+            continue
+        k, v = tag[:1], tag[1:]
+        if k == b"W":
+            w = int(v)
+        elif k == b"H":
+            h = int(v)
+        elif k == b"F":
+            fps = int(v.split(b":")[0])
+        elif k == b"C":
+            chroma = v.decode()
+    if w is None or h is None or fps is None:
+        raise ValueError("missing W/H/F header tag")
+    if not chroma.startswith("420"):
+        raise NotImplementedError(f"chroma C{chroma} (only C420 wired)")
+    y_size, uv_size = h * w, (h // 2) * (w // 2)
+    frames, pos = [], eol + 1
+    while pos < len(payload):
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        body = payload[nl + 1 : nl + 1 + y_size + 2 * uv_size]
+        if len(body) < y_size + 2 * uv_size:
+            raise ValueError("truncated frame")
+        frames.append(
+            np.frombuffer(body[:y_size], dtype=np.uint8).reshape(h, w)
+        )
+        pos = nl + 1 + y_size + 2 * uv_size
+    return fps, np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+
+_SAMPLE_EVERY = 3  # keep every 3rd frame (0-indexed: frames 0, 3, 6, …)
+
+
+def synth_frames(doc_id: int) -> np.ndarray:
+    """Closed-form luma video: n = 4 + doc_id % 6 frames of
+    (4 + doc_id % 3)·2 × (3 + doc_id % 4)·2, pixel(f, y, x) =
+    (doc_id·7 + f·19 + y·5 + x·3) mod 256."""
+    n = 4 + doc_id % 6
+    h = (3 + doc_id % 4) * 2
+    w = (4 + doc_id % 3) * 2
+    f = np.arange(n)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    return ((doc_id * 7 + f * 19 + y * 5 + x * 3) % 256).astype(np.uint8)
+
+
+def _encode_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "media": [encode_y4m(synth_frames(int(i))) for i in ids],
+            }
+        )
+
+
+_VIDEO_SCHEMA = (
+    "doc_id long, fps long, n_frames long, n_sampled long, height long, "
+    "width long, n_bytes long, sampled_luma_sum long"
+)
+
+
+def _sample_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            raw = bytes(payload)
+            fps, frames = decode_y4m(raw)
+            sampled = frames[::_SAMPLE_EVERY]
+            rows.append(
+                (
+                    doc_id,
+                    fps,
+                    frames.shape[0],
+                    sampled.shape[0],
+                    frames.shape[1],
+                    frames.shape[2],
+                    len(raw),
+                    int(sampled.sum(dtype=np.int64)),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "fps", "n_frames", "n_sampled", "height",
+                "width", "n_bytes", "sampled_luma_sum",
+            ],
+        )
+
+
+_VIDEO_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 6 AS BIGINT) AS n,
+         CAST((3 + doc_id % 4) * 2 AS BIGINT) AS h,
+         CAST((4 + doc_id % 3) * 2 AS BIGINT) AS w
+  FROM documents
+), px AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 7 + f.g * 19 + y.g * 5 + x.g * 3) % 256)
+              AS BIGINT) AS luma_sum,
+         CAST(count(DISTINCT f.g) AS BIGINT) AS n_sampled
+  FROM dims d
+  JOIN generate_series(0, 9) f(g)
+    ON f.g < d.n AND f.g % {_SAMPLE_EVERY} = 0
+  JOIN generate_series(0, 11) y(g) ON y.g < d.h
+  JOIN generate_series(0, 11) x(g) ON x.g < d.w
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(25 AS BIGINT) AS fps,
+       d.n AS n_frames,
+       px.n_sampled,
+       d.h AS height,
+       d.w AS width,
+       CAST(length('YUV4MPEG2 W' || d.w || ' H' || d.h || ' F25:1 C420')
+            + 1 + d.n * (6 + d.h * d.w + 2 * (d.h // 2) * (d.w // 2))
+            AS BIGINT) AS n_bytes,
+       px.luma_sum AS sampled_luma_sum
+FROM dims d JOIN px USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("multimodal_video_sample", oracle=_VIDEO_ORACLE, tags=("multimodal",))
+def multimodal_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling, value-level oracle-checked — the video leg
+    of the multimodal surface: per doc_id a closed-form luma clip is
+    encoded into a REAL YUV4MPEG2 (C420) container, shipped as an Arrow
+    binary column, parsed back by the stream-walking ``decode_y4m``, and
+    every 3rd frame is kept (the training-pipeline frame-sample step).
+    The query emits decoder-observed fps/frame-count/sampled-count/dims/
+    byte-size and the exact luma sum OVER THE SAMPLED FRAMES ONLY, so a
+    header, plane-size, stride, or sampling-stride bug hash-mismatches
+    against the closed-form SQL oracle.
+
+    Scale: mapInPandas over Arrow batches both ways — constant memory
+    per task, media bytes never row-wise in Python; at 100 TB the synth
+    stage becomes a parquet binary scan and the sampler body calls
+    ffmpeg, with the identical Spark plan. Reference analog: payload
+    processing delegated to the app (kinesumer.go:346-370); SURVEY.md
+    §2.2 multimodal row.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(_encode_video_batch, schema="doc_id long, media binary")
+    return media.mapInPandas(_sample_video_batch, schema=_VIDEO_SCHEMA).orderBy(
+        "doc_id"
+    )

@@ -115,7 +115,6 @@ _FRONT = (
     "events_tumbling_hourly",
     "events_sessionize",
     "events_asof_join",
-    "events_asof_join_merge",
     # never driver-checked: rows-only by nature (recall at n_probe<cells
     # is probabilistic) — the one intentional no_oracle row this window
     "similarity_ivf_probe",
@@ -134,6 +133,7 @@ _FRONT = (
     "text_decontaminate",
     "dedup_boilerplate",
     "multimodal_audio",
+    "multimodal_video_sample",
     # dropped from this window to stay within the driver's 50-name
     # prefix: set_distinct / set_union_by_name (setops.py unchanged
     # since their r1 rows — pure canaries), scalar_higher_order_funcs

@@ -472,3 +472,30 @@ def test_wav_codec_roundtrip_and_gates():
     non_pcm[20] = 3  # format tag 3 = IEEE float
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(non_pcm))
+
+
+def test_y4m_codec_roundtrip_and_gates():
+    """encode_y4m → decode_y4m round-trips the luma stack exactly and
+    gates non-Y4M / truncated / unsupported-chroma payloads."""
+    import numpy as np
+    import pytest
+
+    from kinesumer_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        synth_frames,
+    )
+
+    for doc_id in (0, 1, 7, 11):
+        frames = synth_frames(doc_id)
+        fps, back = decode_y4m(encode_y4m(frames))
+        assert fps == 25
+        assert np.array_equal(back, frames)
+
+    raw = encode_y4m(synth_frames(2))
+    with pytest.raises(ValueError):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42 mp4 bytes")
+    with pytest.raises(ValueError):
+        decode_y4m(raw[:-5])  # truncated final frame
+    with pytest.raises(NotImplementedError):
+        decode_y4m(raw.replace(b"C420", b"C444", 1))
