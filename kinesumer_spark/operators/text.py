@@ -681,3 +681,93 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+_PII_IP = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _pii_oracle() -> str:
+    raw = (
+        "text || ' contact user' || doc_id || '@example.com"
+        " or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.' || (doc_id % 256) || '.0.1'"
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, {raw} AS raw FROM documents
+), s AS (
+  SELECT doc_id, raw,
+         regexp_replace(regexp_replace(regexp_replace(raw,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS scrubbed
+  FROM r
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(length(raw) - length(scrubbed) AS BIGINT) AS bytes_removed,
+       md5(scrubbed) AS scrubbed_md5
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("text_pii_scrub", oracle=_pii_oracle(), tags=("text", "quality"))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pre-training scrub pass: emails, phone
+    numbers, and internal IPs replaced by typed placeholders in one
+    fixed-order regexp_replace chain. The synthetic corpus contains no
+    PII, so a deterministic contact line derived from (doc_id, text) is
+    appended first; the operator under test is the scrub chain itself,
+    and md5(scrubbed) proves the redacted text byte-identical across
+    engines (not just the counts).
+
+    Patterns are restricted to the Java-regex ∩ RE2 common subset
+    (classes, bounded repetition, word boundary) so both engines match
+    identically — the same discipline that makes the corpus-wide
+    fingerprint/hash stages portable.
+
+    Scale: ZERO shuffle — regexp_replace / regexp_count are per-row
+    JVM-side expressions; at 100 TB this runs at scan speed (the ORDER
+    BY is golden-test cosmetics). Reference analog: per-record payload
+    transformation delegated to the app (SURVEY.md §2.2 text row).
+    """
+    d = _t(spark, sf_dir)
+    # Spark SQL string literals consume backslash escapes ('\+' → '+'),
+    # DuckDB's don't — double them on the Spark side only so both
+    # engines see the identical regex
+    em, ph, ip = (
+        p.replace("\\", "\\\\") for p in (_PII_EMAIL, _PII_PHONE, _PII_IP)
+    )
+    raw = (
+        "concat(text, ' contact user', doc_id, '@example.com or +1-555-',"
+        " lpad(cast(doc_id % 10000 AS string), 4, '0'),"
+        " ' from 10.', cast(doc_id % 256 AS string), '.0.1')"
+    )
+    r = d.selectExpr("doc_id", f"{raw} AS raw")
+    s = r.selectExpr(
+        "doc_id",
+        "raw",
+        f"regexp_replace(regexp_replace(regexp_replace(raw,"
+        f" '{em}', '<EMAIL>'),"
+        f" '{ph}', '<PHONE>'),"
+        f" '{ip}', '<IP>') AS scrubbed",
+    )
+    return s.selectExpr(
+        "doc_id",
+        f"cast(regexp_count(raw, '{em}') AS bigint) AS n_emails",
+        f"cast(regexp_count(raw, '{ph}') AS bigint) AS n_phones",
+        f"cast(regexp_count(raw, '{ip}') AS bigint) AS n_ips",
+        "cast(length(raw) - length(scrubbed) AS bigint) AS bytes_removed",
+        "md5(scrubbed) AS scrubbed_md5",
+    ).orderBy("doc_id")
