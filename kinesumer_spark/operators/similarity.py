@@ -980,3 +980,191 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .orderBy("q_id", "rnk")
     )
+
+
+# -- IVF-PQ: coarse cells + product-quantized RESIDUALS (FAISS IVFPQ) -------
+
+_IVFPQ_SEED_BASE = 200  # vec_id ∈ [200, 216) seed the residual sub-codebooks
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB replay of the ENTIRE IVF-PQ pipeline — quantize → coarse
+    assignment (integer L2, ties to lowest cell) → residuals → residual
+    sub-codebooks from the seed rows → corpus encode → per-(query, cell)
+    ADC tables over query residuals → full-probe scan → top-k. Every
+    step is integer arithmetic, so the match is bit-for-bit."""
+    return f"""
+WITH qv AS (
+  SELECT vec_id, d.dim, CAST(floor(e[d.dim + 1] * {_KM_Q}) AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+  CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
+), cent AS (
+  SELECT CAST(vec_id - {_IVF_ANCHOR_BASE} AS INTEGER) AS cell, dim, q AS c
+  FROM qv WHERE vec_id >= {_IVF_ANCHOR_BASE}
+    AND vec_id < {_IVF_ANCHOR_BASE + _IVF_CELLS}
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY sum((q.q - c.c) * (q.q - c.c)), c.cell) AS rn
+    FROM qv q JOIN cent c ON c.dim = q.dim
+    GROUP BY q.vec_id, c.cell) t WHERE rn = 1
+), res AS (
+  SELECT q.vec_id, q.dim, q.q - c.c AS r
+  FROM qv q JOIN asg a ON a.vec_id = q.vec_id
+  JOIN cent c ON c.cell = a.cell AND c.dim = q.dim
+), cb AS (
+  SELECT dim // {_PQ_DSUB} AS m, CAST(vec_id - {_IVFPQ_SEED_BASE} AS INTEGER)
+           AS code,
+         dim % {_PQ_DSUB} AS dsub, r AS c
+  FROM res WHERE vec_id >= {_IVFPQ_SEED_BASE}
+    AND vec_id < {_IVFPQ_SEED_BASE + _PQ_CODES}
+), rsub AS (
+  SELECT vec_id, dim // {_PQ_DSUB} AS m, dim % {_PQ_DSUB} AS dsub, r FROM res
+), enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, cb.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY sum((s.r - cb.c) * (s.r - cb.c)), cb.code) AS rn
+    FROM rsub s JOIN cb ON cb.m = s.m AND cb.dsub = s.dsub
+    GROUP BY s.vec_id, s.m, cb.code) t WHERE rn = 1
+), qtab AS (
+  SELECT q.vec_id AS q_id, c.cell, cb.m, cb.code,
+         sum(((q.q - c.c) - cb.c) * ((q.q - c.c) - cb.c)) AS d2
+  FROM qv q
+  JOIN cent c ON c.dim = q.dim
+  JOIN cb ON cb.m = q.dim // {_PQ_DSUB} AND cb.dsub = q.dim % {_PQ_DSUB}
+  WHERE q.vec_id < {_N_QUERIES}
+  GROUP BY q.vec_id, c.cell, cb.m, cb.code
+), adc AS (
+  SELECT t.q_id, a.vec_id, CAST(sum(t.d2) AS BIGINT) AS adc_dist
+  FROM enc e
+  JOIN asg a ON a.vec_id = e.vec_id
+  JOIN qtab t ON t.cell = a.cell AND t.m = e.m AND t.code = e.code
+  WHERE a.vec_id <> t.q_id
+  GROUP BY t.q_id, a.vec_id
+)
+SELECT q_id, vec_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist, vec_id) AS BIGINT) AS rnk
+FROM adc QUALIFY rnk <= {_TOP_K} ORDER BY q_id, rnk
+"""
+
+
+def _ivfpq_adc_udf(cent: np.ndarray, cb: np.ndarray, qtab: np.ndarray, nq: int):
+    """Assign + residual-encode + ADC-score in ONE Arrow stage. ``cent``
+    is the (CELLS, DIM) int64 coarse codebook, ``cb`` the (M, CODES,
+    DSUB) int64 residual sub-codebook, ``qtab`` the (NQ, CELLS, M,
+    CODES) int64 query-residual distance tables. Per batch: one matmul-
+    shaped argmin assigns cells (ties to the lowest cell, matching the
+    oracle), the residual is encoded with M small argmins (ties to the
+    lowest code), and the ADC distance is M gathers from the candidate's
+    OWN cell's table — queries never touch the corpus vector itself."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def adc(qarr: pd.Series) -> pd.Series:
+        if len(qarr) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(qarr.to_numpy()).astype(np.int64)
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cells = np.argmin(d, axis=1)  # first-hit argmin = lowest cell on ties
+        r = (x - cent[cells]).reshape(len(x), _PQ_M, _PQ_DSUB)
+        tot = np.zeros((len(x), nq), dtype=np.int64)
+        for m in range(_PQ_M):
+            dm = ((r[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+            codes_m = np.argmin(dm, axis=1)
+            tot += qtab[:, cells, m, codes_m].T
+        return pd.Series([[int(v) for v in row] for row in tot])
+
+    return adc
+
+
+@register(
+    "similarity_ivfpq_topk", oracle=_ivfpq_oracle(), tags=("similarity", "approx")
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index — the FAISS IVFPQ architecture, the actual
+    billion-scale ANN layout: a coarse quantizer (16 cells, integer-L2
+    assignment) partitions the corpus, and each vector stores only its
+    cell id + 8 PQ codes over its RESIDUAL (vector − cell centroid).
+    Queries build a per-probed-cell ADC table over their own residuals
+    and scan codes, never vectors. Registered at full probe, which makes
+    the pipeline deterministic integer arithmetic end to end — the
+    oracle replays quantize → assign → residual → codebook → encode →
+    ADC → top-k bit-for-bit (same discipline as similarity_ivf_train /
+    similarity_pq_topk; n_probe < cells recall behavior is the
+    similarity_ivf_probe story and stays rows-only there).
+
+    Scale (why residual-PQ is THE 100 TB layout): storage per vector is
+    4 B cell + 8 B codes vs 256 B raw — a 10⁹-vector index fits in
+    executor memory; residuals are centered near zero so the 16-code
+    sub-codebooks quantize them far better than raw vectors, which is
+    why FAISS defaults to IVF+PQ-on-residuals. The corpus is processed
+    in ONE Arrow stage (assign + encode + ADC), never shuffled; only
+    (q_id, dist) rows move to the top-k window. Driver collects are
+    bounded: cells×dim + codes×dim + nq×dim ints (the same O(codebook)
+    bound as _ivf_anchor_matrix). Reference delegates analytics to its
+    app (kinesumer.go:346-370); SURVEY.md §2.2 'similarity search:
+    scale path' row.
+    """
+    v = _t(spark, sf_dir).select("vec_id", _as_double("embedding").alias("e"))
+    qv = v.select(
+        "vec_id",
+        F.expr(f"transform(e, x -> CAST(floor(x * {_KM_Q}) AS BIGINT))").alias("q"),
+    )
+
+    small = qv.filter(
+        (
+            (F.col("vec_id") >= _IVF_ANCHOR_BASE)
+            & (F.col("vec_id") < _IVF_ANCHOR_BASE + _IVF_CELLS)
+        )
+        | (
+            (F.col("vec_id") >= _IVFPQ_SEED_BASE)
+            & (F.col("vec_id") < _IVFPQ_SEED_BASE + _PQ_CODES)
+        )
+        | (F.col("vec_id") < _N_QUERIES)
+    ).collect()
+
+    def _mat(lo: int, hi: int) -> np.ndarray:
+        rows = sorted(
+            (r for r in small if lo <= r["vec_id"] < hi), key=lambda r: r["vec_id"]
+        )
+        return np.stack([np.array(r["q"], dtype=np.int64) for r in rows])
+
+    cent = _mat(_IVF_ANCHOR_BASE, _IVF_ANCHOR_BASE + _IVF_CELLS)
+    seeds = _mat(_IVFPQ_SEED_BASE, _IVFPQ_SEED_BASE + _PQ_CODES)
+    qm = _mat(0, _N_QUERIES)
+    q_ids = sorted(int(r["vec_id"]) for r in small if r["vec_id"] < _N_QUERIES)
+
+    seed_cells = np.argmin(
+        ((seeds[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    seed_res = seeds - cent[seed_cells]
+    cb = (
+        seed_res.reshape(_PQ_CODES, _PQ_M, _PQ_DSUB).transpose(1, 0, 2).copy()
+    )  # (M, CODES, DSUB)
+    qres = (qm[:, None, :] - cent[None, :, :]).reshape(
+        len(q_ids), _IVF_CELLS, _PQ_M, _PQ_DSUB
+    )
+    qtab = ((qres[:, :, :, None, :] - cb[None, None, :, :, :]) ** 2).sum(axis=4)
+
+    adc = _ivfpq_adc_udf(cent, cb, qtab, len(q_ids))
+    scored = (
+        qv.select("vec_id", adc("q").alias("ds"))
+        .select("vec_id", F.posexplode("ds").alias("qi", "adc_dist"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(i).cast("bigint") for i in q_ids]),
+                F.col("qi") + 1,
+            ).alias("q_id"),
+            "vec_id",
+            "adc_dist",
+        )
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .orderBy("q_id", "rnk")
+    )

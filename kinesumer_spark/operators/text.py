@@ -771,3 +771,55 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(length(raw) - length(scrubbed) AS bigint) AS bytes_removed",
         "md5(scrubbed) AS scrubbed_md5",
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary (tokenizer-training term statistics)
+# --------------------------------------------------------------------------
+
+_VOCAB_TOP = 100
+
+_VOCAB_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS word
+  FROM documents
+), v AS (
+  SELECT word,
+         COUNT(*) AS cf,
+         COUNT(DISTINCT doc_id) AS df
+  FROM w GROUP BY word
+)
+SELECT word, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df
+FROM v
+ORDER BY cf DESC, word
+LIMIT {_VOCAB_TOP}
+"""
+
+
+@register("text_vocab_topk", oracle=_VOCAB_ORACLE, tags=("text",))
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary statistics: collection frequency and
+    document frequency per term, top-{100} by cf — the term-count pass
+    every tokenizer training (BPE seed vocab) and idf table starts from.
+
+    Scale: explode → partial count map-side, ONE shuffle keyed on the
+    term; df via count(distinct doc_id), which Spark plans as the
+    two-phase (word, doc_id) partial-dedup expand — no row ever carries
+    more than (word, doc_id). Top-k is orderBy+limit →
+    TakeOrderedAndProject (no global sort materialization). At 100 TB
+    the term key space is Zipf-skewed but partial aggregation absorbs
+    the head mass map-side before the shuffle (the classic word-count
+    skew answer).
+    """
+    d = _t(spark, sf_dir)
+    return (
+        d.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .selectExpr("word", "cast(cf AS bigint) AS cf", "cast(df AS bigint) AS df")
+        .orderBy(F.col("cf").desc(), "word")
+        .limit(_VOCAB_TOP)
+    )

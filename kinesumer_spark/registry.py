@@ -111,9 +111,7 @@ _FRONT = (
     "pipeline_curation",
     "multimodal_meta",
     # events/decode/sink block (r2 rows)
-    "events_envelope",
     "events_sessionize",
-    "events_asof_join",
     # never driver-checked: rows-only by nature (recall at n_probe<cells
     # is probabilistic) — the one intentional no_oracle row this window
     "similarity_ivf_probe",
@@ -134,6 +132,8 @@ _FRONT = (
     "multimodal_audio",
     "multimodal_video_sample",
     "text_pii_scrub",
+    "text_vocab_topk",
+    "similarity_ivfpq_topk",
     # dropped from this window to stay within the driver's 50-name
     # prefix: set_distinct / set_union_by_name (setops.py unchanged
     # since their r1 rows — pure canaries), scalar_higher_order_funcs
@@ -141,7 +141,8 @@ _FRONT = (
     # decode_json_payload / decode_csv_payload / scalar_json_tuple_base64
     # / filter_like_rlike_nullsafe / sink_merge_upsert (r2-green,
     # decode.py unchanged since — canaries displaced by never-checked
-    # new queries), topk_orderby_limit / envelope_shard_order_audit /
+    # new queries), events_envelope / topk_orderby_limit /
+    # envelope_shard_order_audit / events_asof_join /
     # events_tumbling_hourly (r2-green, events_ops.py unchanged since),
     # and events_asof_join_merge (r2-green, custom_asof.py unchanged
     # since). The local oracle gate still runs all of them every round.

