@@ -183,3 +183,15 @@ def test_boilerplate_shuffles_hashes_not_strings(spark):
     }
     assert keys <= {"ch", "doc_id"}, keys
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_pii_scrub_and_vocab_stay_jvm_side(spark):
+    """text_pii_scrub is zero-shuffle (regex chains are per-row JVM
+    expressions); text_vocab_topk's only exchange is the term-keyed
+    aggregation, and neither plan drops to Python."""
+    plan = plan_string(_df(spark, "text_pii_scrub"))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    vplan = plan_string(_df(spark, "text_vocab_topk"))
+    assert "BatchEvalPython" not in vplan
+    assert "TakeOrderedAndProject" in vplan, vplan
