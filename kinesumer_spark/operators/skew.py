@@ -229,3 +229,124 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering
+# --------------------------------------------------------------------------
+
+_Z_BUCKETS_SHIFT = 26  # 32-bit z-value >> 26 → 64 buckets ("files")
+
+
+def _spread_sql(x: str) -> str:
+    """SQL: interleave zeros between the low 16 bits of ``x`` (the
+    classic Morton magic-shift spread) — pure &/|/<< on BIGINT,
+    identical syntax and semantics in Spark SQL and DuckDB."""
+    s = f"(({x}) & 65535)"
+    s = f"((({s}) | (({s}) << 8)) & 16711935)"
+    s = f"((({s}) | (({s}) << 4)) & 252645135)"
+    s = f"((({s}) | (({s}) << 2)) & 858993459)"
+    return f"((({s}) | (({s}) << 1)) & 1431655765)"
+
+
+def _zval_sql(x: str, y: str) -> str:
+    return f"({_spread_sql(x)} | ({_spread_sql(y)} << 1))"
+
+
+_ZORDER_ORACLE = f"""
+WITH d AS (
+  SELECT user_id % 65536 AS ux,
+         (epoch_us(ts) // 3600000000) % 65536 AS hx
+  FROM events
+), stats AS (
+  SELECT MIN(ux) AS lo_u, GREATEST(MAX(ux) - MIN(ux), 1) AS rg_u,
+         MIN(hx) AS lo_h, GREATEST(MAX(hx) - MIN(hx), 1) AS rg_h
+  FROM d
+), n AS (
+  SELECT ux, hx,
+         ((ux - lo_u) * 65535) // rg_u AS un,
+         ((hx - lo_h) * 65535) // rg_h AS hn
+  FROM d CROSS JOIN stats
+), z AS (
+  SELECT ux, hx, {_zval_sql('un', 'hn')} >> {_Z_BUCKETS_SHIFT} AS bucket
+  FROM n
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(ux) AS BIGINT) AS min_user, CAST(MAX(ux) AS BIGINT) AS max_user,
+       CAST(MIN(hx) AS BIGINT) AS min_hour, CAST(MAX(hx) AS BIGINT) AS max_hour
+FROM z
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("events_zorder_layout", oracle=_ZORDER_ORACLE, tags=("layout",))
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering — the multi-dimensional data-skipping
+    layout behind Delta `OPTIMIZE ZORDER BY (user_id, ts)`: interleave
+    the bits of the two skipping dimensions, range-split the z-value
+    into buckets (stand-ins for files), and emit each bucket's per-dim
+    min/max — the footer statistics a reader would prune on. Because z
+    is bit-interleaved, BOTH dims' ranges stay narrow in every bucket,
+    so predicates on either column (or both) skip most buckets; a
+    single-key sort gives narrow ranges on one dim and full-range on
+    the other (proven quantitatively in tests/test_skew_ops.py).
+
+    The Morton spread is the classic magic-shift sequence on BIGINT
+    (&/|/<<), identical syntax in Spark SQL and DuckDB, so the whole
+    layout computation — including bucket assignment — is hash-checked
+    bit-for-bit, not just row counts. Dims are min/max-normalized to
+    the full 16-bit range first (integer scale, both engines identical)
+    — the analog of Delta's range-partition-id normalization; without
+    it, low-entropy columns leave the interleave's high bits constant
+    and everything lands in one bucket.
+
+    Scale: z-value computation is per-row integer arithmetic at scan
+    speed; the real OPTIMIZE job sorts by z within partitions
+    (repartitionByRange(z) — one range shuffle, the same cost as any
+    sort-based layout) and writes ~1 GB files whose min/max footers are
+    exactly what this query emits. Hour granularity on the time dim
+    matches the partition-prune tier above it (events_partitioned_prune);
+    the two compose: directory pruning first, then z-file pruning.
+    """
+    ev = _t(spark, sf_dir, "events")
+    d = ev.selectExpr(
+        "user_id % 65536 AS ux",
+        "(unix_micros(ts) div 3600000000) % 65536 AS hx",
+    )
+    # per-dim min/max for 16-bit normalization: 4 scalars to the driver
+    # (the same bounded stats collect every layout optimizer performs)
+    lo_u, max_u, lo_h, max_h = d.agg(
+        F.min("ux"), F.max("ux"), F.min("hx"), F.max("hx")
+    ).first()
+    rg_u = max(max_u - lo_u, 1)
+    rg_h = max(max_h - lo_h, 1)
+    n = d.selectExpr(
+        "ux",
+        "hx",
+        f"((ux - {lo_u}) * 65535) div {rg_u} AS un",
+        f"((hx - {lo_h}) * 65535) div {rg_h} AS hn",
+    )
+    z = n.selectExpr(
+        "ux", "hx", f"{_zval_sql('un', 'hn')} >> {_Z_BUCKETS_SHIFT} AS bucket"
+    )
+    return (
+        z.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ux").alias("min_user"),
+            F.max("ux").alias("max_user"),
+            F.min("hx").alias("min_hour"),
+            F.max("hx").alias("max_hour"),
+        )
+        .selectExpr(
+            "cast(bucket AS bigint) AS bucket",
+            "cast(n_rows AS bigint) AS n_rows",
+            "cast(min_user AS bigint) AS min_user",
+            "cast(max_user AS bigint) AS max_user",
+            "cast(min_hour AS bigint) AS min_hour",
+            "cast(max_hour AS bigint) AS max_hour",
+        )
+        .orderBy("bucket")
+    )

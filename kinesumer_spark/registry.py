@@ -111,7 +111,6 @@ _FRONT = (
     "pipeline_curation",
     "multimodal_meta",
     # events/decode/sink block (r2 rows)
-    "events_sessionize",
     # never driver-checked: rows-only by nature (recall at n_probe<cells
     # is probabilistic) — the one intentional no_oracle row this window
     "similarity_ivf_probe",
@@ -134,6 +133,7 @@ _FRONT = (
     "text_pii_scrub",
     "text_vocab_topk",
     "similarity_ivfpq_topk",
+    "events_zorder_layout",
     # dropped from this window to stay within the driver's 50-name
     # prefix: set_distinct / set_union_by_name (setops.py unchanged
     # since their r1 rows — pure canaries), scalar_higher_order_funcs
@@ -142,7 +142,7 @@ _FRONT = (
     # / filter_like_rlike_nullsafe / sink_merge_upsert (r2-green,
     # decode.py unchanged since — canaries displaced by never-checked
     # new queries), events_envelope / topk_orderby_limit /
-    # envelope_shard_order_audit / events_asof_join /
+    # envelope_shard_order_audit / events_asof_join / events_sessionize /
     # events_tumbling_hourly (r2-green, events_ops.py unchanged since),
     # and events_asof_join_merge (r2-green, custom_asof.py unchanged
     # since). The local oracle gate still runs all of them every round.

@@ -79,3 +79,44 @@ def test_bucketed_join_has_no_exchange(spark):
     join_subtree = plan[plan.index("SortMergeJoin") :]
     assert "Exchange" not in join_subtree, join_subtree
     assert "SortMergeJoin" in plan, plan
+
+
+def test_zorder_bounds_both_dims_unlike_single_key_sort(spark):
+    """The point of Z-order: every bucket's min/max stays narrow on BOTH
+    dimensions. Build the same number of buckets from a single-key
+    (user) sort and compare: the linear layout leaves the hour dimension
+    near full-range in its buckets, the z-layout bounds it."""
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.registry import all_queries
+    from kinesumer_spark.catalog import read_table
+
+    from .conftest import SF_SMALL
+
+    zb = all_queries()["events_zorder_layout"].spark(spark, SF_SMALL).collect()
+    assert len(zb) > 4  # the interleave actually splits into many buckets
+
+    ev = read_table(spark, SF_SMALL, "events").selectExpr(
+        "user_id % 65536 AS ux",
+        "(unix_micros(ts) div 3600000000) % 65536 AS hx",
+    )
+    lo_h, hi_h = ev.agg(F.min("hx"), F.max("hx")).first()
+    full_hour_range = hi_h - lo_h
+
+    # single-key layout: same bucket count, split by user rank
+    n_buckets = len(zb)
+    linear = (
+        ev.selectExpr(
+            "ux", "hx",
+            f"cast(ux * {n_buckets} / 65536 AS int) AS bucket",
+        )
+        .groupBy("bucket")
+        .agg((F.max("hx") - F.min("hx")).alias("hr"))
+        .collect()
+    )
+    lin_avg_hr = sum(r["hr"] for r in linear) / len(linear)
+    z_avg_hr = sum(r["max_hour"] - r["min_hour"] for r in zb) / len(zb)
+    # linear user-sort cannot bound the hour dim: near full range per
+    # bucket; z-order must do strictly (and substantially) better
+    assert lin_avg_hr > 0.5 * full_hour_range, (lin_avg_hr, full_hour_range)
+    assert z_avg_hr < 0.5 * lin_avg_hr, (z_avg_hr, lin_avg_hr)
