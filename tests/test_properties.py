@@ -107,3 +107,50 @@ def test_commit_ledger_length_then_lex_max_is_numeric_max(nums):
     strs = [str(n) for n in nums]
     by_len_lex = max(strs, key=lambda s: (len(s), s))
     assert int(by_len_lex) == max(nums)
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=40),
+    n_ch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_any_pcm16_payload(n_frames, n_ch, rate, seed):
+    """encode_wav∘decode_wav == identity for arbitrary PCM16 content,
+    shapes, and rates — not just the closed-form synth corpus."""
+    import numpy as np
+
+    from kinesumer_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-(2**15), 2**15, size=(n_frames, n_ch), dtype=np.int64).astype(
+        np.int16
+    )
+    r2, back = decode_wav(encode_wav(s, rate))
+    assert r2 == rate
+    assert np.array_equal(back, s)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=8),
+    w=st.integers(min_value=1, max_value=8),
+    fps=st.sampled_from([24, 25, 30]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_any_luma_stack(n, h, w, fps, seed):
+    """encode_y4m∘decode_y4m == identity for arbitrary luma content and
+    (even) dimensions."""
+    import numpy as np
+
+    from kinesumer_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h * 2, w * 2), dtype=np.int64).astype(
+        np.uint8
+    )
+    fps2, back = decode_y4m(encode_y4m(frames, fps=fps))
+    assert fps2 == fps
+    assert np.array_equal(back, frames)

@@ -112,3 +112,40 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning (SPARK-32268): a selective dim
+    filter is compiled into a bloom_filter_agg on the build side and
+    pushed into the fact scan as a might_contain probe — the row-level
+    skipping tier between static partition pruning and the join itself.
+
+    At 100 TB this engages by itself: the defaults require a >10 GB
+    application-side scan (far above any local fixture), so the test
+    lowers that threshold to 0 and disables broadcast (the bloom path
+    targets shuffle joins; a broadcastable dim already prunes via DPP).
+    The assertion is on the optimized plan: bloom filter built from the
+    filtered orders side, applied over lineitem's orderkey."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_SMALL, "lineitem")
+        o = read_table(spark, SF_SMALL, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_string(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
