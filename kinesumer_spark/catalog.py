@@ -37,27 +37,58 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing engine-specific physical types.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events-shaped ``ts`` column to TimestampType (µs,
+    UTC instants) regardless of the physical encoding the generator
+    used. Observed generator variants across rounds:
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as a
-    raw long (legacy conf) and truncate to a microsecond timestamp —
-    the same truncation DuckDB's epoch_us / strftime apply — so both
-    engines see identical instants.
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+      (PARQUET_TYPE_ILLEGAL); with ``legacy.parquet.nanosAsLong`` it
+      surfaces as a raw LongType of epoch-nanos → integer-divide to µs
+      (epoch-nanos ~1e18 exceeds double's 53-bit mantissa, so a float
+      divide would round the microsecond) — the same truncation
+      DuckDB's epoch_us / strftime apply.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+      TIMESTAMP_NTZ → reinterpret the wall-clock as UTC (identity
+      under the session-tz=UTC pin below), matching DuckDB's naive
+      TIMESTAMP read of the same column.
+    - already TimestampType: pass through.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if "ts" not in df.columns:
+        return df
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def parquet_file_schema(spark: SparkSession, path: str):
+    """Footer-only physical schema of a parquet file/dir as Spark sees it
+    (readStream does no inference, so stream sources pass this in)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
+
+
+def events_raw_schema(spark: SparkSession, sf_dir: str):
+    """Physical schema of the events table for file-stream sources."""
+    return parquet_file_schema(spark, table_path(sf_dir, "events"))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing engine-specific physical types
+    (see normalize_event_ts for the ``events.ts`` variants)."""
     # queries may run under a caller-built SparkSession (the external
     # driver's); timestamp formatting/extraction is session-tz dependent,
     # so pin UTC here — the single choke point every query reads through
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(table_path(sf_dir, name))
-        # integer division: epoch-nanos (~1e18) exceeds double's 53-bit
-        # mantissa, so a float divide would round the microsecond
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesumer_spark.streaming.envelope import (
-    EVENTS_RAW_SCHEMA,
     RECORD_SCHEMA,
     events_to_envelope,
 )
@@ -141,11 +140,15 @@ class Engine:
         Returns a *streaming* DataFrame in RECORD_SCHEMA; the caller
         attaches transformations and hands a sink to ``run()``.
         """
+        from kinesumer_spark.catalog import parquet_file_schema
+
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         self._streams = {s.name: s for s in sources}
         merged: DataFrame | None = None
         for s in sources:
-            reader = self.spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            # footer-read physical schema per source — the generator's ts
+            # encoding has varied across rounds (nanos-long vs NTZ µs)
+            reader = self.spark.readStream.schema(parquet_file_schema(self.spark, s.path))
             if s.max_files_per_trigger:
                 reader = reader.option("maxFilesPerTrigger", s.max_files_per_trigger)
             raw = reader.parquet(s.path)

@@ -26,13 +26,15 @@ RECORD_SCHEMA = T.StructType(
     ]
 )
 
-# Physical schema of the events parquet when TIMESTAMP(NANOS) is read as
-# a raw long (see catalog.read_table) — required for readStream, which
-# does no inference.
+# Logical schema of the events stream rows after ts normalization
+# (catalog.normalize_event_ts). File-stream sources must pass the
+# *physical* schema (catalog.events_raw_schema — readStream does no
+# inference); the generator's physical ts encoding has changed between
+# rounds (nanos-as-long vs TIMESTAMP_NTZ µs), so never hardcode it.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # epoch nanos
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -59,9 +61,12 @@ def sequence_number_for(seq: Column) -> Column:
 
 
 def events_to_envelope(raw: DataFrame, stream: str = "events") -> DataFrame:
-    """Wrap raw events rows (EVENTS_RAW_SCHEMA, ts in nanos) into
+    """Wrap raw events rows (any physical ts encoding) into
     RECORD_SCHEMA. The payload is the full row as JSON bytes."""
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    from kinesumer_spark.catalog import normalize_event_ts
+
+    raw = normalize_event_ts(raw)
+    ts = F.col("ts")
     payload = F.to_json(
         F.struct(
             F.col("event_id"),

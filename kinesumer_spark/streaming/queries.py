@@ -30,15 +30,19 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events table (ts normalized to µs)."""
+    from kinesumer_spark.catalog import events_raw_schema, normalize_event_ts
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # file-stream sources require a directory; glob down to the one table
+    # file-stream sources require a directory; glob down to the one table.
+    # readStream does no inference — pass the footer-read physical schema
+    # (the generator's ts encoding has varied across rounds).
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def _run_to_table(
@@ -342,10 +346,12 @@ def stream_consume_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the throughput probe in bench.py)."""
     from kinesumer_spark.streaming.envelope import events_to_envelope
 
+    from kinesumer_spark.catalog import events_raw_schema
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )

@@ -18,7 +18,7 @@ def test_rocksdb_state_store_runs_stateful_query(spark, tmp_path):
     """A streaming stateful aggregation runs on the RocksDB state store
     provider (the off-heap/on-disk state backend for 100 TB keyed
     state) and produces the same result as the default provider."""
-    from kinesumer_spark.streaming.envelope import EVENTS_RAW_SCHEMA
+    from kinesumer_spark.catalog import events_raw_schema
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -28,7 +28,7 @@ def test_rocksdb_state_store_runs_stateful_query(spark, tmp_path):
     )
     try:
         stream = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(events_raw_schema(spark, SF_SMALL))
             .option("pathGlobFilter", "events.parquet")
             .parquet(SF_SMALL)
         )

@@ -155,7 +155,7 @@ def test_kafka_envelope_normalization(spark):
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     """applyInPandasWithState accumulates per-key state across
     microbatches; final running totals equal the batch ground truth."""
-    from kinesumer_spark.streaming.envelope import EVENTS_RAW_SCHEMA
+    from kinesumer_spark.catalog import parquet_file_schema
     from kinesumer_spark.streaming.stateful import running_user_totals
 
     t = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
@@ -167,7 +167,7 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(parquet_file_schema(spark, str(d)))
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
