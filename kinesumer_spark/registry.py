@@ -171,6 +171,7 @@ def all_queries() -> dict[str, Query]:
         reshape,
         rollups,
         skew,
+        tpch_partsupp,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -195,3 +195,18 @@ def test_pii_scrub_and_vocab_stay_jvm_side(spark):
     vplan = plan_string(_df(spark, "text_vocab_topk"))
     assert "BatchEvalPython" not in vplan
     assert "TakeOrderedAndProject" in vplan, vplan
+
+
+def test_partsupp_queries_broadcast_dims_no_smj(spark):
+    """The derived-partsupp TPC-H shapes must resolve every keyed join as
+    a broadcast (dims and the 4-row fan-out are all broadcast-sized) —
+    no SortMergeJoin, no CartesianProduct — and stay JVM-side. q9's only
+    exchange is the final GROUP BY."""
+    p9 = plan_string(_df(spark, "q9_product_type_profit"))
+    assert p9.count("BroadcastHashJoin") >= 5, p9
+    assert "SortMergeJoin" not in p9 and "CartesianProduct" not in p9
+    assert "BatchEvalPython" not in p9
+    assert p9.count("Exchange hashpartitioning") <= 1, p9
+    p11 = plan_string(_df(spark, "q11_important_stock"))
+    assert p11.count("BroadcastHashJoin") >= 4, p11
+    assert "SortMergeJoin" not in p11 and "CartesianProduct" not in p11
