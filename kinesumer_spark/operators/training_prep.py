@@ -1,0 +1,226 @@
+"""Training-set preparation operators over `documents`: GPT-style
+concat-and-chunk sequence packing, deterministic hash-based
+train/val/test splitting, and temperature-based language resampling.
+
+These are the steps between curation (dedup/quality, operators/text.py,
+operators/dedup.py) and the tokenizer/dataloader: every large-scale LLM
+pipeline runs some form of all three. The reference has no analog (it
+delivers opaque records and leaves processing to the application —
+kinesumer.go:97-102); they are part of this engine's declared
+LLM-pipeline surface (SURVEY.md §2.2, round-5 additions).
+
+All three are oracle-exact: integer token counts, sha256-prefix split
+buckets, and IEEE-exact sqrt/ordered-cumsum weights reproduce
+bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.operators.dedup import _sha32, _sha32_duck
+from kinesumer_spark.registry import register
+
+_SEQ_LEN = 512  # tokens per packed training sequence
+_BLOCK = 100  # docs per prefix-sum block (see pack_sequences docstring)
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, tokens,
+         CAST(SUM(tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT)
+           AS start_off
+  FROM t
+)
+SELECT doc_id, tokens, start_off,
+       start_off // {_SEQ_LEN} AS first_chunk,
+       (start_off + tokens - 1) // {_SEQ_LEN} AS last_chunk,
+       (start_off + tokens - 1) // {_SEQ_LEN} - start_off // {_SEQ_LEN} + 1
+         AS n_chunks
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE, tags=("training", "pack"))
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate all documents in
+    doc_id order and cut every ``_SEQ_LEN`` tokens; emit each document's
+    global token offset and the chunk span it lands in (GPT-style
+    pretraining layout — documents may straddle chunk boundaries).
+
+    Scale: the naive form is one global window (ORDER BY doc_id with no
+    PARTITION BY — a single-partition sort at 100 TB). Implemented
+    instead as the classic TWO-PASS distributed prefix sum:
+    (1) per-block token totals (block = doc_id div {_BLOCK}) — one
+    narrow groupBy; (2) block-prefix offsets via a window over the
+    block-totals relation ONLY (rows = |docs|/{_BLOCK}, bounded; ~10⁶
+    rows at 10⁸ docs — still one partition but of block summaries, not
+    data); (3) broadcast-join prefixes back and cumsum WITHIN each
+    block (window partitioned by block — parallel). The oracle replays
+    the plain global-window form; both produce identical integer
+    offsets.
+    """
+    d = _t(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tokens")
+    )
+    d = d.withColumn("block", F.expr(f"doc_id div {_BLOCK}"))
+    block_tot = d.groupBy("block").agg(F.sum("tokens").alias("block_tokens"))
+    block_prefix = block_tot.withColumn(
+        "block_off",
+        F.coalesce(
+            F.sum("block_tokens").over(
+                W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("block", "block_off")
+    win = W.partitionBy("block").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    out = (
+        d.join(F.broadcast(block_prefix), "block")
+        .withColumn(
+            "start_off", F.col("block_off") + F.sum("tokens").over(win) - F.col("tokens")
+        )
+        .selectExpr(
+            "doc_id",
+            "tokens",
+            "start_off",
+            f"start_off div {_SEQ_LEN} AS first_chunk",
+            f"(start_off + tokens - 1) div {_SEQ_LEN} AS last_chunk",
+            f"(start_off + tokens - 1) div {_SEQ_LEN}"
+            f" - start_off div {_SEQ_LEN} + 1 AS n_chunks",
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+# Split buckets from a sha256 prefix of the SALTED doc id: stable under
+# re-sharding and re-ordering (content-free, id-keyed), identical in any
+# engine. 80/10/10.
+_SALTED_SPARK = "concat('split:', doc_id)"
+_SALTED_DUCK = "'split:' || doc_id"
+_SPLIT_EXPR_SPARK = f"{_sha32(_SALTED_SPARK)} % 100"
+_SPLIT_EXPR_DUCK = f"{_sha32_duck(_SALTED_DUCK)} % 100"
+
+
+def _split_case(bucket_expr: str) -> str:
+    return (
+        f"CASE WHEN ({bucket_expr}) < 80 THEN 'train' "
+        f"WHEN ({bucket_expr}) < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, {_split_case(_SPLIT_EXPR_DUCK)} AS split
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM b
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register("split_train_val_test", oracle=_SPLIT_ORACLE, tags=("training", "sample"))
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on a salted
+    sha256 prefix of doc_id — reproducible across engines, runs, and
+    re-partitionings (never use rand(): a re-run must not move documents
+    between splits). Emits per-split counts + an id checksum so the
+    driver hash-checks the exact membership, not just sizes.
+
+    Scale: one narrow map + one 3-group aggregate; the split column
+    itself is the per-row deliverable and pipelines into any downstream
+    filter with zero shuffle."""
+    d = _t(spark, sf_dir)
+    return (
+        d.selectExpr("doc_id", f"{_split_case(_SPLIT_EXPR_SPARK)} AS split")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+_RESAMPLE_ORACLE = """
+WITH n AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt,
+         SUM(sqrt(CAST(n_docs AS DOUBLE)))
+           OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum_wt,
+         SUM(n_docs) OVER () AS total_docs
+  FROM n
+), tot AS (
+  SELECT lang, n_docs, wt, total_docs, MAX(cum_wt) OVER () AS total_wt FROM w
+)
+SELECT lang, n_docs,
+       CAST(FLOOR(total_docs * wt / total_wt) AS BIGINT) AS target_docs,
+       round(FLOOR(total_docs * wt / total_wt) / CAST(n_docs AS DOUBLE), 6)
+         AS sampling_rate
+FROM tot
+ORDER BY lang
+"""
+
+
+@register("resample_temperature", oracle=_RESAMPLE_ORACLE, tags=("training", "sample"))
+def resample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (α = 0.5): target counts
+    proportional to n_lang^α — upsamples low-resource languages,
+    downsamples dominant ones (the multilingual-pretraining standard;
+    α = 0.5 keeps every weight an IEEE-exact sqrt, so both engines
+    round identically).
+
+    Determinism detail: the weight TOTAL is taken as the maximum of an
+    ORDERED running sum over langs (not an unordered SUM of doubles),
+    so the float additions happen in the same order in both engines.
+
+    Scale: |langs| rows after one groupBy — the windows run over a
+    handful of rows; the emitted sampling_rate column drives a
+    downstream sample_hash_deterministic pass (reshape.py) at full
+    scale."""
+    d = _t(spark, sf_dir)
+    n = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = n.select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_docs").cast("double")).alias("wt"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double")))
+        .over(W.orderBy("lang").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_wt"),
+        F.sum("n_docs").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("total_docs"),
+    )
+    tot = w.select(
+        "lang",
+        "n_docs",
+        "wt",
+        "total_docs",
+        F.max("cum_wt")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("total_wt"),
+    )
+    return tot.selectExpr(
+        "lang",
+        "n_docs",
+        "CAST(FLOOR(total_docs * wt / total_wt) AS BIGINT) AS target_docs",
+        "round(FLOOR(total_docs * wt / total_wt) / CAST(n_docs AS DOUBLE), 6)"
+        " AS sampling_rate",
+    ).orderBy("lang")

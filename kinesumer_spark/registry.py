@@ -172,6 +172,7 @@ def all_queries() -> dict[str, Query]:
         rollups,
         skew,
         tpch_partsupp,
+        training_prep,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 

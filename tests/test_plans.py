@@ -210,3 +210,16 @@ def test_partsupp_queries_broadcast_dims_no_smj(spark):
     p11 = plan_string(_df(spark, "q11_important_stock"))
     assert p11.count("BroadcastHashJoin") >= 4, p11
     assert "SortMergeJoin" not in p11 and "CartesianProduct" not in p11
+
+
+def test_pack_sequences_prefix_sum_is_two_pass(spark):
+    """pack_sequences must implement the distributed two-pass prefix sum:
+    the within-block window is partitioned by block (parallel), and at
+    most ONE single-partition exchange exists — the block-summary window,
+    which runs over |docs|/_BLOCK rows, never the full data."""
+    plan = plan_string(_df(spark, "pack_sequences"))
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "partitionBy=[block" in plan.replace("#", "").replace(" ", "") or (
+        "block" in plan and "Window" in plan
+    ), plan
+    assert "BatchEvalPython" not in plan
