@@ -75,77 +75,76 @@ def register(
 # ALL registered queries, so out-of-window regressions still fail CI —
 # they are just not externally re-proven until their next rotation.
 _FRONT = (
-    # converted to checkable oracles / reworked this round (r4)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "stream_dedup_within_watermark",
-    "sample_seeded",
-    "similarity_ann_hyperplane",
-    "similarity_ivf_topk",
-    "sample_hash_deterministic",
-    # dedup.py / similarity.py churned r3+r4: fresh rows for the rest
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "similarity_cosine_topk",
-    "similarity_dup_pairs",
-    # streaming block (r2 rows; streaming/queries.py churned r4)
-    "stream_consume_envelope",
+    #   r5 (this window): the testdata generator changed events.ts
+    #       physical encoding between r3 and r4 (TIMESTAMP(NANOS) →
+    #       TIMESTAMP_NTZ µs), which crashed/diverged 9 of r4's 50
+    #       checked rows. Those nine lead this window (repair proof on
+    #       the fixed schema-adaptive read path), then the 8 new r5
+    #       queries (derived-partsupp TPC-H + training-prep), then EVERY
+    #       remaining events-reading query (all 28 route through the
+    #       rewritten catalog.normalize_event_ts), then the oldest
+    #       r1/r2-row canaries that r4's window displaced.
+    # -- r4 failures, now fixed (repair proof first) --
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
     "stream_session_window",
-    "stream_dedup",
-    "stream_static_join",
     "stream_watermarked_append",
     "stream_stream_join",
-    # reshape.py churned r4
     "agg_salted_skew",
-    "reshape_posexplode",
-    "reshape_unpivot",
-    # LLM text/multimodal block (r2 rows)
-    "text_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "pipeline_curation",
-    "multimodal_meta",
-    # events/decode/sink block (r2 rows)
-    # never driver-checked: rows-only by nature (recall at n_probe<cells
-    # is probabilistic) — the one intentional no_oracle row this window
-    "similarity_ivf_probe",
-    # new r4 operators / converted-to-oracle this round
-    "dedup_clusters_lsh",
-    "multimodal_decode",
-    "multimodal_features",
-    "similarity_ivf_train",
-    "similarity_pq_topk",
-    "text_bm25",
-    "sample_stratified_exact",
-    "join_skew_salted",
-    "join_bucketed_colocated",
     "events_partitioned_prune",
-    "text_repetition",
-    "text_decontaminate",
-    "dedup_boilerplate",
-    "multimodal_audio",
-    "multimodal_video_sample",
-    "text_pii_scrub",
-    "text_vocab_topk",
-    "similarity_ivfpq_topk",
     "events_zorder_layout",
+    "similarity_ivf_probe",  # rows-only by design (probabilistic recall)
+    # -- new in r5 --
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_promotable_suppliers",
+    "pack_sequences",
+    "split_train_val_test",
+    "resample_temperature",
+    # -- remaining events-readers (read path rewritten this round) --
+    "stream_consume_envelope",
+    "stream_dedup_within_watermark",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stateful_totals",
+    "events_envelope",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_asof_join",
+    "events_asof_join_merge",
+    "events_range_join_binned",
+    "events_rollup_multires",
+    "envelope_shard_order_audit",
+    "topk_orderby_limit",
+    "decode_json_payload",
+    "decode_csv_payload",
+    "scalar_json_tuple_base64",
+    "set_distinct",
+    "agg_pivot",
+    "scalar_date_funcs",
+    "scalar_json_funcs",
+    # -- oldest canaries (r1/r2 rows, displaced by r4's window) --
+    "filter_like_rlike_nullsafe",
+    "sink_merge_upsert",
+    "set_union_by_name",
+    "set_union_all",
+    "scalar_higher_order_funcs",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "scalar_map_funcs",
+    "scalar_conditional_funcs",
+    "agg_collect_list_set",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "sample_hash_deterministic",
     # dropped from this window to stay within the driver's 50-name
-    # prefix: set_distinct / set_union_by_name (setops.py unchanged
-    # since their r1 rows — pure canaries), scalar_higher_order_funcs
-    # (r2-green, scalars.py unchanged since before that row),
-    # decode_json_payload / decode_csv_payload / scalar_json_tuple_base64
-    # / filter_like_rlike_nullsafe / sink_merge_upsert (r2-green,
-    # decode.py unchanged since — canaries displaced by never-checked
-    # new queries), events_envelope / topk_orderby_limit /
-    # envelope_shard_order_audit / events_asof_join / events_sessionize /
-    # events_tumbling_hourly (r2-green, events_ops.py unchanged since),
-    # and events_asof_join_merge (r2-green, custom_asof.py unchanged
-    # since). The local oracle gate still runs all of them every round.
+    # prefix: the dedup/similarity/text/multimodal/reshape blocks hold
+    # fresh r4-green rows (CORRECTNESS_r04) and their modules are
+    # unchanged in r5; join_*/window_*/agg_*/subquery blocks hold
+    # r3-green rows, modules unchanged since. The local oracle gate
+    # still runs ALL registered queries every round.
 )
 
 
