@@ -861,3 +861,127 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(n_boiler / cast(n_chunks AS double), 6) AS boiler_frac",
         "n_boiler * 2 > n_chunks AS drop_doc",
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Exact substring-run dedup (positional shingles + diagonal islands)
+# --------------------------------------------------------------------------
+
+_RUN_K = 8  # words per positional shingle
+_RUN_MIN = 12  # report pairs sharing a run of >= this many tokens
+_RUN_DF_CAP = 50  # drop shingles occurring more often (boilerplate guard)
+
+
+def _substring_oracle() -> str:
+    h = _sha32_duck("shingle")
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
+), p AS (
+  SELECT doc_id, lang, words,
+         unnest(range(1, len(words) - {_RUN_K} + 2)) AS pos
+  FROM w WHERE len(words) >= {_RUN_K}
+), e AS (
+  SELECT doc_id, lang, pos,
+         {h} AS hsh
+  FROM (SELECT doc_id, lang, pos,
+               array_to_string(words[pos:pos+{_RUN_K}-1], ' ') AS shingle
+        FROM p)
+), f AS (
+  SELECT * FROM (
+    SELECT e.*, COUNT(*) OVER (PARTITION BY lang, hsh) AS occ FROM e)
+  WHERE occ <= {_RUN_DF_CAP}
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos - b.pos AS diag, a.pos AS ia
+  FROM f a JOIN f b
+    ON a.hsh = b.hsh AND a.lang = b.lang AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, diag,
+         ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY ia) AS island
+  FROM m
+), runs AS (
+  SELECT doc_a, doc_b, COUNT(*) AS m FROM isl
+  GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(m) + {_RUN_K} - 1 AS BIGINT) AS max_run_tokens,
+       CAST(SUM(m) AS BIGINT) AS n_matches
+FROM runs
+GROUP BY doc_a, doc_b
+HAVING MAX(m) + {_RUN_K} - 1 >= {_RUN_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_substring_spans", oracle=_substring_oracle(), tags=("dedup",))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring detection (the "Deduplicating Training Data
+    Makes Language Models Better" operator, re-expressed relationally):
+    report document pairs sharing a verbatim run of >= {MIN} consecutive
+    tokens, with the longest run length.
+
+    Method: positional {K}-word shingles; matched shingle positions
+    between two documents lie on diagonals (pos_a - pos_b constant), and
+    a shared run of m consecutive shingles is an "island" of consecutive
+    positions on one diagonal (gaps-and-islands: pos - row_number() is
+    constant within an island) -> run length = m + {K} - 1 tokens.
+
+    Scale (100 TB):
+    - Shingle generation is map-side (the overlapping-lookahead regexp,
+      see _shingles_raw) -- no shuffle until the hash join.
+    - The pair join is BLOCKED on (lang, sha256-prefix hash): never
+      all-pairs. The worst case -- an ultra-common shingle bucket
+      expanding quadratically -- is capped by the document-frequency
+      guard (occ <= {CAP}): boilerplate shingles are dedup_boilerplate's
+      job, and dropping them bounds any bucket to {CAP}^2 rows. This is
+      the same frequency-capping the suffix-array implementations of the
+      paper apply to keep memory bounded.
+    - Islands need one shuffle keyed (doc_a, doc_b) -- pair-local,
+      parallel; no global sort anywhere.
+
+    Every stage (sha256-prefix hashes, integer positions, window
+    row_number) is deterministic integer arithmetic, so the DuckDB
+    oracle replays the pipeline bit-for-bit.
+    """
+    d = _t(spark, sf_dir, "documents")
+    # overlapping K-gram lookahead (same idiom as _shingles_raw, K words)
+    grp = " ".join([r"\\S+"] * _RUN_K)
+    arr = F.expr(rf"regexp_extract_all(text, '(?:^| )(?=({grp}))', 1)")
+    e = (
+        d.select("doc_id", "lang", arr.alias("sh"))
+        .select("doc_id", "lang", F.posexplode("sh").alias("pos0", "shingle"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(_sha32("shingle")).alias("hsh"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    occ = W.partitionBy("lang", "hsh")
+    f = e.withColumn("occ", F.count("*").over(occ)).filter(
+        F.col("occ") <= _RUN_DF_CAP
+    )
+    a = f.selectExpr("doc_id AS doc_a", "lang", "hsh", "pos AS ia")
+    b = f.selectExpr("doc_id AS doc_b", "lang", "hsh", "pos AS jb")
+    m = (
+        a.join(b, ["lang", "hsh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (F.col("ia") - F.col("jb")).alias("diag"), "ia")
+    )
+    wisl = W.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = (
+        m.withColumn("island", F.col("ia") - F.row_number().over(wisl))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("m"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("m") + _RUN_K - 1).cast("bigint").alias("max_run_tokens"),
+            F.sum("m").cast("bigint").alias("n_matches"),
+        )
+        .filter(F.col("max_run_tokens") >= _RUN_MIN)
+    )
+    return runs.orderBy("doc_a", "doc_b")

@@ -103,6 +103,7 @@ _FRONT = (
     "pack_sequences",
     "split_train_val_test",
     "resample_temperature",
+    "dedup_substring_spans",
     # -- remaining events-readers (read path rewritten this round) --
     "stream_consume_envelope",
     "stream_dedup_within_watermark",

@@ -223,3 +223,16 @@ def test_pack_sequences_prefix_sum_is_two_pass(spark):
         "block" in plan and "Window" in plan
     ), plan
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_spans_blocked_join_no_all_pairs(spark):
+    """dedup_substring_spans must join on the (lang, shingle-hash) block
+    — never an unconditioned product — and stay JVM-side."""
+    plan = plan_string(_df(spark, "dedup_substring_spans"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ln.startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines and all("hsh" in ln for ln in key_lines), key_lines
