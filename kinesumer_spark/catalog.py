@@ -67,11 +67,18 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def parquet_file_schema(spark: SparkSession, path: str):
     """Footer-only physical schema of a parquet file/dir as Spark sees it
-    (readStream does no inference, so stream sources pass this in)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path).schema
+    (readStream does no inference, so stream sources pass this in).
+    Cached per path: testdata is immutable for a session, and the probe
+    otherwise costs ~100 ms of job setup per stream (re)start."""
+    if path not in _SCHEMA_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[path]
 
 
 def events_raw_schema(spark: SparkSession, sf_dir: str):

@@ -224,3 +224,86 @@ def resample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(FLOOR(total_docs * wt / total_wt) / CAST(n_docs AS DOUBLE), 6)"
         " AS sampling_rate",
     ).orderBy("lang")
+
+
+_PROFILE_ORACLE = """
+WITH per AS (
+  SELECT 'doc_id' AS column_name,
+         COUNT(*) - COUNT(doc_id) AS n_nulls,
+         COUNT(DISTINCT doc_id) AS n_distinct,
+         CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+         CAST(MAX(doc_id) AS VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+         MIN(lang), MAX(lang) FROM documents
+  UNION ALL
+  SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+         MIN(source), MAX(source) FROM documents
+  UNION ALL
+  SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'text_len', COUNT(*) - COUNT(text), COUNT(DISTINCT length(text)),
+         CAST(MIN(length(text)) AS VARCHAR), CAST(MAX(length(text)) AS VARCHAR)
+  FROM documents
+)
+SELECT column_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+FROM per ORDER BY column_name
+"""
+
+
+@register("profile_documents", oracle=_PROFILE_ORACLE, tags=("training", "profile"))
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the pre-ingest health check every pipeline runs
+    before committing 100 TB to a training mix): per-column null count,
+    distinct count, and min/max, one row per column.
+
+    Scale: ONE scan computes every column's aggregates side by side
+    (Catalyst evaluates all agg expressions in a single partial+final
+    pass — no per-column rescans); the per-column rows are unpivoted
+    from that single aggregate row map-side. COUNT(DISTINCT) over
+    multiple columns expands the aggregate buffers, not the scan count;
+    for wider tables swap in approx_count_distinct (HLL) — the exact
+    form here is what the oracle can replay."""
+    d = _t(spark, sf_dir)
+    row = d.agg(
+        (F.count(F.lit(1)) - F.count("doc_id")).alias("id_nulls"),
+        F.countDistinct("doc_id").alias("id_dist"),
+        F.min("doc_id").cast("string").alias("id_min"),
+        F.max("doc_id").cast("string").alias("id_max"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("lang_nulls"),
+        F.countDistinct("lang").alias("lang_dist"),
+        F.min("lang").alias("lang_min"),
+        F.max("lang").alias("lang_max"),
+        (F.count(F.lit(1)) - F.count("source")).alias("src_nulls"),
+        F.countDistinct("source").alias("src_dist"),
+        F.min("source").alias("src_min"),
+        F.max("source").alias("src_max"),
+        (F.count(F.lit(1)) - F.count("n_chars")).alias("nc_nulls"),
+        F.countDistinct("n_chars").alias("nc_dist"),
+        F.min("n_chars").cast("string").alias("nc_min"),
+        F.max("n_chars").cast("string").alias("nc_max"),
+        (F.count(F.lit(1)) - F.count("text")).alias("tl_nulls"),
+        F.countDistinct(F.length("text")).alias("tl_dist"),
+        F.min(F.length("text")).cast("string").alias("tl_min"),
+        F.max(F.length("text")).cast("string").alias("tl_max"),
+    )
+    unpivoted = row.selectExpr(
+        """stack(5,
+           'doc_id',  id_nulls,  id_dist,  id_min,  id_max,
+           'lang',    lang_nulls, lang_dist, lang_min, lang_max,
+           'n_chars', nc_nulls,  nc_dist,  nc_min,  nc_max,
+           'source',  src_nulls, src_dist, src_min, src_max,
+           'text_len', tl_nulls, tl_dist, tl_min, tl_max)
+           AS (column_name, n_nulls, n_distinct, min_value, max_value)"""
+    )
+    return unpivoted.selectExpr(
+        "column_name",
+        "CAST(n_nulls AS BIGINT) AS n_nulls",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "min_value",
+        "max_value",
+    ).orderBy("column_name")

@@ -79,8 +79,9 @@ _FRONT = (
     #       physical encoding between r3 and r4 (TIMESTAMP(NANOS) →
     #       TIMESTAMP_NTZ µs), which crashed/diverged 9 of r4's 50
     #       checked rows. Those nine lead this window (repair proof on
-    #       the fixed schema-adaptive read path), then the 8 new r5
-    #       queries (derived-partsupp TPC-H + training-prep), then EVERY
+    #       the fixed schema-adaptive read path), then the 10 new r5
+    #       queries (derived-partsupp TPC-H, training-prep, substring
+    #       dedup, profiling), then EVERY
     #       remaining events-reading query (all 28 route through the
     #       rewritten catalog.normalize_event_ts), then the oldest
     #       r1/r2-row canaries that r4's window displaced.
@@ -104,6 +105,7 @@ _FRONT = (
     "split_train_val_test",
     "resample_temperature",
     "dedup_substring_spans",
+    "profile_documents",
     # -- remaining events-readers (read path rewritten this round) --
     "stream_consume_envelope",
     "stream_dedup_within_watermark",
@@ -130,7 +132,6 @@ _FRONT = (
     "filter_like_rlike_nullsafe",
     "sink_merge_upsert",
     "set_union_by_name",
-    "set_union_all",
     "scalar_higher_order_funcs",
     "scalar_string_funcs",
     "scalar_math_funcs",
