@@ -106,6 +106,7 @@ _FRONT = (
     "resample_temperature",
     "dedup_substring_spans",
     "profile_documents",
+    "multimodal_resize",
     # -- remaining events-readers (read path rewritten this round) --
     "stream_consume_envelope",
     "stream_dedup_within_watermark",
@@ -137,7 +138,6 @@ _FRONT = (
     "scalar_math_funcs",
     "scalar_map_funcs",
     "scalar_conditional_funcs",
-    "agg_collect_list_set",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "sample_hash_deterministic",
