@@ -154,3 +154,58 @@ def test_y4m_roundtrip_any_luma_stack(n, h, w, fps, seed):
     fps2, back = decode_y4m(encode_y4m(frames, fps=fps))
     assert fps2 == fps
     assert np.array_equal(back, frames)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    oh=st.integers(min_value=1, max_value=12),
+    ow=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_resize_nearest_matches_naive_loop(h, w, oh, ow, seed):
+    """resize_nearest's vectorized index map must equal the elementwise
+    floor-sampling definition for ANY dims (incl. up- and down-scaling)."""
+    import numpy as np
+
+    from kinesumer_spark.operators.multimodal import resize_nearest
+
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = resize_nearest(pix, oh, ow)
+    assert got.shape == (oh, ow, 3)
+    for ry in range(oh):
+        for rx in range(ow):
+            assert (got[ry, rx] == pix[(ry * h) // oh, (rx * w) // ow]).all()
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=120),
+    block=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=30, deadline=None)
+def test_two_pass_prefix_sum_is_block_size_invariant(tokens, block):
+    """The pack_sequences offsets must not depend on the block size —
+    the two-pass decomposition is an implementation detail. Replayed in
+    plain Python (the Spark form is oracle-checked separately): per-block
+    totals + block prefixes + within-block cumsum == global cumsum."""
+    n = len(tokens)
+    blocks: dict[int, list[int]] = {}
+    for i, t in enumerate(tokens):
+        blocks.setdefault(i // block, []).append(t)
+    prefix, acc = {}, 0
+    for b in sorted(blocks):
+        prefix[b] = acc
+        acc += sum(blocks[b])
+    got = []
+    for b in sorted(blocks):
+        run = prefix[b]
+        for t in blocks[b]:
+            got.append(run)
+            run += t
+    want, acc2 = [], 0
+    for t in tokens:
+        want.append(acc2)
+        acc2 += t
+    assert got == want
