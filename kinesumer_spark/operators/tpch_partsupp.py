@@ -142,7 +142,8 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE n.n_regionkey = 3
 GROUP BY ps.ps_partkey
 HAVING SUM(ps.ps_supplycost_cents * ps.ps_availqty) >
-  (SELECT SUM(ps2.ps_supplycost_cents * ps2.ps_availqty) / 500.0
+  (SELECT 1.5 * SUM(ps2.ps_supplycost_cents * ps2.ps_availqty)
+            / COUNT(DISTINCT ps2.ps_partkey)
    FROM partsupp ps2
    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
@@ -151,9 +152,12 @@ ORDER BY part_value DESC, ps.ps_partkey
 """,
     ("tpch", "having", "partsupp"),
     "TPC-H Q11 shape: per-part stock value filtered by a HAVING against "
-    "an uncorrelated global-total scalar subquery (integer-cents sums "
-    "stay exact; the >-threshold double conversion is identical in both "
-    "engines below 2^53).",
+    "an uncorrelated global scalar subquery. The threshold is 1.5x the "
+    "per-part AVERAGE (TPC-H's fixed fraction divides by SF precisely "
+    "because a constant share returns 0 rows as |part| grows — this "
+    "form stays selective at every scale). Integer-cents sums stay "
+    "exact; the >-threshold double conversion is identical in both "
+    "engines below 2^53.",
 )
 
 
