@@ -985,3 +985,97 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_run_tokens") >= _RUN_MIN)
     )
     return runs.orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Keep-best: quality-aware canonical selection per near-dup cluster
+# --------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), e AS (
+  SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS shingle FROM s
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM e a JOIN e b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM p
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), walk AS (
+  SELECT DISTINCT src AS doc_id, src AS reach FROM edges
+  UNION
+  SELECT wk.doc_id, e2.dst FROM walk wk JOIN edges e2 ON e2.src = wk.reach
+), clusters AS (
+  SELECT min(reach) AS cluster_id, doc_id FROM walk GROUP BY doc_id
+), q AS (
+  SELECT doc_id,
+         round(LEAST(1.0, len(regexp_split_to_array(text, ' ')) / 100.0) *
+               (1.0 - len(regexp_extract_all(text, '[^a-z ]'))
+                    / CAST(n_chars AS DOUBLE)), 6) AS quality_score
+  FROM documents
+)
+SELECT c.cluster_id, c.doc_id, q.quality_score,
+       (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                           ORDER BY q.quality_score DESC, c.doc_id) = 1)
+         AS keep
+FROM clusters c JOIN q USING (doc_id)
+ORDER BY cluster_id, doc_id
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE, tags=("dedup", "iterative"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the HIGHEST-quality member (ties → min doc_id), not the min-id
+    member — the keeper policy production pipelines actually use (the
+    near-identical copies differ in boilerplate/truncation, and min-id
+    throws the cleanest copy away half the time).
+
+    Composition: connected components over the exact 3-gram-Jaccard
+    ≥ 0.5 pair graph (``connected_components``, alternating-star — the
+    same engine dedup_clusters uses) ⨝ ``text_quality_score`` ranked per
+    cluster. quality_score is rounded to 6 decimals BEFORE ranking, so
+    the float comparison is engine-stable (the rounded values hash-match
+    in the text_quality_score driver row).
+
+    Scale: clusters scale with |edges| (see connected_components);
+    quality is a map-side expression; the final rank windows over
+    cluster members only (bounded by cluster size, not corpus size). At
+    100 TB swap the exact pair source for minhash_pairs exactly as
+    dedup_clusters_lsh does."""
+    from kinesumer_spark.operators.text import text_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _verified_pairs(_shingles(d), 0.5).select("doc_a", "doc_b")
+    labels, _ = connected_components(pairs)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    from pyspark.sql import Window as W
+
+    clustered = labels.select(F.col("label").alias("cluster_id"), "doc_id").join(
+        quality, "doc_id"
+    )
+    rank = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        clustered.withColumn("keep", rank == 1)
+        .select("cluster_id", "doc_id", "quality_score", "keep")
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -107,6 +107,7 @@ _FRONT = (
     "dedup_substring_spans",
     "profile_documents",
     "multimodal_resize",
+    "dedup_keep_best",
     # -- remaining events-readers (read path rewritten this round) --
     "stream_consume_envelope",
     "stream_dedup_within_watermark",
@@ -137,7 +138,6 @@ _FRONT = (
     "scalar_string_funcs",
     "scalar_math_funcs",
     "scalar_map_funcs",
-    "scalar_conditional_funcs",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "sample_hash_deterministic",
