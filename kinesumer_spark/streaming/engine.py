@@ -270,10 +270,19 @@ class Engine:
         records: DataFrame,
         sink: Callable[[DataFrame, int], None],
         query_name: str = "consume",
+        trigger: dict | None = None,
     ):
         """Start the delivery query: user sink + auto-commit ledger in one
         foreachBatch (the reference's records-channel + auto-mark of the
-        batch's last record, kinesumer.go:551-554, :656-658)."""
+        batch's last record, kinesumer.go:551-554, :656-658).
+
+        ``trigger`` is passed to ``writeStream.trigger(**trigger)``:
+        ``{"availableNow": True}`` gives the bounded-backfill mode (drain
+        everything currently in the source, respecting
+        maxFilesPerTrigger batching, then stop on its own — the
+        production catch-up pattern); ``{"processingTime": "5 seconds"}``
+        mirrors the reference's 5 s scan cadence (kinesumer.go:26).
+        Default (None) is the continuous micro-batch default."""
 
         def deliver(batch_df: DataFrame, batch_id: int) -> None:
             try:
@@ -289,12 +298,14 @@ class Engine:
                 batch_df.unpersist()
 
         self._attach_listener()
-        self._query = (
+        writer = (
             records.writeStream.queryName(query_name)
             .option("checkpointLocation", self._ckpt_dir())
             .foreachBatch(deliver)
-            .start()
         )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        self._query = writer.start()
         with self._lock:
             self._query_ids.add(str(self._query.id))
         return self._query

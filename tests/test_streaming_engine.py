@@ -417,3 +417,25 @@ def test_rate_source_envelope(spark):
     assert set(per_shard) <= {f"shardId-{i:012d}" for i in range(5)}
     for seqs in per_shard.values():
         assert sorted(seqs) == sorted(set(seqs))  # unique per shard
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path, events_dir):
+    """AvailableNow (bounded backfill): the query drains every record
+    currently in the source — still honoring maxFilesPerTrigger
+    batching — commits the ledger, then terminates ON ITS OWN (no
+    stop() call): the production catch-up mode for processing a backlog
+    without leaving a continuous query running."""
+    path, n_total = events_dir
+    eng = Engine(spark, app="t-avnow", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", path, max_files_per_trigger=2)])
+    seen: list = []
+    q = eng.run(records, _collecting_sink(seen), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert not q.isActive, "AvailableNow query must self-terminate"
+    delivered = [r for _, rows in seen for r in rows]
+    assert len(delivered) == n_total
+    assert len(seen) >= 2  # batching preserved under AvailableNow
+    # ledger complete: every shard's high-water mark committed
+    cps = eng.checkpoints()
+    assert len([k for k in cps if k[0] == "events"]) == 5
+    eng.close()
