@@ -38,6 +38,15 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """See variant list below. Also pins session tz to UTC: the NTZ→
+    timestamp cast reinterprets wall-clock in the SESSION zone, so a
+    caller-built non-UTC session would silently shift every instant
+    (and diverge from read_table's batch path) without this."""
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    return _normalize_event_ts(df)
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize an events-shaped ``ts`` column to TimestampType (µs,
     UTC instants) regardless of the physical encoding the generator
     used. Observed generator variants across rounds:
@@ -67,18 +76,36 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-_SCHEMA_CACHE: dict[str, object] = {}
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _path_state(path: str) -> tuple:
+    """Cheap content fingerprint (names+sizes) so the schema cache
+    invalidates when files at the path are replaced/regenerated —
+    reusing a pre-drift schema would reintroduce the exact silent
+    misread the adaptive path exists to prevent."""
+    if os.path.isdir(path):
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_size)
+                for e in os.scandir(path)
+                if e.is_file()
+            )
+        )
+    st = os.stat(path)
+    return ((os.path.basename(path), st.st_size),)
 
 
 def parquet_file_schema(spark: SparkSession, path: str):
     """Footer-only physical schema of a parquet file/dir as Spark sees it
     (readStream does no inference, so stream sources pass this in).
-    Cached per path: testdata is immutable for a session, and the probe
-    otherwise costs ~100 ms of job setup per stream (re)start."""
-    if path not in _SCHEMA_CACHE:
+    Cached per (path, file-state): saves the ~100 ms probe per stream
+    (re)start while still picking up regenerated data."""
+    key = (path, _path_state(path))
+    if key not in _SCHEMA_CACHE:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
-    return _SCHEMA_CACHE[path]
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
 
 
 def events_raw_schema(spark: SparkSession, sf_dir: str):

@@ -79,9 +79,9 @@ _FRONT = (
     #       physical encoding between r3 and r4 (TIMESTAMP(NANOS) →
     #       TIMESTAMP_NTZ µs), which crashed/diverged 9 of r4's 50
     #       checked rows. Those nine lead this window (repair proof on
-    #       the fixed schema-adaptive read path), then the 10 new r5
+    #       the fixed schema-adaptive read path), then the 12 new r5
     #       queries (derived-partsupp TPC-H, training-prep, substring
-    #       dedup, profiling), then EVERY
+    #       dedup, profiling, resize, keep-best), then EVERY
     #       remaining events-reading query (all 28 route through the
     #       rewritten catalog.normalize_event_ts), then the oldest
     #       r1/r2-row canaries that r4's window displaced.
@@ -139,10 +139,11 @@ _FRONT = (
     "scalar_math_funcs",
     "scalar_map_funcs",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "sample_hash_deterministic",
     # dropped from this window to stay within the driver's 50-name
-    # prefix: the dedup/similarity/text/multimodal/reshape blocks hold
+    # prefix (this tuple is EXACTLY 50 — entries past 50 would silently
+    # go unchecked): q6_forecast_revenue and sample_hash_deterministic
+    # (r4-green, modules unchanged), and
+    # the dedup/similarity/text/multimodal/reshape blocks, which hold
     # fresh r4-green rows (CORRECTNESS_r04) and their modules are
     # unchanged in r5; join_*/window_*/agg_*/subquery blocks hold
     # r3-green rows, modules unchanged since. The local oracle gate

@@ -141,14 +141,26 @@ class Engine:
         attaches transformations and hands a sink to ``run()``.
         """
         from kinesumer_spark.catalog import parquet_file_schema
+        from kinesumer_spark.streaming.envelope import EVENTS_RAW_SCHEMA
 
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp normalization (NTZ cast) is session-tz dependent;
+        # pin UTC so a caller-built non-UTC session cannot shift instants
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         self._streams = {s.name: s for s in sources}
         merged: DataFrame | None = None
         for s in sources:
             # footer-read physical schema per source — the generator's ts
-            # encoding has varied across rounds (nanos-long vs NTZ µs)
-            reader = self.spark.readStream.schema(parquet_file_schema(self.spark, s.path))
+            # encoding has varied across rounds (nanos-long vs NTZ µs).
+            # An EMPTY source dir (consumer started before the producer,
+            # the normal Kinesis startup order) has no footer to probe:
+            # fall back to the logical envelope schema, which
+            # normalize_event_ts passes through unchanged.
+            try:
+                schema = parquet_file_schema(self.spark, s.path)
+            except Exception:
+                schema = EVENTS_RAW_SCHEMA
+            reader = self.spark.readStream.schema(schema)
             if s.max_files_per_trigger:
                 reader = reader.option("maxFilesPerTrigger", s.max_files_per_trigger)
             raw = reader.parquet(s.path)

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from kinesumer_spark.catalog import table_path
 from kinesumer_spark.functions.exact import oracle_sum
 from kinesumer_spark.registry import register
-from kinesumer_spark.streaming.envelope import EVENTS_RAW_SCHEMA
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 

@@ -153,9 +153,10 @@ def test_asof_merge_plan_is_cogrouped_pandas(spark):
 def test_repetition_has_no_shuffle(spark):
     """text_repetition is per-row columnar: no hash exchange anywhere
     (the only exchange is the rangepartitioning of the cosmetic final
-    ORDER BY)."""
+    ORDER BY). Formatted explain spells partitionings on Arguments
+    lines, so match the token, not "Exchange hashpartitioning"."""
     plan = plan_string(_df(spark, "text_repetition"))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert "hashpartitioning(" not in plan, plan
     assert "BatchEvalPython" not in plan
 
 
@@ -164,11 +165,18 @@ def test_decontaminate_broadcasts_eval_set(spark):
     side is never shuffled on shingle."""
     plan = plan_string(_df(spark, "text_decontaminate"))
     assert "BroadcastHashJoin" in plan, plan
-    # the only hash exchanges are doc_id-keyed (hit-count agg + left join)
+    # Exchanges: doc_id-keyed (hit-count agg + left join), plus AT MOST
+    # one shingle-keyed exchange — the EVAL-side distinct that feeds the
+    # BroadcastExchange (bounded by eval-set size, KBs–MBs; benchmarks
+    # are tiny next to the corpus). The CORPUS must never shuffle on
+    # shingle: its probe is the broadcast join.
     import re
 
-    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
-        assert m.group(1).startswith("doc_id"), plan
+    keys = [k.split("#")[0] for k in re.findall(r"hashpartitioning\((\w+)", plan)]
+    assert keys, "no hash exchange found — assertion would be vacuous"
+    assert set(keys) <= {"doc_id", "shingle"}, (keys, plan)
+    assert keys.count("shingle") <= 1, (keys, plan)
+    assert "BroadcastExchange" in plan, plan
 
 
 def test_boilerplate_shuffles_hashes_not_strings(spark):
@@ -177,10 +185,8 @@ def test_boilerplate_shuffles_hashes_not_strings(spark):
     import re
 
     plan = plan_string(_df(spark, "dedup_boilerplate"))
-    keys = {
-        m.group(1).split("#")[0]
-        for m in re.finditer(r"Exchange hashpartitioning\((\w+#?\d*)", plan)
-    }
+    keys = {m.split("#")[0] for m in re.findall(r"hashpartitioning\((\w+)", plan)}
+    assert keys, "no hash exchange found — assertion would be vacuous"
     assert keys <= {"ch", "doc_id"}, keys
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
@@ -190,7 +196,7 @@ def test_pii_scrub_and_vocab_stay_jvm_side(spark):
     expressions); text_vocab_topk's only exchange is the term-keyed
     aggregation, and neither plan drops to Python."""
     plan = plan_string(_df(spark, "text_pii_scrub"))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert "hashpartitioning(" not in plan, plan
     assert "BatchEvalPython" not in plan
     vplan = plan_string(_df(spark, "text_vocab_topk"))
     assert "BatchEvalPython" not in vplan
@@ -206,7 +212,9 @@ def test_partsupp_queries_broadcast_dims_no_smj(spark):
     assert p9.count("BroadcastHashJoin") >= 5, p9
     assert "SortMergeJoin" not in p9 and "CartesianProduct" not in p9
     assert "BatchEvalPython" not in p9
-    assert p9.count("Exchange hashpartitioning") <= 1, p9
+    # formatted explain puts partitioning on an Arguments line, not on
+    # the Exchange node line — count the partitioning token itself
+    assert p9.count("hashpartitioning(") <= 1, p9
     p11 = plan_string(_df(spark, "q11_important_stock"))
     assert p11.count("BroadcastHashJoin") >= 4, p11
     assert "SortMergeJoin" not in p11 and "CartesianProduct" not in p11
@@ -218,10 +226,12 @@ def test_pack_sequences_prefix_sum_is_two_pass(spark):
     most ONE single-partition exchange exists — the block-summary window,
     which runs over |docs|/_BLOCK rows, never the full data."""
     plan = plan_string(_df(spark, "pack_sequences"))
-    assert plan.count("Exchange SinglePartition") <= 1, plan
-    assert "partitionBy=[block" in plan.replace("#", "").replace(" ", "") or (
-        "block" in plan and "Window" in plan
-    ), plan
+    # exactly ONE single-partition exchange (the block-summary window;
+    # formatted explain spells it on an Arguments line) — a regression
+    # to a full-data global window would add another
+    assert plan.count("SinglePartition") <= 1, plan
+    # ...and the data-sized stages stay block-partitioned (parallel)
+    assert "hashpartitioning(block" in plan, plan
     assert "BatchEvalPython" not in plan
 
 

@@ -439,3 +439,24 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path, events_dir):
     cps = eng.checkpoints()
     assert len([k for k in cps if k[0] == "events"]) == 5
     eng.close()
+
+
+def test_consume_starts_on_empty_source_dir(spark, tmp_path):
+    """Consumer-before-producer startup (the normal Kinesis order): the
+    schema probe has nothing to read on an empty dir, so consume() must
+    fall back to the logical envelope schema and still deliver records
+    that a producer writes AFTER the query starts."""
+    d = tmp_path / "idle_stream"
+    d.mkdir()
+    eng = Engine(spark, app="t-idle", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", str(d))])  # must not raise
+    seen: list = []
+    q = eng.run(records, _collecting_sink(seen))
+    try:
+        t = pq.read_table(EVENTS_PARQUET)
+        pq.write_table(t.slice(0, 100), d / "late-arrival.parquet")
+        q.processAllAvailable()
+    finally:
+        eng.close()
+    delivered = [r for _, rows in seen for r in rows]
+    assert len(delivered) == 100

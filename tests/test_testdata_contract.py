@@ -23,7 +23,13 @@ from .conftest import SF_SMALL
 # table -> {column: arrow type string}. Only columns whose physical type
 # the engine depends on are pinned (timestamps, binary/list layouts).
 _PINNED = {
-    "events": {"ts": ("timestamp[us]", "timestamp[ns]", "int64")},
+    # NOTE: raw "int64" is deliberately NOT accepted for events.ts — an
+    # unannotated integer column carries no time unit, and
+    # normalize_event_ts would assume nanos (the LongType branch exists
+    # for the nanosAsLong READ of timestamp[ns], whose unit IS known).
+    # If the generator ever writes raw int64, fail here and decide the
+    # unit explicitly from the value range.
+    "events": {"ts": ("timestamp[us]", "timestamp[ns]")},
     "orders": {"o_orderdate": ("timestamp[us]", "timestamp[ns]", "date32[day]")},
     "lineitem": {"l_shipdate": ("timestamp[us]", "timestamp[ns]", "date32[day]")},
     "embeddings": {"embedding": ("list<element: float>", "list<item: float>")},
