@@ -460,3 +460,19 @@ def test_consume_starts_on_empty_source_dir(spark, tmp_path):
         eng.close()
     delivered = [r for _, rows in seen for r in rows]
     assert len(delivered) == 100
+
+
+def test_processing_time_trigger_accepted(spark, tmp_path, events_dir):
+    """The processingTime trigger path (the reference's 5 s scan cadence,
+    kinesumer.go:26) must wire through Engine.run and deliver normally."""
+    path, n_total = events_dir
+    eng = Engine(spark, app="t-ptime", checkpoint_root=str(tmp_path / "ck"))
+    seen: list = []
+    q = eng.run(
+        eng.consume([StreamSource("events", path, max_files_per_trigger=None)]),
+        _collecting_sink(seen),
+        trigger={"processingTime": "1 seconds"},
+    )
+    q.processAllAvailable()
+    eng.close()
+    assert sum(len(rows) for _, rows in seen) == n_total
