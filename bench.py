@@ -54,8 +54,12 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session bootstrap.
-    registry["q6_forecast_revenue"].spark(spark, sf_dir).collect()
+    # query, not session bootstrap. (Guarded: a warm-up failure should
+    # surface as that query's own per-query error, not an empty bench.)
+    try:
+        registry["q6_forecast_revenue"].spark(spark, sf_dir).collect()
+    except Exception:
+        pass
 
     # min of N runs per query: steady-state time, robust to GC pauses
     # and co-tenant noise on the bench host. r3 showed min-of-2 is not
@@ -65,17 +69,27 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
     per_query_cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_all = time.perf_counter()
     for name in names:
         best = float("inf")
+        # a single failing query must not kill the whole bench (r4: a
+        # generator schema drift crashed run 1 of query 10 → rc=1, no
+        # JSON at all, and the round recorded nothing). Record the error
+        # and keep timing the rest.
         for i in range(runs):
             t0 = time.perf_counter()
-            registry[name].spark(spark, sf_dir).collect()
+            try:
+                registry[name].spark(spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001 — report, don't die
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
             dt = time.perf_counter() - t0
             if i == 0:
                 per_query_cold[name] = round(dt, 4)
             best = min(best, dt)
-        per_query[name] = round(best, 4)
+        if best < float("inf"):
+            per_query[name] = round(best, 4)
     total = round(sum(per_query.values()), 4)
     cold_total = round(sum(per_query_cold.values()), 4)
     wall = round(time.perf_counter() - t_all, 4)
@@ -106,6 +120,7 @@ def main() -> None:
                 "cold_total": cold_total,
                 "wall_incl_warm": wall,
                 "stream_envelope_rows_per_sec": stream_rows_per_sec,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
