@@ -175,6 +175,7 @@ def all_queries() -> dict[str, Query]:
         skew,
         tpch_partsupp,
         training_prep,
+        analytics,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 
