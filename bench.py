@@ -88,7 +88,13 @@ def main() -> None:
             if i == 0:
                 per_query_cold[name] = round(dt, 4)
             best = min(best, dt)
-        if best < float("inf"):
+        if name in errors:
+            # a query is either timed (full min-of-N) or failed — never
+            # both: a partial sample is not the steady-state number, and
+            # a timed+failed row would be self-contradictory
+            per_query.pop(name, None)
+            per_query_cold.pop(name, None)
+        elif best < float("inf"):
             per_query[name] = round(best, 4)
     total = round(sum(per_query.values()), 4)
     cold_total = round(sum(per_query_cold.values()), 4)
@@ -100,11 +106,16 @@ def main() -> None:
     # single-node consume→envelope→sink throughput at the same scale:
     stream_rows_per_sec = None
     if "stream_consume_envelope" in per_query and per_query["stream_consume_envelope"]:
-        from kinesumer_spark.catalog import read_table
+        try:
+            from kinesumer_spark.catalog import read_table
 
-        # envelope rows == source rows by construction (oracle-checked)
-        n_events = read_table(spark, sf_dir, "events").count()
-        stream_rows_per_sec = round(n_events / per_query["stream_consume_envelope"], 1)
+            # envelope rows == source rows by construction (oracle-checked)
+            n_events = read_table(spark, sf_dir, "events").count()
+            stream_rows_per_sec = round(
+                n_events / per_query["stream_consume_envelope"], 1
+            )
+        except Exception as exc:  # noqa: BLE001 — never lose the JSON line
+            errors["stream_envelope_rows_per_sec"] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -120,7 +131,9 @@ def main() -> None:
                 "cold_total": cold_total,
                 "wall_incl_warm": wall,
                 "stream_envelope_rows_per_sec": stream_rows_per_sec,
-                **({"errors": errors} if errors else {}),
+                # partial=True marks total as NOT comparable round-over-
+                # round (a failed query's seconds are missing from it)
+                **({"errors": errors, "partial": True} if errors else {}),
             }
         )
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesumer_spark.catalog import read_table
+from kinesumer_spark.functions.exact import exact_sum, oracle_sum
 from kinesumer_spark.registry import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -29,23 +30,35 @@ def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events")
 
 
-# Funnel: per user, first signup → first purchase AFTER it; conversion
-# counted when the purchase follows the signup within 7 days. One
-# groupBy(user_id) with conditional aggregates — min(ts) filtered per
-# stage — then one global rollup. No join, no window.
-_FUNNEL_ORACLE = """
-WITH stages AS (
+# Funnel: per user, first signup -> first purchase strictly AFTER it,
+# within 7 days. Two keyed passes: (1) first-signup per user over the
+# whole stream, (2) purchases joined to signed-up users, filtered to
+# after-signup, min per user. All comparisons on integer epoch-MICROS
+# (unix_micros / epoch_us) so both engines compare identical integers
+# even if the generator's physical ts precision drifts again (a raw-ts
+# comparison would use ns in DuckDB but us in Spark under the NANOS
+# variant).
+_DAY7_US = 7 * 24 * 3600 * 1_000_000
+
+_FUNNEL_ORACLE = f"""
+WITH users AS (
   SELECT user_id,
-         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
-         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           AS signup_us
   FROM events
   GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS conv_us
+  FROM events e JOIN users u USING (user_id)
+  WHERE e.event_type = 'purchase' AND u.signup_us IS NOT NULL
+    AND epoch_us(e.ts) > u.signup_us
+  GROUP BY e.user_id
 ), flags AS (
-  SELECT user_id,
-         first_signup IS NOT NULL AS signed_up,
-         first_signup IS NOT NULL AND first_purchase > first_signup
-           AND first_purchase <= first_signup + INTERVAL 7 DAY AS converted
-  FROM stages
+  SELECT u.user_id,
+         u.signup_us IS NOT NULL AS signed_up,
+         c.conv_us IS NOT NULL
+           AND c.conv_us <= u.signup_us + {_DAY7_US} AS converted
+  FROM users u LEFT JOIN conv c USING (user_id)
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(COUNT(CASE WHEN signed_up THEN 1 END) AS BIGINT) AS n_signed_up,
@@ -59,29 +72,33 @@ FROM flags
 
 @register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("analytics", "events"))
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signup→purchase conversion funnel (7-day window): sequential
-    event-order analytics as ONE conditional-aggregate pass — the
-    min-per-stage formulation avoids the naive self-join of signup rows
-    to later purchase rows (which shuffles the fact against itself; this
-    form shuffles each event once, keyed by user)."""
-    e = _t(spark, sf_dir)
-    stages = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
-            "first_signup"
-        ),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "first_purchase"
-        ),
+    """Signup->purchase conversion funnel (7-day window): converted means
+    the user's first purchase STRICTLY AFTER their first signup lands
+    within 7 days of it (purchases predating signup are ignored, not
+    disqualifying). Two keyed shuffles (first-signup agg, after-signup
+    purchase agg) + a per-user left join -- never a row-level fact
+    self-join. Timestamps compare as integer epoch-micros in BOTH
+    engines (see module comment)."""
+    e = _t(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
     )
-    flags = stages.select(
-        F.col("first_signup").isNotNull().alias("signed_up"),
+    users = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("tus"))).alias(
+            "signup_us"
+        )
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(users.filter(F.col("signup_us").isNotNull()), "user_id")
+        .filter(F.col("tus") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("conv_us"))
+    )
+    flags = users.join(conv, "user_id", "left").select(
+        F.col("signup_us").isNotNull().alias("signed_up"),
         (
-            F.col("first_signup").isNotNull()
-            & (F.col("first_purchase") > F.col("first_signup"))
-            & (
-                F.col("first_purchase")
-                <= F.col("first_signup") + F.expr("INTERVAL 7 DAY")
-            )
+            F.col("conv_us").isNotNull()
+            & (F.col("conv_us") <= F.col("signup_us") + F.lit(_DAY7_US))
         ).alias("converted"),
     )
     return flags.agg(
@@ -158,11 +175,11 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Histogram: fixed-width bins over events.value — integer bin index from
 # floor division, so bin edges are identical in both engines.
-_HIST_BIN = 25  # value range is [0, ~200); 25-wide bins → ≤ 8 rows
+_HIST_BIN = 25  # fixture value range is [0.01, ~490] → ~20 bins
 _HISTOGRAM_ORACLE = f"""
 SELECT CAST(FLOOR("value" / {_HIST_BIN}) AS BIGINT) * {_HIST_BIN} AS bin_lo,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS bin_sum
+       {oracle_sum('"value"')} AS bin_sum
 FROM events
 GROUP BY bin_lo
 ORDER BY bin_lo
@@ -182,11 +199,6 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(bin_lo, "value")
         .groupBy("bin_lo")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "bin_sum"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "bin_sum"))
         .orderBy("bin_lo")
     )
