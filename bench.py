@@ -51,13 +51,20 @@ def main() -> None:
     from kinesumer_spark.session import get_spark
 
     spark = get_spark(app_name="kinesumer_spark_bench")
+    from kinesumer_spark.operators.relational import q1_pricing_summary_fast
+
     registry = all_queries()
-    names = [n for n in HEADLINE if n in registry]
+    # q1_fast is deliberately unregistered (its correctness proof is the
+    # registered q1_fast_validation); bench times the raw function so
+    # the headline total stays comparable with earlier rounds
+    callables = {n: q.spark for n, q in registry.items()}
+    callables["q1_pricing_summary_fast"] = q1_pricing_summary_fast
+    names = [n for n in HEADLINE if n in callables]
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session bootstrap. (Guarded: a warm-up failure should
     # surface as that query's own per-query error, not an empty bench.)
     try:
-        registry["q6_forecast_revenue"].spark(spark, sf_dir).collect()
+        callables["q6_forecast_revenue"](spark, sf_dir).collect()
     except Exception:
         pass
 
@@ -80,7 +87,7 @@ def main() -> None:
         for i in range(runs):
             t0 = time.perf_counter()
             try:
-                registry[name].spark(spark, sf_dir).collect()
+                callables[name](spark, sf_dir).collect()
             except Exception as exc:  # noqa: BLE001 — report, don't die
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 break

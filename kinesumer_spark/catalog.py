@@ -41,7 +41,15 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     """See variant list below. Also pins session tz to UTC: the NTZ→
     timestamp cast reinterprets wall-clock in the SESSION zone, so a
     caller-built non-UTC session would silently shift every instant
-    (and diverge from read_table's batch path) without this."""
+    (and diverge from read_table's batch path) without this.
+
+    NOTE the pin must HOLD THROUGH EXECUTION, not just plan build: the
+    cast is lazy, so a caller that resets ``spark.sql.session.timeZone``
+    between building the DataFrame and collecting it would still shift
+    instants. Streaming paths re-pin at run time (engine.run); batch
+    callers that mutate the session tz mid-flight are on their own —
+    every registry query executes promptly under this pin, so the
+    exposure is external callers only."""
     df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     return _normalize_event_ts(df)
 
@@ -80,20 +88,22 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _path_state(path: str) -> tuple:
-    """Cheap content fingerprint (names+sizes) so the schema cache
+    """Cheap content fingerprint (names+sizes+mtimes) so the schema cache
     invalidates when files at the path are replaced/regenerated —
     reusing a pre-drift schema would reintroduce the exact silent
-    misread the adaptive path exists to prevent."""
+    misread the adaptive path exists to prevent. st_mtime_ns is part of
+    the key because a regenerated file can land byte-identical in size
+    while carrying a different physical schema."""
     if os.path.isdir(path):
         return tuple(
             sorted(
-                (e.name, e.stat().st_size)
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
                 for e in os.scandir(path)
                 if e.is_file()
             )
         )
     st = os.stat(path)
-    return ((os.path.basename(path), st.st_size),)
+    return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
 
 
 def parquet_file_schema(spark: SparkSession, path: str):

@@ -49,6 +49,19 @@ from kinesumer_spark.streaming.envelope import (
 )
 
 
+def _dir_has_data_files(path: str) -> bool:
+    """True if ``path`` exists and holds at least one non-hidden file —
+    the schema probe runs only then, so real probe failures (corrupt
+    footer, permission error) propagate instead of being swallowed by a
+    blanket empty-dir fallback."""
+    if not os.path.isdir(path):
+        return False
+    return any(
+        e.is_file() and not e.name.startswith((".", "_"))
+        for e in os.scandir(path)
+    )
+
+
 def ordered_per_shard(records: DataFrame, fn, output_schema: str) -> DataFrame:
     """Apply ``fn(pdf) -> pdf`` per (stream, shard_id) with rows sorted by
     sequence_number — the reference's processing model (one ordered
@@ -155,10 +168,16 @@ class Engine:
             # An EMPTY source dir (consumer started before the producer,
             # the normal Kinesis startup order) has no footer to probe:
             # fall back to the logical envelope schema, which
-            # normalize_event_ts passes through unchanged.
-            try:
+            # normalize_event_ts passes through unchanged. The fallback
+            # is taken ONLY for the genuinely-empty case — a corrupt
+            # footer or permission error must surface, not silently
+            # degrade; and the fallback schema (ts TimestampType) does
+            # NOT cover late-arriving TIMESTAMP(NANOS) files, which
+            # surface as LongType under nanosAsLong and would fail the
+            # fixed-schema stream read.
+            if _dir_has_data_files(s.path):
                 schema = parquet_file_schema(self.spark, s.path)
-            except Exception:
+            else:
                 schema = EVENTS_RAW_SCHEMA
             reader = self.spark.readStream.schema(schema)
             if s.max_files_per_trigger:

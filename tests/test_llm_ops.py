@@ -130,16 +130,21 @@ def test_ann_banded_recall_and_determinism(spark):
 
 
 def test_dup_pairs_lsh_precision_and_recall(spark):
-    """The LSH-prefiltered dup-pairs variant must emit ONLY true pairs
-    (precision 1 — every row also appears in the exact label-blocked
-    answer with the identical cosine) and capture ≥0.8 of them (recall
-    gate; measured 1.0 at the test SFs). Deterministic across runs."""
+    """The LSH-prefiltered dup-pairs variant (dup_pairs_lsh API) must
+    emit ONLY true pairs (precision 1 — every row also appears in the
+    exact label-blocked answer with the identical cosine) and capture
+    ≥0.8 of them (recall gate; measured 1.0 at the test SFs).
+    Deterministic across runs. The registered validation form
+    (similarity_dup_pairs_lsh) must agree: both booleans TRUE and the
+    exact-pair count matching."""
+    from kinesumer_spark.operators.similarity import dup_pairs_lsh
+
     exact = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
         for r in _run(spark, "similarity_dup_pairs").collect()
     }
-    lsh1 = _run(spark, "similarity_dup_pairs_lsh").collect()
-    lsh2 = _run(spark, "similarity_dup_pairs_lsh").collect()
+    lsh1 = dup_pairs_lsh(spark, SF_SMALL).collect()
+    lsh2 = dup_pairs_lsh(spark, SF_SMALL).collect()
     assert lsh1 == lsh2
     assert exact, "fixture should produce qualifying pairs"
     for r in lsh1:
@@ -148,6 +153,10 @@ def test_dup_pairs_lsh_precision_and_recall(spark):
         assert r["cosine"] == exact[key]
     recall = len(lsh1) / len(exact)
     assert recall >= 0.8, f"LSH dup-pairs recall {recall:.2f} < 0.8"
+    [audit] = _run(spark, "similarity_dup_pairs_lsh").collect()
+    assert audit["n_exact_pairs"] == len(exact)
+    assert audit["precision_ok"] is True
+    assert audit["recall_ok"] is True
 
 
 def test_dedup_clusters_consistent_with_pair_graph(spark):
@@ -321,15 +330,18 @@ def test_image_codecs_roundtrip_and_dispatch():
 
 
 def test_fast_q1_agrees_with_exact_to_reporting_precision(spark):
-    """The double-sum fast path must agree with the decimal-exact path
+    """The double-sum fast path (unregistered API; its driver-checkable
+    proof is q1_fast_validation) must agree with the decimal-exact path
     within reporting precision (its documented contract)."""
+    from kinesumer_spark.operators.relational import q1_pricing_summary_fast
+
     exact = {
         (r["l_returnflag"], r["l_linestatus"]): r
         for r in _run(spark, "q1_pricing_summary").collect()
     }
     fast = {
         (r["l_returnflag"], r["l_linestatus"]): r
-        for r in _run(spark, "q1_pricing_summary_fast").collect()
+        for r in q1_pricing_summary_fast(spark, SF_SMALL).collect()
     }
     assert set(exact) == set(fast)
     for k, e in exact.items():

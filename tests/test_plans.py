@@ -101,8 +101,12 @@ def test_dup_pairs_lsh_has_no_all_pairs_join(spark):
     BLAS matmul per batch; see _band_keys_udf) — never as row-at-a-time
     BatchEvalPython. (The exact variant similarity_dup_pairs keeps the
     label-blocked join on purpose — it is the oracle-carrying exact
-    form; see its docstring.)"""
-    plan = plan_string(_df(spark, "similarity_dup_pairs_lsh"))
+    form; see its docstring.) Audits the dup_pairs_lsh API — the
+    registered name now carries the error-bound validation, which
+    embeds the exact all-pairs reference on purpose."""
+    from kinesumer_spark.operators.similarity import dup_pairs_lsh
+
+    plan = plan_string(dup_pairs_lsh(spark, SF_SMALL))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan
     # banding must be engaged: band/key columns flow through the plan,
