@@ -35,9 +35,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     # NOTE dedup_clusters_lsh is deliberately NOT headline: its cost is
-    # fixpoint-round scheduling overhead (~5 s at ANY sf on local mode),
-    # which would swamp the round-over-round total comparison without
-    # measuring data-path speed. It stays oracle-checked in the registry.
+    # fixpoint-round scheduling overhead on local mode, which would
+    # swamp the round-over-round total comparison without measuring
+    # data-path speed. (r6 cut it 6.6→3.9 s at sf0.1: single-shuffle
+    # window stars, K-batched lazy alternations, star-forest convergence
+    # detection folded into the batch job — see connected_components.)
+    # It stays oracle-checked in the registry.
     "similarity_cosine_topk",
     "text_fingerprint",
     # streaming delivery path (consume → envelope → sink, end to end)

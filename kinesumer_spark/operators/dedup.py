@@ -626,7 +626,7 @@ def _cluster_output(labels: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS, rounds_per_job: int = 2
 ) -> tuple[DataFrame, int]:
     """Connected components over an undirected pair list (doc_a, doc_b) →
     ((doc_id, label=component min), rounds used).
@@ -641,74 +641,108 @@ def connected_components(
     Path lengths roughly halve per alternation, so convergence is
     O(log n) rounds even on adversarial chain graphs — the upgrade the
     O(diameter) min-label propagation loop documented (near-dup graphs
-    are short chains, but the bound shouldn't depend on that). Fixpoint:
-    the edge multiset checksum (count, Σsrc, Σdst) is stable across an
-    alternation — edges only ever rewire downward, so the checksum
-    strictly decreases until converged (one scalar row to the driver per
-    round, like the commit ledger's high-water collect).
+    are short chains, but the bound shouldn't depend on that).
 
-    Each star op is two shuffles (neighborhood groupBy + join back);
-    localCheckpoint truncates lineage so plan depth stays O(1) per
-    round. At fixpoint the graph is a star forest: every non-root has
-    exactly one edge to its component min.
+    Driver-pacing design (the r5 perf wart): ``rounds_per_job``
+    alternations are chained LAZILY between materializations, and
+    convergence is detected IN the same job that materializes the batch
+    — no confirming extra batch, no separate checksum collect. The test
+    exploits the fixpoint's structure directly: every edge both stars
+    emit is downward (src > dst, see the per-op notes), so the current
+    set is a fixpoint iff it is a star forest — every src occurs
+    exactly once and no node is both a src and a dst (roots are the
+    component minima because contraction preserves components and only
+    rewires toward minima). That is ONE keyed agg over an exploded
+    (node, role) view — a scalar to the driver per K rounds, like the
+    commit ledger's high-water collect. localCheckpoint (lazy,
+    materialized by that same job) truncates lineage so plan depth
+    stays O(star ops × K) per job.
     """
     sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    nodes = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(
-        eager=False
-    )
     edges = (
         sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(
-            eager=True
+            eager=False
         )
     )
+    # every endpoint appears as src after symmetrization, so the node set
+    # derives from the CHECKPOINTED initial edges — deriving it from
+    # `sym` would re-evaluate the (possibly expensive) pair-generation
+    # subtree a second time at the final roots join
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
 
-    def _checksum(e: DataFrame) -> tuple:
-        r = e.agg(
-            F.count("*").alias("n"), F.sum("src").alias("s"), F.sum("dst").alias("d")
-        ).collect()[0]
-        return (r["n"], r["s"], r["d"])
+    def _is_star_forest(e: DataFrame) -> bool:
+        """True iff ``e`` is a fixpoint. Both stars only emit src > dst
+        edges, so fixpoint ⇔ star forest: every src unique AND no node
+        plays both roles. One shuffle on node; the count is 0/1 (limit
+        short-circuits), so the driver transfer is one scalar."""
+        roles = e.selectExpr("src AS node", "1 AS ns", "0 AS nd").unionAll(
+            e.selectExpr("dst AS node", "0 AS ns", "1 AS nd")
+        )
+        bad = (
+            roles.groupBy("node")
+            .agg(F.sum("ns").alias("s"), F.max("nd").alias("d"))
+            .filter("(s > 0 AND d > 0) OR s > 1")
+            .limit(1)
+            .count()
+        )
+        return bad == 0
+
+    # Both stars need "per-src neighborhood min" joined back onto every
+    # edge — a window min over partitionBy(src) computes it in ONE
+    # shuffle (the groupBy+join-back formulation cost 2-3, and local
+    # stage latency, not data volume, dominates this loop at any sf).
+    # Dedup is deferred to once per K-batch: star math is set-semantic
+    # under duplicates (per-node mins ignore multiplicity), duplication
+    # per alternation is bounded (large-star emits ≤1 edge per input
+    # edge; small-star ≤1 per edge + 1 per distinct src), and the batch
+    # checkpoint's distinct restores the set before it can compound.
+    from pyspark.sql import Window as W
 
     def _large_star(e: DataFrame) -> DataFrame:
         s = e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
-        mins = s.groupBy("src").agg(F.min("dst").alias("mn"))
+        w = W.partitionBy("src")
         return (
-            s.join(mins, "src")
+            s.withColumn("mn", F.min("dst").over(w))
             .withColumn("m", F.least(F.col("src"), F.col("mn")))
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
         o = e.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
-        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
-        hang = (
-            o.join(mins, "src")
-            .filter(F.col("dst") != F.col("m"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        w_min = W.partitionBy("src")
+        w_rn = W.partitionBy("src").orderBy("dst")
+        o2 = o.withColumn("m", F.min("dst").over(w_min)).withColumn(
+            "rn", F.row_number().over(w_rn)
         )
-        own = mins.select("src", F.col("m").alias("dst"))
-        return (
-            hang.unionByName(own)
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
+        hang = o2.filter(F.col("dst") != F.col("m")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
         )
+        # rn==1 emits the (src, m) self-hook exactly once per src — which
+        # duplicate row wins is arbitrary but the emitted edge identical
+        own = o2.filter(F.col("rn") == 1).select("src", F.col("m").alias("dst"))
+        return hang.unionByName(own).filter(F.col("src") != F.col("dst"))
 
-    prev = _checksum(edges)
     rounds = 0
-    for _ in range(max_iters):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        rounds += 1
-        cur = _checksum(edges)
-        if cur == prev:
+    converged = False
+    while rounds < max_iters:
+        k = min(rounds_per_job, max_iters - rounds)
+        for _ in range(k):
+            edges = _small_star(_large_star(edges))
+        edges = edges.distinct().localCheckpoint(eager=False)
+        rounds += k
+        # ONE job: materializes the whole K-batch checkpoint AND answers
+        # "converged?" (post-fixpoint alternations are no-ops, so a
+        # batch overshooting the exact convergence round is harmless)
+        if _is_star_forest(edges):
+            converged = True
             break
-        prev = cur
-    else:
+    if not converged:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
 
     lab = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("label"))

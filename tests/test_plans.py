@@ -250,3 +250,21 @@ def test_substring_spans_blocked_join_no_all_pairs(spark):
         if ln.startswith(("Left keys", "Right keys"))
     ]
     assert key_lines and all("hsh" in ln for ln in key_lines), key_lines
+
+
+def test_similarity_topk_auto_routes_ann_on_large_corpus(spark):
+    """The similarity_topk facade must make ANN the default at scale:
+    on the sf0.1 corpus (2000 > _AUTO_BRUTE_MAX) auto mode takes the
+    IVF branch — no CartesianProduct / broadcast nested loop of corpus
+    × queries anywhere in the plan — while at the gate SF (500 rows)
+    it takes the exact brute branch, whose oracle it carries."""
+    from kinesumer_spark.operators.similarity import similarity_topk
+
+    big = plan_string(similarity_topk(spark, "/root/testdata/sf0.1"))
+    assert "CartesianProduct" not in big, big
+    assert "BroadcastNestedLoopJoin" not in big, big
+    # the IVF candidate equi-join on cell must be engaged
+    assert "cell" in big, big
+    small = plan_string(similarity_topk(spark, SF_SMALL))
+    # small corpus: brute branch (exact) — the crossJoin IS expected here
+    assert "CartesianProduct" in small or "BroadcastNestedLoopJoin" in small, small
