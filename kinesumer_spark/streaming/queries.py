@@ -459,3 +459,61 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# The streaming funnel must converge to the batch funnel's answer on a
+# finite stream, so it carries the batch form's oracle verbatim — a
+# hash-green row IS the batch/stream equivalence proof at driver level.
+def _stream_funnel_oracle() -> str:
+    from kinesumer_spark.operators.analytics import _FUNNEL_ORACLE
+
+    return _FUNNEL_ORACLE
+
+
+_STREAM_FUNNEL_ORACLE = _stream_funnel_oracle()
+
+@register(
+    "stream_funnel",
+    oracle=_STREAM_FUNNEL_ORACLE,
+    tags=("streaming", "stateful", "analytics"),
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch conversion funnel (operators/analytics.events_funnel)
+    as a STREAMING stateful query: per-user applyInPandasWithState
+    tracks (earliest signup, earliest qualifying purchase, pending
+    pre-signup purchases) across microbatches, then the final states
+    fold into the identical 4-column summary — carried under the SAME
+    oracle as the batch form, so the driver hash-proves
+    batch/stream equivalence end to end (the stream_dedup pattern).
+    Update-mode memory sink keeps every emission; n_seen is strictly
+    increasing per user, so max_by selects each user's final state."""
+    from kinesumer_spark.operators.analytics import _DAY7_US
+    from kinesumer_spark.streaming.stateful import funnel_conversions
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    emitted = _run_to_table(
+        funnel_conversions(ev), "ks_stream_funnel", mode="update"
+    )
+    final = emitted.groupBy("user_id").agg(
+        F.max_by("signup_us", "n_seen").alias("signup_us"),
+        F.max_by("conv_us", "n_seen").alias("conv_us"),
+    )
+    flags = final.select(
+        (F.col("signup_us") >= 0).alias("signed_up"),
+        (
+            (F.col("conv_us") >= 0)
+            & (F.col("conv_us") <= F.col("signup_us") + F.lit(_DAY7_US))
+        ).alias("converted"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("signed_up"), 1)).alias("n_signed_up"),
+        F.count(F.when(F.col("converted"), 1)).alias("n_converted"),
+        F.round(
+            F.count(F.when(F.col("converted"), 1))
+            / F.count(F.when(F.col("signed_up"), 1)).cast("double"),
+            6,
+        ).alias("conversion_rate"),
+    )

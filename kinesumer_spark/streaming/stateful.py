@@ -148,3 +148,86 @@ def running_user_totals_with_ttl(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# -- streaming conversion funnel --------------------------------------------
+
+# Sentinel -1 = "not seen yet" (epoch-micros are positive); arrays in the
+# state row are supported by the Arrow state codec.
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, signup_us bigint, conv_us bigint, n_seen bigint"
+)
+FUNNEL_STATE_SCHEMA = (
+    "signup_us bigint, conv_us bigint, pending array<bigint>, n_seen bigint"
+)
+
+
+def _update_funnel(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state: earliest signup, earliest purchase strictly
+    after it, and the PENDING purchases at-or-before the current signup.
+
+    Pending exists because event time and arrival order differ across
+    microbatches: a purchase at t ≤ current-first-signup cannot qualify
+    now, but an even-earlier signup may still arrive (s < t), promoting
+    it — dropping such purchases would make the stream answer diverge
+    from the batch answer on exactly the out-of-order streams this
+    operator exists for. State size is O(purchases before the user's
+    earliest-seen signup) — bounded by per-user pre-signup activity,
+    not stream length (a production deployment caps it with a TTL like
+    running_user_totals_with_ttl).
+    """
+    (user_id,) = key
+    if state.exists:
+        signup, conv, pending, n_seen = state.get
+        pending = list(pending)
+    else:
+        signup, conv, pending, n_seen = -1, -1, [], 0
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        s = pdf.loc[pdf["event_type"] == "signup", "tus"]
+        if len(s):
+            m = int(s.min())
+            signup = m if signup < 0 else min(signup, m)
+        pending.extend(int(x) for x in pdf.loc[pdf["event_type"] == "purchase", "tus"])
+    # promotion AFTER the batch is folded in: a signup learned in this
+    # batch applies to this batch's and all pending purchases alike
+    if signup >= 0:
+        qualifying = [t for t in pending if t > signup]
+        if qualifying:
+            q = min(qualifying)
+            conv = q if conv < 0 else min(conv, q)
+        pending = [t for t in pending if t <= signup]
+    state.update((signup, conv, sorted(pending), n_seen))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "signup_us": [signup],
+            "conv_us": [conv],
+            "n_seen": [n_seen],
+        }
+    )
+
+
+def funnel_conversions(events: DataFrame) -> DataFrame:
+    """Streaming signup→purchase funnel state per user. ``events`` must
+    carry (user_id, event_type, tus epoch-micros). Update-mode output:
+    one row per touched user per batch with the current
+    (signup_us, conv_us) — -1 until seen — plus the monotone n_seen for
+    last-emission selection downstream. Exactly the batch
+    ``events_funnel`` semantics on a finite stream (equivalence-gated in
+    tests/test_streaming_engine.py)."""
+    return (
+        events.select("user_id", "event_type", "tus")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -97,6 +97,78 @@ def test_kinesis_config_option_mapping():
     assert "kinesis.consumerName" not in polling
 
 
+def test_kinesis_connector_contract_replay(spark):
+    """Fixture replay of the awslabs spark-sql-kinesis-connector's
+    DOCUMENTED output shape (data binary, streamName, partitionKey,
+    sequenceNumber, approximateArrivalTimestamp, shardId — the schema
+    its README/source publish), through normalize_connector_output:
+    until the jar/endpoint path can execute live (environment-blocked,
+    reference analog kinesumer_test.go:137-193 vs localstack), this
+    pins sources/kinesis.py against the connector's published contract
+    rather than our own assumption. Checks: exact RECORD_SCHEMA (names,
+    types, order), field mapping, the stream-override path, and that
+    the normalized envelope is drop-in for the downstream
+    schema-on-read decode."""
+    from pyspark.sql import types as T
+
+    from kinesumer_spark.sources.kinesis import normalize_connector_output
+    from kinesumer_spark.streaming.envelope import RECORD_SCHEMA, decode_payload
+
+    # one recorded batch, connector column order as documented
+    rows = [
+        (
+            b'{"event_id": 1, "v": 2.5}',
+            "orders-stream",
+            "user-77",
+            "49590338271490256608559692538361571095921575989136588898",
+            datetime.datetime(2024, 3, 1, 12, 0, 0),
+            "shardId-000000000001",
+        ),
+        (
+            b'{"event_id": 2, "v": -1.0}',
+            "orders-stream",
+            "user-3",
+            "49590338271490256608559692540691899187359536229183848546",
+            datetime.datetime(2024, 3, 1, 12, 0, 1),
+            "shardId-000000000003",
+        ),
+    ]
+    connector_schema = (
+        "data binary, streamName string, partitionKey string, "
+        "sequenceNumber string, approximateArrivalTimestamp timestamp, "
+        "shardId string"
+    )
+    df = spark.createDataFrame(rows, connector_schema)
+    out = normalize_connector_output(df)
+    # exact envelope schema: same names, same order, same types
+    assert out.columns == [f.name for f in RECORD_SCHEMA.fields]
+    got_types = {f.name: f.dataType for f in out.schema.fields}
+    want_types = {f.name: f.dataType for f in RECORD_SCHEMA.fields}
+    assert got_types == want_types
+    r = {row["sequence_number"]: row for row in out.collect()}
+    first = r["49590338271490256608559692538361571095921575989136588898"]
+    assert first["stream"] == "orders-stream"
+    assert first["shard_id"] == "shardId-000000000001"
+    assert first["partition_key"] == "user-77"
+    assert bytes(first["data"]) == b'{"event_id": 1, "v": 2.5}'
+    assert first["arrival_ts"] == datetime.datetime(2024, 3, 1, 12, 0, 0)
+    # stream override (multi-stream unions rename per configured source)
+    ov = normalize_connector_output(df, stream="renamed").collect()
+    assert {x["stream"] for x in ov} == {"renamed"}
+    # downstream drop-in: schema-on-read decode works on the envelope
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    decoded = {
+        row["event_id"]: row["v"]
+        for row in decode_payload(out, payload_schema).collect()
+    }
+    assert decoded == {1: 2.5, 2: -1.0}
+
+
 def test_kafka_config_option_mapping():
     """Reference Config knob intents → built-in Kafka connector options
     (topic≙stream O4, maxOffsetsPerTrigger≙scan_limit O21,

@@ -476,3 +476,73 @@ def test_processing_time_trigger_accepted(spark, tmp_path, events_dir):
     q.processAllAvailable()
     eng.close()
     assert sum(len(rows) for _, rows in seen) == n_total
+
+
+def test_stream_funnel_matches_batch_across_batches(spark, tmp_path):
+    """The streaming funnel must equal the batch funnel on an
+    ADVERSARIALLY batched stream: a purchase arrives in an early batch,
+    the signup that makes it qualify arrives only in a LATER batch with
+    an EARLIER event time — the pending-promotion path that a naive
+    (signup, conv) two-field state gets wrong. One parquet file per
+    microbatch via maxFilesPerTrigger=1."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from kinesumer_spark.streaming.stateful import funnel_conversions
+
+    us = 1_000_000
+    day = 86_400 * us
+    batches = [
+        # batch 1: u1 purchase@t5d (no signup yet); u2 signup@1d
+        [(1, "purchase", 5 * day), (2, "signup", 1 * day)],
+        # batch 2: u1 signup@10d (purchase t5d still pre-signup);
+        #          u2 purchase@2d (converts); u3 signup@1d
+        [(1, "signup", 10 * day), (2, "purchase", 2 * day), (3, "signup", 1 * day)],
+        # batch 3: u1 signup@3d — EARLIER than the stored purchase@5d:
+        #          promotion must fire, u1 converts (5d <= 3d + 7d);
+        #          u3 purchase@9d — after signup but PAST the 7-day
+        #          window (not converted); u4 purchase only (not signed)
+        [(1, "signup", 3 * day), (3, "purchase", 9 * day), (4, "purchase", 20 * day)],
+    ]
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["user_id", "event_type", "tus"]).to_parquet(
+            src / f"batch_{i}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, tus bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        funnel_conversions(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_funnel_adv")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    emitted = spark.table("t_funnel_adv")
+    final = {
+        r["user_id"]: (r["signup_us"], r["conv_us"])
+        for r in emitted.groupBy("user_id")
+        .agg(
+            F.max_by("signup_us", "n_seen").alias("signup_us"),
+            F.max_by("conv_us", "n_seen").alias("conv_us"),
+        )
+        .collect()
+    }
+    # batch semantics, hand-computed:
+    assert final[1] == (3 * day, 5 * day)   # promoted pending purchase
+    assert final[2] == (1 * day, 2 * day)   # plain conversion
+    assert final[3] == (1 * day, 9 * day)   # conv_us set; 7-day window
+    #                                         filtering happens downstream
+    assert final[4] == (-1, -1)             # purchase-only user
+    # ≥2 emissions for u1 proves the state actually spanned batches
+    assert emitted.filter("user_id = 1").count() >= 2
