@@ -75,79 +75,81 @@ def register(
 # ALL registered queries, so out-of-window regressions still fail CI —
 # they are just not externally re-proven until their next rotation.
 _FRONT = (
-    #   r5 (this window): the testdata generator changed events.ts
-    #       physical encoding between r3 and r4 (TIMESTAMP(NANOS) →
-    #       TIMESTAMP_NTZ µs), which crashed/diverged 9 of r4's 50
-    #       checked rows. Those nine lead this window (repair proof on
-    #       the fixed schema-adaptive read path), then the 12 new r5
-    #       queries (derived-partsupp TPC-H, training-prep, substring
-    #       dedup, profiling, resize, keep-best), then EVERY
-    #       remaining events-reading query (all 28 route through the
-    #       rewritten catalog.normalize_event_ts), then the oldest
-    #       r1/r2-row canaries that r4's window displaced.
-    # -- r4 failures, now fixed (repair proof first) --
-    "stream_tumbling_hourly",
-    "stream_sliding_2h_1h",
-    "stream_session_window",
-    "stream_watermarked_append",
-    "stream_stream_join",
-    "agg_salted_skew",
-    "events_partitioned_prune",
-    "events_zorder_layout",
-    "similarity_ivf_probe",  # rows-only by design (probabilistic recall)
-    # -- new in r5 --
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_promotable_suppliers",
-    "pack_sequences",
-    "split_train_val_test",
-    "resample_temperature",
-    "dedup_substring_spans",
-    "profile_documents",
-    "multimodal_resize",
-    "dedup_keep_best",
-    # -- remaining events-readers (read path rewritten this round) --
-    "stream_consume_envelope",
-    "stream_dedup_within_watermark",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stateful_totals",
-    "events_envelope",
-    "events_tumbling_hourly",
-    "events_sessionize",
-    "events_asof_join",
-    "events_asof_join_merge",
-    "events_range_join_binned",
-    "events_rollup_multires",
-    "envelope_shard_order_audit",
-    "topk_orderby_limit",
-    "decode_json_payload",
-    "decode_csv_payload",
-    "scalar_json_tuple_base64",
-    "set_distinct",
-    "agg_pivot",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    # -- oldest canaries (r1/r2 rows, displaced by r4's window) --
-    "filter_like_rlike_nullsafe",
-    "sink_merge_upsert",
-    "set_union_by_name",
-    "scalar_higher_order_funcs",
-    "scalar_string_funcs",
-    "scalar_math_funcs",
-    "scalar_map_funcs",
-    "q1_pricing_summary",
+    #   r6 (this window), per the r5 verdict's staleness directive:
+    #       (1) the three product-analytics queries that have NEVER had
+    #       a driver row; (2) new r6 registrations (stream_funnel,
+    #       similarity_topk facade); (3) the four queries whose
+    #       semantics or engine changed this round (the two rows-only→
+    #       error-bound oracle conversions, and both clusters queries
+    #       whose connected-components core was rewritten); (4) the
+    #       oldest surviving driver rows, r1 → r2 → r3 (35 of the 40
+    #       r3-row queries fit; see the drop note at the end).
+    # -- never driver-checked (r5 additions, local-gate green only) --
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_value_histogram",
+    # -- new in r6 --
+    "stream_funnel",
+    "similarity_topk",
+    # -- converted / engine-rewritten in r6 --
+    "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
+    "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
+    "dedup_clusters",             # CC core rewritten (window stars)
+    "dedup_clusters_lsh",
+    # -- oldest driver rows: r1 --
+    "set_union_all",
+    # (q1_pricing_summary_fast held the other r1 row; deregistered this
+    # round — its proof is q1_fast_validation below)
+    # -- r2 rows --
+    "agg_approx_sketches",
+    "agg_collect_list_set",
+    "q1_fast_validation",
+    "q6_forecast_revenue",
+    "scalar_conditional_funcs",
+    # -- r3 rows (oldest-first block) --
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_min_max_by",
+    "agg_percentile_exact",
+    "agg_rollup",
+    "agg_stats_moments",
+    "embedding_centroid_by_label",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_theta_pairs",
+    "q3_shipping_priority",
+    "q4_late_orders",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_by_flag",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier",
+    "q22_prospect_customers",
+    "scalar_array_funcs",
+    "set_except",
+    "set_intersect",
+    "window_first_last_nth",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_forms",
+    "window_running_sum",
+    "window_topk_per_group",
     # dropped from this window to stay within the driver's 50-name
     # prefix (this tuple is EXACTLY 50 — entries past 50 would silently
-    # go unchecked): q6_forecast_revenue and sample_hash_deterministic
-    # (r4-green, modules unchanged), and
-    # the dedup/similarity/text/multimodal/reshape blocks, which hold
-    # fresh r4-green rows (CORRECTNESS_r04) and their modules are
-    # unchanged in r5; join_*/window_*/agg_*/subquery blocks hold
-    # r3-green rows, modules unchanged since. The local oracle gate
-    # still runs ALL registered queries every round.
+    # go unchecked): join_cross / join_full_outer / join_left_anti /
+    # join_left_semi / join_right_outer (r3-green; relational.py's join
+    # operators unchanged since, and the three plan-sensitive join
+    # shapes above stay in-window as canaries) — they lead the r7
+    # rotation. Everything with an r4/r5 row keeps it. The local oracle
+    # gate still runs ALL registered queries every session.
 )
 
 

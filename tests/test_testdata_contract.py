@@ -76,3 +76,60 @@ def test_events_ts_normalizes_to_timestamp(spark):
         "batch and stream-source ts normalization diverge — the r4 "
         "silent-window-collapse failure mode"
     )
+
+
+# -- property: the drift-tolerant ts adapter is encoding-invariant ----------
+
+from hypothesis import given, settings, strategies as st
+
+# epoch-micros in [1970, ~2100): the generator's domain; ns encoding must
+# fit int64 (micros*1000 < 2^63). Sub-microsecond truncation semantics
+# (nanos -> micros) are pinned by the explicit remainder cases below.
+_epoch_us = st.integers(min_value=0, max_value=4_102_444_800_000_000)
+
+
+@settings(max_examples=10, deadline=None)
+@given(micros=st.lists(_epoch_us, min_size=1, max_size=20))
+def test_normalize_event_ts_encoding_invariant(spark, micros):
+    """PROPERTY (the r4 crash class): for any event-time set, reading a
+    TIMESTAMP(NANOS) file (surfaces as LongType under nanosAsLong) and a
+    TIMESTAMP(MICROS, NTZ) file through the production read path must
+    yield the IDENTICAL µs instants — and both must equal the ground
+    truth. Covers both normalize_event_ts branches on every example,
+    including nanos with non-zero sub-µs remainders (truncation, the
+    same semantics DuckDB's epoch_us applies)."""
+    import datetime
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from kinesumer_spark.catalog import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # non-zero ns remainders on half the rows: truncation must discard
+    nanos = [m * 1000 + (123 if i % 2 else 0) for i, m in enumerate(micros)]
+    want = [
+        datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        + datetime.timedelta(microseconds=m)
+        for m in micros
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        p_ns, p_us = f"{td}/ns.parquet", f"{td}/us.parquet"
+        pq_.write_table(
+            pa.table({"ts": pa.array(nanos, type=pa.timestamp("ns"))}), p_ns
+        )
+        pq_.write_table(
+            pa.table({"ts": pa.array(micros, type=pa.timestamp("us"))}), p_us
+        )
+        got = {}
+        for name, path in (("ns", p_ns), ("us", p_us)):
+            df = normalize_event_ts(spark.read.parquet(path))
+            from pyspark.sql import types as T
+
+            assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+            got[name] = sorted(
+                r["ts"].replace(tzinfo=datetime.timezone.utc)
+                for r in df.collect()
+            )
+        assert got["ns"] == got["us"] == sorted(want)
