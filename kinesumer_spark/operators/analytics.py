@@ -202,3 +202,124 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "bin_sum"))
         .orderBy("bin_lo")
     )
+
+
+# Path analysis: per-user ordered event-type trigrams, global top-k —
+# the "what do users do next" query. The per-user window shuffles once
+# on user_id; the global rank runs over at most |event_type|^3 distinct
+# paths (a few hundred rows), so the single-partition rank window is
+# bounded by the TYPE alphabet, not the stream.
+_PATH_TOP = 10
+
+_PATH_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+), counted AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths GROUP BY path
+)
+SELECT path, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+FROM counted
+QUALIFY rnk <= {_PATH_TOP}
+ORDER BY rnk
+"""
+
+
+@register("events_path_topk", oracle=_PATH_ORACLE, tags=("analytics", "events"))
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 event-type trigram paths across all users (path = three
+    consecutive events in one user's timeline, ordered by (ts,
+    event_id) — event_id is globally unique, so the order and therefore
+    the path multiset is deterministic). Ties rank by path string."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    counted = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = W.orderBy(F.desc("n"), "path")
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= _PATH_TOP)
+        .orderBy("rnk")
+    )
+
+
+# Robust outlier detection: Hampel identifier (|v − median| > k·MAD) per
+# event_type. Exact interpolated medians on both engines (percentile ↔
+# quantile_cont, the agg_percentile_exact precedent); the per-type
+# median/MAD tables are tiny (|event_type| rows) and broadcast back, so
+# the fact table is scanned twice and shuffled never beyond its two
+# keyed aggs.
+_MAD_K = 3.0
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont("value", 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med, abs(e."value" - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MAX(d.med), 6) AS med,
+       round(MAX(m2.mad), 6) AS mad,
+       CAST(COUNT(CASE WHEN d.adev > {_MAD_K} * m2.mad THEN 1 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("events_anomaly_mad", oracle=_MAD_ORACLE, tags=("analytics", "events", "stats"))
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier counts per event_type (Hampel
+    identifier, k = 3): robust to the heavy tails that make
+    mean/stddev gates useless on value-like columns. The outlier
+    comparison runs on UNROUNDED doubles — both engines derive them
+    from identical IEEE arithmetic on identical inputs, so the counts
+    hash-match; medians/MADs are rounded for display only."""
+    e = _t(spark, sf_dir).select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count(
+                F.when(F.col("adev") > F.lit(_MAD_K) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -797,3 +797,118 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     media = d.mapInPandas(_encode_bmp_batch, schema="doc_id long, media binary")
     return media.mapInPandas(_resize_batch, schema=_RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Perceptual average-hash (aHash) image near-dup — the image leg of the
+# dedup ladder: decode → 8×8 nearest-neighbor luma thumbnail → threshold
+# against the mean → 64-bit fingerprint → bucket by fingerprint. Every
+# arithmetic step is integer (floor index map, floor luma, floor mean,
+# strict > threshold), so the oracle replays the full hash bit-for-bit
+# from the closed-form synth pixels — a wrong stride, luma weighting, or
+# threshold convention flips bits and hash-mismatches.
+# --------------------------------------------------------------------------
+
+_AHASH_HW = 8  # 8×8 = 64-bit fingerprint, the standard aHash layout
+
+
+def ahash(pixels: np.ndarray) -> tuple[int, int, int]:
+    """(hi32, lo32, n_onbits) average-hash of an (h, w, 3) uint8 image.
+    Integer luma (r+g+b)//3 on the 8×8 nearest-neighbor thumbnail,
+    thresholded strictly above the floor-mean. Split into two 32-bit
+    halves so both fit signed 64-bit columns on any engine."""
+    small = resize_nearest(pixels, _AHASH_HW, _AHASH_HW).astype(np.int64)
+    luma = small.sum(axis=2) // 3
+    mean = int(luma.sum()) // (_AHASH_HW * _AHASH_HW)
+    bits = (luma > mean).astype(np.int64).ravel()  # idx = y*8 + x
+    lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+    hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+    return hi, lo, int(bits.sum())
+
+
+_AHASH_SCHEMA = "doc_id long, ahash_hi long, ahash_lo long, n_onbits long"
+
+
+def _ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            hi, lo, nb = ahash(decode_bmp(bytes(media)))
+            rows.append((doc_id, hi, lo, nb))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "ahash_hi", "ahash_lo", "n_onbits"]
+        )
+
+
+_AHASH_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 4 + (doc_id // 5) % 5 AS h
+  FROM documents
+), grid AS (
+  SELECT d.doc_id, ry.r AS oy, rx.r AS ox,
+         (ry.r * d.h) // {_AHASH_HW} AS sy,
+         (rx.r * d.w) // {_AHASH_HW} AS sx
+  FROM dims d
+  CROSS JOIN (SELECT unnest(range(0, {_AHASH_HW})) AS r) ry
+  CROSS JOIN (SELECT unnest(range(0, {_AHASH_HW})) AS r) rx
+), luma AS (
+  SELECT doc_id, oy, ox,
+         ((doc_id * 31 + sy * 17 + sx * 5) % 256
+          + (doc_id * 31 + sy * 17 + sx * 5 + 11) % 256
+          + (doc_id * 31 + sy * 17 + sx * 5 + 22) % 256) // 3 AS v
+  FROM grid
+), thresh AS (
+  SELECT doc_id, SUM(v) // {_AHASH_HW * _AHASH_HW} AS mean_v
+  FROM luma GROUP BY doc_id
+), bits AS (
+  SELECT l.doc_id, l.oy * {_AHASH_HW} + l.ox AS idx,
+         CASE WHEN l.v > t.mean_v THEN 1 ELSE 0 END AS b
+  FROM luma l JOIN thresh t USING (doc_id)
+), hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN idx >= 32 AND b = 1
+                  THEN (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END)
+              AS BIGINT) AS ahash_hi,
+         CAST(SUM(CASE WHEN idx < 32 AND b = 1
+                  THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+              AS BIGINT) AS ahash_lo,
+         CAST(SUM(b) AS BIGINT) AS n_onbits
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, ahash_hi, ahash_lo, n_onbits,
+       CAST(COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
+         AS n_same_hash
+FROM hashes
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_ahash_dedup", oracle=_AHASH_ORACLE, tags=("multimodal", "dedup"))
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via perceptual average-hash:
+    encode → decode → 8×8 aHash in one Arrow-batched stage, then a JVM
+    window over the (hi, lo) fingerprint buckets images whose 64-bit
+    perceptual signatures collide — the image analog of dedup_exact's
+    hash-groupBy, with the fingerprint replacing sha2 so RE-ENCODED or
+    resampled copies of the same picture still collide.
+
+    Scale: fingerprints are 16 bytes/image — the only thing shuffled;
+    media bytes never leave their scan partition (the same
+    shuffle-signatures-not-content discipline as dedup_minhash_lsh).
+    A Hamming-ball variant (near-collisions at distance ≤ d) drops in
+    by banding the 64 bits like dedup_simhash — exact-collision
+    bucketing is the oracle-checkable core. At 100 TB the synth-encode
+    stage becomes a binary-column scan; the hash stage is unchanged.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(_encode_bmp_batch, schema="doc_id long, media binary")
+    hashes = media.mapInPandas(_ahash_batch, schema=_AHASH_SCHEMA)
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy("ahash_hi", "ahash_lo")
+    return (
+        hashes.withColumn(
+            "n_same_hash", F.count(F.lit(1)).over(wb).cast("bigint")
+        )
+        .orderBy("doc_id")
+    )

@@ -823,3 +823,92 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cf").desc(), "word")
         .limit(_VOCAB_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021, MassiveText §A1.1) — the
+# named-rule companion to text_quality_score's composite score: each rule
+# is its own boolean column so a pipeline can report WHICH gate dropped a
+# document (the number production filter-debugging actually needs).
+# Thresholds are adapted to this synthetic corpus (the paper's 50-word
+# floor would pass everything or nothing wholesale here); the shape —
+# word-count band, mean-word-length band, stopword floor, alphabetic
+# floor — is the published rule set.
+# --------------------------------------------------------------------------
+
+_GOPHER_WC_LO, _GOPHER_WC_HI = 20, 5000
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 2.0, 10.0
+_GOPHER_MIN_STOP = 2     # ≥ 2 DISTINCT stopwords present
+_GOPHER_MIN_ALPHA = 0.8  # ≥ 80% of words purely alphabetic
+
+_GOPHER_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, ' ') AS words,
+         len(replace(text, ' ', '')) AS n_nonspace
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         n_nonspace / CAST(len(words) AS DOUBLE) AS mean_word_len,
+         len(list_filter({_sql_array(_STOPLISTS["en"])},
+             s -> list_contains(words, s))) AS n_stop_distinct,
+         len(list_filter(words, w -> regexp_matches(w, '^[a-z]+$')))
+           / CAST(len(words) AS DOUBLE) AS alpha_frac
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+       round(alpha_frac, 6) AS alpha_frac,
+       n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI} AS wc_ok,
+       mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI} AS mwl_ok,
+       n_stop_distinct >= {_GOPHER_MIN_STOP} AS stop_ok,
+       alpha_frac >= {_GOPHER_MIN_ALPHA} AS alpha_ok,
+       (n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+         AND (mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+         AND n_stop_distinct >= {_GOPHER_MIN_STOP}
+         AND alpha_frac >= {_GOPHER_MIN_ALPHA} AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("text_gopher_rules", oracle=_GOPHER_ORACLE, tags=("text", "quality"))
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality gates, one boolean column per rule plus
+    the conjunctive keep flag. Pure JVM columnar (split + HOFs + regex
+    — no Python anywhere); mean word length is computed as
+    nonspace-chars / words so both engines divide identical integers.
+    One scan, zero shuffles beyond the cosmetic final sort — at 100 TB
+    this runs at parquet-scan speed like the rest of the text ladder."""
+    d = _t(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    mean_wl = n_nonspace / n_words.cast("double")
+    stoplist = F.array(*[F.lit(s) for s in _STOPLISTS["en"]])
+    n_stop_distinct = F.size(
+        F.filter(stoplist, lambda s: F.array_contains(words, s))
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("^[a-z]+$")))
+        / n_words.cast("double")
+    )
+    wc_ok = n_words.between(_GOPHER_WC_LO, _GOPHER_WC_HI)
+    mwl_ok = (mean_wl >= _GOPHER_MWL_LO) & (mean_wl <= _GOPHER_MWL_HI)
+    stop_ok = n_stop_distinct >= _GOPHER_MIN_STOP
+    alpha_ok = alpha_frac >= _GOPHER_MIN_ALPHA
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        n_stop_distinct.cast("bigint").alias("n_stop_distinct"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (wc_ok & mwl_ok & stop_ok & alpha_ok).alias("keep"),
+    ).orderBy("doc_id")

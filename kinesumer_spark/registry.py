@@ -91,6 +91,11 @@ _FRONT = (
     # -- new in r6 --
     "stream_funnel",
     "similarity_topk",
+    "text_gopher_rules",
+    "events_path_topk",
+    "events_anomaly_mad",
+    "multimodal_ahash_dedup",
+    "stream_value_histogram",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -133,11 +138,6 @@ _FRONT = (
     "q19_disjunctive_predicates",
     "q21_waiting_supplier",
     "q22_prospect_customers",
-    "scalar_array_funcs",
-    "set_except",
-    "set_intersect",
-    "window_first_last_nth",
-    "window_lag_lead",
     "window_range_frame",
     "window_rank_forms",
     "window_running_sum",
@@ -145,11 +145,13 @@ _FRONT = (
     # dropped from this window to stay within the driver's 50-name
     # prefix (this tuple is EXACTLY 50 — entries past 50 would silently
     # go unchecked): join_cross / join_full_outer / join_left_anti /
-    # join_left_semi / join_right_outer (r3-green; relational.py's join
-    # operators unchanged since, and the three plan-sensitive join
-    # shapes above stay in-window as canaries) — they lead the r7
-    # rotation. Everything with an r4/r5 row keeps it. The local oracle
-    # gate still runs ALL registered queries every session.
+    # join_left_semi / join_right_outer / scalar_array_funcs /
+    # set_except / set_intersect / window_first_last_nth /
+    # window_lag_lead (all r3-green; their modules are unchanged since,
+    # and plan-sensitive canaries from each family stay in-window) —
+    # they lead the r7 rotation. Everything with an r4/r5 row keeps it.
+    # The local oracle gate still runs ALL registered queries every
+    # session.
 )
 
 

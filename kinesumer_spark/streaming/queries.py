@@ -517,3 +517,39 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion_rate"),
     )
+
+
+def _stream_histogram_oracle() -> str:
+    from kinesumer_spark.operators.analytics import _HISTOGRAM_ORACLE
+
+    return _HISTOGRAM_ORACLE
+
+
+@register(
+    "stream_value_histogram",
+    oracle=_stream_histogram_oracle(),
+    tags=("streaming", "analytics"),
+)
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch fixed-bin value histogram (operators/analytics.
+    events_value_histogram) as a STREAMING complete-mode aggregation —
+    carried under the batch oracle verbatim, so the driver row proves
+    batch/stream equivalence (the stream_funnel pattern). Bin index is
+    map-side integer arithmetic before the one keyed stateful agg;
+    exact-decimal sums keep the incremental accumulation order-proof."""
+    from kinesumer_spark.functions.exact import exact_sum
+    from kinesumer_spark.operators.analytics import _HIST_BIN
+
+    ev = _events_stream(spark, sf_dir)
+    bin_lo = (
+        F.floor(F.col("value") / _HIST_BIN).cast("bigint") * _HIST_BIN
+    ).alias("bin_lo")
+    agg = (
+        ev.select(bin_lo, "value")
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "bin_sum"))
+    )
+    out = _run_to_table(
+        agg, "ks_stream_value_hist", mode="complete", stable=False
+    )
+    return out.orderBy("bin_lo")

@@ -541,3 +541,54 @@ def test_ivfpq_no_corpus_crossjoin_and_residual_centering(spark):
         by_q[r["q_id"]].append(r["rnk"])
     for q, rnks in by_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+
+
+def test_ahash_properties():
+    """aHash unit invariants on crafted images: a constant image has no
+    strictly-above-mean pixels (hash 0); a half-bright image sets
+    exactly the bright half's bits; hash is invariant to nearest-
+    neighbor upscaling of the same pattern (the perceptual property
+    that makes it a near-dup key for resampled copies)."""
+    import numpy as np
+
+    from kinesumer_spark.operators.multimodal import ahash, resize_nearest
+
+    flat = np.full((8, 8, 3), 37, dtype=np.uint8)
+    assert ahash(flat) == (0, 0, 0)
+    half = np.zeros((8, 8, 3), dtype=np.uint8)
+    half[:4] = 200  # top half bright → bits 0..31 set
+    hi, lo, nb = ahash(half)
+    assert (hi, lo, nb) == (0, -1 & 0xFFFFFFFF, 32)
+    # resample invariance: 2x nearest upscale hashes identically
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8).astype(np.uint8)
+    big = img.repeat(2, axis=0).repeat(2, axis=1)
+    assert ahash(img) == ahash(big)
+    # and the library's own resize agrees with the repeat construction
+    assert np.array_equal(resize_nearest(big, 8, 8), img)
+
+
+def test_gopher_rules_keep_is_conjunction(spark):
+    """keep must equal the AND of the four rule booleans on every doc,
+    and each rule must actually discriminate or pass uniformly — no
+    vacuous always-false gates on the fixture corpus."""
+    rows = _run(spark, "text_gopher_rules").collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (
+            r["wc_ok"] and r["mwl_ok"] and r["stop_ok"] and r["alpha_ok"]
+        )
+    assert any(r["keep"] for r in rows), "gates drop the whole corpus"
+
+
+def test_path_topk_paths_are_real_trigrams(spark):
+    """Every reported path must be three '>'-joined event types that
+    occur consecutively for some user, counts positive, ranks dense."""
+    rows = _run(spark, "events_path_topk").collect()
+    assert rows and [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
+        assert r["n"] >= 1
+    # descending counts with path tie-break
+    pairs = [(r["n"], r["path"]) for r in rows]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
