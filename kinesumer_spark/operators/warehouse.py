@@ -1,0 +1,295 @@
+"""Warehouse-maintenance + marketing-analytics shapes: last-touch
+attribution, SCD2 (slowly-changing-dimension type 2) versioning, and a
+data-quality audit gate.
+
+These complete the "downstream application" surface the reference hands
+its delivered records to (kinesumer.go:97-102, README.md:67-70): once an
+ingestion engine lands an event stream in a warehouse, the first three
+jobs every team schedules are attribution over the event log, dimension
+history maintenance, and a quality gate in front of both. Each query is
+a planner shape the existing suite lacks: `IGNORE NULLS` last-value over
+an ordered per-user frame (attribution), change-detection lag/lead
+chained windows on one shuffle (SCD2), and a single-pass multi-predicate
+audit aggregate.
+
+Scale notes (100 TB):
+- Attribution is ONE keyed shuffle (user_id) + in-partition ordered
+  window — no self-join of the fact table against itself, which is the
+  naive formulation's downfall. The per-user frame state is O(1) (only
+  the running last touch), so skewed power users cost sort time, not
+  memory blowups.
+- SCD2 is one keyed shuffle (custkey) shared by BOTH windows (lag for
+  change detection, lead for interval close) — Catalyst reuses the sort
+  since partitioning+ordering match.
+- The audit is a shuffle-free partial+final aggregate over one scan;
+  count_distinct(event_id) is its only wide state and rides Spark's
+  partial-distinct machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.functions.exact import exact_sum, oracle_sum
+from kinesumer_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# -- Last-touch attribution -------------------------------------------------
+#
+# For each purchase: credit the user's most recent PRECEDING click/view
+# (strictly earlier in (ts, event_id) order) if it happened within the
+# 3-day lookback; else the purchase is 'direct'. Timestamps compare as
+# integer epoch-micros in both engines (the events-funnel discipline:
+# analytics.py module comment).
+
+_LOOKBACK_US = 3 * 24 * 3600 * 1_000_000
+_TOUCH_TYPES = ("click", "view")
+
+_ATTRIBUTION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS tus,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS touch_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conv AS (
+  SELECT CASE WHEN touch_us IS NOT NULL
+                   AND tus - touch_us <= {_LOOKBACK_US}
+              THEN touch_type ELSE 'direct' END AS channel,
+         value
+  FROM ordered WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       {oracle_sum("value")} AS attributed_value
+FROM conv
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register(
+    "events_attribution",
+    oracle=_ATTRIBUTION_ORACLE,
+    tags=("analytics", "events", "window"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent strictly-preceding click/view within a 3-day
+    lookback, else 'direct'. The `IGNORE NULLS last_value` over an
+    unbounded-preceding row frame is the canonical formulation — one
+    user_id shuffle, O(1) frame state per row, no fact self-join (the
+    naive `purchases JOIN touches ON touch_ts < purchase_ts` explodes
+    quadratically on active users). Deterministic: frame order is
+    (epoch-micros, event_id) — a total order."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("tus"),
+    )
+    is_touch = F.col("event_type").isin(*_TOUCH_TYPES)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = e.select(
+        "event_type",
+        "value",
+        "tus",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("tus")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    conv = ordered.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_us").isNotNull()
+            & (F.col("tus") - F.col("touch_us") <= F.lit(_LOOKBACK_US)),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            exact_sum("value", "attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# -- SCD2 dimension versioning ----------------------------------------------
+#
+# Treat each customer's order stream as change events for a dimension
+# attribute (o_orderpriority): collapse consecutive repeats, open a new
+# version at each change, close it at the next change (half-open
+# [valid_from, valid_to) intervals; the live version has NULL valid_to).
+
+_SCD2_MAX_CUST = 300  # bound the emitted history for the golden check
+
+_SCD2_ORACLE = f"""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority AS priority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS prev_priority
+  FROM orders WHERE o_custkey < {_SCD2_MAX_CUST}
+), changes AS (
+  SELECT o_custkey, priority, o_orderdate AS valid_from, o_orderkey
+  FROM ordered
+  WHERE prev_priority IS NULL OR prev_priority <> priority
+)
+SELECT o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version_no,
+       priority, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+ORDER BY o_custkey, version_no
+"""
+
+
+@register(
+    "scd2_customer_priority",
+    oracle=_SCD2_ORACLE,
+    tags=("warehouse", "window"),
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) history build from an
+    ordered change log: consecutive repeats collapse, each change opens
+    a version row with half-open [valid_from, valid_to) validity and
+    the live version carries NULL valid_to / is_current = true.
+
+    Plan: BOTH windows (lag change-detect, then row_number/lead close)
+    partition on o_custkey with compatible ordering, so Catalyst plans
+    ONE exchange + one sort for the whole query — the incremental-merge
+    formulation warehouses use (MERGE INTO dim ... WHEN MATCHED AND
+    attribute changed) reuses `sink_merge_upsert`'s machinery; this is
+    the initial-history builder."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < _SCD2_MAX_CUST
+    )
+    w_ord = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w_ord).alias("prev_priority"),
+    )
+    changes = ordered.filter(
+        F.col("prev_priority").isNull()
+        | (F.col("prev_priority") != F.col("priority"))
+    ).select(
+        "o_custkey",
+        "priority",
+        F.col("o_orderdate").alias("valid_from"),
+        "o_orderkey",
+    )
+    w_ver = W.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return (
+        changes.select(
+            "o_custkey",
+            F.row_number().over(w_ver).cast("bigint").alias("version_no"),
+            "priority",
+            "valid_from",
+            F.lead("valid_from").over(w_ver).alias("valid_to"),
+            F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "version_no")
+    )
+
+
+# -- Data-quality audit gate ------------------------------------------------
+
+_KNOWN_TYPES = "('signup','click','view','purchase','error')"
+
+_AUDIT_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS n_null_user,
+       CAST(COUNT(*) - COUNT(ts) AS BIGINT) AS n_null_ts,
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dup_event_id,
+       CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_neg_value,
+       CAST(COUNT(CASE WHEN event_type NOT IN {_KNOWN_TYPES} OR
+                            event_type IS NULL THEN 1 END) AS BIGINT)
+         AS n_unknown_type,
+       CAST(COUNT(CASE WHEN props IS NULL OR props = '' THEN 1 END) AS BIGINT)
+         AS n_empty_props,
+       CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS ts_span_days,
+       (COUNT(*) = COUNT(user_id)
+        AND COUNT(*) = COUNT(ts)
+        AND COUNT(*) = COUNT(DISTINCT event_id)
+        AND COUNT(CASE WHEN value < 0 THEN 1 END) = 0
+        AND COUNT(CASE WHEN event_type NOT IN {_KNOWN_TYPES} OR
+                            event_type IS NULL THEN 1 END) = 0) AS audit_pass
+FROM events
+"""
+
+
+@register(
+    "events_quality_audit",
+    oracle=_AUDIT_ORACLE,
+    tags=("analytics", "quality"),
+)
+def events_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality gate over the delivered event stream:
+    null keys, null timestamps, duplicate event ids, negative values,
+    unknown event types, empty payloads, and the covered time span —
+    plus the conjunctive `audit_pass` verdict a pipeline branches on
+    (the dbt-test / Deequ-check shape).
+
+    Plan: ONE scan, partial+final aggregate, shuffle-free but for the
+    single-row final combine; count_distinct(event_id) is the only
+    wide accumulator and uses Spark's partial-distinct rewrite. At
+    100 TB this is the cheapest query in the suite — it reads every
+    row once and moves nothing."""
+    e = _t(spark, sf_dir, "events")
+    known = F.col("event_type").isin("signup", "click", "view", "purchase", "error")
+    n_all = F.count(F.lit(1))
+    n_user = F.count("user_id")
+    n_ts = F.count("ts")
+    n_dup = F.count(F.lit(1)) - F.count_distinct("event_id")
+    n_neg = F.count(F.when(F.col("value") < 0, 1))
+    n_unk = F.count(F.when(~known | F.col("event_type").isNull(), 1))
+    return e.agg(
+        n_all.alias("n_events"),
+        (n_all - n_user).alias("n_null_user"),
+        (n_all - n_ts).alias("n_null_ts"),
+        n_dup.alias("n_dup_event_id"),
+        n_neg.alias("n_neg_value"),
+        n_unk.alias("n_unknown_type"),
+        F.count(
+            F.when(F.col("props").isNull() | (F.col("props") == ""), 1)
+        ).alias("n_empty_props"),
+        F.datediff(F.max("ts"), F.min("ts")).cast("bigint").alias(
+            "ts_span_days"
+        ),
+        (
+            ((n_all - n_user) == 0)
+            & ((n_all - n_ts) == 0)
+            & (n_dup == 0)
+            & (n_neg == 0)
+            & (n_unk == 0)
+        ).alias("audit_pass"),
+    )

@@ -96,6 +96,12 @@ _FRONT = (
     "events_anomaly_mad",
     "multimodal_ahash_dedup",
     "stream_value_histogram",
+    "events_attribution",
+    "scd2_customer_priority",
+    "events_quality_audit",
+    "dedup_semantic",
+    "embedding_quantize_int8",
+    "stream_quality_audit",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -120,8 +126,6 @@ _FRONT = (
     "agg_rollup",
     "agg_stats_moments",
     "embedding_centroid_by_label",
-    "join_broadcast_dim",
-    "join_left_outer",
     "join_theta_pairs",
     "q3_shipping_priority",
     "q4_late_orders",
@@ -138,20 +142,23 @@ _FRONT = (
     "q19_disjunctive_predicates",
     "q21_waiting_supplier",
     "q22_prospect_customers",
-    "window_range_frame",
-    "window_rank_forms",
-    "window_running_sum",
-    "window_topk_per_group",
     # dropped from this window to stay within the driver's 50-name
     # prefix (this tuple is EXACTLY 50 — entries past 50 would silently
     # go unchecked): join_cross / join_full_outer / join_left_anti /
     # join_left_semi / join_right_outer / scalar_array_funcs /
     # set_except / set_intersect / window_first_last_nth /
-    # window_lag_lead (all r3-green; their modules are unchanged since,
-    # and plan-sensitive canaries from each family stay in-window) —
-    # they lead the r7 rotation. Everything with an r4/r5 row keeps it.
-    # The local oracle gate still runs ALL registered queries every
-    # session.
+    # window_lag_lead, plus — displaced by the six NEVER-checked late-r6
+    # registrations (events_attribution, scd2_customer_priority,
+    # events_quality_audit, dedup_semantic, embedding_quantize_int8,
+    # stream_quality_audit; the r5 verdict ranks never-checked above
+    # stale) — join_broadcast_dim / join_left_outer / window_range_frame
+    # / window_rank_forms / window_running_sum / window_topk_per_group
+    # (all r3-green; their modules are unchanged since, and each family
+    # keeps an in-window canary: joins via join_theta_pairs + the r5
+    # asof/range rows, windows via the two new window-heavy warehouse
+    # queries). All of the above lead the r7 rotation. Everything with
+    # an r4/r5 row keeps it. The local oracle gate still runs ALL
+    # registered queries every session.
 )
 
 
@@ -180,6 +187,7 @@ def all_queries() -> dict[str, Query]:
         tpch_partsupp,
         training_prep,
         analytics,
+        warehouse,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -553,3 +553,74 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, "ks_stream_value_hist", mode="complete", stable=False
     )
     return out.orderBy("bin_lo")
+
+
+_STREAM_AUDIT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS n_null_user,
+       CAST(COUNT(*) - COUNT(ts) AS BIGINT) AS n_null_ts,
+       CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_neg_value,
+       CAST(COUNT(CASE WHEN event_type NOT IN
+                         ('signup','click','view','purchase','error')
+                       OR event_type IS NULL THEN 1 END) AS BIGINT)
+         AS n_unknown_type,
+       CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS ts_span_days,
+       (COUNT(*) = COUNT(user_id)
+        AND COUNT(*) = COUNT(ts)
+        AND COUNT(CASE WHEN value < 0 THEN 1 END) = 0
+        AND COUNT(CASE WHEN event_type NOT IN
+                         ('signup','click','view','purchase','error')
+                       OR event_type IS NULL THEN 1 END) = 0) AS audit_pass
+FROM events
+"""
+
+
+@register(
+    "stream_quality_audit",
+    oracle=_STREAM_AUDIT_ORACLE,
+    tags=("streaming", "quality"),
+)
+def stream_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate (operators/warehouse.events_quality_audit)
+    as a STREAMING complete-mode global aggregate — the audit a pipeline
+    keeps running against the live envelope feed rather than re-scanning
+    the lake. Carried under the batch semantics so the driver row proves
+    batch/stream equivalence (the stream_value_histogram pattern).
+
+    One deliberate delta from the batch audit: no duplicate-event_id
+    counter — COUNT(DISTINCT) is not an incremental streaming aggregate
+    (Spark rejects it; the unbounded distinct state would be the exact
+    thing watermarks exist to prevent). Streaming dedup instead rides
+    ``stream_dedup_within_watermark``, which bounds that state; the
+    batch audit keeps the exact global dup count.
+
+    Scale: stateless map + ONE global stateful aggregate whose state is
+    a handful of counters — constant memory at any throughput."""
+    ev = _events_stream(spark, sf_dir)
+    known = F.col("event_type").isin(
+        "signup", "click", "view", "purchase", "error"
+    )
+    n_all = F.count(F.lit(1))
+    n_user = F.count("user_id")
+    n_ts = F.count("ts")
+    n_neg = F.count(F.when(F.col("value") < 0, 1))
+    n_unk = F.count(F.when(~known | F.col("event_type").isNull(), 1))
+    agg = ev.agg(
+        n_all.alias("n_events"),
+        (n_all - n_user).alias("n_null_user"),
+        (n_all - n_ts).alias("n_null_ts"),
+        n_neg.alias("n_neg_value"),
+        n_unk.alias("n_unknown_type"),
+        F.datediff(F.max("ts"), F.min("ts")).cast("bigint").alias(
+            "ts_span_days"
+        ),
+        (
+            ((n_all - n_user) == 0)
+            & ((n_all - n_ts) == 0)
+            & (n_neg == 0)
+            & (n_unk == 0)
+        ).alias("audit_pass"),
+    )
+    return _run_to_table(
+        agg, "ks_stream_quality_audit", mode="complete", stable=False
+    )

@@ -592,3 +592,49 @@ def test_path_topk_paths_are_real_trigrams(spark):
     # descending counts with path tie-break
     pairs = [(r["n"], r["path"]) for r in rows]
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+# -- r6: SemDeDup + int8 quantization ---------------------------------------
+
+
+def test_semantic_dup_pairs_no_all_pairs_join(spark):
+    """The user-facing SemDeDup scale path must never plan an all-pairs
+    join: candidates come from the cell-bucket expansion (one shuffle),
+    so the plan has no CartesianProduct / nested-loop. (The registered
+    dedup_semantic VALIDATION deliberately builds the exact reference by
+    theta self-join — gate-scale-only code — so it is not under this
+    assertion.)"""
+    from kinesumer_spark.operators.similarity import semantic_dup_pairs
+    from kinesumer_spark.plans.inspect import plan_string
+
+    plan = plan_string(semantic_dup_pairs(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_keep_list_partitions_corpus(spark):
+    """keep=False exactly for vectors with a smaller-id semantic dup;
+    the kept set always contains the smallest vec_id overall."""
+    from kinesumer_spark.operators.similarity import (
+        semantic_dup_pairs,
+        semantic_keep_list,
+    )
+
+    pairs = semantic_dup_pairs(spark, SF_SMALL).collect()
+    removed_expect = {r["vec_b"] for r in pairs}
+    kl = semantic_keep_list(spark, SF_SMALL).collect()
+    removed_got = {r["vec_id"] for r in kl if not r["keep"]}
+    assert removed_got == removed_expect
+    assert min(r["vec_id"] for r in kl) not in removed_got
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """int8 scalar quantization must reconstruct within scale/2 per
+    element (the defining guarantee of round-to-nearest codes)."""
+    from kinesumer_spark.operators.similarity import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        scale = (r["mx_r"] - r["mn_r"]) / 255.0
+        assert r["recon_err_r"] <= scale / 2 + 1e-6, r
