@@ -912,3 +912,77 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_ok.alias("alpha_ok"),
         (wc_ok & mwl_ok & stop_ok & alpha_ok).alias("keep"),
     ).orderBy("doc_id")
+
+
+# -- N-gram language-model counts (the count-based-LM / KN-smoothing prep) ---
+
+_LM_TOP = 30
+
+_NGRAM_LM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), tri AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2, words[i + 2] AS w3
+  FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)
+), c3 AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY w1, w2, w3
+), c2 AS (
+  SELECT w1, w2, SUM(c3) AS ctx_c2 FROM c3 GROUP BY w1, w2
+), cont AS (
+  SELECT w3, COUNT(*) AS cont_w3 FROM c3 GROUP BY w3
+)
+SELECT c3.w1, c3.w2, c3.w3,
+       CAST(c3.c3 AS BIGINT) AS c3,
+       CAST(c2.ctx_c2 AS BIGINT) AS ctx_c2,
+       CAST(cont.cont_w3 AS BIGINT) AS cont_w3
+FROM c3 JOIN c2 USING (w1, w2) JOIN cont USING (w3)
+ORDER BY c3 DESC, c3.w1, c3.w2, c3.w3
+LIMIT {_LM_TOP}
+"""
+
+
+@register("text_ngram_lm", oracle=_NGRAM_LM_ORACLE, tags=("text", "lm"))
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based trigram language-model statistics — the tables a
+    Kneser-Ney-smoothed LM (or a data-selection perplexity filter) is
+    built from: per trigram its count ``c3``, its bigram-context total
+    ``ctx_c2`` (= Σ_w3 c3, the KN denominator), and the continuation
+    count ``cont_w3`` (distinct bigram contexts preceding w3 — KN's
+    distinct-context numerator). Top-30 trigrams, total-ordered
+    (count desc, then words) so the driver hash is stable.
+
+    Plan: ONE narrow flatMap (sequence+transform → explode, zero
+    shuffles until the count), one trigram-keyed aggregate, then two
+    re-aggregations OF THE TRIGRAM TABLE (never the corpus) for context
+    and continuation counts — the hierarchical-rollup discipline
+    (events_rollup_multires): raw text is scanned exactly once. At
+    100 TB the trigram table is the vocab³-bounded working set LM
+    pipelines shard on; every count is integer-exact."""
+    d = _t(spark, sf_dir)
+    tri = (
+        d.select(F.split("text", " ").alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> struct(w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3))"
+                )
+            ).alias("t")
+        )
+        .select("t.w1", "t.w2", "t.w3")
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("ctx_c2"))
+    cont = c3.groupBy("w3").agg(F.count(F.lit(1)).alias("cont_w3"))
+    return (
+        c3.join(c2, ["w1", "w2"])
+        .join(cont, ["w3"])
+        .select(
+            "w1", "w2", "w3",
+            F.col("c3").cast("bigint").alias("c3"),
+            F.col("ctx_c2").cast("bigint").alias("ctx_c2"),
+            F.col("cont_w3").cast("bigint").alias("cont_w3"),
+        )
+        .orderBy(F.desc("c3"), "w1", "w2", "w3")
+        .limit(_LM_TOP)
+    )

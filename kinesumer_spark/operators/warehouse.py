@@ -293,3 +293,125 @@ def events_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (n_unk == 0)
         ).alias("audit_pass"),
     )
+
+
+# -- Linear (multi-touch) attribution ----------------------------------------
+#
+# Every click/view in the purchase's 3-day lookback shares the credit
+# equally. Per-purchase fan-out makes this a RANGE join; the naive
+# formulation (theta join on user + time inequality) nests-loops per
+# user. The scale shape is the binned range join (rollups.py's
+# events_range_join_binned): bin both sides by the lookback width, join
+# on (user, bin) with the purchase exploded to its two candidate bins,
+# then apply the precise range predicate — an equi-join Catalyst hashes.
+
+_LINEAR_ATTR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, value
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+  FROM events WHERE event_type IN ('click','view')
+), m AS (
+  SELECT p.event_id AS p_id, p.value, t.event_type AS ch
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND (t.tus < p.tus OR (t.tus = p.tus AND t.event_id < p.event_id))
+   AND p.tus - t.tus <= {_LOOKBACK_US}
+), c AS (
+  SELECT ch, round(value / (COUNT(*) OVER (PARTITION BY p_id)), 6) AS credit
+  FROM m
+), credits AS (
+  SELECT ch AS channel, credit FROM c
+  UNION ALL
+  SELECT 'direct', round(value, 6) FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.event_id)
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+       {oracle_sum("credit")} AS credited_value
+FROM credits
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register(
+    "events_attribution_linear",
+    oracle=_LINEAR_ATTR_ORACLE,
+    tags=("analytics", "events", "join"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across ALL strictly-preceding click/view touches inside the
+    3-day lookback; untouched purchases credit 'direct' in full.
+
+    Plan: purchases explode to their two candidate lookback bins
+    (floor(tus/L) and that −1 — a touch within L µs must land in one of
+    them), the join is EQUI on (user_id, bin) with the exact range +
+    strict (tus, event_id) precedence as a post-filter, so Catalyst
+    plans a hash join keyed on (user, bin) — never a per-user nested
+    loop. Fractional credits are rounded to 6 places as doubles
+    (identical division in both engines) and summed exactly via
+    decimals. Two keyed shuffles + the bin join; per-purchase frame
+    state never materializes beyond its own touches."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("tus"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("tus").alias("p_tus"),
+        "value",
+    )
+    t = e.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("tus").alias("t_tus"),
+        F.col("event_type").alias("ch"),
+        (F.floor(F.col("tus") / _LOOKBACK_US)).alias("bin"),
+    )
+    p2 = p.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_tus") / _LOOKBACK_US),
+                F.floor(F.col("p_tus") / _LOOKBACK_US) - 1,
+            )
+        ),
+    )
+    m = (
+        p2.join(t, ["user_id", "bin"])
+        .filter(
+            (
+                (F.col("t_tus") < F.col("p_tus"))
+                | (
+                    (F.col("t_tus") == F.col("p_tus"))
+                    & (F.col("t_id") < F.col("p_id"))
+                )
+            )
+            & (F.col("p_tus") - F.col("t_tus") <= F.lit(_LOOKBACK_US))
+        )
+        .select("p_id", "value", "ch")
+    )
+    n_per_p = m.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_touches"))
+    touched = m.join(n_per_p, "p_id").select(
+        F.col("ch").alias("channel"),
+        F.round(F.col("value") / F.col("n_touches"), 6).alias("credit"),
+    )
+    direct = p.join(n_per_p, "p_id", "left_anti").select(
+        F.lit("direct").alias("channel"),
+        F.round("value", 6).alias("credit"),
+    )
+    return (
+        touched.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touchpoints"),
+            exact_sum("credit", "credited_value"),
+        )
+        .orderBy("channel")
+    )

@@ -102,6 +102,9 @@ _FRONT = (
     "dedup_semantic",
     "embedding_quantize_int8",
     "stream_quality_audit",
+    "events_attribution_linear",
+    "stream_rollup_upsert",
+    "text_ngram_lm",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -128,13 +131,10 @@ _FRONT = (
     "embedding_centroid_by_label",
     "join_theta_pairs",
     "q3_shipping_priority",
-    "q4_late_orders",
     "q5_local_supplier_volume",
     "q7_nation_volume",
     "q8_market_share",
     "q10_returned_items",
-    "q12_priority_by_flag",
-    "q13_order_count_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -147,16 +147,19 @@ _FRONT = (
     # go unchecked): join_cross / join_full_outer / join_left_anti /
     # join_left_semi / join_right_outer / scalar_array_funcs /
     # set_except / set_intersect / window_first_last_nth /
-    # window_lag_lead, plus — displaced by the six NEVER-checked late-r6
-    # registrations (events_attribution, scd2_customer_priority,
-    # events_quality_audit, dedup_semantic, embedding_quantize_int8,
-    # stream_quality_audit; the r5 verdict ranks never-checked above
-    # stale) — join_broadcast_dim / join_left_outer / window_range_frame
-    # / window_rank_forms / window_running_sum / window_topk_per_group
-    # (all r3-green; their modules are unchanged since, and each family
-    # keeps an in-window canary: joins via join_theta_pairs + the r5
-    # asof/range rows, windows via the two new window-heavy warehouse
-    # queries). All of the above lead the r7 rotation. Everything with
+    # window_lag_lead, plus — displaced by the nine NEVER-checked
+    # late-r6 registrations (events_attribution + _linear,
+    # scd2_customer_priority, events_quality_audit, dedup_semantic,
+    # embedding_quantize_int8, stream_quality_audit,
+    # stream_rollup_upsert, text_ngram_lm; the r5 verdict ranks
+    # never-checked above stale) — join_broadcast_dim / join_left_outer
+    # / window_range_frame / window_rank_forms / window_running_sum /
+    # window_topk_per_group / q4_late_orders / q12_priority_by_flag /
+    # q13_order_count_distribution (all r3-green; their modules are
+    # unchanged since, and each family keeps an in-window canary: joins
+    # via join_theta_pairs + the r5 asof/range rows, windows via the two
+    # new window-heavy warehouse queries, EXISTS/anti shapes via
+    # q21/q22). All of the above lead the r7 rotation. Everything with
     # an r4/r5 row keeps it. The local oracle gate still runs ALL
     # registered queries every session.
 )

@@ -546,3 +546,62 @@ def test_stream_funnel_matches_batch_across_batches(spark, tmp_path):
     assert final[4] == (-1, -1)             # purchase-only user
     # ≥2 emissions for u1 proves the state actually spanned batches
     assert emitted.filter("user_id = 1").count() >= 2
+
+
+def test_incremental_rollup_across_microbatches(spark, tmp_path):
+    """The maintained rollup must equal the direct batch aggregate when
+    the input arrives as MULTIPLE micro-batches (maxFilesPerTrigger=1
+    over a 3-file split) — the merge must add partials across batches,
+    never lose or double-count a generation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.functions.exact import dec
+    from kinesumer_spark.streaming.queries import incremental_hourly_rollup
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        # hour 0 spread over all three files; hour 1 in two; hour 2 in one
+        (i, t0 + dt.timedelta(minutes=7 * i), 1, "view", float(i), "{}")
+        for i in range(30)
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    for part in range(3):  # 3 separate files -> 3 micro-batches
+        df.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = incremental_hourly_rollup(
+        spark, stream, str(tmp_path / "mv")
+    ).collect()
+    expect = (
+        df.select(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour_str"),
+            "value",
+        )
+        .groupBy("hour_str")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
+        )
+        .orderBy("hour_str")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+    assert len(got) >= 3  # the synthetic spread really covers >= 3 hours
+    # the merge path must actually have run: 3 files at
+    # maxFilesPerTrigger=1 -> 3 generations, not one big batch
+    import os
+
+    gens = [d for d in os.listdir(tmp_path / "mv") if d.startswith("gen=")]
+    assert len(gens) == 3, gens
