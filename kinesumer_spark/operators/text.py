@@ -952,12 +952,16 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, then words) so the driver hash is stable.
 
     Plan: ONE narrow flatMap (sequence+transform → explode, zero
-    shuffles until the count), one trigram-keyed aggregate, then two
-    re-aggregations OF THE TRIGRAM TABLE (never the corpus) for context
-    and continuation counts — the hierarchical-rollup discipline
-    (events_rollup_multires): raw text is scanned exactly once. At
-    100 TB the trigram table is the vocab³-bounded working set LM
-    pipelines shard on; every count is integer-exact."""
+    shuffles until the count), one trigram-keyed aggregate, then the
+    context and continuation counts as WINDOWS over the trigram table
+    (sum over (w1,w2), count over (w3)) — never joins back through the
+    corpus subtree: a join formulation makes Catalyst recompute the
+    whole extraction per branch (measured: 6 parquet scans; this plan
+    has exactly one — asserted in tests/test_plans.py). The
+    hierarchical-rollup discipline (events_rollup_multires): raw text
+    is scanned exactly once; downstream aggregates ride the
+    vocab³-bounded trigram table LM pipelines shard on; every count is
+    integer-exact."""
     d = _t(spark, sf_dir)
     tri = (
         d.select(F.split("text", " ").alias("w"))
@@ -972,16 +976,19 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t.w1", "t.w2", "t.w3")
     )
     c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
-    c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("ctx_c2"))
-    cont = c3.groupBy("w3").agg(F.count(F.lit(1)).alias("cont_w3"))
+    # each c3 row is a UNIQUE trigram, so count-over-(w3) is exactly the
+    # number of distinct (w1,w2) contexts preceding w3
     return (
-        c3.join(c2, ["w1", "w2"])
-        .join(cont, ["w3"])
-        .select(
+        c3.select(
             "w1", "w2", "w3",
             F.col("c3").cast("bigint").alias("c3"),
-            F.col("ctx_c2").cast("bigint").alias("ctx_c2"),
-            F.col("cont_w3").cast("bigint").alias("cont_w3"),
+            F.sum("c3").over(W.partitionBy("w1", "w2")).cast("bigint").alias(
+                "ctx_c2"
+            ),
+            F.count(F.lit(1))
+            .over(W.partitionBy("w3"))
+            .cast("bigint")
+            .alias("cont_w3"),
         )
         .orderBy(F.desc("c3"), "w1", "w2", "w3")
         .limit(_LM_TOP)

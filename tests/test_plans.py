@@ -268,3 +268,28 @@ def test_similarity_topk_auto_routes_ann_on_large_corpus(spark):
     small = plan_string(similarity_topk(spark, SF_SMALL))
     # small corpus: brute branch (exact) — the crossJoin IS expected here
     assert "CartesianProduct" in small or "BroadcastNestedLoopJoin" in small, small
+
+
+def test_warehouse_and_lm_plan_shapes(spark):
+    """r6 plan contracts: (a) linear attribution's range join is a
+    binned HASH join — no nested loop / cartesian; (b) SCD2's two
+    windows share ONE hash exchange (Catalyst reuses the custkey
+    partitioning + sort); (c) the trigram LM reads the corpus exactly
+    once — the join formulation recomputed the extraction per branch
+    (6 scans); the window formulation must keep it at 1."""
+    from kinesumer_spark.operators.text import text_ngram_lm
+    from kinesumer_spark.operators.warehouse import (
+        events_attribution_linear,
+        scd2_customer_priority,
+    )
+    from kinesumer_spark.plans.inspect import plan_string
+
+    p_attr = plan_string(events_attribution_linear(spark, SF_SMALL))
+    assert "CartesianProduct" not in p_attr, p_attr
+    assert "BroadcastNestedLoopJoin" not in p_attr, p_attr
+
+    p_scd2 = plan_string(scd2_customer_priority(spark, SF_SMALL), mode="simple")
+    assert p_scd2.count("Exchange hashpartitioning") == 1, p_scd2
+
+    p_lm = plan_string(text_ngram_lm(spark, SF_SMALL), mode="simple")
+    assert p_lm.count("FileScan parquet") == 1, p_lm
