@@ -47,6 +47,23 @@ HEADLINE = [
     "stream_consume_envelope",
 ]
 
+# r6 additions, timed separately so the HEADLINE total stays comparable
+# round-over-round (their seconds go under "queries_extended" /
+# "extended_total", never into "value"). Scale paths only — the
+# registered validations that build exact references (dedup_semantic's
+# theta join) are correctness gates, not benchmarks.
+EXTENDED = [
+    "events_attribution",
+    "events_attribution_linear",
+    "scd2_customer_priority",
+    "events_quality_audit",
+    "text_ngram_lm",
+    "embedding_quantize_int8",
+    "semantic_dup_pairs",  # user-facing SemDeDup scale path (unregistered)
+    "stream_rollup_upsert",
+    "stream_scd2_apply",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,7 +79,11 @@ def main() -> None:
     # the headline total stays comparable with earlier rounds
     callables = {n: q.spark for n, q in registry.items()}
     callables["q1_pricing_summary_fast"] = q1_pricing_summary_fast
+    from kinesumer_spark.operators.similarity import semantic_dup_pairs
+
+    callables["semantic_dup_pairs"] = semantic_dup_pairs
     names = [n for n in HEADLINE if n in callables]
+    extended_names = [n for n in EXTENDED if n in callables]
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session bootstrap. (Guarded: a warm-up failure should
     # surface as that query's own per-query error, not an empty bench.)
@@ -108,6 +129,25 @@ def main() -> None:
             per_query[name] = round(best, 4)
     total = round(sum(per_query.values()), 4)
     cold_total = round(sum(per_query_cold.values()), 4)
+
+    # extended set: min-of-N like headline, but isolated totals AND an
+    # isolated error channel — an extended failure must not flip the
+    # headline's "partial" comparability flag
+    per_query_ext: dict[str, float] = {}
+    errors_ext: dict[str, str] = {}
+    for name in extended_names:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            try:
+                callables[name](spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001 — report, don't die
+                errors_ext[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            best = min(best, time.perf_counter() - t0)
+        if name not in errors_ext and best < float("inf"):
+            per_query_ext[name] = round(best, 4)
+    extended_total = round(sum(per_query_ext.values()), 4)
     wall = round(time.perf_counter() - t_all, 4)
 
     # BASELINE.md comparison: the reference's delivery ceiling is the
@@ -139,6 +179,9 @@ def main() -> None:
                 "runs_per_query": runs,
                 "queries_cold": per_query_cold,
                 "cold_total": cold_total,
+                "queries_extended": per_query_ext,
+                "extended_total": extended_total,
+                **({"errors_extended": errors_ext} if errors_ext else {}),
                 "wall_incl_warm": wall,
                 "stream_envelope_rows_per_sec": stream_rows_per_sec,
                 # partial=True marks total as NOT comparable round-over-

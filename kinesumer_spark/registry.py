@@ -104,6 +104,7 @@ _FRONT = (
     "stream_quality_audit",
     "events_attribution_linear",
     "stream_rollup_upsert",
+    "stream_scd2_apply",
     "text_ngram_lm",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
@@ -121,7 +122,6 @@ _FRONT = (
     "q6_forecast_revenue",
     "scalar_conditional_funcs",
     # -- r3 rows (oldest-first block) --
-    "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
     "agg_min_max_by",
@@ -151,11 +151,12 @@ _FRONT = (
     # late-r6 registrations (events_attribution + _linear,
     # scd2_customer_priority, events_quality_audit, dedup_semantic,
     # embedding_quantize_int8, stream_quality_audit,
-    # stream_rollup_upsert, text_ngram_lm; the r5 verdict ranks
-    # never-checked above stale) — join_broadcast_dim / join_left_outer
-    # / window_range_frame / window_rank_forms / window_running_sum /
-    # window_topk_per_group / q4_late_orders / q12_priority_by_flag /
-    # q13_order_count_distribution (all r3-green; their modules are
+    # stream_rollup_upsert, stream_scd2_apply, text_ngram_lm; the r5
+    # verdict ranks never-checked above stale) — join_broadcast_dim /
+    # join_left_outer / window_range_frame / window_rank_forms /
+    # window_running_sum / window_topk_per_group / q4_late_orders /
+    # q12_priority_by_flag / q13_order_count_distribution /
+    # agg_count_distinct (all r3-green; their modules are
     # unchanged since, and each family keeps an in-window canary: joins
     # via join_theta_pairs + the r5 asof/range rows, windows via the two
     # new window-heavy warehouse queries, EXISTS/anti shapes via

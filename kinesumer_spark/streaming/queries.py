@@ -726,3 +726,157 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="ks_rollup_mv_")
     return incremental_hourly_rollup(spark, ev, work)
+
+
+# -- Streaming CDC → SCD2 dimension maintenance ------------------------------
+
+
+def incremental_scd2_apply(
+    spark: SparkSession,
+    stream: DataFrame,
+    work_dir: str,
+) -> DataFrame:
+    """Apply a CDC change stream to an SCD2 dimension incrementally:
+    each micro-batch closes the affected customers' open versions and
+    appends the batch's new versions, writing the merged dimension as
+    the next parquet generation (the incremental_hourly_rollup
+    discipline: idempotent whole-generation replace per batch_id).
+
+    Change-log contract (standard CDC): changes arrive in per-key
+    event-time order across batches — batch N never contains a change
+    older than batch N−1's last change for the same key (a late
+    out-of-order change would require retroactive version surgery,
+    which is a batch rebuild, not an apply). Within a batch, order is
+    (o_orderdate, o_orderkey), exactly the batch builder's.
+
+    Per batch cost: O(batch + |affected keys' open versions|) — closed
+    history rows pass through untouched; only the open-version slice
+    joins the batch. The result equals operators/warehouse.
+    scd2_customer_priority run over the full log (equivalence pinned
+    by the registered oracle and the 3-batch split test)."""
+    from pyspark.sql import Window as W
+
+    state = {"gen": -1}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+        if state["gen"] >= 0:
+            cur = spark.read.parquet(f"{work_dir}/gen={state['gen']}")
+        else:
+            # empty seed dimension with types DERIVED from the change
+            # log (o_orderdate arrives as NTZ from the lake tables but
+            # as plain timestamp from test fixtures — hardcoding either
+            # breaks unionByName on the other)
+            cur = b.select(
+                "o_custkey",
+                F.lit(0).cast("bigint").alias("version_no"),
+                "priority",
+                "valid_from",
+                F.col("valid_from").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ).limit(0)
+        open_v = cur.filter("is_current").select(
+            "o_custkey",
+            F.col("version_no").alias("open_version"),
+            F.col("priority").alias("open_priority"),
+        )
+        w_ord = W.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+        ordered = b.join(open_v, "o_custkey", "left").select(
+            "o_custkey",
+            "priority",
+            "valid_from",
+            "o_orderkey",
+            F.coalesce(
+                F.lag("priority").over(w_ord), F.col("open_priority")
+            ).alias("prev_priority"),
+            F.coalesce(F.col("open_version"), F.lit(0)).alias("base_version"),
+        )
+        changes = ordered.filter(
+            F.col("prev_priority").isNull()
+            | (F.col("prev_priority") != F.col("priority"))
+        )
+        w_ver = W.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+        new_v = changes.select(
+            "o_custkey",
+            (F.col("base_version") + F.row_number().over(w_ver))
+            .cast("bigint")
+            .alias("version_no"),
+            "priority",
+            "valid_from",
+            F.lead("valid_from").over(w_ver).alias("valid_to"),
+            F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
+        )
+        # close the previously-open version of every customer that got
+        # at least one new version this batch
+        first_new = new_v.groupBy("o_custkey").agg(
+            F.min_by("valid_from", "version_no").alias("close_at")
+        )
+        closed = (
+            cur.join(first_new, "o_custkey", "inner")
+            .filter("is_current")
+            .select(
+                "o_custkey",
+                "version_no",
+                "priority",
+                "valid_from",
+                F.col("close_at").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+        )
+        untouched = cur.join(first_new, "o_custkey", "left_anti").unionByName(
+            cur.join(first_new.select("o_custkey"), "o_custkey")
+            .filter(~F.col("is_current"))
+            .select(cur.columns)
+        )
+        merged = untouched.unionByName(closed).unionByName(new_v)
+        merged.write.mode("overwrite").parquet(f"{work_dir}/gen={batch_id}")
+        state["gen"] = batch_id
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work_dir}/gen={state['gen']}")
+        .orderBy("o_custkey", "version_no")
+    )
+
+
+from kinesumer_spark.operators.warehouse import _SCD2_ORACLE  # noqa: E402
+
+
+@register(
+    "stream_scd2_apply",
+    # the batch builder's oracle verbatim: a green row IS the
+    # batch/stream equivalence proof
+    oracle=_SCD2_ORACLE,
+    tags=("streaming", "warehouse", "sink"),
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 dimension maintained by the CDC apply loop must equal
+    the batch history builder bit-for-bit — registered under
+    scd2_customer_priority's oracle, so a driver-green row is the
+    batch/stream equivalence proof (the stream_rollup_upsert pattern).
+    Multi-batch apply (date-tercile split, maxFilesPerTrigger=1) is
+    pinned in tests/test_streaming_engine.py."""
+    import tempfile
+
+    from kinesumer_spark.operators.warehouse import _SCD2_MAX_CUST
+
+    schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
+    orders = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("o_custkey") < _SCD2_MAX_CUST)
+    )
+    work = tempfile.mkdtemp(prefix="ks_scd2_mv_")
+    return incremental_scd2_apply(spark, orders, work)

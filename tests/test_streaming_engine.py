@@ -605,3 +605,86 @@ def test_incremental_rollup_across_microbatches(spark, tmp_path):
 
     gens = [d for d in os.listdir(tmp_path / "mv") if d.startswith("gen=")]
     assert len(gens) == 3, gens
+
+
+def test_scd2_apply_across_microbatches(spark, tmp_path):
+    """CDC apply over 3 in-order micro-batches must equal the batch SCD2
+    builder on the full log — including the cross-batch COLLAPSE case (a
+    priority continuing unchanged into the next batch must NOT open a
+    new version) and the cross-batch CLOSE case (a change in batch N
+    closes the version opened in batch N-1)."""
+    import datetime as dt
+    import os
+    import time
+
+    from kinesumer_spark.operators.warehouse import scd2_customer_priority
+    from kinesumer_spark.streaming.queries import incremental_scd2_apply
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def day(i):
+        return d0 + dt.timedelta(days=i)
+
+    # (o_orderkey, o_custkey, o_orderdate, o_orderpriority)
+    batches = [
+        [  # batch 0
+            (1, 1, day(0), "LOW"),
+            (2, 1, day(1), "LOW"),      # collapse within batch
+            (3, 2, day(0), "HIGH"),
+        ],
+        [  # batch 1
+            (4, 1, day(2), "LOW"),      # collapse ACROSS batches
+            (5, 2, day(3), "LOW"),      # close cust 2's HIGH, open LOW
+            (6, 3, day(3), "MED"),      # brand-new customer mid-stream
+        ],
+        [  # batch 2
+            (7, 1, day(4), "HIGH"),     # close cust 1's LOW after 2 batches
+            (8, 3, day(5), "MED"),      # collapse across batches again
+        ],
+    ]
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, "
+        "o_orderpriority string"
+    )
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        # single FLAT file per batch (the file source does not recurse
+        # into write.parquet output dirs) with strictly ascending mtimes
+        # so arrival order == event-time order (the CDC contract)
+        tbl = spark.createDataFrame(rows, schema).toPandas()
+        # µs precision: pandas defaults to ns, which parquet stores as
+        # INT64 TIMESTAMP(NANOS) — unreadable under the declared
+        # `timestamp` stream schema
+        tbl["o_orderdate"] = tbl["o_orderdate"].astype("datetime64[us]")
+        f = f"{stream_dir}/batch{i}.parquet"
+        tbl.to_parquet(f, index=False)
+        t = time.time() + i
+        os.utime(f, (t, t))
+        all_rows += rows
+    batch_dir = str(tmp_path / "batch")
+    os.makedirs(batch_dir)
+    spark.createDataFrame(all_rows, schema).coalesce(1).write.parquet(
+        batch_dir + "/orders.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    got = incremental_scd2_apply(
+        spark, stream, str(tmp_path / "dim")
+    ).collect()
+    expect = scd2_customer_priority(spark, batch_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+    # the interesting shape really happened: cust 1 has LOW->HIGH (2
+    # versions, not 3 - the cross-batch collapse), cust 2 HIGH->LOW,
+    # cust 3 a single MED version
+    per_cust = {}
+    for r in got:
+        per_cust.setdefault(r["o_custkey"], []).append(r["priority"])
+    assert per_cust == {1: ["LOW", "HIGH"], 2: ["HIGH", "LOW"], 3: ["MED"]}
+    gens = [d for d in os.listdir(tmp_path / "dim") if d.startswith("gen=")]
+    assert len(gens) == 3, gens
