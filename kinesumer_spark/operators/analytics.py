@@ -323,3 +323,66 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Conversion latency: distribution of (first qualifying purchase − first
+# signup) per converting user — the funnel's "how fast", not "how many".
+_TTC_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           AS signup_us
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) - ANY_VALUE(u.signup_us) AS lat_us
+  FROM events e JOIN users u USING (user_id)
+  WHERE e.event_type = 'purchase' AND u.signup_us IS NOT NULL
+    AND epoch_us(e.ts) > u.signup_us
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(lat_us, 0.5) / 3600000000.0, 6) AS p50_hours,
+       round(quantile_cont(lat_us, 0.9) / 3600000000.0, 6) AS p90_hours,
+       round(MAX(lat_us) / 3600000000.0, 6) AS max_hours
+FROM conv
+"""
+
+
+@register("events_time_to_convert", oracle=_TTC_ORACLE, tags=("analytics", "events"))
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion LATENCY distribution (exact
+    interpolated p50/p90/max over per-user first-qualifying-purchase
+    latency). Same two keyed passes as ``events_funnel``; latencies
+    stay integer micros through the percentile (sort-exact in both
+    engines — Spark `percentile` and DuckDB `quantile_cont` are the
+    same linear-interpolation estimator), converting to hours only in
+    the final identical double expression.
+
+    Scale: the percentile runs over |converting users| rows (already
+    aggregated), not the event stream — exact is affordable here; the
+    stream-scale substitute is percentile_approx (agg_approx_sketches
+    shows the error-bound treatment)."""
+    e = _t(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    users = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("tus"))).alias(
+            "signup_us"
+        )
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(users.filter(F.col("signup_us").isNotNull()), "user_id")
+        .filter(F.col("tus") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(
+            (F.min("tus") - F.first("signup_us")).alias("lat_us")
+        )
+    )
+    h = 3_600_000_000.0
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat_us, 0.5)") / h, 6).alias("p50_hours"),
+        F.round(F.expr("percentile(lat_us, 0.9)") / h, 6).alias("p90_hours"),
+        F.round(F.max("lat_us") / h, 6).alias("max_hours"),
+    )

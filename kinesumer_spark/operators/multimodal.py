@@ -912,3 +912,101 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint dedup (energy-envelope signature over decoded PCM)
+# --------------------------------------------------------------------------
+
+_AFP_CHUNKS = 8  # 8 energy bands -> 8-bit envelope fingerprint
+
+
+def audio_envelope_fp(frames: np.ndarray) -> tuple[int, int]:
+    """(fingerprint, n_onbits) for an (n_frames, n_ch) PCM array:
+    8-chunk energy envelope, bit i set iff chunk i's energy exceeds the
+    mean (e·8 > total — exact int64, no float thresholds). Invariant
+    under uniform gain (every band scales by g², preserving the
+    greater-than-mean comparison) — unit-tested."""
+    x = frames.astype(np.int64)
+    n = x.shape[0]
+    chunk_idx = (np.arange(n, dtype=np.int64) * _AFP_CHUNKS) // n
+    energy = np.zeros(_AFP_CHUNKS, dtype=np.int64)
+    np.add.at(energy, chunk_idx, (x * x).sum(axis=1))
+    total = int(energy.sum())
+    bits = energy * _AFP_CHUNKS > total
+    return int(sum(1 << i for i, b in enumerate(bits) if b)), int(bits.sum())
+
+
+def _afp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            _, frames = decode_wav(bytes(payload))
+            fp, nb = audio_envelope_fp(frames)
+            rows.append((doc_id, fp, nb))
+        yield pd.DataFrame(rows, columns=["doc_id", "afp", "n_onbits"])
+
+
+_AFP_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS BIGINT) AS n_ch,
+         CAST(50 + doc_id % 40 AS BIGINT) AS n_frames
+  FROM documents
+), s AS (
+  SELECT d.doc_id,
+         (i.g * {_AFP_CHUNKS}) // d.n_frames AS chunk,
+         CAST((d.doc_id * 31 + i.g * 7 + c.g * 13) % 4096 - 2048 AS BIGINT) AS v
+  FROM dims d
+  JOIN generate_series(0, 89) i(g) ON i.g < d.n_frames
+  JOIN generate_series(0, 1) c(g) ON c.g < d.n_ch
+), ce AS (
+  SELECT doc_id, chunk, SUM(v * v) AS e FROM s GROUP BY doc_id, chunk
+), tot AS (
+  SELECT doc_id, SUM(e) AS te FROM ce GROUP BY doc_id
+), fp AS (
+  SELECT ce.doc_id,
+         CAST(SUM(CASE WHEN ce.e * {_AFP_CHUNKS} > t.te
+                       THEN 1::BIGINT << ce.chunk ELSE 0 END) AS BIGINT) AS afp,
+         CAST(COUNT(CASE WHEN ce.e * {_AFP_CHUNKS} > t.te
+                         THEN 1 END) AS BIGINT) AS n_onbits
+  FROM ce JOIN tot t USING (doc_id) GROUP BY ce.doc_id
+)
+SELECT doc_id, afp, n_onbits,
+       CAST(COUNT(*) OVER (PARTITION BY afp) AS BIGINT) AS n_same_fp
+FROM fp
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_audio_fingerprint", oracle=_AFP_ORACLE, tags=("multimodal", "dedup"))
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection via energy-envelope fingerprint:
+    encode → decode → 8-band energy envelope thresholded at the mean →
+    8-bit signature, then a JVM window buckets clips whose envelopes
+    collide — the audio analog of ``multimodal_ahash_dedup`` (image
+    aHash), completing the perceptual-dedup story across modalities.
+    Re-encoded or gain-scaled copies keep their envelope SHAPE (uniform
+    gain multiplies every band equally, so the greater-than-mean bits
+    are invariant), which byte-exact hashing misses.
+
+    Everything after decode is integer arithmetic (int64 band energies,
+    e·8 > total mean test), so the fingerprint is bit-reproducible and
+    carries a full value oracle — no float thresholds anywhere.
+
+    Scale: fingerprints are 8 bytes/clip — the only thing shuffled;
+    audio bytes never leave their scan partition (the
+    shuffle-signatures-not-content discipline). A production Hamming-
+    ball variant bands the bits like dedup_simhash."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(_encode_audio_batch, schema="doc_id long, media binary")
+    fp = media.mapInPandas(_afp_batch, schema="doc_id long, afp long, n_onbits long")
+    from pyspark.sql import Window as W
+
+    return (
+        fp.withColumn(
+            "n_same_fp",
+            F.count(F.lit(1)).over(W.partitionBy("afp")).cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )

@@ -638,3 +638,25 @@ def test_quantize_roundtrip_error_bound(spark):
     for r in rows:
         scale = (r["mx_r"] - r["mn_r"]) / 255.0
         assert r["recon_err_r"] <= scale / 2 + 1e-6, r
+
+
+def test_audio_envelope_fp_properties():
+    """Gain invariance (the property byte-hashing misses): a uniformly
+    amplified copy fingerprints identically; flat audio has no
+    above-mean band; a single loud band sets exactly its own bit."""
+    import numpy as np
+
+    from kinesumer_spark.operators.multimodal import audio_envelope_fp
+
+    rng = np.random.RandomState(7)
+    clip = rng.randint(-1000, 1000, size=(80, 2))
+    fp1, _ = audio_envelope_fp(clip)
+    fp2, _ = audio_envelope_fp(clip * 3)  # stays within int16-ish range
+    assert fp1 == fp2 and fp1 != 0
+
+    flat = np.full((64, 1), 100)
+    assert audio_envelope_fp(flat) == (0, 0)  # every band == mean
+
+    spike = np.zeros((64, 1), dtype=np.int64)
+    spike[24:32] = 500  # chunk 3 of 8 (indices 24..31)
+    assert audio_envelope_fp(spike) == (1 << 3, 1)
