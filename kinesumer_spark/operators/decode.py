@@ -225,3 +225,139 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
     return updates.unionByName(untouched).orderBy("c_custkey")
+
+
+# -- ORC source/sink roundtrip ----------------------------------------------
+
+_ORC_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("source_orc_roundtrip", oracle=_ORC_ORACLE, tags=("source", "sink"))
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC source round trip (Spark's second first-class
+    columnar format; the reference leaves storage formats entirely to
+    the application): write the events table as ORC, read it back, and
+    aggregate — the oracle computes the same aggregate from the parquet
+    original, so a green row proves the round trip is value-lossless
+    (types, nulls, and timestamps included).
+
+    Scale: ORC writes/reads are JVM-columnar like parquet (predicate
+    pushdown, column pruning, and vectorized reads all apply); the
+    deliberate aggregate keeps the driver compare small while every row
+    and column transits the format."""
+    import tempfile
+
+    e = read_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="ks_orc_") + "/events_orc"
+    e.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    from kinesumer_spark.functions.exact import exact_sum
+
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", "value_sum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- Pure-SQL front end ------------------------------------------------------
+
+_SQL_IFACE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, n_events, total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id) AS rnk
+  FROM per_user
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id,
+       CAST(n_events AS BIGINT) AS n_events, total_value
+FROM ranked WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+
+@register("sql_interface_topk", oracle=_SQL_IFACE_ORACLE, tags=("sql",))
+def sql_interface_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL front end: a CTE + windowed
+    top-3-users-per-event-type query submitted as ONE spark.sql string
+    over a registered temp view — proving the full text→Catalyst→
+    Tungsten path (parser, CTE inlining, window planning, the identical
+    TakeOrderedAndProject machinery) and not just the DataFrame DSL.
+    Every other registered query is DSL-built; both front ends compile
+    to the same logical plans, and this row pins it."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "ks_sql_events"
+    )
+    return spark.sql(
+        """
+        WITH per_user AS (
+          SELECT user_id, event_type, COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_value
+          FROM ks_sql_events GROUP BY user_id, event_type
+        ), ranked AS (
+          SELECT user_id, event_type, n_events, total_value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY total_value DESC, user_id)
+                   AS rnk
+          FROM per_user
+        )
+        SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id,
+               n_events, total_value
+        FROM ranked WHERE rnk <= 3
+        ORDER BY event_type, rnk
+        """
+    )
+
+
+# -- VARIANT (semi-structured) type ------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       json_extract(props, '$.k') IS NOT NULL AS has_k
+FROM events WHERE event_id < 300
+ORDER BY event_id
+"""
+
+
+@register("scalar_variant_json", oracle=_VARIANT_ORACLE, tags=("scalar", "json"))
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type over the JSON payload: ``parse_json`` into
+    an open semi-structured value, ``variant_get`` path extraction with
+    a target type — the schema-on-read path for payloads whose shape is
+    NOT declared up front (``from_json`` with an explicit schema, the
+    decode_json_payload path, is the closed-schema alternative; VARIANT
+    is what a 100 TB lake uses when producers evolve fields freely:
+    binary-encoded, shreddable, no re-parse per query).
+
+    Reference analog: the payload is an opaque []byte the library never
+    parses (kinesumer.go:97-102) — VARIANT is the engine-side answer."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            "event_id",
+            F.variant_get("v", "$.k", "bigint").alias("k"),
+            F.variant_get("v", "$.k", "bigint").isNotNull().alias("has_k"),
+        )
+        .orderBy("event_id")
+    )

@@ -343,3 +343,49 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _STRAT_N)
         .orderBy("lang", "rnk")
     )
+
+
+# -- Python UDTF (user-defined TABLE function) -------------------------------
+
+_UDTF_ORACLE = """
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, word, CAST(wlen AS BIGINT) AS wlen
+FROM (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+  WHERE doc_id < 15
+), UNNEST(range(1, len(words) + 1)) AS t(p1),
+LATERAL (SELECT words[p1] AS word, p1 - 1 AS pos, length(words[p1]) AS wlen)
+ORDER BY doc_id, pos
+"""
+
+
+@register("udtf_tokenize_lateral", oracle=_UDTF_ORACLE, tags=("reshape", "udf"))
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark 4 ``@udtf``) applied via LATERAL join —
+    the 1→N user-defined TABLE function surface itself, not its
+    mapInPandas emulation (SURVEY.md §2.2 UDTF row): per document the
+    UDTF yields (pos, word, wlen) rows.
+
+    Deliberately bounded (doc_id < 15): Python UDTFs evaluate
+    row-at-a-time in a worker subprocess — correct API parity, wrong
+    hot path. The SAME result at corpus scale is ``reshape_posexplode``
+    (JVM Generate, zero Python); the pairing documents when to reach
+    for which."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: long, word: string, wlen: long")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i, w, len(w)
+
+    spark.udtf.register("ks_tokenize", Tokenize)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 15
+    ).createOrReplaceTempView("ks_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word, t.wlen
+        FROM ks_udtf_docs d, LATERAL ks_tokenize(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
