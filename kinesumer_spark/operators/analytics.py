@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from kinesumer_spark.catalog import read_table
 from kinesumer_spark.functions.exact import exact_sum, oracle_sum
@@ -385,4 +386,177 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat_us, 0.5)") / h, 6).alias("p50_hours"),
         F.round(F.expr("percentile(lat_us, 0.9)") / h, 6).alias("p90_hours"),
         F.round(F.max("lat_us") / h, 6).alias("max_hours"),
+    )
+
+
+# Markov transition matrix over the per-user event sequence: P(next event
+# type | current event type), the behavioral-model / next-action primitive.
+# One lag window over (user_id, ts, event_id) + one pair-keyed aggregate;
+# the probability is a single int64→double division (bit-exact both
+# engines), never a float sum.
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+@register(
+    "events_markov_transitions",
+    oracle=_MARKOV_ORACLE,
+    tags=("analytics", "events"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    ordered pair of event types, how often does ``next_type`` directly
+    follow ``prev_type`` in a user's timeline, and with what conditional
+    probability. The output is |event_types|² rows — the input to
+    next-action prediction, anomalous-sequence detection, and the path
+    analysis that ``events_path_topk`` samples.
+
+    Determinism: the sequence order is (ts, event_id) — total within a
+    user — so lag() pairs identically in both engines; counts are
+    integer-exact, and ``p`` is one correctly-rounded int64→double
+    division per OUTPUT row (never a float aggregate).
+
+    Scale: lag() partitions by user_id — one keyed shuffle of a narrow
+    3-column projection, each user's slice sorts independently (no
+    global sort, no single-partition window); the pair aggregate rides
+    map-side combine down to |types|² rows, and the per-prev totals are
+    a window over that tiny table, not a second pass over events."""
+    seq = _t(spark, sf_dir).select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    n_from = F.sum("n").over(W.partitionBy("prev_type")).cast("bigint")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        n_from.alias("n_from"),
+        (F.col("n").cast("double") / n_from.cast("double")).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+# RFM segmentation, mean-split: each user is scored on Recency (last
+# activity), Frequency (event count), Monetary (exact purchase-value sum)
+# and assigned high/low per dimension vs the ACROSS-USERS mean — 8
+# segments. The mean comparisons are cross-multiplied into pure
+# integer/decimal inequalities (metric·n_users > Σmetric), so segment
+# membership is bit-exact in both engines with zero float comparisons.
+# (Classic quartile RFM needs a global ntile — a single-partition window
+# at scale; the mean-split keeps one keyed shuffle + one broadcast and is
+# the shape that survives 100 TB. Quartile thresholds at scale ride
+# percentile_approx with an error-bound gate, as in agg_approx_sketches.)
+_RFM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,6)) END),
+                  0) AS monetary
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(last_us) AS DECIMAL(38,0)) AS sum_last,
+         CAST(SUM(n_events) AS BIGINT) AS sum_n,
+         CAST(SUM(monetary) AS DECIMAL(38,6)) AS sum_m
+  FROM per_user
+), seg AS (
+  SELECT CAST(u.last_us AS DECIMAL(38,0)) * t.n_users > t.sum_last AS r_hi,
+         u.n_events * t.n_users > t.sum_n AS f_hi,
+         CAST(u.monetary AS DECIMAL(38,6)) * t.n_users > t.sum_m AS m_hi,
+         u.n_events, u.monetary
+  FROM per_user u CROSS JOIN tot t
+)
+SELECT r_hi, f_hi, m_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(monetary) AS DECIMAL(38,6)) AS DOUBLE) AS monetary
+FROM seg GROUP BY r_hi, f_hi, m_hi
+ORDER BY r_hi, f_hi, m_hi
+"""
+
+
+@register("events_rfm_segments", oracle=_RFM_ORACLE, tags=("analytics", "events"))
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (mean-split): one row per (recency-high,
+    frequency-high, monetary-high) cell with user count, event volume,
+    and exact monetary total. See the oracle comment for why mean-split
+    with cross-multiplied integer comparisons is the scale-safe,
+    bit-exact formulation (no global ntile, no float thresholds).
+
+    Plan: one user-keyed aggregate over a narrow projection → one-row
+    totals aggregate broadcast back → 8-row segment aggregate. Monetary
+    rides decimal(18,6) per exact.py; the only doubles are the final
+    display casts."""
+    per_user = _t(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+        "value",
+    ).groupBy("user_id").agg(
+        F.max("tus").alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("monetary"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("last_us").cast("decimal(38,0)").alias("sum_last"),
+        F.sum("n_events").cast("bigint").alias("sum_n"),
+        F.sum("monetary").cast("decimal(38,6)").alias("sum_m"),
+    )
+    seg = per_user.crossJoin(F.broadcast(tot)).select(
+        (
+            F.col("last_us").cast("decimal(38,0)") * F.col("n_users")
+            > F.col("sum_last")
+        ).alias("r_hi"),
+        (F.col("n_events") * F.col("n_users") > F.col("sum_n")).alias("f_hi"),
+        (
+            F.col("monetary").cast("decimal(38,6)") * F.col("n_users")
+            > F.col("sum_m")
+        ).alias("m_hi"),
+        "n_events",
+        "monetary",
+    )
+    return (
+        seg.groupBy("r_hi", "f_hi", "m_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("monetary").cast("decimal(38,6)").cast("double").alias(
+                "monetary"
+            ),
+        )
+        .orderBy("r_hi", "f_hi", "m_hi")
     )

@@ -993,3 +993,144 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c3"), "w1", "w2", "w3")
         .limit(_LM_TOP)
     )
+
+
+# -- Corpus-LM document scoring (the data-selection quality filter) ----------
+
+_LM_SCORE_BOTTOM = 200
+
+_LM_SCORE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY word) AS c_w FROM tok
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(c_w) AS BIGINT) AS sum_count,
+         CAST(COUNT(CASE WHEN c_w = 1 THEN 1 END) AS BIGINT) AS n_hapax
+  FROM wc GROUP BY doc_id
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_corpus FROM per_doc
+)
+SELECT doc_id, n_tokens, sum_count, n_hapax,
+       CAST(sum_count AS DOUBLE) / CAST(n_tokens * n_corpus AS DOUBLE)
+         AS mean_prob,
+       CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_frac
+FROM per_doc CROSS JOIN tot
+ORDER BY mean_prob ASC, doc_id
+LIMIT {_LM_SCORE_BOTTOM}
+"""
+
+
+@register("text_lm_doc_score", oracle=_LM_SCORE_ORACLE, tags=("text", "lm", "quality"))
+def text_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM document scoring — the CCNet-style data-selection
+    signal: documents whose tokens are improbable under the corpus's own
+    unigram distribution (rare-word-heavy, OOV-heavy, or noisy text)
+    score lowest and surface as removal/review candidates. Returns the
+    bottom-200 by ``mean_prob`` = (Σ_w c_w) / (n·N) — the
+    arithmetic mean of per-token corpus probabilities — plus the hapax
+    fraction (tokens seen exactly once corpus-wide).
+
+    Exactness: textbook perplexity needs Σ log p (transcendental; glibc
+    vs JVM differ by ulps — see text_bm25's docstring), so the score is
+    kept an INTEGER ratio: Σ c_w, n, and N are exact int64 aggregates,
+    and the only floats are two correctly-rounded int→double conversions
+    and one IEEE division, bit-equal in both engines. mean_prob is
+    order-equivalent to the mean-likelihood family of filters and keeps
+    the hash oracle.
+
+    Plan (same single-scan discipline as text_ngram_lm): ONE corpus scan
+    explodes tokens; corpus counts attach via a count-over-(word) WINDOW
+    on the exploded table — never a join back through the corpus subtree
+    (a self-join recomputes the scan per branch); per-doc totals are one
+    keyed aggregate; N broadcasts back from a one-row aggregate. Two
+    shuffles of the token table (word, doc_id) — the canonical cost of
+    corpus-frequency scoring; the result is TakeOrderedAndProject, no
+    global sort. Reference: the kinesumer hands payloads to exactly this
+    kind of scoring application (README.md:67-70)."""
+    tok = _t(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = tok.select(
+        "doc_id", F.count(F.lit(1)).over(W.partitionBy("word")).alias("c_w")
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("c_w").cast("bigint").alias("sum_count"),
+        F.count(F.when(F.col("c_w") == 1, 1)).cast("bigint").alias("n_hapax"),
+    )
+    tot = per_doc.agg(F.sum("n_tokens").cast("bigint").alias("n_corpus"))
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_count",
+            "n_hapax",
+            (
+                F.col("sum_count").cast("double")
+                / (F.col("n_tokens") * F.col("n_corpus")).cast("double")
+            ).alias("mean_prob"),
+            (
+                F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("hapax_frac"),
+        )
+        .orderBy("mean_prob", "doc_id")
+        .limit(_LM_SCORE_BOTTOM)
+    )
+
+
+# -- BPE pair counting (the tokenizer-training inner loop) -------------------
+
+_BPE_TOP = 40
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2)))
+    AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY pair
+ORDER BY n_pairs DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+@register("text_bpe_pair_counts", oracle=_BPE_ORACLE, tags=("text", "tokenizer"))
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the inner loop of BPE tokenizer
+    training (the highest-count pair is the next merge). Counts every
+    within-word adjacent character bigram across the corpus and returns
+    the top-40 by (count desc, pair): after each merge a real
+    BPE trainer re-runs exactly this count over the updated symbol
+    sequences, so the distributed shape below IS the trainer's hot path.
+
+    Plan: one corpus scan → explode words → explode the per-word bigram
+    list (substring-generated, 1-based in both engines; words shorter
+    than 2 symbols are filtered BEFORE sequence() so Spark never builds
+    a descending sequence) → one pair-keyed aggregate →
+    TakeOrderedAndProject. Counts are integer-exact. At 100 TB the
+    pair-keyed shuffle carries only (pair, partial count) thanks to
+    map-side combine — vocab²-bounded, not corpus-bounded."""
+    words = _t(spark, sf_dir).select(F.explode(F.split("text", " ")).alias("w"))
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "pair")
+        .limit(_BPE_TOP)
+    )
