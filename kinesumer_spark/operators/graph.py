@@ -1,0 +1,235 @@
+"""Graph analytics over relations DERIVED from the warehouse tables:
+integer-exact PageRank on the nation-to-nation trade graph and
+distributed triangle counting on the supplier co-supply graph.
+
+Why these belong in the engine: a training-data pipeline at 100 TB uses
+exactly these shapes — PageRank-style importance propagation for source/
+domain weighting (quality-weighted sampling of crawl domains), and
+triangle/clustering statistics for community detection over near-dup or
+citation graphs (the dedup connected-components core in
+operators/dedup.py is the third member of this family).
+
+Exactness discipline: PageRank is usually float-iterative and therefore
+oracle-hostile (per-node incoming sums are partition-order dependent).
+Here ranks are INTEGER "rank units" (T = 10^12 split across nodes) and
+every step is integer arithmetic — products in decimal(38,0) (Spark) /
+HUGEINT (DuckDB), truncating division (`div` / `//`, identical on
+non-negative operands), int64 sums — so three damped power iterations
+produce bit-identical bigint ranks in both engines. No floats anywhere
+until the final display division.
+
+Reference parity: the kinesumer delegates every analytic to its
+application (kinesumer.go:346-370, README.md:67-70); these register the
+graph slice of that application surface, SURVEY.md §2.2 "LLM-pipeline
+extensions".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesumer_spark.catalog import load_tables, read_table
+from kinesumer_spark.operators.tpch_partsupp import _PS_CTE
+from kinesumer_spark.registry import register
+
+# Total rank mass in integer units; damping d = 17/20 (= 0.85 exact).
+_PR_T = 10**12
+_PR_ITERS = 3
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer-nation → supplier-nation edge list with lineitem counts.
+
+    This is the 100 TB-heavy part of PageRank: a fact-fact shuffle join
+    (lineitem ⨝ orders on orderkey) plus two dim joins (customer keyed;
+    supplier broadcast-eligible), collapsing to ≤ |nation|² edge rows
+    via map-side combine. The power iterations afterwards run on that
+    tiny aggregated graph — never on the fact tables.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def _pr_oracle() -> str:
+    """Unrolled 3-iteration integer PageRank in DuckDB SQL (HUGEINT +
+    truncating //, mirroring Spark's decimal(38,0) + div)."""
+    base = f"(3 * CAST({_PR_T} AS HUGEINT)) // (20 * nn.n)"
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""inc{i} AS (
+  SELECT e.dst AS node,
+         SUM((r.r * CAST(e.w AS HUGEINT)) // CAST(o.out_w AS HUGEINT)) AS inc
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.n_nationkey AS node,
+         CAST({base} + (17 * COALESCE(i.inc, 0)) // 20 AS HUGEINT) AS r
+  FROM nation n CROSS JOIN nn LEFT JOIN inc{i} i ON i.node = n.n_nationkey
+)"""
+        )
+        prev = f"r{i}"
+    its = ",\n".join(iters)
+    return f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY src, dst
+), outw AS (
+  SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
+), nn AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM nation
+), r0 AS (
+  SELECT n_nationkey AS node,
+         CAST(CAST({_PR_T} AS HUGEINT) // nn.n AS HUGEINT) AS r
+  FROM nation CROSS JOIN nn
+),
+{its}
+SELECT n.n_nationkey, n.n_name, CAST(r.r AS BIGINT) AS rank_units
+FROM r{_PR_ITERS} r JOIN nation n ON n.n_nationkey = r.node
+ORDER BY rank_units DESC, n.n_name
+"""
+
+
+@register("graph_pagerank_trade", oracle=_pr_oracle(), tags=("graph", "iterative"))
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d = 17/20, 3 power iterations) over the
+    nation-to-nation trade graph: an edge src→dst weighted by how many
+    lineitems flow from customers in ``src`` to suppliers in ``dst``.
+    High-rank nations are the gravity wells of trade flow — the same
+    propagation a pipeline uses for domain-importance weighting.
+
+    Integer formulation (see module docstring): R₀ = T div N per node;
+    each iteration R'ᵢ = (3T) div (20N) + (17·Σⱼ (Rⱼ·wⱼᵢ div outⱼ))
+    div 20. Truncating division on non-negative operands is floor —
+    deterministic, associativity-free, engine-identical. Dangling-node
+    mass is dropped (the standard simple variant, same in the oracle).
+
+    Scale: edge derivation shuffles the fact tables ONCE (see
+    _trade_edges); each iteration is a join over the ≤ N² aggregated
+    edge table against the N-row rank table — broadcast-sized at any
+    data scale because the GRAPH, not the data, bounds it. |nation| is
+    read once as a dim-table scalar (constant 25, TPC-H spec), same
+    bounded-collect class as the IVF codebooks (similarity.py)."""
+    nations = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_nodes = nations.count()  # dim cardinality, O(1) — see docstring
+    edges = _trade_edges(spark, sf_dir).cache()
+    outw = edges.groupBy("src").agg(F.sum("w").cast("decimal(38,0)").alias("out_w"))
+    ew = edges.join(outw, "src").select(
+        "src",
+        "dst",
+        F.col("w").cast("decimal(38,0)").alias("w"),
+        "out_w",
+    )
+    base = (3 * _PR_T) // (20 * n_nodes)
+    ranks = nations.select(
+        F.col("n_nationkey").alias("node"),
+        F.lit(_PR_T // n_nodes).cast("decimal(38,0)").alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        inc = (
+            ew.join(F.broadcast(ranks), ew.src == F.col("node"))
+            .select("dst", F.expr("(r * w) div out_w").alias("term"))
+            .groupBy("dst")
+            .agg(F.sum("term").cast("decimal(38,0)").alias("inc"))
+        )
+        ranks = (
+            nations.select(F.col("n_nationkey").alias("node"))
+            .join(inc, F.col("node") == inc.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("decimal(38,0)")
+                    + F.expr(
+                        "(CAST(17 AS DECIMAL(38,0)) * COALESCE(inc, CAST(0 AS DECIMAL(38,0)))) "
+                        "div CAST(20 AS DECIMAL(38,0))"
+                    ).cast("decimal(38,0)")
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(nations, ranks.node == nations.n_nationkey)
+        .select(
+            "n_nationkey", "n_name", F.col("r").cast("bigint").alias("rank_units")
+        )
+        .orderBy(F.desc("rank_units"), "n_name")
+    )
+
+
+# Triangle counting + global clustering coefficient on the supplier
+# co-supply graph (two suppliers are adjacent iff they supply a common
+# part, via the derived partsupp — tpch_partsupp.py). Same-SQL-both-
+# engines: every count is integer; wedge total SUM(deg·(deg−1)) is even
+# and < 2^52, so the /2 and the final transitivity ratio are exact
+# IEEE-double steps identical in both engines.
+_TRIANGLE_SQL = f"""
+WITH {_PS_CTE},
+pairs AS (
+  SELECT DISTINCT a.ps_suppkey AS u, b.ps_suppkey AS v
+  FROM partsupp a
+  JOIN partsupp b
+    ON a.ps_partkey = b.ps_partkey AND a.ps_suppkey < b.ps_suppkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs) x
+  GROUP BY node
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+         CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT a.n_nodes, a.n_edges, a.n_wedges, t.n_triangles,
+       CAST(3 * t.n_triangles AS DOUBLE) / CAST(a.n_wedges AS DOUBLE)
+         AS transitivity
+FROM agg a CROSS JOIN tri t
+"""
+
+
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_TRIANGLE_SQL)
+
+
+_graph_triangles.__doc__ = (
+    "Distributed triangle count + global clustering coefficient of the "
+    "supplier co-supply graph. Edges are canonically oriented u < v at "
+    "derivation, so the e1(a,b)⨝e2(b,c)⨝e3(a,c) three-way join counts "
+    "each triangle exactly once with no post-dedup — the standard "
+    "distributed-triangle trick; at 100 TB the orientation would be by "
+    "degree (lower-degree endpoint first), which bounds the join fan-out "
+    "by arboricity instead of max degree (same plan shape, different "
+    "orientation key). Every join is equi-keyed and shuffle-partitioned; "
+    "counts are integer-exact; identical SQL text runs on both engines."
+)
+
+register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_SQL,
+    tags=("graph",),
+    doc=_graph_triangles.__doc__,
+)(_graph_triangles)

@@ -192,6 +192,7 @@ def all_queries() -> dict[str, Query]:
         training_prep,
         analytics,
         warehouse,
+        graph,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 
