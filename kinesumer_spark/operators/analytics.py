@@ -512,23 +512,33 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals aggregate broadcast back → 8-row segment aggregate. Monetary
     rides decimal(18,6) per exact.py; the only doubles are the final
     display casts."""
-    per_user = _t(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros("ts").alias("tus"),
-        "event_type",
-        "value",
-    ).groupBy("user_id").agg(
-        F.max("tus").alias("last_us"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    F.col("value").cast("decimal(18,6)"),
-                )
-            ),
-            F.lit(0).cast("decimal(18,6)"),
-        ).alias("monetary"),
+    # localCheckpoint: the totals branch and the segment branch both read
+    # per_user; without materialization the one-row totals aggregate
+    # re-scans the event stream (the text_lm_doc_score lesson — |users|
+    # rows is the right thing to pay twice, the fact table is not)
+    per_user = (
+        _t(spark, sf_dir)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("tus"),
+            "event_type",
+            "value",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("tus").alias("last_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("monetary"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),

@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from kinesumer_spark.catalog import read_table
 from kinesumer_spark.registry import register
@@ -1688,4 +1688,148 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recon_err_r"),
         )
         .orderBy("vec_id")
+    )
+
+
+# -- PCA: distributed covariance + driver eigh + projected validation --------
+
+_PCA_TOL_ORTHO = 1e-5
+_PCA_TOL_RECON = 1e-4
+_PCA_TOL_VAR = 1e-6
+
+# Error-bound oracle (the similarity_ivf_probe pattern): the eigenbasis
+# itself is float and BLAS-build sensitive, so the registered result is
+# the set of PCA invariants — exact per-label counts plus booleans that
+# hold for ANY correctly-computed eigendecomposition: the basis is
+# orthonormal, eigenvalues are sorted descending, their sum matches the
+# covariance trace, and full-rank reconstruction is lossless to float
+# tolerance. A wrong covariance (bad partial combine), a dropped sign
+# convention, or a transposed projection each flips a boolean.
+_PCA_VALID_ORACLE = """
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       TRUE AS orthonormal_ok,
+       TRUE AS eigs_desc_ok,
+       TRUE AS var_ok,
+       TRUE AS recon_ok
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def pca_fit(spark: SparkSession, sf_dir: str):
+    """Fit PCA over the embedding corpus: distributed second-moment
+    aggregation, driver-side eigendecomposition of the d×d covariance.
+
+    Scale shape (the classic two-phase tree aggregation): executors
+    compute per-group partials (n, Σx, ΣxxT) via applyInPandas over a
+    salt key — each partial is one BLAS syrk over an Arrow batch — and
+    the driver combines 64 partials of d²+d+1 floats and runs eigh on
+    the d×d matrix. The collect is O(salts·d²) — model-sized, not
+    data-sized, the same bounded-collect class as the IVF/PQ codebooks
+    (train loops above). Sign convention: each eigenvector's largest-
+    magnitude component is made positive, so the basis is deterministic
+    up to eigh's float jitter (validated by invariants, not by hash).
+
+    Returns (n, mean, cov, eigenvalues desc, eigenvectors as columns).
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [len(m)],
+                "s": [m.sum(axis=0)],
+                "o": [(m.T @ m).ravel()],
+            }
+        )
+
+    partials = (
+        emb.withColumn("salt", (F.col("vec_id") % 64).cast("int"))
+        .groupBy("salt")
+        .applyInPandas(_partial, "n long, s array<double>, o array<double>")
+        .toPandas()
+    )
+    n = int(partials["n"].sum())
+    s = np.sum(np.stack(partials["s"].to_numpy()), axis=0)
+    o = np.sum(np.stack(partials["o"].to_numpy()), axis=0).reshape(_DIM, _DIM)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")
+    evals, evecs = evals[order], evecs[:, order]
+    pick = np.argmax(np.abs(evecs), axis=0)
+    sign = np.sign(evecs[pick, np.arange(_DIM)])
+    sign[sign == 0] = 1.0
+    evecs = evecs * sign
+    return n, mean, cov, evals, evecs
+
+
+def pca_project(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """User-facing projection: each embedding reduced to its top-k
+    principal components (`z`), computed map-side by a pandas_udf
+    against the broadcast (mean, basis) — one BLAS matmul per Arrow
+    batch, zero shuffles after the fit."""
+    _, mean, _, _, evecs = pca_fit(spark, sf_dir)
+    basis = evecs[:, :k]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def project(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(list((m - mean) @ basis))
+
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", project("embedding").alias("z")
+    )
+
+
+@register(
+    "embedding_pca_validation",
+    oracle=_PCA_VALID_ORACLE,
+    tags=("similarity", "embedding"),
+)
+def embedding_pca_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA invariants, one row per label (see oracle comment): exact
+    ``n_vecs`` plus orthonormality / descending-eigenvalue / trace /
+    full-rank-reconstruction booleans. ``recon_ok`` is the distributed
+    check — every vector round-trips through the FULL basis within
+    1e-4 — evaluated map-side per Arrow batch and AND-folded per label;
+    the other three are d×d driver-side facts broadcast as literals."""
+    n, mean, cov, evals, evecs = pca_fit(spark, sf_dir)
+    gram_err = float(np.abs(evecs.T @ evecs - np.eye(_DIM)).max())
+    orthonormal_ok = gram_err < _PCA_TOL_ORTHO
+    eigs_desc_ok = bool(np.all(np.diff(evals) <= 1e-12))
+    trace = float(np.trace(cov))
+    var_ok = abs(float(evals.sum()) - trace) <= _PCA_TOL_VAR * max(trace, 1e-30)
+
+    full = evecs  # all d components: projection is an isometry
+
+    @pandas_udf("boolean")
+    def recon_ok_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=bool)
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        z = (m - mean) @ full
+        xh = z @ full.T + mean
+        return pd.Series(np.abs(xh - m).max(axis=1) < _PCA_TOL_RECON)
+
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .select("label", recon_ok_udf("embedding").alias("r_ok"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("r_ok").alias("recon_ok"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.lit(orthonormal_ok).alias("orthonormal_ok"),
+            F.lit(eigs_desc_ok).alias("eigs_desc_ok"),
+            F.lit(var_ok).alias("var_ok"),
+            "recon_ok",
+        )
+        .orderBy("label")
     )

@@ -1056,10 +1056,19 @@ def text_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = tok.select(
         "doc_id", F.count(F.lit(1)).over(W.partitionBy("word")).alias("c_w")
     )
-    per_doc = wc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum("c_w").cast("bigint").alias("sum_count"),
-        F.count(F.when(F.col("c_w") == 1, 1)).cast("bigint").alias("n_hapax"),
+    # Materialize the per-doc aggregate once (lazy localCheckpoint, |docs|
+    # rows): the totals branch and the scoring branch both reference it,
+    # and Catalyst does not reuse a subtree across branches — unchecked,
+    # the one-row N aggregate re-scanned and re-exploded the WHOLE corpus
+    # (measured: 2 parquet scans; now 1, plan-audited in test_plans.py).
+    per_doc = (
+        wc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("c_w").cast("bigint").alias("sum_count"),
+            F.count(F.when(F.col("c_w") == 1, 1)).cast("bigint").alias("n_hapax"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = per_doc.agg(F.sum("n_tokens").cast("bigint").alias("n_corpus"))
     return (

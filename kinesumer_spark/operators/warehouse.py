@@ -415,3 +415,109 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# Snapshot diff (table change-data audit): compare two snapshots of the
+# customer dimension and classify every key as added / removed / changed /
+# unchanged. Snapshot B is DERIVED deterministically from A (delete keys
+# ≡0 mod 97, bump acctbal by +10.00 for keys ≡0 mod 13, insert a shifted
+# copy of keys ≡0 mod 89), so both engines rebuild the identical pair of
+# relations from the same rules and the whole diff — derivation included —
+# is hash-checked. The +10 double add is a single correctly-rounded IEEE
+# op on identical input bits: bit-equal in both engines.
+_SNAPDIFF_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name || '_new', c_nationkey, c_acctbal
+  FROM customer WHERE c_custkey % 89 = 0
+), d AS (
+  SELECT CASE
+           WHEN a.c_custkey IS NULL THEN 'added'
+           WHEN b.c_custkey IS NULL THEN 'removed'
+           WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal
+             OR a.c_name IS DISTINCT FROM b.c_name
+             OR a.c_nationkey IS DISTINCT FROM b.c_nationkey THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type,
+         COALESCE(b.c_acctbal, 0) - COALESCE(a.c_acctbal, 0) AS delta
+  FROM customer a FULL OUTER JOIN b USING (c_custkey)
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(delta AS DECIMAL(18,6))) AS DOUBLE) AS acctbal_delta
+FROM d GROUP BY change_type ORDER BY change_type
+"""
+
+
+@register(
+    "warehouse_snapshot_diff",
+    oracle=_SNAPDIFF_ORACLE,
+    tags=("warehouse", "cdc"),
+)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot table diff — the audit primitive behind CDC
+    backfills, replication checks, and dataset-version comparisons
+    (the batch complement of stream_scd2_apply's row-level CDC). Every
+    key is classified added/removed/changed/unchanged via ONE full
+    outer join on the key plus null-safe column comparisons; per-class
+    row counts and the exact net acctbal movement come out of a final
+    4-row aggregate.
+
+    Scale: the full outer join hash-partitions both snapshots on the
+    key — no broadcast needed and none attempted (both sides are
+    table-sized); AQE handles skew. Column comparison is map-side; the
+    classifying aggregate rides map-side combine down to 4 rows. At
+    100 TB the same plan diffs daily snapshots of a dimension feed;
+    for fact-scale diffs the column compare collapses to a row-hash
+    compare (sha2 over concat_ws), same join shape — that variant is
+    exactly dedup_exact's hash discipline."""
+    a = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    b = a.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 10)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    ).unionByName(
+        a.filter(F.col("c_custkey") % 89 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.concat(F.col("c_name"), F.lit("_new")).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+    )
+    al = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns])
+    bl = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    joined = al.join(
+        bl, al.a_c_custkey == bl.b_c_custkey, "full_outer"
+    )
+    differs = (
+        ~F.col("a_c_acctbal").eqNullSafe(F.col("b_c_acctbal"))
+        | ~F.col("a_c_name").eqNullSafe(F.col("b_c_name"))
+        | ~F.col("a_c_nationkey").eqNullSafe(F.col("b_c_nationkey"))
+    )
+    d = joined.select(
+        F.when(F.col("a_c_custkey").isNull(), "added")
+        .when(F.col("b_c_custkey").isNull(), "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce("b_c_acctbal", F.lit(0))
+            - F.coalesce("a_c_acctbal", F.lit(0))
+        ).alias("delta"),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            exact_sum("delta", "acctbal_delta"),
+        )
+        .orderBy("change_type")
+    )

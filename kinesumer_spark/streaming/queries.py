@@ -880,3 +880,85 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="ks_scd2_mv_")
     return incremental_scd2_apply(spark, orders, work)
+
+
+_TWS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND("value" * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+           AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def tws_supported() -> bool:
+    """transformWithStateInPandas needs the `protobuf` package (the new
+    API's state server speaks proto to the JVM); this container ships
+    without it and installs are out of scope, so the query registers
+    only where the capability exists — the same import-try gating the
+    compressed multimodal codecs use (multimodal.py). The processor and
+    wiring below are real and the gate itself is pinned by
+    tests/test_streaming_engine.py."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals on Spark 4's transformWithStateInPandas —
+    the named-state successor API (ValueState/ListState/MapState +
+    timers) to applyInPandasWithState — driven through a real streaming
+    query and folded to the identical batch GROUP BY answer
+    (stream_stateful_totals' oracle verbatim, so the driver hash-proves
+    old-API/new-API/batch three-way equivalence). Values accumulate as
+    integer micros (exact in int64); the RocksDB state-store provider is
+    required by the API and pinned for this query only, restored after.
+
+    Scale: state is one fixed-size RocksDB row per key, partitioned by
+    user_id; changelog checkpointing ships per-batch deltas, so state
+    size tracks the live key set — the property the reference's
+    offsets sync.Map (kinesumer.go:155-160) only has per-shard."""
+    from kinesumer_spark.streaming.stateful import running_user_totals_tws
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value"),
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        emitted = _run_to_table(
+            running_user_totals_tws(ev), "ks_stream_tws", mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (
+                F.max_by("total_value", "n_events").cast("double") / 1_000_000
+            ).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+if tws_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_transform_with_state",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful"),
+    )(stream_transform_with_state)

@@ -231,3 +231,61 @@ def funnel_conversions(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- transformWithStateInPandas (Spark 4.x arbitrary-state API) --------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value bigint"
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, integer-micro sum) on the Spark 4
+    ``transformWithStateInPandas`` API — the successor to
+    applyInPandasWithState with NAMED state primitives (value/list/map
+    states, timers, TTL) instead of one monolithic state tuple. This
+    processor is the running_user_totals semantics re-expressed on the
+    new API so the engine exercises both stateful surfaces; the
+    equivalence is driver-proven by carrying the identical batch oracle.
+
+    State: one ValueState row per key, (n bigint, total bigint) —
+    fixed-size, RocksDB-backed (the API requires the RocksDB provider),
+    partitioned by the grouping key like every stateful op.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n bigint, total bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        got = self._totals.get()
+        n, total = got if got is not None else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            total += int(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals via transformWithStateInPandas
+    (update semantics, no time mode). ``events`` must carry
+    (user_id, value: bigint integer-micros)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotalsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -293,3 +293,65 @@ def test_warehouse_and_lm_plan_shapes(spark):
 
     p_lm = plan_string(text_ngram_lm(spark, SF_SMALL), mode="simple")
     assert p_lm.count("FileScan parquet") == 1, p_lm
+
+
+def test_lm_score_and_bpe_single_scan_jvm_side(spark):
+    """text_lm_doc_score attaches corpus counts via a window over the
+    exploded token table — exactly ONE parquet scan (a join formulation
+    recomputes the scan per branch, the text_ngram_lm lesson);
+    text_bpe_pair_counts is one scan → explode → keyed agg → top-k.
+    Both stay JVM-side."""
+    # formatted explain prints each scan twice (tree node + detail
+    # header), so one physical scan == count 2
+    for name in ("text_lm_doc_score", "text_bpe_pair_counts"):
+        plan = plan_string(_df(spark, name))
+        assert plan.count("Scan parquet") <= 2, f"{name}: {plan}"
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    assert "ExistingRDD" in plan_string(
+        _df(spark, "text_lm_doc_score")
+    ), "per-doc materialization not engaged"
+    plan = plan_string(_df(spark, "text_bpe_pair_counts"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_graph_plans_no_cartesian(spark):
+    """Every graph join is equi-keyed: triangle counting's 3-way
+    self-join and PageRank's edge⨝rank iterations must never fall back
+    to a cartesian/nested-loop product; rank tables broadcast."""
+    for name in ("graph_pagerank_trade", "graph_triangle_count"):
+        plan = plan_string(_df(spark, name))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+        assert "BatchEvalPython" not in plan, name
+    assert "BroadcastHashJoin" in plan_string(_df(spark, "graph_pagerank_trade"))
+
+
+def test_snapshot_diff_is_full_outer_keyed(spark):
+    """The snapshot diff must be ONE full-outer equi-join on the key —
+    no nested-loop fallback, no Python."""
+    plan = plan_string(_df(spark, "warehouse_snapshot_diff"))
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_markov_and_rfm_shapes(spark):
+    """Markov: one scan, lag window on the user shuffle, pair agg.
+    RFM: keyed agg + broadcast totals, partial+final aggregation."""
+    plan = plan_string(_df(spark, "events_markov_transitions"))
+    assert plan.count("Scan parquet") <= 2, plan  # one physical scan
+    assert "BatchEvalPython" not in plan
+    plan = plan_string(_df(spark, "events_rfm_segments"))
+    assert plan.count("Scan parquet") <= 2, plan  # one physical scan
+    assert "ExistingRDD" in plan, "per-user materialization not engaged"
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pca_validation_rides_arrow_not_rows(spark):
+    """The PCA reconstruction check is pandas-vectorized (ArrowEvalPython
+    batches), never row-at-a-time Python."""
+    plan = plan_string(_df(spark, "embedding_pca_validation"))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -688,3 +688,24 @@ def test_scd2_apply_across_microbatches(spark, tmp_path):
     assert per_cust == {1: ["LOW", "HIGH"], 2: ["HIGH", "LOW"], 3: ["MED"]}
     gens = [d for d in os.listdir(tmp_path / "dim") if d.startswith("gen=")]
     assert len(gens) == 3, gens
+
+
+def test_transform_with_state_capability_gate(spark):
+    """stream_transform_with_state registers only where the `protobuf`
+    package exists (the Spark 4 transformWithState state server speaks
+    proto to the JVM). Where present the query must pass its oracle;
+    where absent it must be cleanly excluded — never a half-registered
+    query the driver would redden on (the multimodal codec-gate
+    pattern)."""
+    from kinesumer_spark.registry import all_queries
+    from kinesumer_spark.streaming.queries import tws_supported
+    from kinesumer_spark.streaming.stateful import UserTotalsProcessor
+
+    UserTotalsProcessor()  # the operator code itself is always importable
+    if tws_supported():
+        from kinesumer_spark.oracle import check_query
+
+        assert "stream_transform_with_state" in all_queries()
+        assert not check_query(spark, "stream_transform_with_state", SF_SMALL)
+    else:
+        assert "stream_transform_with_state" not in all_queries()
