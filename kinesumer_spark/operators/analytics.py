@@ -540,6 +540,15 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    return segment_rfm(per_user)
+
+
+def segment_rfm(per_user: DataFrame) -> DataFrame:
+    """Mean-split RFM segmentation over a per-user aggregate frame
+    (last_us bigint, n_events bigint, monetary decimal) — shared by the
+    batch query above and the streaming variant
+    (streaming/queries.stream_rfm_segments), which is what pins their
+    equivalence: both feed the identical segmentation plan."""
     tot = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("last_us").cast("decimal(38,0)").alias("sum_last"),

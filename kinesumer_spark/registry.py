@@ -193,6 +193,7 @@ def all_queries() -> dict[str, Query]:
         analytics,
         warehouse,
         graph,
+        timeseries,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -962,3 +962,58 @@ if tws_supported():  # pragma: no cover - environment-dependent
         oracle=_TWS_ORACLE,
         tags=("streaming", "stateful"),
     )(stream_transform_with_state)
+
+
+def _stream_rfm_oracle() -> str:
+    from kinesumer_spark.operators.analytics import _RFM_ORACLE
+
+    return _RFM_ORACLE
+
+
+@register(
+    "stream_rfm_segments",
+    oracle=_stream_rfm_oracle(),
+    tags=("streaming", "analytics"),
+)
+def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch RFM segmentation (operators/analytics.events_rfm_segments)
+    fed by a STREAMING per-user aggregate: recency/frequency/monetary are
+    all monotone streaming aggregates (max, count, decimal sum) in update
+    mode — no custom state needed, Spark's incremental agg store IS the
+    per-user state. Each user's final emission (selected by max n_events,
+    which strictly increases) feeds the SAME segmentation plan as the
+    batch query (analytics.segment_rfm), under the SAME oracle — the
+    driver hash-proves batch/stream equivalence end to end (the
+    stream_funnel pattern).
+
+    Scale: streaming side is ONE keyed stateful aggregation (narrow
+    4-column projection, update-mode deltas); segmentation runs on the
+    |users|-sized result."""
+    from kinesumer_spark.operators.analytics import segment_rfm
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+        "value",
+    )
+    per_user_updates = ev.groupBy("user_id").agg(
+        F.max("tus").alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("monetary"),
+    )
+    emitted = _run_to_table(per_user_updates, "ks_stream_rfm", mode="update")
+    per_user = emitted.groupBy("user_id").agg(
+        F.max_by("last_us", "n_events").alias("last_us"),
+        F.max("n_events").alias("n_events"),
+        F.max_by("monetary", "n_events").alias("monetary"),
+    )
+    return segment_rfm(per_user)

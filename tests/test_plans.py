@@ -355,3 +355,31 @@ def test_pca_validation_rides_arrow_not_rows(spark):
     plan = plan_string(_df(spark, "embedding_pca_validation"))
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_cusum_windows_share_one_sort(spark):
+    """CUSUM's running-sum and running-min windows share the same
+    ordering — Catalyst must compute both in a single Window node over
+    ONE sort of the calendar-bounded hourly table; the fact table is
+    scanned once (totals read the materialized hourly aggregate)."""
+    plan = plan_string(_df(spark, "events_changepoint_cusum"))
+    assert plan.count("Scan parquet") <= 2, plan  # one physical scan
+    assert "ExistingRDD" in plan, "hourly materialization not engaged"
+    # two Window NODES are inherent (the running min consumes the
+    # running sum's output) but they must ride ONE sort of the hourly
+    # table — no re-sort/exchange between them (formatted explain
+    # prints each node twice: tree + detail)
+    assert plan.count("Window") <= 4, plan
+    assert plan.count("(") and plan.count(") Sort") <= 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_timeseries_fold_single_fact_scan(spark):
+    """EMA/Holt aggregate the fact table once into the calendar-bounded
+    series; the fold is a scalar expression (no Python, no extra
+    scans)."""
+    for name in ("timeseries_ema_daily", "timeseries_holt_forecast"):
+        plan = plan_string(_df(spark, name))
+        assert plan.count("Scan parquet") <= 2, f"{name}: {plan}"  # 1 scan
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
