@@ -62,6 +62,13 @@ EXTENDED = [
     "semantic_dup_pairs",  # user-facing SemDeDup scale path (unregistered)
     "stream_rollup_upsert",
     "stream_scd2_apply",
+    # r6 late additions
+    "text_lm_doc_score",
+    "text_bpe_pair_counts",
+    "graph_pagerank_trade",
+    "events_changepoint_cusum",
+    "agg_hll_sketch_merge",
+    "embedding_pca_validation",
 ]
 
 

@@ -272,3 +272,71 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# HLL sketch-merge rollup: the RE-AGGREGATABLE distinct count. Daily
+# user sketches union into monthly estimates WITHOUT re-scanning raw
+# events — the property that makes distinct-count rollup tables possible
+# at 100 TB (exact distinct does not re-aggregate; sketches do). Sketch
+# bytes are engine-specific, so the oracle checks error BOUNDS (the
+# agg_approx_sketches pattern): exact monthly distinct + a TRUE per
+# month asserting the merged estimate landed within the sketch's
+# advertised accuracy (lgK=12 → RSE ≈ 1.04/√2¹² ≈ 1.6%; gate at 5%).
+_HLL_MERGE_ORACLE = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS estimate_ok
+FROM events
+GROUP BY month
+ORDER BY month
+"""
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle=_HLL_MERGE_ORACLE,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL rollup over the event stream: per-DAY Apache
+    DataSketches HLL sketches of distinct users (`hll_sketch_agg`),
+    merged per MONTH with `hll_union_agg` and estimated — exactly how a
+    warehouse maintains distinct-user rollups (daily sketch table →
+    any coarser period by union, never re-reading raw). The same pass
+    computes the exact monthly distinct for the bound check; at scale
+    the exact branch disappears and only the sketch path runs.
+
+    Plan: one day-keyed partial+final aggregate builds the (day,
+    sketch) table; the month merge re-aggregates |days| sketch rows —
+    calendar-bounded. The exact branch reads the SAME scan (Catalyst
+    reuses it: both branches aggregate the identical projection)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    ).localCheckpoint(eager=False)
+    daily = e.groupBy("month", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    monthly = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    exact = e.groupBy("month").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        monthly.join(exact, "month")
+        .select(
+            F.date_format("month", "yyyy-MM-dd").alias("month"),
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("estimate_ok"),
+        )
+        .orderBy("month")
+    )

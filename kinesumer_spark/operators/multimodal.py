@@ -1010,3 +1010,93 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- video scene-cut detection ----------------------------------------------
+
+# A cut between frames f-1 and f when the mean absolute luma delta ≥ 30
+# (compared as integer cross-multiplication: Σ|Δ| ≥ 30·h·w — no floats).
+_CUT_THRESH = 30
+
+
+def _scene_cut_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            _, frames = decode_y4m(bytes(payload))
+            n, h, w = frames.shape
+            diffs = np.abs(
+                frames[1:].astype(np.int64) - frames[:-1].astype(np.int64)
+            ).sum(axis=(1, 2))
+            is_cut = diffs >= _CUT_THRESH * h * w
+            first = int(np.argmax(is_cut)) + 1 if is_cut.any() else -1
+            rows.append(
+                (
+                    doc_id,
+                    n,
+                    int(is_cut.sum()),
+                    first,
+                    int(diffs.sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "n_cuts", "first_cut", "delta_total"],
+        )
+
+
+_SCENE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 6 AS BIGINT) AS n,
+         CAST((3 + doc_id % 4) * 2 AS BIGINT) AS h,
+         CAST((4 + doc_id % 3) * 2 AS BIGINT) AS w
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.n, d.h, d.w, f.g AS f,
+         CAST(sum(abs(
+           (d.doc_id * 7 + f.g * 19 + y.g * 5 + x.g * 3) % 256
+           - (d.doc_id * 7 + (f.g - 1) * 19 + y.g * 5 + x.g * 3) % 256
+         )) AS BIGINT) AS pair_sum
+  FROM dims d
+  JOIN generate_series(1, 9) f(g) ON f.g < d.n
+  JOIN generate_series(0, 11) y(g) ON y.g < d.h
+  JOIN generate_series(0, 11) x(g) ON x.g < d.w
+  GROUP BY d.doc_id, d.n, d.h, d.w, f.g
+)
+SELECT doc_id,
+       n AS n_frames,
+       CAST(COUNT(CASE WHEN pair_sum >= {_CUT_THRESH} * h * w THEN 1 END)
+            AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN pair_sum >= {_CUT_THRESH} * h * w
+                              THEN f END), -1) AS BIGINT) AS first_cut,
+       CAST(SUM(pair_sum) AS BIGINT) AS delta_total
+FROM px
+GROUP BY doc_id, n
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_scene_cuts", oracle=_SCENE_ORACLE, tags=("multimodal",))
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the Y4M video column — the shot-boundary
+    primitive of a video-training pipeline (sample-per-shot beats
+    sample-per-N-frames): per clip, the frame pairs whose summed
+    absolute luma delta crosses the threshold (integer cross-multiplied,
+    Σ|Δ| ≥ 30·h·w — no float means), the count of cuts, the first cut
+    index, and the exact total inter-frame delta. The closed-form SQL
+    oracle replays the per-pixel |Δ| arithmetic, so a stride, plane, or
+    off-by-one frame-pairing bug hash-mismatches at value level.
+
+    Scale: same Arrow shape as multimodal_video_sample — mapInPandas
+    over binary batches, one numpy diff per clip, constant task memory;
+    at 100 TB the decoder body is the only swap (ffmpeg), the plan is
+    identical. Reference analog: payload processing delegated to the
+    app (kinesumer.go:346-370)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(_encode_video_batch, schema="doc_id long, media binary")
+    return media.mapInPandas(
+        _scene_cut_batch,
+        schema="doc_id long, n_frames long, n_cuts long, first_cut long, "
+        "delta_total long",
+    ).orderBy("doc_id")

@@ -277,3 +277,59 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# URL functions: the crawl-pipeline scalar family (host extraction for
+# per-domain grouping, path/query parsing, parameter pull, encoding).
+# URLs are CONSTRUCTED from table columns so the oracle can mirror each
+# extraction with plain string ops — what is under test is that Spark's
+# parse_url implements the spec'd decomposition (a real crawl pipeline
+# groups by exactly this HOST output).
+_URL_ORACLE = """
+SELECT doc_id,
+       'https://' || source || '.example.com/docs/' || doc_id
+         || '?lang=' || lang || '&v=' || (n_chars % 10) AS url,
+       'https' AS proto,
+       source || '.example.com' AS host,
+       '/docs/' || doc_id AS path,
+       'lang=' || lang || '&v=' || (n_chars % 10) AS query,
+       lang AS lang_param,
+       'a+b%2Bc' AS encoded  -- form-encoding: space->'+', '+'->%2B
+FROM documents
+ORDER BY doc_id
+LIMIT 500
+"""
+
+
+@register("scalar_url_funcs", oracle=_URL_ORACLE, tags=("scalar", "url"))
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url over constructed per-doc URLs: PROTOCOL/HOST/PATH/QUERY
+    decomposition plus single-parameter extraction and url_encode — the
+    scalar layer of per-domain crawl analytics (group-by-host rides the
+    HOST output). Pure map-side JVM expressions; the oracle rebuilds
+    every component from the same source columns."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v="),
+        F.col("n_chars") % 10,
+    )
+    return (
+        d.select(
+            "doc_id",
+            url.alias("url"),
+            F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+            F.parse_url(url, F.lit("HOST")).alias("host"),
+            F.parse_url(url, F.lit("PATH")).alias("path"),
+            F.parse_url(url, F.lit("QUERY")).alias("query"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+            F.url_encode(F.lit("a b+c")).alias("encoded"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )

@@ -160,9 +160,17 @@ _FRONT = (
     # unchanged since, and each family keeps an in-window canary: joins
     # via join_theta_pairs + the r5 asof/range rows, windows via the two
     # new window-heavy warehouse queries, EXISTS/anti shapes via
-    # q21/q22). All of the above lead the r7 rotation. Everything with
-    # an r4/r5 row keeps it. The local oracle gate still runs ALL
-    # registered queries every session.
+    # q21/q22). All of the above lead the r7 rotation, FOLLOWED BY the
+    # late-r6 registrations that landed after this window was frozen
+    # (never driver-checked, local-gate green at both SFs):
+    # text_lm_doc_score, text_bpe_pair_counts, events_markov_transitions,
+    # events_rfm_segments, graph_pagerank_trade, graph_triangle_count,
+    # warehouse_snapshot_diff, embedding_pca_validation,
+    # timeseries_ema_daily, timeseries_holt_forecast,
+    # events_changepoint_cusum, stream_rfm_segments, agg_hll_sketch_merge,
+    # multimodal_scene_cuts, scalar_url_funcs. Everything with an r4/r5
+    # row keeps it. The local oracle gate still runs ALL registered
+    # queries every session.
 )
 
 

@@ -383,3 +383,12 @@ def test_timeseries_fold_single_fact_scan(spark):
         assert plan.count("Scan parquet") <= 2, f"{name}: {plan}"  # 1 scan
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_hll_merge_reads_one_scan(spark):
+    """Both branches (sketch rollup + exact check) read the materialized
+    narrow projection — the fact table is scanned once."""
+    plan = plan_string(_df(spark, "agg_hll_sketch_merge"))
+    assert plan.count("Scan parquet") <= 2, plan  # one physical scan
+    assert "ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan

@@ -116,3 +116,28 @@ def test_quality_audit_clean_corpus_passes(spark):
     r = events_quality_audit(spark, SF_SMALL).collect()[0]
     assert r["audit_pass"] is True
     assert r["n_dup_event_id"] == 0
+
+
+def test_snapshot_diff_reconciles(spark):
+    """Conservation laws of the diff: |A| = removed + changed + unchanged
+    and |B| = added + changed + unchanged — a misclassified row breaks
+    one of them."""
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.registry import all_queries
+
+    from .conftest import SF_SMALL
+
+    d = {
+        r["change_type"]: r["n_rows"]
+        for r in all_queries()["warehouse_snapshot_diff"]
+        .spark(spark, SF_SMALL)
+        .collect()
+    }
+    a = read_table(spark, SF_SMALL, "customer").count()
+    n_removed = d.get("removed", 0)
+    n_added = d.get("added", 0)
+    n_changed = d.get("changed", 0)
+    n_same = d.get("unchanged", 0)
+    assert a == n_removed + n_changed + n_same
+    b = a - n_removed + n_added
+    assert b == n_added + n_changed + n_same
