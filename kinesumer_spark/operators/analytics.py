@@ -579,3 +579,80 @@ def segment_rfm(per_user: DataFrame) -> DataFrame:
         )
         .orderBy("r_hi", "f_hi", "m_hi")
     )
+
+
+# Session summary / bounce rate: sessionize (30-min gap, the
+# events_sessionize discipline) then fold to one engagement row. All
+# ratios are single int→double divisions; durations stay integer micros
+# until the final identical double division by 3.6e9.
+_BOUNCE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, tus,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+), sessions AS (
+  SELECT user_id, session_no,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(tus) - MIN(tus) AS dur_us
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+       CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+       CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_events_per_session,
+       CAST(SUM(dur_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 3600000000.0
+         AS avg_session_hours
+FROM sessions
+"""
+
+
+@register(
+    "events_bounce_rate", oracle=_BOUNCE_ORACLE, tags=("analytics", "events")
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement summary over 30-minute-gap sessions: session count,
+    bounce count/rate (single-event sessions), mean events per session,
+    mean session duration. The sessionization is the events_sessionize
+    shape (ONE user-keyed shuffle, lag + gap-flag + running sum in the
+    partition); the summary is a 1-row aggregate over the
+    |sessions|-sized table. Integer micros throughout; the only doubles
+    are four final identical divisions."""
+    e = _t(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("tus") - F.lag("tus").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("tus").over(w).isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    ).withColumn("session_no", F.sum("new_session").over(wrun))
+    sessions = flagged.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("tus") - F.min("tus")).alias("dur_us"),
+    )
+    n_sessions = F.count(F.lit(1))
+    n_bounces = F.count(F.when(F.col("n_events") == 1, 1))
+    return sessions.agg(
+        n_sessions.cast("bigint").alias("n_sessions"),
+        n_bounces.cast("bigint").alias("n_bounces"),
+        (n_bounces.cast("double") / n_sessions.cast("double")).alias("bounce_rate"),
+        (F.sum("n_events").cast("double") / n_sessions.cast("double")).alias(
+            "avg_events_per_session"
+        ),
+        (
+            F.sum("dur_us").cast("double")
+            / n_sessions.cast("double")
+            / 3_600_000_000.0
+        ).alias("avg_session_hours"),
+    )

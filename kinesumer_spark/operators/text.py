@@ -1143,3 +1143,135 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# -- TF-IDF keyword extraction ----------------------------------------------
+
+_KW_TOP = 3
+_KW_MAX_DOC = 100
+
+# Robertson-odds idf (the text_bm25 exact-rational trick): score =
+# tf·(2N − 2df + 1) / (2df + 1) — integers up to one correctly-rounded
+# int64→double division per (doc, word), so the per-doc ranking is
+# bit-identical in both engines (ties broken by word).
+_KW_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, word
+), dfed AS (
+  SELECT doc_id, word, tf,
+         CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT) AS df
+  FROM tf
+), nn AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+), scored AS (
+  SELECT doc_id, word, tf, df,
+         CAST(tf * (2 * nn.n - 2 * df + 1) AS DOUBLE) / (2 * df + 1) AS score
+  FROM dfed CROSS JOIN nn
+), ranked AS (
+  SELECT doc_id, word, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, word) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, word, tf, df, score, rnk
+FROM ranked
+WHERE rnk <= {_KW_TOP} AND doc_id < {_KW_MAX_DOC}
+ORDER BY doc_id, rnk
+"""
+
+
+@register("text_tfidf_keywords", oracle=_KW_ORACLE, tags=("text",))
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by exact-rational
+    TF-IDF (Robertson odds idf — the text_bm25 discipline, so the
+    ranking hash-matches where log-idf cannot). IDF attaches via a
+    count-over-(word) window on the (doc, word) tf table — ONE corpus
+    scan (the text_lm_doc_score lesson); N broadcasts from the
+    materialized tf table. Output bounded to doc_id < 100 for the
+    golden check; the plan is doc-count-independent.
+
+    Scale: two shuffles of the tf table (word window, doc_id window) —
+    tf is |doc|·|distinct words per doc|, already far smaller than the
+    token stream; the rank window partitions by doc_id (no global
+    sort)."""
+    tf = (
+        _t(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfed = tf.select(
+        "doc_id",
+        "word",
+        "tf",
+        F.count(F.lit(1)).over(W.partitionBy("word")).cast("bigint").alias("df"),
+    )
+    nn = tf.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    scored = dfed.crossJoin(F.broadcast(nn)).select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        (
+            (F.col("tf") * (2 * F.col("n") - 2 * F.col("df") + 1)).cast("double")
+            / (2 * F.col("df") + 1)
+        ).alias("score"),
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("bigint"))
+        .filter((F.col("rnk") <= _KW_TOP) & (F.col("doc_id") < _KW_MAX_DOC))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# -- deterministic stratified sampling --------------------------------------
+
+_SAMPLE_K = 20
+
+_STRAT_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS BIGINT) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, rnk FROM ranked
+WHERE rnk <= {_SAMPLE_K}
+ORDER BY lang, rnk
+"""
+
+
+@register("sample_stratified_hash", oracle=_STRAT_ORACLE, tags=("sampling",))
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly k=20 documents per
+    language stratum, chosen by sha256(doc_id) rank — uniform-in-
+    expectation like Bernoulli sampling but reproducible across runs,
+    engines, and data layouts (the property `rand()`-based sampling
+    lacks, and the reason split_train_val_test uses the same hash-rank
+    family). One keyed shuffle (lang) + in-partition top-k rank.
+
+    Scale note: rank-within-stratum sorts each stratum; for huge
+    strata the same semantics ride a two-pass threshold (approx kth
+    hash value, then filter) — the plan swap is documented, the
+    hash-determinism contract identical."""
+    d = _t(spark, sf_dir)
+    h = F.expr(
+        "cast(conv(substring(sha2(cast(cast(doc_id as string) as binary), 256),"
+        " 1, 8), 16, 10) as bigint)"
+    )
+    rnk = F.row_number().over(W.partitionBy("lang").orderBy(h, "doc_id"))
+    return (
+        d.select("doc_id", "lang", rnk.cast("bigint").alias("rnk"))
+        .filter(F.col("rnk") <= _SAMPLE_K)
+        .orderBy("lang", "rnk")
+    )
