@@ -656,3 +656,65 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 3_600_000_000.0
         ).alias("avg_session_hours"),
     )
+
+
+# DAU/WAU rolling actives: the daily/weekly active-user dashboard metric.
+# WAU(day) = distinct users active in [day-6, day]. Exact distinct does
+# not merge across days, so the rolling count EXPANDS each (day, user)
+# row to the ≤7 window days it contributes to (a calendar-bounded
+# generator, 7× the |day×user| table — not the event stream) and
+# re-distincts per window day. At 100 TB the same dashboard usually
+# downgrades to HLL union over per-day sketches (agg_hll_sketch_merge is
+# exactly that path); this is the exact tier.
+_DAU_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+), contrib AS (
+  SELECT day + to_days(CAST(g.g AS INTEGER)) AS wday, user_id
+  FROM du CROSS JOIN generate_series(0, 6) g(g)
+), wau AS (
+  SELECT wday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY wday
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+FROM dau d JOIN wau w ON w.day = d.day
+ORDER BY day
+"""
+
+
+@register("events_dau_wau", oracle=_DAU_WAU_ORACLE, tags=("analytics", "events"))
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day active users per day (DAU/WAU). The event
+    stream collapses map-side to the distinct (day, user) table ONCE
+    (materialized — both metrics read it); WAU expands each active-day
+    row to the 7 window days it serves and re-distincts per day —
+    shuffle volume is 7·|day×user|, bounded by the calendar and the
+    active-user set, never by event volume. Days with no activity in
+    the trailing week simply don't appear (inner join on observed
+    days). Exact tier of the rolling-distinct family;
+    agg_hll_sketch_merge is the sketch tier."""
+    du = (
+        _t(spark, sf_dir)
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 6), i -> timestampadd(DAY, i, day))"
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )

@@ -1100,3 +1100,101 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, n_cuts long, first_cut long, "
         "delta_total long",
     ).orderBy("doc_id")
+
+
+# -- audio voice-activity-style energy segmentation -------------------------
+
+_VAD_WIN = 16          # samples per analysis window (channel 0)
+_VAD_THRESH = 1_500_000 * _VAD_WIN  # Σv² per window ≥ this → active
+
+
+def _vad_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            rate, frames = decode_wav(bytes(payload))
+            ch0 = frames[:, 0].astype(np.int64)
+            n_win = len(ch0) // _VAD_WIN
+            w = ch0[: n_win * _VAD_WIN].reshape(n_win, _VAD_WIN)
+            energy = (w * w).sum(axis=1)
+            active = energy >= _VAD_THRESH
+            # segments = maximal runs of active windows
+            starts = active & ~np.concatenate(([False], active[:-1]))
+            first = int(np.argmax(active)) if active.any() else -1
+            rows.append(
+                (
+                    doc_id,
+                    n_win,
+                    int(active.sum()),
+                    int(starts.sum()),
+                    first,
+                    int(energy.sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_windows", "n_active", "n_segments",
+                "first_active", "energy_total",
+            ],
+        )
+
+
+_VAD_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(50 + doc_id % 40 AS BIGINT) AS n_frames
+  FROM documents
+), s AS (
+  SELECT d.doc_id,
+         i.g // {_VAD_WIN} AS win,
+         CAST((d.doc_id * 31 + i.g * 7) % 4096 - 2048 AS BIGINT) AS v
+  FROM dims d
+  JOIN generate_series(0, 89) i(g)
+    ON i.g < (d.n_frames // {_VAD_WIN}) * {_VAD_WIN}
+), we AS (
+  SELECT doc_id, win, SUM(v * v) >= {_VAD_THRESH} AS active,
+         SUM(v * v) AS energy
+  FROM s GROUP BY doc_id, win
+), runs AS (
+  SELECT doc_id, win, active, energy,
+         active AND NOT COALESCE(
+           lag(active) OVER (PARTITION BY doc_id ORDER BY win), FALSE
+         ) AS seg_start
+  FROM we
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(CASE WHEN active THEN 1 END) AS BIGINT) AS n_active,
+       CAST(COUNT(CASE WHEN seg_start THEN 1 END) AS BIGINT) AS n_segments,
+       CAST(COALESCE(MIN(CASE WHEN active THEN win END), -1) AS BIGINT)
+         AS first_active,
+       CAST(SUM(energy) AS BIGINT) AS energy_total
+FROM runs
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_audio_vad", oracle=_VAD_ORACLE, tags=("multimodal",))
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold activity segmentation over the WAV column (the
+    VAD primitive of a speech-data pipeline: keep active segments, drop
+    silence): channel-0 samples group into 16-sample windows, a window
+    is active when its exact Σv² crosses the threshold, and segments
+    are maximal active runs (lag-based run starts). Emits per clip the
+    window/active/segment counts, first active window, and the exact
+    total energy — all integers, replayed in closed form by the SQL
+    oracle (trailing partial windows excluded on both sides).
+
+    Scale: identical Arrow mapInPandas shape as multimodal_audio; a
+    real VAD swaps the energy rule for a model call per window batch,
+    same plan. Reference analog: payload processing delegated to the
+    app (kinesumer.go:346-370)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(_encode_audio_batch, schema="doc_id long, media binary")
+    return media.mapInPandas(
+        _vad_batch,
+        schema="doc_id long, n_windows long, n_active long, n_segments long, "
+        "first_active long, energy_total long",
+    ).orderBy("doc_id")

@@ -209,3 +209,25 @@ def test_two_pass_prefix_sum_is_block_size_invariant(tokens, block):
         want.append(acc2)
         acc2 += t
     assert got == want
+
+
+def test_cusum_reflected_walk_identity():
+    """The identity events_changepoint_cusum relies on: for any integer
+    deviation series, max(0, S_prev + d) recursion equals
+    C_h - min(0, min_{j<=h} C_j) with C the plain cumulative sum."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        n = rng.randrange(1, 40)
+        d = [rng.randrange(-50, 50) for _ in range(n)]
+        s, direct = 0, []
+        for x in d:
+            s = max(0, s + x)
+            direct.append(s)
+        c, cmin, via_walk = 0, 0, []
+        for x in d:
+            c += x
+            cmin = min(cmin, c)
+            via_walk.append(c - min(0, cmin))
+        assert direct == via_walk
