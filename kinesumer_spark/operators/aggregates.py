@@ -311,20 +311,31 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch) table; the month merge re-aggregates |days| sketch rows —
     calendar-bounded. The exact branch reads the SAME scan (Catalyst
     reuses it: both branches aggregate the identical projection)."""
-    e = _t(spark, sf_dir, "events").select(
-        F.date_trunc("month", "ts").alias("month"),
-        F.date_trunc("day", "ts").alias("day"),
-        "user_id",
-    ).localCheckpoint(eager=False)
-    daily = e.groupBy("month", "day").agg(
+    # Pre-aggregate the fact scan to (month, day, user) BEFORE the
+    # materialization: HLL insertion is duplicate-insensitive and
+    # n_events = Σcnt, so the checkpointed table is |day×user|-bounded —
+    # materializing the raw event projection would pin the whole fact
+    # table (the exact cost events_rfm_segments' comment warns against)
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("month", "ts").alias("month"),
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("month", "day", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    daily = du.groupBy("month", "day").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("n"),
     )
     monthly = daily.groupBy("month").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         F.sum("n").cast("bigint").alias("n_events"),
     )
-    exact = e.groupBy("month").agg(
+    exact = du.groupBy("month").agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_users")
     )
     return (

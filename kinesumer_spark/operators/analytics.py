@@ -525,22 +525,31 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .groupBy("user_id")
-        .agg(
-            F.max("tus").alias("last_us"),
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase",
-                        F.col("value").cast("decimal(18,6)"),
-                    )
-                ),
-                F.lit(0).cast("decimal(18,6)"),
-            ).alias("monetary"),
-        )
+        .agg(*rfm_user_aggs())
         .localCheckpoint(eager=False)
     )
     return segment_rfm(per_user)
+
+
+def rfm_user_aggs() -> list:
+    """The per-user RFM aggregate expressions over (tus, event_type,
+    value) — ONE definition shared by the batch query above and the
+    streaming variant (streaming/queries.stream_rfm_segments), so the
+    batch/stream three-way equivalence is pinned at the expression
+    level, not by parallel copies."""
+    return [
+        F.max("tus").alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("monetary"),
+    ]
 
 
 def segment_rfm(per_user: DataFrame) -> DataFrame:
@@ -551,7 +560,13 @@ def segment_rfm(per_user: DataFrame) -> DataFrame:
     equivalence: both feed the identical segmentation plan."""
     tot = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("last_us").cast("decimal(38,0)").alias("sum_last"),
+        # cast each element BEFORE summing: an int64 SUM of epoch-micros
+        # overflows the long accumulator at ~5,400 users (ANSI mode
+        # throws; non-ANSI silently wraps and corrupts every r_hi) —
+        # DuckDB's SUM(BIGINT)→HUGEINT never had the problem
+        F.sum(F.col("last_us").cast("decimal(38,0)")).cast("decimal(38,0)").alias(
+            "sum_last"
+        ),
         F.sum("n_events").cast("bigint").alias("sum_n"),
         F.sum("monetary").cast("decimal(38,6)").alias("sum_m"),
     )
@@ -587,15 +602,18 @@ def segment_rfm(per_user: DataFrame) -> DataFrame:
 # until the final identical double division by 3.6e9.
 _BOUNCE_ORACLE = """
 WITH seq AS (
-  SELECT user_id, epoch_us(ts) AS tus,
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
+  -- (tus, event_id) — the SAME total order as the lag window and the
+  -- Spark side; ordering by tus alone would sessionize tie rows
+  -- nondeterministically
   SELECT user_id, tus,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM seq
 ), sessions AS (

@@ -132,7 +132,12 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-collect class as the IVF codebooks (similarity.py)."""
     nations = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     n_nodes = nations.count()  # dim cardinality, O(1) — see docstring
-    edges = _trade_edges(spark, sf_dir).cache()
+    # localCheckpoint, not cache(): the 3 iteration branches all read the
+    # aggregated edge table, but CacheManager entries outlive the query
+    # (a 180-query gate session would accumulate one pinned edge table
+    # per invocation); checkpointed RDDs are ContextCleaner-collected
+    # when the plan is released
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     outw = edges.groupBy("src").agg(F.sum("w").cast("decimal(38,0)").alias("out_w"))
     ew = edges.join(outw, "src").select(
         "src",

@@ -64,14 +64,12 @@ FROM series
 """
 
 
-@register("timeseries_ema_daily", oracle=_EMA_ORACLE, tags=("timeseries",))
-def timeseries_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMA (α = 1/4) of daily order revenue — the smoothed-baseline
-    primitive behind drift monitors and anomaly thresholds. Daily
-    revenue aggregates exactly (decimal sums, one keyed shuffle of a
-    2-column projection); the calendar-bounded series folds left with
-    ``aggregate``, seeded by its first element exactly as DuckDB's
-    ``list_reduce`` is — bit-equal smoothed value (module docstring)."""
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row frame with the time-ordered daily-revenue array (plus
+    n_days / last_day) — the Spark mirror of ``_DAILY_CTE``, shared by
+    EMA and Holt so the two folds provably fit the same series (a drift
+    in either copy would silently break the EMA/Holt parity the module
+    docstring promises)."""
     daily = (
         read_table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
@@ -81,14 +79,24 @@ def timeseries_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
     )
-    series = daily.agg(
+    return daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
-        F.expr("transform(sort_array(collect_list(struct(day, rev))), s -> s.rev)").alias(
-            "vals"
-        ),
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, rev))), s -> s.rev)"
+        ).alias("vals"),
     )
-    return series.select(
+
+
+@register("timeseries_ema_daily", oracle=_EMA_ORACLE, tags=("timeseries",))
+def timeseries_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA (α = 1/4) of daily order revenue — the smoothed-baseline
+    primitive behind drift monitors and anomaly thresholds. Daily
+    revenue aggregates exactly (decimal sums, one keyed shuffle of a
+    2-column projection); the calendar-bounded series folds left with
+    ``aggregate``, seeded by its first element exactly as DuckDB's
+    ``list_reduce`` is — bit-equal smoothed value (module docstring)."""
+    return _daily_series(spark, sf_dir).select(
         "n_days",
         "last_day",
         F.expr("element_at(vals, -1)").alias("last_rev"),
@@ -133,20 +141,7 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily series (bit-exact in both engines — module docstring), then
     ŷ(h) = l + h·b. The same two-stage shape a production forecaster
     uses: heavy distributed rollup, tiny sequential model fit."""
-    daily = (
-        read_table(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("rev")
-        )
-    )
-    series = daily.agg(
-        F.expr("transform(sort_array(collect_list(struct(day, rev))), s -> s.rev)").alias(
-            "vals"
-        )
-    )
+    series = _daily_series(spark, sf_dir)
     step_l = f"{_ALPHA}D * x + {1 - _ALPHA}D * (acc.l + acc.b)"
     fitted = series.select(
         F.expr(

@@ -989,7 +989,7 @@ def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: streaming side is ONE keyed stateful aggregation (narrow
     4-column projection, update-mode deltas); segmentation runs on the
     |users|-sized result."""
-    from kinesumer_spark.operators.analytics import segment_rfm
+    from kinesumer_spark.operators.analytics import rfm_user_aggs, segment_rfm
 
     ev = _events_stream(spark, sf_dir).select(
         "user_id",
@@ -997,19 +997,9 @@ def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    per_user_updates = ev.groupBy("user_id").agg(
-        F.max("tus").alias("last_us"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    F.col("value").cast("decimal(18,6)"),
-                )
-            ),
-            F.lit(0).cast("decimal(18,6)"),
-        ).alias("monetary"),
-    )
+    # identical aggregate EXPRESSIONS as the batch query (one shared
+    # builder — the equivalence is pinned at expression level)
+    per_user_updates = ev.groupBy("user_id").agg(*rfm_user_aggs())
     emitted = _run_to_table(per_user_updates, "ks_stream_rfm", mode="update")
     per_user = emitted.groupBy("user_id").agg(
         F.max_by("last_us", "n_events").alias("last_us"),

@@ -370,7 +370,7 @@ def test_cusum_windows_share_one_sort(spark):
     # table — no re-sort/exchange between them (formatted explain
     # prints each node twice: tree + detail)
     assert plan.count("Window") <= 4, plan
-    assert plan.count("(") and plan.count(") Sort") <= 1, plan
+    assert plan.count(") Sort") <= 1, plan
     assert "BatchEvalPython" not in plan
 
 

@@ -141,3 +141,21 @@ def test_snapshot_diff_reconciles(spark):
     assert a == n_removed + n_changed + n_same
     b = a - n_removed + n_added
     assert b == n_added + n_changed + n_same
+
+
+def test_segment_rfm_survives_many_users(spark):
+    """Regression: summing epoch-micros recencies as int64 overflows the
+    long accumulator at ~5,400 users (caught in review; testdata tops
+    out at 1,500 users so the oracle gate never exercised it). The
+    decimal-element sum must survive a 6,000-user frame."""
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.operators.analytics import segment_rfm
+
+    per_user = spark.range(6000).select(
+        F.lit(1_700_000_000_000_000).alias("last_us"),
+        (F.col("id") % 7 + 1).cast("bigint").alias("n_events"),
+        (F.col("id") % 100).cast("decimal(18,6)").alias("monetary"),
+    )
+    rows = segment_rfm(per_user).collect()
+    assert sum(r["n_users"] for r in rows) == 6000
