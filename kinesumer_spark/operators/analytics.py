@@ -736,3 +736,101 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
         .orderBy("day")
     )
+
+
+# Multi-step ordered funnel: signup → click → purchase, each step
+# STRICTLY after the user's first qualifying previous step (the chained
+# sequential-pattern shape; the 2-step events_funnel is its base case).
+# Three keyed aggregate passes over the same narrow projection — never a
+# row-level self-join; each stage's threshold broadcasts per user
+# through an equi-join on the |users|-sized previous stage.
+_FUNNEL_STEPS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+), s1 AS (
+  SELECT user_id, MIN(tus) AS t1 FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.tus) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.tus > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.tus) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click_after,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
+       CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS rate_step2,
+       CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) AS rate_step3
+"""
+
+
+@register(
+    "events_funnel_steps",
+    oracle=_FUNNEL_STEPS_ORACLE,
+    tags=("analytics", "events"),
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel (signup → click → purchase, each step
+    strictly after the user's first qualifying previous step): stage
+    populations and step-to-step conversion rates. Each stage is one
+    filtered aggregate equi-joined to the previous stage's per-user
+    threshold — the chain generalizes to any step list with one keyed
+    pass per step, and shuffle volume per stage is |qualifying users|,
+    never the event stream squared. Integer micros; two final int→double
+    divisions."""
+    e = _t(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    ).localCheckpoint(eager=False)
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("tus") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("tus") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+        .crossJoin(
+            F.broadcast(
+                s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                s3.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_purchase_after")
+                )
+            )
+        )
+    )
+    return counts.select(
+        "n_signup",
+        "n_click_after",
+        "n_purchase_after",
+        (
+            F.col("n_click_after").cast("double") / F.col("n_signup").cast("double")
+        ).alias("rate_step2"),
+        (
+            F.col("n_purchase_after").cast("double")
+            / F.col("n_click_after").cast("double")
+        ).alias("rate_step3"),
+    )
