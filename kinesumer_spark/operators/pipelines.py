@@ -1,0 +1,197 @@
+"""End-to-end pretraining-data curation pipeline — the capstone
+composition of the round-6 curation operators into ONE oracle-checked
+dataflow:
+
+    documents
+      → Gopher quality gate          (text_gopher_rules' keep rules)
+      → corpus-LM selection cut      (text_lm_doc_score's mean_prob,
+                                      re-derived over the KEPT corpus —
+                                      selection statistics must follow
+                                      the surviving distribution)
+      → exact dedup, canonical keep  (dedup_exact's sha256 / min-doc_id)
+      → corpus summary               (stage survivor counts, final token
+                                      mass, doc-id checksum)
+
+This is the "could a user run their whole pipeline here" proof: each
+stage is the registered operator's exact semantics, chained, and the
+DuckDB oracle replays the ENTIRE chain — so a drift in any stage's
+semantics (not just its standalone query) reddens the driver row.
+
+Scale: gate and dedup are map-side + one hash shuffle each; the LM cut
+is the two token-table shuffles text_lm_doc_score documents; the
+bottom-K selection is TakeOrdered (per-partition heads) anti-joined
+back as a broadcast of K ids. No stage collects to the driver.
+
+Reference parity: the reference hands records to exactly this kind of
+downstream curation application (kinesumer.go:346-370, README.md:67-70).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesumer_spark.catalog import read_table
+from kinesumer_spark.operators.text import (
+    _GOPHER_MIN_ALPHA,
+    _GOPHER_MIN_STOP,
+    _GOPHER_MWL_HI,
+    _GOPHER_MWL_LO,
+    _GOPHER_WC_HI,
+    _GOPHER_WC_LO,
+    _sql_array,
+    _STOPLISTS,
+    text_gopher_rules,
+)
+from kinesumer_spark.registry import register
+
+_LM_DROP = 50  # documents cut at the LM-selection stage (bottom mean_prob)
+
+_PIPE_ORACLE = f"""
+WITH g AS (
+  SELECT d.doc_id, d.text,
+         len(regexp_split_to_array(d.text, ' ')) AS n_words,
+         len(replace(d.text, ' ', ''))
+           / CAST(len(regexp_split_to_array(d.text, ' ')) AS DOUBLE)
+           AS mean_word_len,
+         len(list_filter({_sql_array(_STOPLISTS["en"])},
+             s -> list_contains(regexp_split_to_array(d.text, ' '), s)))
+           AS n_stop_distinct,
+         len(list_filter(regexp_split_to_array(d.text, ' '),
+             w -> regexp_matches(w, '^[a-z]+$')))
+           / CAST(len(regexp_split_to_array(d.text, ' ')) AS DOUBLE)
+           AS alpha_frac
+  FROM documents d
+), kept1 AS (
+  SELECT doc_id, text FROM g
+  WHERE n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI}
+    AND mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+    AND n_stop_distinct >= {_GOPHER_MIN_STOP}
+    AND alpha_frac >= {_GOPHER_MIN_ALPHA}
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM kept1
+), wc AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY word) AS c_w FROM tok
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(c_w) AS BIGINT) AS sum_count
+  FROM wc GROUP BY doc_id
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_corpus FROM per_doc
+), scored AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum_count AS DOUBLE) / CAST(n_tokens * n_corpus AS DOUBLE)
+           AS mean_prob
+  FROM per_doc CROSS JOIN tot
+), dropset AS (
+  SELECT doc_id FROM scored ORDER BY mean_prob ASC, doc_id LIMIT {_LM_DROP}
+), kept2 AS (
+  SELECT k.doc_id, k.text, s.n_tokens
+  FROM kept1 k JOIN scored s USING (doc_id)
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM dropset)
+), final AS (
+  SELECT doc_id, n_tokens
+  FROM (SELECT doc_id, n_tokens,
+               doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
+                 AS is_canonical
+        FROM kept2)
+  WHERE is_canonical
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+       CAST((SELECT COUNT(*) FROM kept1) AS BIGINT) AS n_after_gate,
+       CAST((SELECT COUNT(*) FROM kept2) AS BIGINT) AS n_after_lm,
+       CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_final,
+       CAST((SELECT SUM(n_tokens) FROM final) AS BIGINT) AS tokens_final,
+       CAST((SELECT SUM(doc_id) FROM final) AS BIGINT) AS docid_checksum
+"""
+
+
+@register(
+    "pipeline_pretraining_curation",
+    oracle=_PIPE_ORACLE,
+    tags=("pipeline", "dedup", "text", "quality"),
+)
+def pipeline_pretraining_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation dataflow (module docstring): Gopher gate →
+    LM-selection cut (bottom-50 mean_prob over the kept corpus) → exact
+    dedup canonical keep → one-row summary with per-stage survivor
+    counts, the final corpus token mass, and an exact doc-id checksum.
+    The gate stage REUSES the registered text_gopher_rules plan; the LM
+    statistics are re-derived over the gated corpus (selection must
+    follow the surviving distribution — scoring against full-corpus
+    counts is a subtle, common curation bug this composition pins)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept_ids = text_gopher_rules(spark, sf_dir).filter("keep").select("doc_id")
+    kept1 = docs.join(kept_ids, "doc_id")
+
+    tok = kept1.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = tok.select(
+        "doc_id", F.count(F.lit(1)).over(W.partitionBy("word")).alias("c_w")
+    )
+    per_doc = (
+        wc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("c_w").cast("bigint").alias("sum_count"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per_doc.agg(F.sum("n_tokens").cast("bigint").alias("n_corpus"))
+    scored = per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("sum_count").cast("double")
+            / (F.col("n_tokens") * F.col("n_corpus")).cast("double")
+        ).alias("mean_prob"),
+    )
+    dropset = scored.orderBy("mean_prob", "doc_id").limit(_LM_DROP).select("doc_id")
+    # materialize the LM survivors once (text included — |docs|-bounded,
+    # not token-bounded): the count branch and the dedup stage both read it
+    kept2 = (
+        kept1.join(scored.select("doc_id", "n_tokens"), "doc_id")
+        .join(F.broadcast(dropset), "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    final = (
+        kept2.withColumn(
+            "is_canonical",
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                W.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
+            ),
+        )
+        .filter("is_canonical")
+        .select("doc_id", "n_tokens")
+    )
+    stats = final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_final"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_final"),
+        F.sum("doc_id").cast("bigint").alias("docid_checksum"),
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+        .crossJoin(
+            F.broadcast(
+                kept_ids.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_after_gate")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                kept2.agg(F.count(F.lit(1)).cast("bigint").alias("n_after_lm"))
+            )
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_input",
+            "n_after_gate",
+            "n_after_lm",
+            "n_final",
+            "tokens_final",
+            "docid_checksum",
+        )
+    )

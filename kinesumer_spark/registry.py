@@ -202,6 +202,7 @@ def all_queries() -> dict[str, Query]:
         warehouse,
         graph,
         timeseries,
+        pipelines,
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 
