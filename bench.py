@@ -69,6 +69,8 @@ EXTENDED = [
     "events_changepoint_cusum",
     "agg_hll_sketch_merge",
     "embedding_pca_validation",
+    "events_dau_wau",
+    "pipeline_pretraining_curation",
 ]
 
 
