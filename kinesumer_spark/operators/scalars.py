@@ -333,3 +333,45 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+# Bitwise function family: shifts, AND/OR/XOR, bit_count — the scalar
+# layer under bitmap indexes, flag packing, and the simhash/z-order
+# operators (dedup.py, skew.py) that already rely on them in anger.
+_BITWISE_ORACLE = """
+SELECT p_partkey,
+       p_partkey << 3 AS shl,
+       p_partkey >> 2 AS shr,
+       p_partkey & 255 AS band,
+       p_partkey | 4096 AS bor,
+       xor(p_partkey, 1365) AS bxor,
+       CAST(bit_count(p_partkey) AS INTEGER) AS popcount,
+       CAST(~p_partkey AS BIGINT) AS bnot
+FROM part
+ORDER BY p_partkey
+LIMIT 500
+"""
+
+
+@register("scalar_bitwise_funcs", oracle=_BITWISE_ORACLE, tags=("scalar", "bitwise"))
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar coverage: shiftleft/shiftright, AND/OR/XOR,
+    bit_count (popcount), NOT — pure map-side JVM expressions, the
+    primitives the simhash Hamming tier and Morton/Z-order layout are
+    built from."""
+    d = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return (
+        d.select(
+            "p_partkey",
+            F.shiftleft(k, 3).alias("shl"),
+            F.shiftright(k, 2).alias("shr"),
+            k.bitwiseAND(255).alias("band"),
+            k.bitwiseOR(4096).alias("bor"),
+            k.bitwiseXOR(1365).alias("bxor"),
+            F.bit_count(k).alias("popcount"),
+            F.expr("~p_partkey").cast("bigint").alias("bnot"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )

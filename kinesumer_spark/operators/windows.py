@@ -216,3 +216,39 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "day_no", "o_orderkey")
     )
+
+
+_CUME_ORACLE = """
+SELECT c_custkey,
+       c_nationkey,
+       cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+         AS cd,
+       CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_in_nation
+FROM customer
+ORDER BY c_custkey
+LIMIT 1000
+"""
+
+
+@register("window_cume_dist", oracle=_CUME_ORACLE, tags=("window",))
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist over (nation, balance) — the remaining ranked-window
+    form beside rank/dense_rank/ntile/percent_rank (window_rank_forms):
+    cumulative distribution position, exact because it is rows-≤-me /
+    rows-total (one int→int division per row; ties broken by custkey so
+    both engines see the same total order)."""
+    d = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        d.select(
+            "c_custkey",
+            "c_nationkey",
+            F.cume_dist().over(w).alias("cd"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("c_nationkey"))
+            .cast("bigint")
+            .alias("n_in_nation"),
+        )
+        .orderBy("c_custkey")
+        .limit(1000)
+    )
