@@ -238,3 +238,108 @@ register(
     tags=("graph",),
     doc=_graph_triangles.__doc__,
 )(_graph_triangles)
+
+
+# Bounded-depth multi-source BFS over the part co-purchase graph: parts
+# are adjacent iff some order's lineitems contain both. This is the
+# similar-items / related-documents traversal of a pipeline (citation
+# hop expansion, near-dup neighborhood closure) run as iterative
+# frontier joins — the third iterative-graph shape next to PageRank
+# (fixed-point) and connected components (contraction).
+
+_BFS_HOPS = 3
+_BFS_SRC_MOD = 500  # sources: p_partkey % _BFS_SRC_MOD == 1
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), bfs AS (
+  SELECT p_partkey AS node, 0 AS dist FROM part WHERE p_partkey % {_BFS_SRC_MOD} = 1
+  UNION
+  SELECT e.v AS node, b.dist + 1 AS dist
+  FROM bfs b JOIN edges e ON e.u = b.node
+  WHERE b.dist < {_BFS_HOPS}
+)
+SELECT node AS p_partkey, CAST(MIN(dist) AS INT) AS dist
+FROM bfs GROUP BY node
+ORDER BY dist, p_partkey
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized co-purchase edge set: lineitem self-joined on
+    l_orderkey (equi-keyed, fan-out bounded by order size), distinct
+    pairs, both directions. Plan-audited in tests/test_plans.py."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+@register("graph_bfs_copurchase", oracle=_BFS_ORACLE, tags=("graph", "iterative"))
+def graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop distance (≤ 3) from the source set {p_partkey ≡ 1 mod 500}
+    over the co-purchase graph, by iterative frontier expansion.
+
+    Edge derivation is the fact-scale stage: lineitem self-joined on
+    l_orderkey — equi-keyed, co-partitioned (ONE shuffle key for both
+    sides), and the pair fan-out is bounded by order size (≤ 7 lineitems
+    per order in TPC-H, so ≤ 21 pairs), never all-pairs; the distinct
+    collapses to the co-purchase edge set, which is what shuffles. The
+    BFS itself then runs on the graph, not the data: each of the 3
+    rounds joins the frontier (graph-bounded, broadcast) against the
+    checkpointed edge table map-side, and a left-anti against the
+    reached set keeps first discoveries only — which IS min-dist, so no
+    per-node min aggregate is needed. The DuckDB oracle replays it as a
+    depth-bounded recursive CTE (UNION-dedup on (node, dist) states)
+    with MIN(dist) — both engines integer-exact.
+
+    Reference parity: the kinesumer delegates analytics to its consumer
+    application (README.md:67-70); SURVEY.md §2.2 LLM-pipeline
+    extensions claim the graph family this completes."""
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        # read once per BFS round: materialize instead of re-deriving
+        # from the fact tables 3 times (ContextCleaner-collected, unlike
+        # a session-lifetime cache entry — see graph_pagerank_trade)
+        .localCheckpoint(eager=False)
+    )
+    sources = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % _BFS_SRC_MOD == 1)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    reached = sources.withColumn("dist", F.lit(0))
+    frontier = sources
+    for hop in range(1, _BFS_HOPS + 1):
+        discovered = (
+            edges.join(F.broadcast(frontier), edges.u == F.col("node"))
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            # frontier feeds BOTH next round's broadcast and the reached
+            # union; materialize so the growing join lineage is not
+            # replayed per round (log-depth lineage is the CC lesson,
+            # dedup.connected_components)
+            .localCheckpoint(eager=False)
+        )
+        reached = reached.unionByName(discovered.withColumn("dist", F.lit(hop)))
+        frontier = discovered
+    return reached.select(
+        F.col("node").alias("p_partkey"), F.col("dist").cast("int").alias("dist")
+    ).orderBy("dist", "p_partkey")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesumer_spark.catalog import read_table
+from kinesumer_spark.catalog import load_tables, read_table
 from kinesumer_spark.functions.exact import exact_avg, exact_sum, oracle_avg, oracle_sum
 from kinesumer_spark.registry import register
 
@@ -330,6 +330,43 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+# NOT IN (subquery) with a NULLABLE probe key — the three-valued-logic
+# join corner plain anti join gets WRONG: a NULL probe key makes the
+# NOT IN predicate UNKNOWN, so those rows are dropped, whereas a
+# DataFrame-API left_anti on == keeps them (no equi-match). The SQL text
+# is identical in both engines; Catalyst plans the single-key form as a
+# null-aware anti join (BroadcastHashJoin … isNullAwareAntiJoin=true,
+# asserted in tests/test_plans.py) — the probe side streams, the build
+# side broadcasts with its null-existence bit, no shuffle of the fact.
+_JOIN_NAAJ_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS probe_key
+  FROM orders
+) o
+WHERE probe_key NOT IN (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 5000
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("join_null_aware_anti", oracle=_JOIN_NAAJ_SQL, tags=("join",))
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) over a nullable probe key — null-aware anti
+    join. Pending orders get a NULL probe key, so NOT IN's three-valued
+    logic excludes them along with the actual matches; identical SQL
+    runs on both engines (see _JOIN_NAAJ_SQL comment for the physical
+    plan story)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_JOIN_NAAJ_SQL)
 
 
 _JOIN_FULL_ORACLE = """

@@ -134,6 +134,23 @@ def events_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     session zone), so the oracle's half-open [day, day+1) timestamp
     range selects exactly the rows of the pruned partition.
     """
+    path = _partitioned_events(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("day") == F.lit(_PRUNE_DAY).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write (overwrite) the day-partitioned events layout and return its
+    path. Shared by the static-prune and dynamic-prune queries; the day
+    column derives from ts under the catalog's UTC session pin."""
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     path = f"/tmp/kinesumer_spark_partitions/{tag}/events"
     (
@@ -143,9 +160,56 @@ def events_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("day")
         .parquet(path)
     )
+    return path
+
+
+# Dynamic partition pruning: the partition filter is NOT a literal in
+# the query text — it arrives at runtime from the dim side of a join on
+# the partition column. The oracle states the same semantics as a plain
+# per-row predicate over the unpartitioned table.
+_DPP_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {oracle_sum('value')} AS sum_value
+FROM events
+WHERE isodow(CAST(ts AS DATE)) = 1
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("join_dpp_partitioned", oracle=_DPP_ORACLE, tags=("layout", "prune", "join"))
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: fact scan pruned by a JOIN, not a
+    literal — "Mondays only" where Monday-ness comes from a day
+    dimension joined on the partition column.
+
+    events_partitioned_prune above is the static tier: the partition
+    predicate is a literal the optimizer folds into PartitionFilters at
+    plan time. Here the selective predicate (weekday(day) = 0) lives on
+    the DIM side of a join, so plain planning would scan every
+    partition; Catalyst's DynamicPartitionPruning instead plants a
+    dynamicpruning#N subquery in the fact scan's PartitionFilters
+    (plan-audited in tests/test_plans.py) — the dim side executes
+    first, its day list is reused from the broadcast exchange, and the
+    fact scan opens ONLY matching day directories. At 100 TB this is
+    the star-schema workhorse: "fact ⨝ dim WHERE dim.attr = x" touches
+    the qualifying partitions' bytes only, metadata-skipping everything
+    else — without materializing a literal IN-list in the query text.
+
+    The dim here is the day column's own distinct values (a listing-only
+    scan of partition metadata, zero data bytes) with the weekday
+    predicate; a real warehouse would join a calendar dim — the plan
+    shape is identical. Spark weekday() (0 = Monday) ↔ oracle isodow()
+    (1 = Monday) express the same day set.
+    """
+    path = _partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select("day").distinct().filter(F.expr("weekday(day) = 0"))
+    )
     return (
-        spark.read.parquet(path)
-        .filter(F.col("day") == F.lit(_PRUNE_DAY).cast("date"))
+        fact.join(F.broadcast(dim), "day")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),

@@ -1145,6 +1145,135 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE tokenizer TRAINING (iterative merge selection) ---------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled K-level CTE chain replaying the full BPE training loop.
+
+    Same encoding discipline as the Spark side (see ``text_bpe_train``):
+    symbol sequences are pipe-doubled strings (``'||l||o||w||'``), the
+    merge of pair (a, b) is ``replace(s, '|a||b|', '|ab|')`` — both
+    engines' ``replace`` is leftmost non-overlapping sequential, which
+    IS greedy left-to-right BPE merge semantics (shared '||' boundaries
+    keep adjacent matches from stealing each other's separator)."""
+    levels = []
+    prev = "words0"
+    for k in range(1, _BPE_MERGES + 1):
+        levels.append(f"""pairs{k} AS (
+  SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r, freq
+  FROM (SELECT freq, list_filter(string_split(s, '||'), x -> x <> '') AS syms
+        FROM {prev})
+  WHERE len(syms) >= 2
+), best{k} AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM pairs{k} GROUP BY l, r
+  ORDER BY cnt DESC, l, r LIMIT 1
+), words{k} AS (
+  SELECT word, freq,
+         replace(s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS s
+  FROM {prev} CROSS JOIN best{k} b
+)""")
+        prev = f"words{k}"
+    union = "\n  UNION ALL ".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, l || r AS merged,"
+        f" cnt AS pair_count FROM best{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH words0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+{','.join(levels)}
+SELECT * FROM ({union}) ORDER BY step
+"""
+
+
+@register("text_bpe_train", oracle=_bpe_train_oracle(), tags=("text", "tokenizer", "iterative"))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer TRAINING: K greedy merge iterations, returning
+    the learned merge table (step, left_sym, right_sym, merged,
+    pair_count) — ``text_bpe_pair_counts`` is one lap of this loop's
+    counting stage; this runs the whole trainer.
+
+    Distributed shape (the same one every production BPE trainer uses —
+    Sennrich et al. 2016 operate on the word-frequency table, not the
+    corpus): ONE corpus scan builds the (word, freq) vocabulary — the
+    only corpus-bounded stage, a vocab-bounded shuffle with map-side
+    combine — then each of the K iterations runs entirely on that
+    vocab-sized table: adjacent-pair counts weighted by word freq (one
+    tiny aggregate), argmax on the driver (a single (l, r, cnt) row per
+    iteration — the same bounded model-collect class as the IVF
+    codebooks in similarity.py), and a map-side ``replace`` rewrite of
+    the symbol strings. At 100 TB the iterations cost the SAME as at
+    1 GB: |vocab| rows, not |corpus|.
+
+    Exactness: symbol sequences are pipe-doubled strings ('low' →
+    '||l||o||w||'); merging (a, b) is ``replace(s, '|a||b|', '|ab|')``.
+    ``replace`` scans leftmost, non-overlapping, continuing after each
+    replacement — exactly greedy left-to-right BPE ('a a a' merges to
+    '(aa) a', never '(a (a a))'), and the doubled separators keep
+    adjacent matches from consuming each other's boundary. Counts are
+    integer; argmax ties break on (count DESC, l, r). The oracle unrolls
+    the identical K levels in SQL, so the driver hash-checks the entire
+    learned merge table.
+
+    Reference parity: the kinesumer hands records to downstream
+    consumers (README.md:67-70); tokenizer training is the canonical
+    downstream batch job of a pretraining-data pipeline."""
+    vocab = (
+        _t(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn(
+            "s", F.concat(F.lit("||"), F.regexp_replace("word", "(.)", "$1||"))
+        )
+        # materialize once: every iteration re-reads this vocab-sized
+        # table; without it each pair-count job replays the corpus scan
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    words = vocab
+    for step in range(1, _BPE_MERGES + 1):
+        syms = words.select(
+            "freq",
+            F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')").alias("a"),
+        ).filter(F.expr("size(a) >= 2"))
+        pairs = syms.select(
+            "freq",
+            F.expr(
+                "explode(arrays_zip(slice(a, 1, size(a) - 1),"
+                " slice(a, 2, size(a) - 1))) AS p"
+            ),
+        ).selectExpr("p['0'] AS l", "p['1'] AS r", "freq")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()  # ONE (l, r, cnt) row — the model, not the data
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((step, l, r, l + r, cnt))
+        words = words.withColumn(
+            "s",
+            F.expr(f"replace(s, '|{l}||{r}|', '|{l}{r}|')"),
+        )
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, pair_count bigint",
+    ).orderBy("step")
+
+
 # -- TF-IDF keyword extraction ----------------------------------------------
 
 _KW_TOP = 3

@@ -106,6 +106,10 @@ _FRONT = (
     "stream_rollup_upsert",
     "stream_scd2_apply",
     "text_ngram_lm",
+    "text_bpe_train",
+    "graph_bfs_copurchase",
+    "join_null_aware_anti",
+    "join_dpp_partitioned",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -137,11 +141,13 @@ _FRONT = (
     "q10_returned_items",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
     "q21_waiting_supplier",
-    "q22_prospect_customers",
+    # q17/q18/q19/q22 displaced from the tail by the four never-checked
+    # late-r6 additions just above (text_bpe_train, graph_bfs_copurchase,
+    # join_null_aware_anti, join_dpp_partitioned; never-checked outranks
+    # stale per the r5 verdict); q21 stays as the EXISTS/anti-family
+    # canary alongside the new NOT-IN null-aware form. q17/q18/q19/q22
+    # lead the r7 rotation with the rest of the drop list below.
     # dropped from this window to stay within the driver's 50-name
     # prefix (this tuple is EXACTLY 50 — entries past 50 would silently
     # go unchecked): join_cross / join_full_outer / join_left_anti /

@@ -392,3 +392,74 @@ def test_hll_merge_reads_one_scan(spark):
     assert plan.count("Scan parquet") <= 2, plan  # one physical scan
     assert "ExistingRDD" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_null_aware_anti_join_plan(spark):
+    """NOT IN (subquery) must plan as the null-aware anti join —
+    BroadcastHashJoin LeftAnti BuildRight with isNullAwareAntiJoin=true
+    (rendered as the trailing `true` argument in simple mode; formatted
+    mode omits the flag) — never a BroadcastNestedLoopJoin re-check of
+    every build row."""
+    plan = plan_string(_df(spark, "join_null_aware_anti"), mode="simple")
+    assert "LeftAnti, BuildRight, true" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dpp_fact_scan_is_dynamically_pruned(spark):
+    """join_dpp_partitioned's fact scan must carry a dynamicpruning
+    expression in its PartitionFilters (the dim side's day list arrives
+    at runtime), and the dim scan must read the partition column only
+    (listing-only, zero data bytes)."""
+    plan = plan_string(_df(spark, "join_dpp_partitioned"))
+    assert "dynamicpruning" in plan, plan
+
+
+def test_bfs_joins_are_equi_keyed_frontier_broadcast(spark):
+    """BFS edge derivation is an equi self-join on l_orderkey (bounded
+    per-order fan-out, never cartesian); a BFS round broadcasts the
+    graph-bounded frontier. (The registered query's final plan shows
+    only checkpoint RDD scans — the round shape is audited here on the
+    same building blocks the loop uses.)"""
+    import pyspark.sql.functions as F
+
+    from kinesumer_spark.operators.graph import _copurchase_edges
+
+    edges = _copurchase_edges(spark, SF_SMALL)
+    eplan = plan_string(edges)
+    assert "CartesianProduct" not in eplan, eplan
+    assert "BroadcastNestedLoopJoin" not in eplan, eplan
+    frontier = edges.select(F.col("u").alias("node")).limit(5)
+    round_plan = plan_string(edges.join(F.broadcast(frontier), edges.u == F.col("node")))
+    assert "BroadcastHashJoin" in round_plan, round_plan
+    assert "BatchEvalPython" not in eplan
+
+
+def test_bpe_train_counting_stays_jvm_side(spark):
+    """The BPE trainer's per-iteration pair counting must stay on the
+    JVM expression path (no Python rows); its only driver traffic is
+    the one argmax row per merge."""
+    from kinesumer_spark.operators.text import _t as _docs
+
+    import pyspark.sql.functions as F
+
+    vocab = (
+        _docs(spark, SF_SMALL)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "s", F.concat(F.lit("||"), F.regexp_replace("word", "(.)", "$1||"))
+        )
+    )
+    pairs = vocab.select(
+        "freq",
+        F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')").alias("a"),
+    ).filter(F.expr("size(a) >= 2")).select(
+        "freq",
+        F.expr(
+            "explode(arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1))) AS p"
+        ),
+    )
+    plan = plan_string(pairs.groupBy("p").count())
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
