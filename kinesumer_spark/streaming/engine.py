@@ -101,6 +101,27 @@ class StreamSource:
     max_files_per_trigger: int | None = 1
 
 
+@dataclass(frozen=True)
+class ShardLineage:
+    """One reshard edge: ``child`` shard was created when ``parent``
+    closed at ``parent_end`` (the parent's EndingSequenceNumber).
+
+    This is the piece the reference explicitly punts on —
+    ``TODO(mingrammer): handle the closed shards`` (kinesumer.go:314):
+    after a Kinesis reshard, per-key ordering only survives if every
+    parent record is processed BEFORE any child record. The engine
+    enforces exactly that (see ``Engine.consume``'s ``lineage``
+    parameter): child-shard rows are deferred — durably, via a loopback
+    stream, never buffered on the driver — until the ledger shows the
+    parent committed through ``parent_end``. A merge reshard is two
+    edges with the same child; the child waits for both parents."""
+
+    stream: str
+    child: str
+    parent: str
+    parent_end: str
+
+
 class Engine:
     def __init__(
         self,
@@ -131,11 +152,21 @@ class Engine:
         self._listener = None
         self._lock = threading.Lock()
         self._generation = 0
+        # (stream, child_shard) → [(parent_shard, parent_end), ...];
+        # populated by consume(lineage=...), empty = no reshard gating
+        self._lineage: dict[tuple[str, str], list[tuple[str, str]]] = {}
         os.makedirs(self._ledger_dir(), exist_ok=True)
 
     # -- paths -------------------------------------------------------------
     def _ledger_dir(self) -> str:
         return os.path.join(self.checkpoint_root, self.app, "ledger")
+
+    def _deferred_dir(self) -> str:
+        """Durable holding area for reshard-deferred child rows (see
+        ShardLineage): written as parquet by the admission gate, read
+        back by the loopback stream source — distributed end to end,
+        nothing buffers on the driver."""
+        return os.path.join(self.checkpoint_root, self.app, "deferred")
 
     def _ckpt_dir(self) -> str:
         # one WAL per query generation: a refresh()ed query has a new
@@ -147,11 +178,25 @@ class Engine:
         return os.path.join(self.checkpoint_root, self.app, f"wal-{self._generation}")
 
     # -- source construction ----------------------------------------------
-    def consume(self, sources: list[StreamSource]) -> DataFrame:
+    def consume(
+        self,
+        sources: list[StreamSource],
+        lineage: list[ShardLineage] | None = None,
+    ) -> DataFrame:
         """Multi-stream merged envelope (O4: N streams → one channel).
 
         Returns a *streaming* DataFrame in RECORD_SCHEMA; the caller
         attaches transformations and hands a sink to ``run()``.
+
+        ``lineage`` opts into reshard-aware delivery: rows of a child
+        shard are withheld from the sink until the ledger shows its
+        parent committed through ``parent_end`` (per-key ordering across
+        a reshard boundary — the reference's open TODO, kinesumer.go:314).
+        Blocked rows take zero driver memory: the delivery wrapper
+        writes them to the deferred parquet area and a loopback stream
+        source (appended here) re-admits them in a later microbatch once
+        the gate opens. Deferred re-delivery is at-least-once, same as
+        the engine's crash-replay contract.
         """
         from kinesumer_spark.catalog import parquet_file_schema
         from kinesumer_spark.streaming.envelope import EVENTS_RAW_SCHEMA
@@ -186,6 +231,20 @@ class Engine:
             env = events_to_envelope(raw, stream=s.name)
             merged = env if merged is None else merged.unionByName(env)
         assert merged is not None, "at least one stream required"
+        self._lineage = {
+            (e.stream, e.child): [] for e in (lineage or [])
+        }
+        for e in lineage or []:
+            # merge reshard = two edges per child; admission waits on all
+            self._lineage[(e.stream, e.child)].append((e.parent, e.parent_end))
+        if self._lineage:
+            os.makedirs(self._deferred_dir(), exist_ok=True)
+            loopback = (
+                self.spark.readStream.schema(RECORD_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(self._deferred_dir())
+            )
+            merged = merged.unionByName(loopback)
         return merged
 
     # -- mark / commit ledger ---------------------------------------------
@@ -296,6 +355,41 @@ class Engine:
             )
         os.replace(tmp, path)  # atomic, crash-safe like a DDB batch-put
 
+    # -- reshard admission gate (ShardLineage) -----------------------------
+    def _parent_complete(self, cps, stream: str, parent: str, end: str) -> bool:
+        cur = cps.get((stream, parent))
+        return cur is not None and self._seq_order_key(cur) >= self._seq_order_key(end)
+
+    def _blocked_children(self) -> list[str]:
+        """(stream, child) keys whose parent(s) are not yet committed
+        through parent_end — one ledger read per microbatch, the same
+        cadence as the reference's checkpoint lookups (O14)."""
+        cps = self.checkpoints()
+        return [
+            f"{stream}\x1f{child}"
+            for (stream, child), parents in self._lineage.items()
+            if not all(
+                self._parent_complete(cps, stream, p, end) for p, end in parents
+            )
+        ]
+
+    def _admit(self, batch_df: DataFrame) -> DataFrame:
+        """Split a microbatch at the reshard boundary: rows of still-
+        blocked child shards go durably to the deferred area (the
+        loopback source re-presents them next batch); everything else is
+        admitted. The commit that follows sees only admitted rows, so a
+        child's high-water never advances before its parent closes."""
+        blocked = self._blocked_children()
+        if not blocked:
+            return batch_df
+        key = F.concat_ws("\x1f", F.col("stream"), F.col("shard_id"))
+        deferred = batch_df.filter(key.isin(blocked))
+        # write only when rows exist: an unconditional write would drop
+        # an empty file per batch and self-trigger the loopback forever
+        if deferred.limit(1).count() > 0:
+            deferred.write.mode("append").parquet(self._deferred_dir())
+        return batch_df.filter(~key.isin(blocked))
+
     def run(
         self,
         records: DataFrame,
@@ -316,8 +410,11 @@ class Engine:
         Default (None) is the continuous micro-batch default."""
 
         def deliver(batch_df: DataFrame, batch_id: int) -> None:
+            arrived = batch_df  # the persisted handle (pre-admission)
             try:
-                batch_df.persist()
+                arrived.persist()
+                if self._lineage:
+                    batch_df = self._admit(batch_df)
                 sink(batch_df, batch_id)
                 if self.commit_config.auto:
                     self.commit(batch_df, batch_id)
@@ -326,7 +423,7 @@ class Engine:
                     self._errors.append(f"batch {batch_id}: {exc}")
                 raise
             finally:
-                batch_df.unpersist()
+                arrived.unpersist()
 
         self._attach_listener()
         writer = (
@@ -451,9 +548,17 @@ class Engine:
         replaces the DynamoDB table of statemodel.go:17-53). Entities:
         'check_point' rows from the ledger, 'client' (this driver, with
         its hostname+suffix id), and one 'shard_cache' row per stream
-        (stateShardCache parity, statemodel.go:17-22; all shards open —
-        resharding does not exist for file sources)."""
+        (stateShardCache parity, statemodel.go:17-22). A shard shows
+        closed=True once it is a lineage parent committed through its
+        parent_end — the CLOSED state O3 filters on; without a lineage
+        manifest every file-source shard stays open."""
         cps = self.checkpoints()
+        closed_by_stream = {
+            (stream, p): True
+            for (stream, _child), parents in self._lineage.items()
+            for p, end in parents
+            if self._parent_complete(cps, stream, p, end)
+        }
         rows: list[dict] = [
             {
                 "entity": "check_point",
@@ -478,7 +583,8 @@ class Engine:
                 "client_id": None,
                 "sequence_number": None,
                 "shards": [
-                    {"id": s, "closed": False} for s in sorted(shards)
+                    {"id": s, "closed": closed_by_stream.get((stream, s), False)}
+                    for s in sorted(shards)
                 ],
             }
             for stream, shards in per_stream.items()

@@ -709,3 +709,115 @@ def test_transform_with_state_capability_gate(spark):
         assert not check_query(spark, "stream_transform_with_state", SF_SMALL)
     else:
         assert "stream_transform_with_state" not in all_queries()
+
+
+def _raw_events_file(path, event_ids, user_id):
+    """A raw events parquet file whose envelope lands every row on
+    user_id's shard (shard = user_id mod 5) with seq = padded event_id."""
+    import datetime as dt
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": list(event_ids),
+            "ts": [
+                dt.datetime(2024, 1, 1, 0, 0, i % 60) for i in range(len(event_ids))
+            ],
+            "user_id": [user_id] * len(event_ids),
+            "event_type": ["click"] * len(event_ids),
+            "value": [1.0] * len(event_ids),
+            "props": ["{}"] * len(event_ids),
+        }
+    ).to_parquet(path)
+
+
+def test_reshard_children_deferred_until_parent_complete(spark, tmp_path):
+    """ShardLineage admission: even when the CHILD shard's file arrives
+    (and is listed) first, no child row reaches the sink before every
+    parent row is committed through parent_end — the ordering guarantee
+    the reference leaves as TODO(mingrammer) (kinesumer.go:314)."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    # child (user 2 → shardId-…002) written FIRST with the oldest mtime,
+    # so the file source admits it before any parent file
+    _raw_events_file(d / "part-0-child.parquet", range(11, 21), user_id=2)
+    _raw_events_file(d / "part-1-parent.parquet", range(1, 6), user_id=1)
+    _raw_events_file(d / "part-2-parent.parquet", range(6, 11), user_id=1)
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(d / f, (base + i * 60, base + i * 60))
+
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    lineage = [
+        ShardLineage(
+            stream="s",
+            child=child,
+            parent=parent,
+            parent_end=str(10).zfill(21),
+        )
+    ]
+    eng = Engine(spark, app="t-reshard", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)], lineage=lineage
+    )
+    seen: list = []
+    q = eng.run(records, _collecting_sink(seen))
+    q.processAllAvailable()
+    eng.close()
+
+    flat = [(bid, r) for bid, rows in seen for r in rows]
+    parent_bids = [bid for bid, r in flat if r["shard_id"] == parent]
+    child_bids = [bid for bid, r in flat if r["shard_id"] == child]
+    assert parent_bids and child_bids, flat
+    # every parent row delivered strictly before any child row
+    assert max(parent_bids) < min(child_bids)
+    # nothing lost (at-least-once: dedup by seq before comparing)
+    assert {r["sequence_number"] for _, r in flat if r["shard_id"] == parent} == {
+        str(i).zfill(21) for i in range(1, 11)
+    }
+    assert {r["sequence_number"] for _, r in flat if r["shard_id"] == child} == {
+        str(i).zfill(21) for i in range(11, 21)
+    }
+    # ledger: child high-water never advanced before parent closed; final
+    # state has both shards at their ends
+    cps = eng.checkpoints()
+    assert cps[("s", parent)] == str(10).zfill(21)
+    assert cps[("s", child)] == str(20).zfill(21)
+
+
+def test_reshard_parent_marked_closed_in_consumer_state(spark, tmp_path):
+    """O3 parity: once a lineage parent is committed through parent_end,
+    the shard_cache row shows it CLOSED (the state O3's enumeration
+    filter drops); the child stays open."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    _raw_events_file(d / "p.parquet", range(1, 6), user_id=1)
+    _raw_events_file(d / "c.parquet", range(6, 11), user_id=2)
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    eng = Engine(spark, app="t-closed", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=2)],
+        lineage=[
+            ShardLineage(
+                stream="s", child=child, parent=parent, parent_end=str(5).zfill(21)
+            )
+        ],
+    )
+    q = eng.run(records, lambda df, bid: None)
+    q.processAllAvailable()
+    eng.close()
+
+    cache = {
+        s["id"]: s["closed"]
+        for row in eng.consumer_state().filter("entity = 'shard_cache'").collect()
+        for s in row["shards"]
+    }
+    assert cache[parent] is True
+    assert cache[child] is False
