@@ -351,3 +351,79 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# -- Misra-Gries heavy hitters (two-pass, provably exact) --------------------
+
+_HH_K = 125  # report keys with frequency > N/K
+_HH_COUNTERS = 500  # per-partition summary slots (≥ K ⇒ no heavy key lost)
+
+_HH_ORACLE = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * {_HH_K} > (SELECT COUNT(*) FROM events)
+ORDER BY n_events DESC, user_id
+"""
+
+
+@register("agg_heavy_hitters_mg", oracle=_HH_ORACLE, tags=("agg", "sketch"))
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item (heavy hitter) detection: every user with more than
+    N/K of all events (K = {K}), found WITHOUT a full groupBy over the
+    key space — the frequency-sketch member of the sketch family next
+    to HLL (distinct) and GK (quantiles).
+
+    Two-pass Misra-Gries, the standard exact formulation:
+    pass 1 streams each partition through a {C}-slot Misra-Gries summary
+    (mapInPandas, Arrow-batched; O(slots) memory per partition, NO
+    shuffle of the key space) and unions the surviving candidate keys —
+    pigeonhole guarantees any key with global frequency > N/{C} survives
+    in at least one partition's summary, so with slots ≥ K the candidate
+    set provably contains every heavy hitter. Pass 2 rescans, counts
+    ONLY the candidates (broadcast semi-join; the shuffle carries
+    |candidates| ≤ partitions × slots rows, key-space- and
+    corpus-UNBOUNDED-safe) and keeps counts strictly above N/K
+    (integer cross-multiply, no division). The output is therefore
+    EXACTLY ``GROUP BY key HAVING count·K > N`` — which is the oracle —
+    while the plan never materializes the full key-frequency table: at
+    100 TB with billions of distinct keys, that is the entire point.
+
+    The one driver scalar is N (a count), same bounded class as the
+    layout min/max collects (events_zorder_layout).
+    """
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+
+    def mg(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for v in pdf["user_id"]:
+                v = int(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < _HH_COUNTERS:
+                    counters[v] = 1
+                else:
+                    dead = [k for k, c in counters.items() if c == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"user_id": pd.Series(list(counters), dtype="int64")})
+
+    candidates = ev.mapInPandas(mg, "user_id bigint").distinct()
+    total = ev.count()
+    return (
+        ev.join(F.broadcast(candidates), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .filter(F.col("n_events") * _HH_K > F.lit(total))
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+agg_heavy_hitters_mg.__doc__ = agg_heavy_hitters_mg.__doc__.format(
+    K=_HH_K, C=_HH_COUNTERS
+)

@@ -463,3 +463,13 @@ def test_bpe_train_counting_stays_jvm_side(spark):
     plan = plan_string(pairs.groupBy("p").count())
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_heavy_hitters_sketch_avoids_keyspace_groupby(spark):
+    """Pass 1 must be the Arrow-batched Misra-Gries summary (MapInPandas,
+    no shuffle of the key space); pass 2 counts candidates only, behind
+    a broadcast semi-join — the full-keyspace HashAggregate the naive
+    plan would run must not appear before the candidate join."""
+    plan = plan_string(_df(spark, "agg_heavy_hitters_mg"))
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
