@@ -71,6 +71,13 @@ EXTENDED = [
     "embedding_pca_validation",
     "events_dau_wau",
     "pipeline_pretraining_curation",
+    # r6 session-2 additions
+    "text_bpe_train",
+    "graph_bfs_copurchase",
+    "agg_heavy_hitters_mg",
+    "join_dpp_partitioned",
+    "join_null_aware_anti",
+    "events_drift_chi2",
 ]
 
 

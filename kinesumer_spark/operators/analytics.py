@@ -834,3 +834,89 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_click_after").cast("double")
         ).alias("rate_step3"),
     )
+
+
+# -- Distribution drift: chi-square between two halves of the month ---------
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+# Per-cell chi-square contributions with deterministic float discipline:
+# expected = (row_total · col_total) / N is integer×integer (exact in
+# double up to 2^53) followed by ONE division; (obs − exp)²/exp is three
+# more IEEE ops; round(·, 6) pins the printed value; the total is the
+# order-independent DECIMAL sum of the rounded contributions — identical
+# in both engines (the same trick as jaccard/round(…,6) elsewhere).
+_DRIFT_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 'w1' ELSE 'w2' END AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM events
+  GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, cohort, n_obs,
+         SUM(n_obs) OVER (PARTITION BY event_type) AS rt,
+         SUM(n_obs) OVER (PARTITION BY cohort) AS ct,
+         SUM(n_obs) OVER () AS n
+  FROM cells
+), scored AS (
+  SELECT event_type, cohort, n_obs,
+         round(CAST(rt * ct AS DOUBLE) / n, 6) AS expected,
+         round(
+           (n_obs - CAST(rt * ct AS DOUBLE) / n)
+           * (n_obs - CAST(rt * ct AS DOUBLE) / n)
+           / (CAST(rt * ct AS DOUBLE) / n), 6) AS contrib
+  FROM tot
+)
+SELECT event_type, cohort, n_obs, expected, contrib,
+       CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER () AS DOUBLE) AS chi2_total
+FROM scored
+ORDER BY event_type, cohort
+"""
+
+
+@register("events_drift_chi2", oracle=_DRIFT_ORACLE, tags=("analytics", "quality"))
+def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: chi-square statistic of the
+    event-type mix between the first and second half of the month — the
+    data-quality monitor a training pipeline runs on every ingest slice
+    (the categorical analog of PSI, without PSI's engine-divergent
+    logarithms; see _DRIFT_ORACLE comment for the float discipline).
+
+    One keyed aggregate to the (type × cohort) contingency cells —
+    map-side combined, ≤ |types|·2 rows — then window sums ON THE CELLS
+    (never the stream) for the marginals, a few IEEE ops per cell, and
+    an order-independent decimal total. At 100 TB: the fact scan is the
+    whole cost; everything after the first aggregate is constant-size.
+    """
+    cells = (
+        _t(spark, sf_dir)
+        .select(
+            "event_type",
+            F.when(
+                F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), "w1"
+            ).otherwise("w2").alias("cohort"),
+        )
+        .groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    rt = F.sum("n_obs").over(W.partitionBy("event_type"))
+    ct = F.sum("n_obs").over(W.partitionBy("cohort"))
+    n = F.sum("n_obs").over(W.partitionBy())
+    exp = (rt * ct).cast("double") / n
+    scored = cells.select(
+        "event_type",
+        "cohort",
+        "n_obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6).alias(
+            "contrib"
+        ),
+    )
+    return scored.select(
+        "*",
+        F.sum(F.col("contrib").cast("decimal(18,6)"))
+        .over(W.partitionBy())
+        .cast("double")
+        .alias("chi2_total"),
+    ).orderBy("event_type", "cohort")

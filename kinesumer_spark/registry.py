@@ -110,6 +110,8 @@ _FRONT = (
     "graph_bfs_copurchase",
     "join_null_aware_anti",
     "join_dpp_partitioned",
+    "agg_heavy_hitters_mg",
+    "events_drift_chi2",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -139,14 +141,13 @@ _FRONT = (
     "q7_nation_volume",
     "q8_market_share",
     "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
     "q21_waiting_supplier",
-    # q17/q18/q19/q22 displaced from the tail by the four never-checked
-    # late-r6 additions just above (text_bpe_train, graph_bfs_copurchase,
-    # join_null_aware_anti, join_dpp_partitioned; never-checked outranks
+    # q14/q15/q17/q18/q19/q22 displaced from the tail by the six
+    # never-checked late-r6 additions just above (text_bpe_train,
+    # graph_bfs_copurchase, join_null_aware_anti, join_dpp_partitioned,
+    # agg_heavy_hitters_mg, events_drift_chi2; never-checked outranks
     # stale per the r5 verdict); q21 stays as the EXISTS/anti-family
-    # canary alongside the new NOT-IN null-aware form. q17/q18/q19/q22
+    # canary alongside the new NOT-IN null-aware form. The displaced six
     # lead the r7 rotation with the rest of the drop list below.
     # dropped from this window to stay within the driver's 50-name
     # prefix (this tuple is EXACTLY 50 — entries past 50 would silently
