@@ -369,6 +369,33 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_JOIN_NAAJ_SQL)
 
 
+# Correlated LATERAL subquery with ORDER BY … LIMIT — the "top-k rows
+# of the right table PER left row" join form. Catalyst decorrelates the
+# LIMIT via DomainJoin → window rewrite (one shuffle, no per-row
+# re-execution); identical SQL runs on DuckDB, which executes LATERAL
+# natively. Semantically overlaps window_topk_per_group, but exercises
+# the planner's correlated-subquery decorrelation path, which nothing
+# else in the registry touches.
+_JOIN_LATERAL_SQL = """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@register("join_lateral_topk", oracle=_JOIN_LATERAL_SQL, tags=("join", "subquery"))
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each BUILDING customer's two most expensive orders via a
+    correlated LATERAL (ORDER BY … LIMIT) subquery — see
+    _JOIN_LATERAL_SQL comment for the decorrelation story."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_JOIN_LATERAL_SQL)
+
+
 _JOIN_FULL_ORACLE = """
 SELECT n_nationkey, n_name, s_suppkey, s_name
 FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey

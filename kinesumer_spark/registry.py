@@ -112,6 +112,7 @@ _FRONT = (
     "join_dpp_partitioned",
     "agg_heavy_hitters_mg",
     "events_drift_chi2",
+    "join_lateral_topk",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -139,7 +140,8 @@ _FRONT = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_nation_volume",
-    "q8_market_share",
+    # q8_market_share displaced by join_lateral_topk (never-checked >
+    # stale); q7 remains the nation-join canary. q8 joins the r7 list.
     "q10_returned_items",
     "q21_waiting_supplier",
     # q14/q15/q17/q18/q19/q22 displaced from the tail by the six
