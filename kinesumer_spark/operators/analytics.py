@@ -889,9 +889,15 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order-independent decimal total. At 100 TB: the fact scan is the
     whole cost; everything after the first aggregate is constant-size.
     """
-    cells = (
-        _t(spark, sf_dir)
-        .select(
+    return chi2_from_cells(drift_cells(_t(spark, sf_dir)))
+
+
+def drift_cells(ev: DataFrame) -> DataFrame:
+    """(event_type × half-of-month) contingency cells — the single
+    stream-scale aggregation of the drift monitor; shared by the batch
+    query above and its streaming twin (streaming/queries.py)."""
+    return (
+        ev.select(
             "event_type",
             F.when(
                 F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), "w1"
@@ -900,6 +906,13 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "cohort")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
     )
+
+
+def chi2_from_cells(cells: DataFrame) -> DataFrame:
+    """Chi-square scoring over a contingency-cell table. Window sums run
+    on the CELLS (≤ |types|·2 rows — the single-partition window warning
+    is about this constant-size table, not the stream), so this tail is
+    free at any data scale."""
     rt = F.sum("n_obs").over(W.partitionBy("event_type"))
     ct = F.sum("n_obs").over(W.partitionBy("cohort"))
     n = F.sum("n_obs").over(W.partitionBy())

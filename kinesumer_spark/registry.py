@@ -113,6 +113,7 @@ _FRONT = (
     "agg_heavy_hitters_mg",
     "events_drift_chi2",
     "join_lateral_topk",
+    "stream_drift_chi2",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -135,7 +136,9 @@ _FRONT = (
     "agg_percentile_exact",
     "agg_rollup",
     "agg_stats_moments",
-    "embedding_centroid_by_label",
+    # embedding_centroid_by_label displaced by stream_drift_chi2; the
+    # embedding family keeps dedup_semantic + embedding_quantize_int8
+    # as in-window canaries. It joins the r7 list.
     "join_theta_pairs",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -1007,3 +1007,34 @@ def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("monetary", "n_events").alias("monetary"),
     )
     return segment_rfm(per_user)
+
+
+def _stream_drift_oracle() -> str:
+    from kinesumer_spark.operators.analytics import _DRIFT_ORACLE
+
+    return _DRIFT_ORACLE
+
+
+@register(
+    "stream_drift_chi2",
+    oracle=_stream_drift_oracle(),
+    tags=("streaming", "quality"),
+)
+def stream_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chi-square drift monitor (operators/analytics.
+    events_drift_chi2) as a STREAMING complete-mode aggregation —
+    carried under the batch oracle verbatim, so the driver row proves
+    batch/stream equivalence (the stream_value_histogram pattern).
+
+    The stream-scale piece is the contingency-cell count (one keyed
+    stateful aggregate, state = |types|·2 counters — constant memory at
+    any throughput); the chi-square scoring runs on the drained
+    constant-size cell table, exactly as the batch form does. This is
+    the shape of a production drift alarm: the cells accumulate
+    incrementally against the live feed, the statistic re-derives per
+    trigger for free."""
+    from kinesumer_spark.operators.analytics import chi2_from_cells, drift_cells
+
+    cells = drift_cells(_events_stream(spark, sf_dir))
+    out = _run_to_table(cells, "ks_stream_drift_chi2", mode="complete", stable=False)
+    return chi2_from_cells(out)
