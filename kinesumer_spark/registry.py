@@ -114,6 +114,7 @@ _FRONT = (
     "events_drift_chi2",
     "join_lateral_topk",
     "stream_drift_chi2",
+    "pipeline_stream_ingest",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -135,7 +136,9 @@ _FRONT = (
     "agg_min_max_by",
     "agg_percentile_exact",
     "agg_rollup",
-    "agg_stats_moments",
+    # agg_stats_moments displaced by pipeline_stream_ingest; the agg
+    # family keeps cube/grouping_sets/rollup/percentile/min_max_by as
+    # in-window canaries. It joins the r7 list.
     # embedding_centroid_by_label displaced by stream_drift_chi2; the
     # embedding family keeps dedup_semantic + embedding_quantize_int8
     # as in-window canaries. It joins the r7 list.

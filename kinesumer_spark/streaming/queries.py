@@ -1038,3 +1038,102 @@ def stream_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = drift_cells(_events_stream(spark, sf_dir))
     out = _run_to_table(cells, "ks_stream_drift_chi2", mode="complete", stable=False)
     return chi2_from_cells(out)
+
+
+# -- Composed end-to-end ingest: the full consume→decode→gate→rollup path ---
+
+_INGEST_ORACLE = f"""
+WITH gated AS (
+  SELECT ts, event_type, value FROM events
+  WHERE value >= 0 AND user_id IS NOT NULL
+    AND event_type IN ('signup','click','view','purchase','error')
+), b AS (SELECT max(ts) AS max_ts FROM gated)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {{sum_value}} AS sum_value
+FROM gated, b
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= b.max_ts - INTERVAL 1 HOUR
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def _ingest_oracle() -> str:
+    from kinesumer_spark.functions.exact import oracle_sum
+
+    return _INGEST_ORACLE.format(sum_value=oracle_sum("value"))
+
+
+@register(
+    "pipeline_stream_ingest",
+    oracle=_ingest_oracle(),
+    tags=("streaming", "pipeline"),
+)
+def pipeline_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ingest path, end to end in one streaming
+    query: file source → record envelope (the engine's delivery format)
+    → schema-on-read JSON payload decode → data-quality gate →
+    watermarked hourly rollup in append mode. Each stage is a
+    driver-proven query on its own (stream_consume_envelope,
+    decode_json_payload, stream_quality_audit's predicates,
+    stream_watermarked_append); this row proves the COMPOSITION under
+    one oracle — what an actual deployment runs as its bronze→silver
+    hop.
+
+    Scale: envelope + decode + gate are stateless map stages fused into
+    the scan; the only state is the hourly (window × type) aggregate
+    behind the 1 h watermark, GC'd as the watermark advances. Append
+    mode emits each finalized window once — the idempotent-sink
+    contract; the oracle replicates the finalization predicate
+    (window_end ≤ max gated event time − 1 h) exactly.
+
+    The payload round-trips THROUGH the envelope's JSON bytes (to_json
+    at the source, from_json here) rather than reading typed columns —
+    deliberately: it exercises the real consume path's serialization
+    boundary, microsecond timestamps included."""
+    from pyspark.sql import types as T
+
+    from kinesumer_spark.catalog import events_raw_schema
+    from kinesumer_spark.functions.exact import exact_sum
+    from kinesumer_spark.streaming.envelope import decode_payload, events_to_envelope
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    decoded = decode_payload(events_to_envelope(raw), payload_schema)
+    gated = decoded.filter(
+        (F.col("value") >= 0)
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isin("signup", "click", "view", "purchase", "error")
+    )
+    agg = (
+        gated.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_table(agg, "ks_stream_ingest", mode="append").orderBy(
+        "window_start", "event_type"
+    )
