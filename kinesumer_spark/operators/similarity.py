@@ -1833,3 +1833,103 @@ def embedding_pca_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- Embedding drift: per-label centroid distance between two cohorts -------
+
+_EDRIFT_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), ex AS (
+  SELECT label,
+         CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+         d.dim,
+         CAST(floor(e[d.dim + 1] * 1000000) AS BIGINT) AS q
+  FROM v CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
+), g AS (
+  SELECT label, cohort, dim,
+         CAST(SUM(q) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM ex GROUP BY label, cohort, dim
+), j AS (
+  SELECT a.label, a.n AS na, b.n AS nb,
+         (a.s * b.n - b.s * a.n) AS num
+  FROM g a JOIN g b
+    ON a.label = b.label AND a.dim = b.dim
+   AND a.cohort = 'a' AND b.cohort = 'b'
+)
+SELECT label,
+       CAST(MAX(na) AS BIGINT) AS n_even,
+       CAST(MAX(nb) AS BIGINT) AS n_odd,
+       CAST(SUM(num * num) AS DOUBLE)
+         / ((CAST(MAX(na * nb) AS DOUBLE) * 1000000)
+            * (CAST(MAX(na * nb) AS DOUBLE) * 1000000)) AS centroid_dist2
+FROM j GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "embedding_cohort_drift", oracle=_EDRIFT_ORACLE, tags=("similarity", "quality")
+)
+def embedding_cohort_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the squared L2 distance
+    between the mean embeddings of two cohorts (even/odd vec_id — the
+    deterministic stand-in for week-over-week ingest slices). The
+    vector-space analog of events_drift_chi2: a training pipeline runs
+    exactly this to detect when a source's embedding distribution moves.
+
+    Exactness: components quantize map-side (floor(val·10⁶), the
+    embedding_centroid_by_label discipline), so cohort sums are integer;
+    the centroid difference per dim is the RATIONAL (sa·nb − sb·na) /
+    (na·nb·10⁶) — numerator exact in decimal(38,0)/HUGEINT (≤ 2·10¹⁴
+    per dim, squared 4·10²⁸, 64-dim sum ~10³⁰), one shared denominator
+    per label. The only float steps are the final integer→double casts
+    and two IEEE ops, spelled identically in both engines.
+
+    Scale: posexplode → ONE (label, cohort, dim) keyed aggregate with
+    map-side combine (shuffle = #labels·2·#dims partials, corpus-
+    independent), a dims-sized self-join, then a #labels-row reduce.
+    Nothing driver-side, no vector ever materialized whole."""
+    v = _t(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("e"),
+    )
+    ex = v.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("cohort"),
+        F.posexplode("e").alias("dim", "val"),
+    ).select(
+        "label",
+        "cohort",
+        "dim",
+        F.floor(F.col("val") * 1000000).cast("bigint").alias("q"),
+    )
+    g = ex.groupBy("label", "cohort", "dim").agg(
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    a = g.filter(F.col("cohort") == "a").select(
+        "label", "dim", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = g.filter(F.col("cohort") == "b").select(
+        "label", "dim", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    j = a.join(b, ["label", "dim"]).select(
+        "label",
+        "na",
+        "nb",
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("num"),
+    )
+    nanb = F.max(F.col("na") * F.col("nb")).cast("double")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.max("na").cast("bigint").alias("n_even"),
+            F.max("nb").cast("bigint").alias("n_odd"),
+            (
+                F.sum(F.col("num") * F.col("num")).cast("double")
+                / ((nanb * 1000000) * (nanb * 1000000))
+            ).alias("centroid_dist2"),
+        )
+        .orderBy("label")
+    )

@@ -115,6 +115,7 @@ _FRONT = (
     "join_lateral_topk",
     "stream_drift_chi2",
     "pipeline_stream_ingest",
+    "embedding_cohort_drift",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -135,7 +136,9 @@ _FRONT = (
     "agg_grouping_sets",
     "agg_min_max_by",
     "agg_percentile_exact",
-    "agg_rollup",
+    # agg_rollup displaced by embedding_cohort_drift (never-checked >
+    # stale); cube/grouping_sets stay as the grouping-family canaries.
+    # It joins the r7 list.
     # agg_stats_moments displaced by pipeline_stream_ingest; the agg
     # family keeps cube/grouping_sets/rollup/percentile/min_max_by as
     # in-window canaries. It joins the r7 list.

@@ -543,6 +543,72 @@ class Engine:
                 out[(cp["stream"], cp["shard_id"])] = cp["sequence_number"]
         return out
 
+    def lag(self) -> DataFrame:
+        """Per-(stream, shard) consumer lag — the operational metric the
+        reference never exposes (its users read CloudWatch): committed
+        high-water vs the latest sequence actually present in the
+        source, plus the pending-record count.
+
+        Distributed end to end: one batch scan per stream (narrow
+        projection to the envelope key columns), a broadcast join
+        against the ledger's committed marks (bounded by shard count),
+        and a per-shard aggregate. The length-then-lexicographic
+        sequence comparison matches _seq_order_key, so unpadded
+        connector sequence numbers order correctly."""
+        from functools import reduce
+
+        from kinesumer_spark.catalog import parquet_file_schema
+
+        cps = self.checkpoints()
+        parts: list[DataFrame] = []
+        for s in self._streams.values():
+            if not _dir_has_data_files(s.path):
+                continue
+            raw = self.spark.read.schema(
+                parquet_file_schema(self.spark, s.path)
+            ).parquet(s.path)
+            parts.append(
+                events_to_envelope(raw, stream=s.name).select(
+                    "stream", "shard_id", "sequence_number"
+                )
+            )
+        committed_schema = "stream string, shard_id string, committed_seq string"
+        out_schema = (
+            "stream string, shard_id string, committed_seq string, "
+            "latest_seq string, pending_records bigint"
+        )
+        if not parts:
+            return self.spark.createDataFrame([], schema=out_schema)
+        env = reduce(lambda x, y: x.unionByName(y), parts)
+        committed = self.spark.createDataFrame(
+            [(st, sh, seq) for (st, sh), seq in sorted(cps.items())] or [],
+            schema=committed_schema,
+        )
+        ahead = (
+            "committed_seq IS NULL"
+            " OR length(sequence_number) > length(committed_seq)"
+            " OR (length(sequence_number) = length(committed_seq)"
+            "     AND sequence_number > committed_seq)"
+        )
+        return (
+            env.join(F.broadcast(committed), ["stream", "shard_id"], "left")
+            .groupBy("stream", "shard_id")
+            .agg(
+                F.first("committed_seq").alias("committed_seq"),
+                F.max_by(
+                    "sequence_number",
+                    F.struct(
+                        F.length("sequence_number").alias("l"),
+                        F.col("sequence_number").alias("s"),
+                    ),
+                ).alias("latest_seq"),
+                F.sum(F.expr(f"CASE WHEN {ahead} THEN 1 ELSE 0 END"))
+                .cast("bigint")
+                .alias("pending_records"),
+            )
+            .orderBy("stream", "shard_id")
+        )
+
     def consumer_state(self) -> DataFrame:
         """The state-store observability view (FIXTURES.md §1 schema;
         replaces the DynamoDB table of statemodel.go:17-53). Entities:

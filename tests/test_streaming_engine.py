@@ -821,3 +821,30 @@ def test_reshard_parent_marked_closed_in_consumer_state(spark, tmp_path):
     }
     assert cache[parent] is True
     assert cache[child] is False
+
+
+def test_lag_reports_pending_records(spark, tmp_path, events_dir):
+    """Engine.lag(): after a full drain every shard shows pending 0 and
+    latest == committed; after a producer writes more data, the new
+    rows show up as pending with an advanced latest_seq."""
+    path, n_total = events_dir
+    eng = Engine(spark, app="t-lag", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", path, max_files_per_trigger=4)])
+    q = eng.run(records, lambda df, bid: None)
+    q.processAllAvailable()
+    eng.close()
+
+    drained = eng.lag().collect()
+    assert len(drained) == 5
+    assert all(r["pending_records"] == 0 for r in drained), drained
+    assert all(r["latest_seq"] == r["committed_seq"] for r in drained)
+
+    # producer writes 6 more records for user 1 (shard …001) after close
+    _raw_events_file(
+        os.path.join(path, "late.parquet"), range(10_000_000, 10_000_006), user_id=1
+    )
+    lag = {r["shard_id"]: r for r in eng.lag().collect()}
+    shard1 = "shardId-" + "1".rjust(12, "0")
+    assert lag[shard1]["pending_records"] == 6
+    assert lag[shard1]["latest_seq"] == str(10_000_005).zfill(21)
+    assert sum(r["pending_records"] for r in lag.values()) == 6
