@@ -427,3 +427,50 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_heavy_hitters_mg.__doc__ = agg_heavy_hitters_mg.__doc__.format(
     K=_HH_K, C=_HH_COUNTERS
 )
+
+
+# -- Exact deterministic MODE ------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c
+)
+WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_mode_exact", oracle=_MODE_ORACLE, tags=("agg",))
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value, ties → smallest value):
+    the built-in ``mode()`` aggregate leaves ties implementation-defined
+    (and engine-divergent), so the golden form is the count + rank
+    rewrite — one keyed aggregate (map-side combined) over the
+    (group, value) pairs, then a per-group top-1, which is how a 100 TB
+    mode computes anyway (the agg shuffles #groups × #values partials,
+    never rows)."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+        )
+        .orderBy("o_orderstatus")
+    )

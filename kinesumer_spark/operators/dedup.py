@@ -461,7 +461,10 @@ def _simhash(d: DataFrame) -> DataFrame:
     return agg.selectExpr("doc_id", "lang", f"({sim}) AS simhash")
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte() -> str:
+    """Shared CTE chain: documents → simhash → bands → verified Hamming
+    pairs (``simpairs``). Consumed by the simhash oracle and, extended
+    with a levenshtein verify, by the edit-distance oracle."""
     h = _sha32_duck("wd")
     bsums = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -471,8 +474,7 @@ def _simhash_oracle() -> str:
         f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
         for j in range(_SIMHASH_BITS)
     )
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, lang, unnest(regexp_split_to_array(text, ' ')) AS wd
   FROM documents
 ), hh AS (
@@ -487,13 +489,20 @@ WITH w AS (
   SELECT doc_id, lang, simhash, band,
          (simhash >> (band * 8)) & 255 AS key
   FROM sh CROSS JOIN (SELECT unnest(range({_HAM_BANDS})) AS band) b
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM bands a JOIN bands b
-  ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
- AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), simpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH {_simhash_cte()}
+SELECT doc_a, doc_b, hamming FROM simpairs
 ORDER BY doc_a, doc_b
 """
 
@@ -1112,4 +1121,62 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustered.withColumn("keep", rank == 1)
         .select("cluster_id", "doc_id", "quality_score", "keep")
         .orderBy("cluster_id", "doc_id")
+    )
+
+
+# -- Edit-distance (Levenshtein) verification of SimHash candidates ---------
+
+def _edit_oracle() -> str:
+    return f"""
+WITH {_simhash_cte()}
+SELECT p.doc_a, p.doc_b, p.hamming,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+       round(1.0 - levenshtein(ta.text, tb.text)
+                   / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE),
+             6) AS edit_similarity
+FROM simpairs p
+JOIN documents ta ON ta.doc_id = p.doc_a
+JOIN documents tb ON tb.doc_id = p.doc_b
+WHERE 10 * levenshtein(ta.text, tb.text)
+      <= 3 * greatest(length(ta.text), length(tb.text))
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_edit_distance", oracle=_edit_oracle(), tags=("dedup",))
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: SimHash-banded candidate
+    pairs re-verified with exact Levenshtein edit distance (keep pairs
+    with distance ≤ 30% of the longer text — the 10·lev ≤ 3·len integer
+    cross-multiply avoids any division on the filter path).
+
+    This is the dedup ladder's character tier: token-level measures
+    (Jaccard, MinHash) miss in-word edits and reorder-free character
+    noise; edit distance catches both. The O(len²) DP cost per pair is
+    exactly why it runs LAST, on the banded candidate set only — never
+    all-pairs (the plan inherits dedup_simhash's single bucket-grouped
+    shuffle; the verify adds two doc_id-keyed broadcast-eligible joins
+    back to the text). Both engines implement the same standard
+    Levenshtein, and the similarity ratio rounds to 6 dp after one
+    division — the jaccard discipline."""
+    pairs = dedup_simhash(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ta = d.selectExpr("doc_id AS doc_a", "text AS text_a")
+    tb = d.selectExpr("doc_id AS doc_b", "text AS text_b")
+    lev = F.levenshtein("text_a", "text_b")
+    longest = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(10 * lev <= 3 * longest)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            lev.cast("bigint").alias("edit_distance"),
+            F.round(1.0 - lev / longest.cast("double"), 6).alias(
+                "edit_similarity"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -375,3 +375,52 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(500)
     )
+
+
+# -- Regex function family ---------------------------------------------------
+
+# Patterns live in the Java-regex ∩ RE2 common subset (word boundaries,
+# classes, groups — no lookaround/backrefs in the PATTERN; the
+# REPLACEMENT backreference is spelled $1 in Spark, \1 in DuckDB).
+_RX_WORDS = r"\bs[a-z]+"
+
+_REGEX_ORACLE = rf"""
+SELECT doc_id,
+       regexp_extract_all(text, '{_RX_WORDS}') AS s_words,
+       CAST(len(regexp_extract_all(text, '{_RX_WORDS}')) AS BIGINT)
+         AS n_s_words,
+       regexp_extract(text, '{_RX_WORDS}') AS first_s_word,
+       md5(regexp_replace(text, '({_RX_WORDS})', '<\1>', 'g'))
+         AS tagged_md5,
+       regexp_matches(text, 'stream [a-z]+ window') AS has_phrase
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("scalar_regex_funcs", oracle=_REGEX_ORACLE, tags=("scalar",))
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regex surface as one row-parallel pass: extract-all (list),
+    match count, first match, replace-all with a group backreference
+    (md5-pinned so the entire rewritten text is value-checked), boolean
+    match. All JVM regexp expressions at scan speed; the oracle runs
+    the same patterns on RE2 (DuckDB), so the query doubles as a
+    portability gate for the Java∩RE2 pattern subset — same discipline
+    as text_pii_scrub."""
+    d = read_table(spark, sf_dir, "documents")
+    # Spark SQL string literals process backslash escapes ('\b' would be
+    # a backspace); DuckDB's standard-SQL literals do not — so the Spark
+    # expr gets the doubled spelling of the same pattern
+    rx = _RX_WORDS.replace("\\", "\\\\")
+    return d.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(text, '{rx}', 0)").alias("s_words"),
+        F.expr(f"cast(size(regexp_extract_all(text, '{rx}', 0)) AS bigint)").alias(
+            "n_s_words"
+        ),
+        F.expr(f"regexp_extract(text, '{rx}', 0)").alias("first_s_word"),
+        F.md5(F.expr(f"regexp_replace(text, '({rx})', '<$1>')")).alias(
+            "tagged_md5"
+        ),
+        F.col("text").rlike("stream [a-z]+ window").alias("has_phrase"),
+    ).orderBy("doc_id")

@@ -116,6 +116,9 @@ _FRONT = (
     "stream_drift_chi2",
     "pipeline_stream_ingest",
     "embedding_cohort_drift",
+    "dedup_edit_distance",
+    "agg_mode_exact",
+    "scalar_regex_funcs",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -134,8 +137,11 @@ _FRONT = (
     # -- r3 rows (oldest-first block) --
     "agg_cube",
     "agg_grouping_sets",
-    "agg_min_max_by",
-    "agg_percentile_exact",
+    # agg_min_max_by / agg_percentile_exact / join_theta_pairs displaced
+    # by dedup_edit_distance + agg_mode_exact + scalar_regex_funcs
+    # (never-checked > stale); cube/grouping_sets stay as the agg-family
+    # canaries, the joins family keeps the three new r6 join rows plus
+    # the r5 asof/range rows. All displaced names lead the r7 list.
     # agg_rollup displaced by embedding_cohort_drift (never-checked >
     # stale); cube/grouping_sets stay as the grouping-family canaries.
     # It joins the r7 list.
@@ -145,7 +151,6 @@ _FRONT = (
     # embedding_centroid_by_label displaced by stream_drift_chi2; the
     # embedding family keeps dedup_semantic + embedding_quantize_int8
     # as in-window canaries. It joins the r7 list.
-    "join_theta_pairs",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_nation_volume",
