@@ -933,3 +933,95 @@ def chi2_from_cells(cells: DataFrame) -> DataFrame:
         .cast("double")
         .alias("chi2_total"),
     ).orderBy("event_type", "cohort")
+
+
+# -- Market-basket association rules (brand co-occurrence) -------------------
+
+_BASKET_TOP = 20
+
+_BASKET_ORACLE = f"""
+WITH bi AS (
+  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM bi
+), isup AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_ab,
+       round(n_ab / CAST(nb.n AS DOUBLE), 6) AS support,
+       round(n_ab / CAST(ia.n_item AS DOUBLE), 6) AS confidence,
+       round((n_ab * CAST(nb.n AS DOUBLE)) / (ia.n_item * CAST(ib.n_item AS DOUBLE)), 6)
+         AS lift
+FROM pairs
+JOIN isup ia ON ia.item = item_a
+JOIN isup ib ON ib.item = item_b
+CROSS JOIN nb
+ORDER BY lift DESC, item_a, item_b
+LIMIT {_BASKET_TOP}
+"""
+
+
+@register("basket_association_rules", oracle=_BASKET_ORACLE, tags=("analytics",))
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: brand-pair
+    support / confidence / lift, top-{top} by lift — the co-occurrence
+    mining shape (a-priori's pair pass) a recommender or curriculum
+    builder runs on interaction data.
+
+    Distributed shape: items per basket dedup to (basket, brand) — a
+    ≤25-brand item space keeps the pair fan-out per basket bounded at
+    C(25,2); the pair count is the SAME bounded self-join as
+    graph_bfs_copurchase's edge derivation (equi-keyed on basket,
+    never all-pairs across baskets). Supports divide once per rule,
+    rounded to 6 dp — deterministic IEEE in both engines; ordering ties
+    break on the item pair.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = bi.select("basket").distinct().count()
+    isup = bi.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    a = bi.selectExpr("basket", "item AS item_a")
+    b = bi.selectExpr("basket", "item AS item_b")
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    ia = isup.selectExpr("item AS item_a", "n_item AS n_a")
+    ib = isup.selectExpr("item AS item_b", "n_item AS n_b")
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(float(n_baskets)), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_ab") * F.lit(float(n_baskets)))
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+basket_association_rules.__doc__ = basket_association_rules.__doc__.format(
+    top=_BASKET_TOP
+)

@@ -1404,3 +1404,136 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _SAMPLE_K)
         .orderBy("lang", "rnk")
     )
+
+
+# -- BPE tokenizer APPLY (inference half of text_bpe_train) ------------------
+
+def _bpe_apply_oracle() -> str:
+    """Replays training (the same K unrolled levels) AND applies the
+    learned segmentation to every document: each doc's token count is
+    the sum of its words' final symbol counts."""
+    levels = []
+    prev = "words0"
+    for k in range(1, _BPE_MERGES + 1):
+        levels.append(f"""pairs{k} AS (
+  SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r, freq
+  FROM (SELECT freq, list_filter(string_split(s, '||'), x -> x <> '') AS syms
+        FROM {prev})
+  WHERE len(syms) >= 2
+), best{k} AS (
+  SELECT l, r FROM pairs{k} GROUP BY l, r
+  ORDER BY CAST(SUM(freq) AS BIGINT) DESC, l, r LIMIT 1
+), words{k} AS (
+  SELECT word, freq,
+         replace(s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS s
+  FROM {prev} CROSS JOIN best{k} b
+)""")
+        prev = f"words{k}"
+    return f"""
+WITH words0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+{','.join(levels)},
+vocab AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, '||'), x -> x <> '')) AS BIGINT)
+           AS n_sym,
+         length(word) AS n_chars
+  FROM words{_BPE_MERGES}
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT t.doc_id,
+       CAST(SUM(v.n_chars) AS BIGINT) AS n_chars_tokens,
+       CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(v.n_chars) / CAST(SUM(v.n_sym) AS DOUBLE), 6) AS compression
+FROM tok t JOIN vocab v ON v.word = t.word
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE: apply the merges learned by the
+    ``text_bpe_train`` loop to every document and report per-doc token
+    counts (char-level vs post-merge) and the compression ratio — the
+    train→apply pair a pipeline runs to size its token budget.
+
+    The trainer's insight carries over: segmentation is a WORD-level
+    function, so the merges apply once per distinct word (the
+    vocab-sized table the training loop already maintains) and documents
+    just join their words to that segmented vocab — at 100 TB the apply
+    step costs one word-keyed join of the exploded corpus against a
+    broadcast-sized vocab, with the merge replaces never touching the
+    corpus itself. The oracle replays training AND application in one
+    unrolled SQL chain, so the driver hash-checks the end-to-end
+    tokenizer."""
+    vocab = (
+        _t(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn(
+            "s", F.concat(F.lit("||"), F.regexp_replace("word", "(.)", "$1||"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    words = vocab
+    for _ in range(1, _BPE_MERGES + 1):
+        syms = words.select(
+            "freq",
+            F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')").alias("a"),
+        ).filter(F.expr("size(a) >= 2"))
+        pairs = syms.select(
+            "freq",
+            F.expr(
+                "explode(arrays_zip(slice(a, 1, size(a) - 1),"
+                " slice(a, 2, size(a) - 1))) AS p"
+            ),
+        ).selectExpr("p['0'] AS l", "p['1'] AS r", "freq")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r = best[0]["l"], best[0]["r"]
+        words = words.withColumn(
+            "s", F.expr(f"replace(s, '|{l}||{r}|', '|{l}{r}|')")
+        )
+    seg = words.select(
+        "word",
+        F.expr(
+            "cast(size(filter(split(s, '\\\\|\\\\|'), x -> x != '')) AS bigint)"
+        ).alias("n_sym"),
+        F.length("word").alias("n_chars"),
+    )
+    tok = (
+        _t(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("n_chars_tokens"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_sym").cast("double"), 6
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )

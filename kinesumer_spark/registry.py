@@ -119,6 +119,8 @@ _FRONT = (
     "dedup_edit_distance",
     "agg_mode_exact",
     "scalar_regex_funcs",
+    "text_bpe_apply",
+    "basket_association_rules",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -152,8 +154,9 @@ _FRONT = (
     # embedding family keeps dedup_semantic + embedding_quantize_int8
     # as in-window canaries. It joins the r7 list.
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
+    # q5_local_supplier_volume / q7_nation_volume displaced by
+    # text_bpe_apply + basket_association_rules (never-checked > stale);
+    # q3/q10/q21 keep the TPC-H join canaries. Both join the r7 list.
     # q8_market_share displaced by join_lateral_topk (never-checked >
     # stale); q7 remains the nation-join canary. q8 joins the r7 list.
     "q10_returned_items",
