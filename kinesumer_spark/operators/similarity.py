@@ -1933,3 +1933,98 @@ def embedding_cohort_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- Label-quality audit: nearest-centroid mislabel detection ----------------
+
+_ML_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), ex AS (
+  SELECT vec_id, label, d.dim,
+         CAST(floor((e[d.dim + 1] + 2) * 1000000) AS BIGINT) AS q
+  FROM v CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
+), cent AS (
+  SELECT label AS cand, dim, CAST(SUM(q) // COUNT(*) AS BIGINT) AS c
+  FROM ex GROUP BY label, dim
+), dist AS (
+  SELECT x.vec_id, x.label, ct.cand,
+         SUM((x.q - ct.c) * (x.q - ct.c)) AS d2
+  FROM ex x JOIN cent ct ON ct.dim = x.dim
+  GROUP BY x.vec_id, x.label, ct.cand
+), assigned AS (
+  SELECT vec_id, label, cand FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2, cand) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(CASE WHEN cand <> label THEN 1 END) AS BIGINT) AS n_flagged,
+       round(COUNT(CASE WHEN cand <> label THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate
+FROM assigned GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "embedding_mislabel_audit", oracle=_ML_ORACLE, tags=("similarity", "quality")
+)
+def embedding_mislabel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning-style label audit: flag vectors whose nearest
+    per-label centroid is NOT their own label (per-label flag counts +
+    rates) — the label-noise screen a curation pipeline runs before
+    training on weakly-labeled data.
+
+    Integer-exactness: components quantize with a +2 OFFSET before the
+    ·10⁶ floor, making every quantized value non-negative so the
+    centroid's integer division (SUM // COUNT) truncates and floors
+    identically — Spark's ``div`` truncates toward zero, DuckDB's ``//``
+    floors, and they only agree on non-negative operands. The offset
+    cancels inside the (x − c) distance differences. Distances are then
+    pure int64 sums (q ≤ 3·10⁶ → per-dim square ≤ 9·10¹², 64-dim sum
+    ≤ 6·10¹⁴), argmin ties break on label.
+
+    Scale: centroids are one keyed aggregate (labels × dims rows,
+    broadcast); assignment joins the exploded corpus to the broadcast
+    centroid table with |labels| fan-out — the relational spelling of
+    the assign matmul (the Arrow/BLAS spelling lives in
+    similarity_ivf_train; both are corpus×k work, no all-pairs)."""
+    v = _t(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    ex = v.select(
+        "vec_id", "label", F.posexplode("e").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor((F.col("val") + 2) * 1000000).cast("bigint").alias("q"),
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("cand"), "dim")
+        .agg(F.expr("cast(sum(q) div count(*) AS bigint) AS c"))
+    )
+    dist = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "cand")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cand")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    flagged = F.count(F.when(F.col("cand") != F.col("label"), 1))
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            flagged.cast("bigint").alias("n_flagged"),
+            F.round(flagged / F.count(F.lit(1)).cast("double"), 6).alias(
+                "flag_rate"
+            ),
+        )
+        .orderBy("label")
+    )

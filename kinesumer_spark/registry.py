@@ -121,13 +121,16 @@ _FRONT = (
     "scalar_regex_funcs",
     "text_bpe_apply",
     "basket_association_rules",
+    "embedding_mislabel_audit",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
     "dedup_clusters",             # CC core rewritten (window stars)
     "dedup_clusters_lsh",
     # -- oldest driver rows: r1 --
-    "set_union_all",
+    # set_union_all (the last r1 row) displaced by
+    # embedding_mislabel_audit; set_distinct/set_union_by_name hold r5
+    # rows as the set-family canaries. It leads the r7 rotation.
     # (q1_pricing_summary_fast held the other r1 row; deregistered this
     # round — its proof is q1_fast_validation below)
     # -- r2 rows --
