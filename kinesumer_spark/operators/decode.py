@@ -361,3 +361,106 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# -- Write-Audit-Publish (WAP) sink pattern ----------------------------------
+
+class WapAuditError(RuntimeError):
+    """An audit predicate failed; the staging data was NOT published."""
+
+
+def publish_wap(
+    df: "DataFrame",
+    final_dir: str,
+    audits: dict[str, str],
+    require_non_empty: bool = True,
+) -> dict[str, bool]:
+    """Write-Audit-Publish: write ``df`` to a staging directory, run each
+    audit (SQL boolean expressions evaluated over the STAGED data — the
+    write you are about to publish, not the in-memory plan), and only
+    then move staging into place atomically (os.replace of the
+    directory). On any audit failure the final location is untouched and
+    WapAuditError carries the per-audit results.
+
+    This is the ingestion-safety pattern Iceberg/Delta implement with
+    branches/snapshots, expressed on plain parquet directories: readers
+    of ``final_dir`` never observe a half-written or audit-failing
+    dataset. At 100 TB the staging write is the same distributed write
+    the naive path does; audits are one aggregate over the staged files;
+    publish is a metadata move.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    parent = os.path.dirname(os.path.abspath(final_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".wap_staging_", dir=parent)
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        flags = staged.selectExpr(
+            *[f"CAST(({expr}) AS BOOLEAN) AS `{name}`" for name, expr in audits.items()]
+        ).agg(
+            *[F.expr(f"coalesce(bool_and(`{name}`), true) AS `{name}`") for name in audits]
+        )
+        row = flags.collect()[0]
+        results = {name: bool(row[name]) for name in audits}
+        if require_non_empty:
+            # a dedicated limit(1) probe, NOT a count(*) OVER () audit —
+            # a global window would single-partition the staged data
+            results["non_empty"] = staged.limit(1).count() > 0
+        if not all(results.values()):
+            raise WapAuditError(f"audit failed, not published: {results}")
+        if os.path.isdir(final_dir):
+            old = final_dir + ".wap_old"
+            os.replace(final_dir, old)
+            os.replace(staging, final_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(staging, final_dir)
+        return results
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+_WAP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+WHERE value >= 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("sink_wap_publish", oracle=_WAP_ORACLE, tags=("sink",))
+def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAP pattern as an oracle-checked query: stage the gated
+    events, audit (non-empty, no negative values, no null types),
+    publish atomically, then aggregate FROM THE PUBLISHED location —
+    a green row proves the published data is exactly the audited data.
+    The audit-failure path (publish refused, target untouched) is
+    covered in tests/test_sources_sinks.py."""
+    import tempfile
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    final = tempfile.mkdtemp(prefix="ks_wap_") + "/events_published"
+    publish_wap(
+        e,
+        final,
+        audits={
+            "no_negative": "value >= 0",
+            "typed": "event_type IS NOT NULL",
+        },
+    )
+    from kinesumer_spark.functions.exact import exact_sum
+
+    published = spark.read.parquet(final)
+    return (
+        published.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "value_sum"))
+        .orderBy("event_type")
+    )

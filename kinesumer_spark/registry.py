@@ -122,6 +122,7 @@ _FRONT = (
     "text_bpe_apply",
     "basket_association_rules",
     "embedding_mislabel_audit",
+    "sink_wap_publish",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -135,7 +136,9 @@ _FRONT = (
     # round — its proof is q1_fast_validation below)
     # -- r2 rows --
     "agg_approx_sketches",
-    "agg_collect_list_set",
+    # agg_collect_list_set (r2 row) displaced by sink_wap_publish;
+    # collect_list/set shapes also ride window_first_last_nth's family.
+    # It joins the r7 list.
     "q1_fast_validation",
     "q6_forecast_revenue",
     "scalar_conditional_funcs",

@@ -345,3 +345,31 @@ def test_stateful_idle_key_ttl_expiry(spark, tmp_path):
     assert not spark.sql(
         "select 1 from t_ttl where expired and user_id = 1"
     ).collect()
+
+
+def test_wap_audit_failure_leaves_target_untouched(spark, tmp_path):
+    """publish_wap: a failing audit must raise and leave the final
+    location exactly as it was (either absent, or the previously
+    published content)."""
+    import pytest as _pytest
+
+    from kinesumer_spark.operators.decode import WapAuditError, publish_wap
+
+    import pyspark.sql.functions as F
+
+    good = spark.range(5).select(F.col("id"), F.lit(1.0).alias("v"))
+    final = str(tmp_path / "pub")
+    res = publish_wap(good, final, audits={"pos": "v > 0"})
+    assert res == {"pos": True, "non_empty": True}
+    assert spark.read.parquet(final).count() == 5
+
+    bad = spark.range(3).select(F.col("id"), (F.col("id") - 1.0).alias("v"))
+    with _pytest.raises(WapAuditError):
+        publish_wap(bad, final, audits={"pos": "v > 0"})
+    # previous publish still intact
+    assert spark.read.parquet(final).count() == 5
+
+    empty = good.filter("v < 0")
+    with _pytest.raises(WapAuditError):
+        publish_wap(empty, final, audits={"pos": "v > 0"})
+    assert spark.read.parquet(final).count() == 5
