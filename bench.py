@@ -78,6 +78,10 @@ EXTENDED = [
     "join_dpp_partitioned",
     "join_null_aware_anti",
     "events_drift_chi2",
+    "pipeline_stream_ingest",
+    "embedding_mislabel_audit",
+    "dedup_edit_distance",
+    "text_bpe_apply",
 ]
 
 

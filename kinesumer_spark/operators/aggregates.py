@@ -474,3 +474,38 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# -- Ordered LISTAGG / string_agg --------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS names,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE c_acctbal > 9000
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("agg_listagg_ordered", oracle=_LISTAGG_ORACLE, tags=("agg",))
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string concatenation per group (LISTAGG ... WITHIN GROUP /
+    string_agg ORDER BY): without the explicit order the result is
+    partition-order dependent — the WITHIN GROUP clause is what makes a
+    concatenation aggregate deterministic and therefore shippable. One
+    keyed shuffle; the per-group sort is bounded by group size (the
+    scale guard is the same HAVING-style cap any reporting layer puts on
+    group cardinality before concatenating)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr(
+                "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)"
+            ).alias("names"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -309,3 +309,68 @@ def envelope_shard_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stream", "shard_id")
     )
+
+
+# Forward as-of: for each click, the NEXT purchase by the same user
+# strictly after it — the time-to-next-conversion lookup (the mirror of
+# events_asof_join's backward pick). Purchases are pre-deduplicated per
+# (user, ts) so the pick is unique → deterministic in both engines.
+_ASOF_FWD_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), ranked AS (
+  SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts,
+         p.purchase_event_id,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts) AS rn
+  FROM clicks c JOIN purchases p
+    ON p.user_id = c.user_id AND p.ts > c.ts
+)
+SELECT event_id, user_id,
+       strftime(c_ts, '{_TS_FMT_DUCK}') AS click_ts,
+       strftime(p_ts, '{_TS_FMT_DUCK}') AS next_purchase_ts,
+       purchase_event_id,
+       CAST(epoch_us(p_ts) - epoch_us(c_ts) AS BIGINT) AS wait_us
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+@register(
+    "events_asof_join_forward", oracle=_ASOF_FWD_ORACLE, tags=("events", "asof")
+)
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward (next-event) as-of join: each click's NEXT purchase by
+    the same user — the other direction of the point-in-time lookup
+    (events_asof_join picks the latest PRIOR event). Same composition:
+    equi-join on the key + time predicate + row_number keeping the
+    EARLIEST later match; same scale story (per-key fan-out bounded,
+    merge_asof cogrouped form in custom_asof for the unbounded case —
+    pandas.merge_asof(direction='forward'))."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("c_ts")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    w = W.partitionBy("event_id").orderBy("p_ts")
+    return (
+        c.join(p, "user_id")
+        .filter(F.col("p_ts") > F.col("c_ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("c_ts", _TS_FMT).alias("click_ts"),
+            F.date_format("p_ts", _TS_FMT).alias("next_purchase_ts"),
+            "purchase_event_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("wait_us"),
+        )
+        .orderBy("event_id")
+    )

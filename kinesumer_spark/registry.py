@@ -123,6 +123,8 @@ _FRONT = (
     "basket_association_rules",
     "embedding_mislabel_audit",
     "sink_wap_publish",
+    "events_asof_join_forward",
+    "agg_listagg_ordered",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -140,8 +142,10 @@ _FRONT = (
     # collect_list/set shapes also ride window_first_last_nth's family.
     # It joins the r7 list.
     "q1_fast_validation",
-    "q6_forecast_revenue",
-    "scalar_conditional_funcs",
+    # q6_forecast_revenue / scalar_conditional_funcs (r2 rows) displaced
+    # by events_asof_join_forward + agg_listagg_ordered; q6's plan
+    # properties remain pinned by test_plans.py and scalar coverage by
+    # the r5 scalar_* rows. Both join the r7 list.
     # -- r3 rows (oldest-first block) --
     "agg_cube",
     "agg_grouping_sets",
