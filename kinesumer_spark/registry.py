@@ -75,15 +75,16 @@ def register(
 # ALL registered queries, so out-of-window regressions still fail CI —
 # they are just not externally re-proven until their next rotation.
 _FRONT = (
-    #   r6 (this window), per the r5 verdict's staleness directive:
-    #       (1) the three product-analytics queries that have NEVER had
-    #       a driver row; (2) new r6 registrations (stream_funnel,
-    #       similarity_topk facade); (3) the four queries whose
-    #       semantics or engine changed this round (the two rows-only→
-    #       error-bound oracle conversions, and both clusters queries
-    #       whose connected-components core was rewritten); (4) the
-    #       oldest surviving driver rows, r1 → r2 → r3 (35 of the 40
-    #       r3-row queries fit; see the drop note at the end).
+    #   r6 (this window), per the r5 verdict's staleness directive,
+    #   priority order: (1) the three product-analytics queries that
+    #   NEVER had a driver row; (2) every r6 registration, both the
+    #   early block (stream_funnel … text_ngram_lm) and the session-2
+    #   block (text_bpe_train … agg_listagg_ordered) — never-checked
+    #   outranks stale; (3) the queries whose semantics or engine
+    #   changed this round (rows-only→error-bound conversions, the
+    #   rewritten connected-components core); (4) the oldest surviving
+    #   driver rows, r1 → r2 → r3, as far as the 50 slots allow (each
+    #   displaced name is annotated inline and leads the r7 rotation).
     # -- never driver-checked (r5 additions, local-gate green only) --
     "events_funnel",
     "events_retention_cohorts",

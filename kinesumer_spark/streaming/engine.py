@@ -543,6 +543,43 @@ class Engine:
                 out[(cp["stream"], cp["shard_id"])] = cp["sequence_number"]
         return out
 
+    # predicate: envelope row strictly after its committed mark, in the
+    # length-then-lexicographic order of _seq_order_key (unpadded
+    # connector sequence numbers order correctly)
+    _AHEAD_SQL = (
+        "committed_seq IS NULL"
+        " OR length(sequence_number) > length(committed_seq)"
+        " OR (length(sequence_number) = length(committed_seq)"
+        "     AND sequence_number > committed_seq)"
+    )
+
+    def _batch_envelope(self, columns: list[str] | None = None) -> DataFrame | None:
+        """Batch (non-streaming) read of every subscribed stream as the
+        envelope, unioned; None when no source has data yet."""
+        from functools import reduce
+
+        from kinesumer_spark.catalog import parquet_file_schema
+
+        parts: list[DataFrame] = []
+        for s in self._streams.values():
+            if not _dir_has_data_files(s.path):
+                continue
+            raw = self.spark.read.schema(
+                parquet_file_schema(self.spark, s.path)
+            ).parquet(s.path)
+            env = events_to_envelope(raw, stream=s.name)
+            parts.append(env.select(*columns) if columns else env)
+        if not parts:
+            return None
+        return reduce(lambda x, y: x.unionByName(y), parts)
+
+    def _committed_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(st, sh, seq) for (st, sh), seq in sorted(self.checkpoints().items())]
+            or [],
+            schema="stream string, shard_id string, committed_seq string",
+        )
+
     def lag(self) -> DataFrame:
         """Per-(stream, shard) consumer lag — the operational metric the
         reference never exposes (its users read CloudWatch): committed
@@ -552,46 +589,18 @@ class Engine:
         Distributed end to end: one batch scan per stream (narrow
         projection to the envelope key columns), a broadcast join
         against the ledger's committed marks (bounded by shard count),
-        and a per-shard aggregate. The length-then-lexicographic
-        sequence comparison matches _seq_order_key, so unpadded
-        connector sequence numbers order correctly."""
-        from functools import reduce
-
-        from kinesumer_spark.catalog import parquet_file_schema
-
-        cps = self.checkpoints()
-        parts: list[DataFrame] = []
-        for s in self._streams.values():
-            if not _dir_has_data_files(s.path):
-                continue
-            raw = self.spark.read.schema(
-                parquet_file_schema(self.spark, s.path)
-            ).parquet(s.path)
-            parts.append(
-                events_to_envelope(raw, stream=s.name).select(
-                    "stream", "shard_id", "sequence_number"
-                )
+        and a per-shard aggregate."""
+        env = self._batch_envelope(["stream", "shard_id", "sequence_number"])
+        if env is None:
+            return self.spark.createDataFrame(
+                [],
+                schema=(
+                    "stream string, shard_id string, committed_seq string, "
+                    "latest_seq string, pending_records bigint"
+                ),
             )
-        committed_schema = "stream string, shard_id string, committed_seq string"
-        out_schema = (
-            "stream string, shard_id string, committed_seq string, "
-            "latest_seq string, pending_records bigint"
-        )
-        if not parts:
-            return self.spark.createDataFrame([], schema=out_schema)
-        env = reduce(lambda x, y: x.unionByName(y), parts)
-        committed = self.spark.createDataFrame(
-            [(st, sh, seq) for (st, sh), seq in sorted(cps.items())] or [],
-            schema=committed_schema,
-        )
-        ahead = (
-            "committed_seq IS NULL"
-            " OR length(sequence_number) > length(committed_seq)"
-            " OR (length(sequence_number) = length(committed_seq)"
-            "     AND sequence_number > committed_seq)"
-        )
         return (
-            env.join(F.broadcast(committed), ["stream", "shard_id"], "left")
+            env.join(F.broadcast(self._committed_df()), ["stream", "shard_id"], "left")
             .groupBy("stream", "shard_id")
             .agg(
                 F.first("committed_seq").alias("committed_seq"),
@@ -602,11 +611,40 @@ class Engine:
                         F.col("sequence_number").alias("s"),
                     ),
                 ).alias("latest_seq"),
-                F.sum(F.expr(f"CASE WHEN {ahead} THEN 1 ELSE 0 END"))
+                F.sum(F.expr(f"CASE WHEN {self._AHEAD_SQL} THEN 1 ELSE 0 END"))
                 .cast("bigint")
                 .alias("pending_records"),
             )
             .orderBy("stream", "shard_id")
+        )
+
+    def replay_from(
+        self, marks: dict[tuple[str, str], str] | None = None
+    ) -> DataFrame:
+        """Batch redelivery of every record strictly AFTER the given
+        marks (default: the ledger's committed high-water) — the
+        backfill/repair reader. This is the AFTER_SEQUENCE_NUMBER
+        restore (O11, kinesumer.go:716-718) exposed as a batch surface:
+        repair jobs re-read exactly the un-committed tail without
+        touching the streaming query's WAL, and delivery stays
+        at-least-once end to end.
+
+        Distributed: batch envelope scan ⨝ broadcast marks (shard-
+        bounded), filtered by the ledger ordering predicate."""
+        env = self._batch_envelope()
+        if env is None:
+            return self.spark.createDataFrame([], schema=RECORD_SCHEMA)
+        if marks is None:
+            committed = self._committed_df()
+        else:
+            committed = self.spark.createDataFrame(
+                [(st, sh, seq) for (st, sh), seq in sorted(marks.items())] or [],
+                schema="stream string, shard_id string, committed_seq string",
+            )
+        return (
+            env.join(F.broadcast(committed), ["stream", "shard_id"], "left")
+            .filter(F.expr(self._AHEAD_SQL))
+            .drop("committed_seq")
         )
 
     def consumer_state(self) -> DataFrame:

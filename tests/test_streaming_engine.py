@@ -848,3 +848,39 @@ def test_lag_reports_pending_records(spark, tmp_path, events_dir):
     assert lag[shard1]["pending_records"] == 6
     assert lag[shard1]["latest_seq"] == str(10_000_005).zfill(21)
     assert sum(r["pending_records"] for r in lag.values()) == 6
+
+
+def test_replay_from_returns_uncommitted_tail(spark, tmp_path, events_dir):
+    """Engine.replay_from: after a full drain the replay is empty;
+    records a producer appends later come back exactly, in the envelope
+    schema; explicit marks replay from that point instead."""
+    path, n_total = events_dir
+    eng = Engine(spark, app="t-replay", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", path, max_files_per_trigger=4)])
+    q = eng.run(records, lambda df, bid: None)
+    q.processAllAvailable()
+    eng.close()
+
+    assert eng.replay_from().count() == 0
+
+    _raw_events_file(
+        os.path.join(path, "late.parquet"), range(20_000_000, 20_000_004), user_id=3
+    )
+    tail = eng.replay_from()
+    assert [f.name for f in tail.schema.fields] == [
+        f.name for f in RECORD_SCHEMA.fields
+    ]
+    rows = tail.collect()
+    assert {r["sequence_number"] for r in rows} == {
+        str(i).zfill(21) for i in range(20_000_000, 20_000_004)
+    }
+
+    # explicit marks: replay everything after one specific sequence
+    shard3 = "shardId-" + "3".rjust(12, "0")
+    marked = eng.replay_from({("events", shard3): str(20_000_001).zfill(21)})
+    seqs3 = {
+        r["sequence_number"]
+        for r in marked.filter(f"shard_id = '{shard3}'").collect()
+    }
+    assert {str(20_000_002).zfill(21), str(20_000_003).zfill(21)} <= seqs3
+    assert str(20_000_001).zfill(21) not in seqs3
