@@ -1025,3 +1025,83 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 basket_association_rules.__doc__ = basket_association_rules.__doc__.format(
     top=_BASKET_TOP
 )
+
+
+# -- Cohort LTV curves (cumulative value by weeks-since-first-activity) ------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+              AS BIGINT) AS week_no,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS wk_value
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), sized AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_week
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+       c.week_no,
+       s.cohort_users,
+       CAST(c.wk_value AS DOUBLE) AS week_value,
+       CAST(SUM(c.wk_value) OVER (
+              PARTITION BY c.cohort_week ORDER BY c.week_no) AS DOUBLE)
+         AS cum_value,
+       round(CAST(SUM(c.wk_value) OVER (
+               PARTITION BY c.cohort_week ORDER BY c.week_no) AS DOUBLE)
+             / s.cohort_users, 6) AS ltv_per_user
+FROM cells c JOIN sized s USING (cohort_week)
+WHERE c.week_no <= 4
+ORDER BY cohort_week, week_no
+"""
+
+
+@register("events_cohort_ltv", oracle=_LTV_ORACLE, tags=("analytics", "events"))
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase value per first-activity
+    cohort across weeks-since-signup, per-user normalized — the revenue
+    companion of events_retention_cohorts (same two keyed shuffles; the
+    cumulative window runs over the cohort×week CELLS, never the
+    stream). The running sum accumulates in exact decimal and converts
+    to double once per cell, so the cumulative values are
+    order-independent — safe to hash."""
+    e = _t(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    cells = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_no"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.sum("v").cast("decimal(28,6)").alias("wk_value"))
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    w = W.partitionBy("cohort_week").orderBy("week_no")
+    cum = F.sum("wk_value").over(w).cast("double")
+    return (
+        cells.join(sized, "cohort_week")
+        .filter(F.col("week_no") <= 4)
+        .select(
+            F.date_format("cohort_week", _TS_FMT).alias("cohort_week"),
+            "week_no",
+            "cohort_users",
+            F.col("wk_value").cast("double").alias("week_value"),
+            cum.alias("cum_value"),
+            F.round(cum / F.col("cohort_users"), 6).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_no")
+    )

@@ -464,3 +464,64 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "value_sum"))
         .orderBy("event_type")
     )
+
+
+# -- Schema evolution: mergeSchema over mixed-generation files ---------------
+
+_EVOLVE_ORACLE = """
+WITH v1 AS (
+  SELECT event_type, value, CAST(NULL AS BIGINT) AS ingest_version
+  FROM events WHERE event_id % 2 = 0
+), v2 AS (
+  SELECT event_type, value, CAST(2 AS BIGINT) AS ingest_version
+  FROM events WHERE event_id % 2 = 1
+), unioned AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT event_type, ingest_version,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM unioned
+GROUP BY event_type, ingest_version
+ORDER BY event_type, ingest_version NULLS FIRST
+"""
+
+
+@register("source_schema_evolution", oracle=_EVOLVE_ORACLE, tags=("source",))
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a dataset whose files were written by
+    two producer generations — v1 without, v2 with an added
+    ``ingest_version`` column — read back as ONE table via
+    ``mergeSchema``, with v1 rows surfacing NULL for the new column.
+    This is the lakehouse additive-evolution contract (Delta/Iceberg
+    formalize it; plain parquet + mergeSchema is the mechanism
+    underneath), and the thing a 100 TB pipeline hits every time a
+    producer deploys a new field.
+
+    Cost note: mergeSchema reconciles footers at planning time (a
+    footer read per file — bounded by file count, not bytes); the data
+    read stays columnar with the missing column materialized as nulls.
+    The oracle replays the split + union with an explicit NULL column.
+    """
+    import tempfile
+
+    e = read_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="ks_evolve_") + "/events_evolved"
+    v1 = e.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
+    v2 = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .select("event_type", "value")
+        .withColumn("ingest_version", F.lit(2).cast("bigint"))
+    )
+    v1.write.mode("overwrite").parquet(base + "/gen=1")
+    v2.write.mode("overwrite").parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    from kinesumer_spark.functions.exact import exact_sum
+
+    return (
+        merged.groupBy("event_type", "ingest_version")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "value_sum"))
+        .orderBy("event_type", F.col("ingest_version").asc_nulls_first())
+    )

@@ -126,6 +126,8 @@ _FRONT = (
     "sink_wap_publish",
     "events_asof_join_forward",
     "agg_listagg_ordered",
+    "events_cohort_ltv",
+    "source_schema_evolution",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -148,8 +150,10 @@ _FRONT = (
     # properties remain pinned by test_plans.py and scalar coverage by
     # the r5 scalar_* rows. Both join the r7 list.
     # -- r3 rows (oldest-first block) --
-    "agg_cube",
-    "agg_grouping_sets",
+    # agg_cube / agg_grouping_sets (r3 rows) displaced by
+    # events_cohort_ltv + source_schema_evolution; agg_pivot holds an r5
+    # row and the grouping family's semantics are unchanged since r3.
+    # Both join the r7 list.
     # agg_min_max_by / agg_percentile_exact / join_theta_pairs displaced
     # by dedup_edit_distance + agg_mode_exact + scalar_regex_funcs
     # (never-checked > stale); cube/grouping_sets stay as the agg-family
