@@ -509,3 +509,47 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# -- Exact distinct counting via bitmap aggregates ---------------------------
+
+_BITMAP_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("agg", "sketch"))
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through the bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count) — the roaring-bitmap rollup trick (ClickHouse
+    uniqExact / Iceberg distinct-count maintenance): integer keys become
+    bit positions in per-bucket bitmaps, buckets OR-merge
+    associatively, and the final count is a popcount.
+
+    Why it matters at 100 TB: COUNT(DISTINCT) via Expand shuffles every
+    distinct (group, key) pair; the bitmap path shuffles fixed-size
+    bucket bitmaps instead (each bucket covers 32 768 keys → dense key
+    spaces compress thousands-to-one), and — unlike HLL
+    (agg_approx_sketches) — stays exact, so the oracle is plain
+    COUNT(DISTINCT). Partial aggregation applies to the bitmap
+    construct; the per-(group, bucket) pre-aggregate is one extra
+    map-side combine."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+            ).alias("cnt")
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("cnt").cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )

@@ -128,6 +128,7 @@ _FRONT = (
     "agg_listagg_ordered",
     "events_cohort_ltv",
     "source_schema_evolution",
+    "agg_bitmap_distinct",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -140,7 +141,9 @@ _FRONT = (
     # (q1_pricing_summary_fast held the other r1 row; deregistered this
     # round — its proof is q1_fast_validation below)
     # -- r2 rows --
-    "agg_approx_sketches",
+    # agg_approx_sketches (r2 row) displaced by agg_bitmap_distinct;
+    # the sketch family keeps heavy-hitters + bitmap in-window and the
+    # HLL merge in the r7 block. It joins the r7 list.
     # agg_collect_list_set (r2 row) displaced by sink_wap_publish;
     # collect_list/set shapes also ride window_first_last_nth's family.
     # It joins the r7 list.
