@@ -1105,3 +1105,88 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_no")
     )
+
+
+# -- Completeness: missing hours against the calendar spine ------------------
+
+_MISSING_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), expected AS (
+  SELECT t.event_type, s.hour FROM types t CROSS JOIN spine s
+), observed AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour FROM events
+), missing AS (
+  SELECT e.event_type, e.hour
+  FROM expected e LEFT JOIN observed o
+    ON o.event_type = e.event_type AND o.hour = e.hour
+  WHERE o.hour IS NULL
+)
+SELECT t.event_type,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM spine) AS n_expected_hours,
+       CAST(COUNT(o.hour) AS BIGINT) AS n_observed_hours,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM spine)
+         - CAST(COUNT(o.hour) AS BIGINT) AS n_missing_hours,
+       strftime((SELECT MIN(m.hour) FROM missing m
+                 WHERE m.event_type = t.event_type),
+                '%Y-%m-%d %H:%M:%S') AS first_missing_hour
+FROM types t LEFT JOIN observed o ON o.event_type = t.event_type
+GROUP BY t.event_type
+ORDER BY t.event_type
+"""
+
+
+@register("events_missing_hours", oracle=_MISSING_ORACLE, tags=("analytics", "quality"))
+def events_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness audit against the calendar spine: per event
+    type, how many hours of the stream's [min, max] range have NO
+    events, and the first such gap — the ingestion-hole detector every
+    pipeline runs before trusting a day's data (the gaps side of
+    gaps-and-islands; events_sessionize is the islands side).
+
+    Scale: the spine derives from one min/max aggregate (two scalars to
+    the driver — the zorder-stats class) and is |hours| × |types| rows
+    (calendar-bounded, ~9 k/year·type — broadcast-sized at ANY data
+    volume); observed hours are one distinct over the (type, hour)
+    projection (map-side combined). The anti-join runs spine-vs-hours,
+    never touching row-level data again."""
+    e = _t(spark, sf_dir)
+    lo, hi = e.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).first()
+    spine = spark.sql(
+        f"SELECT explode(sequence(TIMESTAMP '{lo}', TIMESTAMP '{hi}',"
+        " INTERVAL 1 HOUR)) AS hour"
+    )
+    n_spine = spine.count()
+    types = e.select("event_type").distinct()
+    observed = e.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    missing = (
+        types.crossJoin(spine)
+        .join(observed, ["event_type", "hour"], "left_anti")
+        .groupBy("event_type")
+        .agg(F.min("hour").alias("first_missing"))
+    )
+    return (
+        observed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_observed_hours"))
+        .join(missing, "event_type", "left")
+        .select(
+            "event_type",
+            F.lit(n_spine).cast("bigint").alias("n_expected_hours"),
+            "n_observed_hours",
+            (F.lit(n_spine) - F.col("n_observed_hours"))
+            .cast("bigint")
+            .alias("n_missing_hours"),
+            F.date_format("first_missing", _TS_FMT).alias("first_missing_hour"),
+        )
+        .orderBy("event_type")
+    )

@@ -129,6 +129,7 @@ _FRONT = (
     "events_cohort_ltv",
     "source_schema_evolution",
     "agg_bitmap_distinct",
+    "events_missing_hours",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -177,7 +178,8 @@ _FRONT = (
     # q3/q10/q21 keep the TPC-H join canaries. Both join the r7 list.
     # q8_market_share displaced by join_lateral_topk (never-checked >
     # stale); q7 remains the nation-join canary. q8 joins the r7 list.
-    "q10_returned_items",
+    # q10_returned_items (r3 row) displaced by events_missing_hours;
+    # q3 + q21 remain the TPC-H canaries. It joins the r7 list.
     "q21_waiting_supplier",
     # q14/q15/q17/q18/q19/q22 displaced from the tail by the six
     # never-checked late-r6 additions just above (text_bpe_train,

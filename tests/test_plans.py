@@ -473,3 +473,28 @@ def test_heavy_hitters_sketch_avoids_keyspace_groupby(spark):
     plan = plan_string(_df(spark, "agg_heavy_hitters_mg"))
     assert "MapInPandas" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_session2_operators_stay_jvm_side(spark):
+    """Every session-2 addition whose semantics are columnar must stay
+    off the Python row path; the two deliberate Arrow stages
+    (agg_heavy_hitters_mg's MG summary) are audited separately."""
+    for name in (
+        "text_bpe_apply",
+        "basket_association_rules",
+        "embedding_mislabel_audit",
+        "embedding_cohort_drift",
+        "events_drift_chi2",
+        "events_cohort_ltv",
+        "events_missing_hours",
+        "agg_bitmap_distinct",
+        "agg_mode_exact",
+        "agg_listagg_ordered",
+        "scalar_regex_funcs",
+        "dedup_edit_distance",
+        "events_asof_join_forward",
+        "source_schema_evolution",
+    ):
+        plan = plan_string(_df(spark, name))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
