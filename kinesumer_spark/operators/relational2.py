@@ -293,3 +293,41 @@ ORDER BY s_suppkey
     "TPC-H Q15 shape: CTE revenue view + uncorrelated scalar MAX subquery "
     "(top supplier for a quarter).",
 )
+
+
+# -- Recursive CTE (Spark 4 WITH RECURSIVE) ----------------------------------
+
+def _recursive_sql(int_div: str) -> str:
+    """Shared text of the recursive bill-of-materials walk; only the
+    integer-division operator differs (Spark ``div``, DuckDB ``//``)."""
+    return f"""
+WITH RECURSIVE walk (start_key, node, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey % 997 = 1
+  UNION ALL
+  SELECT start_key, node {int_div} 2, depth + 1
+  FROM walk WHERE node > 1
+)
+SELECT start_key, node, CAST(depth AS INT) AS depth
+FROM walk
+ORDER BY start_key, depth
+"""
+
+
+@register(
+    "sql_recursive_bom",
+    oracle=_recursive_sql("//"),
+    tags=("sql", "subquery", "iterative"),
+)
+def sql_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE front-end parity (Spark 4 WITH RECURSIVE): walk a
+    synthetic bill-of-materials hierarchy (assembly of part k is
+    k div 2) from seed parts up to the root — ancestor-chain traversal
+    in PURE SQL, no driver loop. The engine executes the recursion as
+    iterated UNION steps (the same microbatch-per-level shape as the
+    hand-built BFS in graph_bfs_copurchase — that one remains the
+    broadcast-optimized form for fact-derived graphs; this one is the
+    declarative spelling). Strictly decreasing keys bound the depth at
+    log₂(max key). Identical SQL runs on DuckDB, modulo the integer
+    division spelling (div vs //)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_recursive_sql("div"))

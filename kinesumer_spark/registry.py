@@ -130,6 +130,7 @@ _FRONT = (
     "source_schema_evolution",
     "agg_bitmap_distinct",
     "events_missing_hours",
+    "sql_recursive_bom",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -172,7 +173,8 @@ _FRONT = (
     # embedding_centroid_by_label displaced by stream_drift_chi2; the
     # embedding family keeps dedup_semantic + embedding_quantize_int8
     # as in-window canaries. It joins the r7 list.
-    "q3_shipping_priority",
+    # q3_shipping_priority (r3 row) displaced by sql_recursive_bom;
+    # q21 + q1_fast_validation keep the TPC-H canaries. Joins the r7 list.
     # q5_local_supplier_volume / q7_nation_volume displaced by
     # text_bpe_apply + basket_association_rules (never-checked > stale);
     # q3/q10/q21 keep the TPC-H join canaries. Both join the r7 list.
