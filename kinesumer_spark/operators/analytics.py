@@ -1156,19 +1156,26 @@ def events_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (map-side combined). The anti-join runs spine-vs-hours,
     never touching row-level data again."""
     e = _t(spark, sf_dir)
-    lo, hi = e.select(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    ).first()
+    observed = e.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    return missing_hours_report(observed)
+
+
+def missing_hours_report(observed: DataFrame) -> DataFrame:
+    """Completeness tail over a distinct (event_type, hour) table: spine
+    bounds come from the OBSERVED hours (identical to truncating the raw
+    min/max ts — the minimal event's own hour IS the truncated minimum),
+    so this tail serves both the batch query above and its streaming
+    twin, which hands in drained aggregate cells."""
+    spark = observed.sparkSession
+    lo, hi = observed.agg(F.min("hour"), F.max("hour")).first()
     spine = spark.sql(
         f"SELECT explode(sequence(TIMESTAMP '{lo}', TIMESTAMP '{hi}',"
         " INTERVAL 1 HOUR)) AS hour"
     )
     n_spine = spine.count()
-    types = e.select("event_type").distinct()
-    observed = e.select(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).distinct()
+    types = observed.select("event_type").distinct()
     missing = (
         types.crossJoin(spine)
         .join(observed, ["event_type", "hour"], "left_anti")

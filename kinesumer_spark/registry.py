@@ -131,6 +131,7 @@ _FRONT = (
     "agg_bitmap_distinct",
     "events_missing_hours",
     "sql_recursive_bom",
+    "stream_missing_hours",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
@@ -149,7 +150,10 @@ _FRONT = (
     # agg_collect_list_set (r2 row) displaced by sink_wap_publish;
     # collect_list/set shapes also ride window_first_last_nth's family.
     # It joins the r7 list.
-    "q1_fast_validation",
+    # q1_fast_validation (r2 row) displaced by stream_missing_hours;
+    # the fast-variant guarantee is additionally pinned by
+    # tests/test_oracle_queries (local gate runs all queries each
+    # session). It joins the r7 list.
     # q6_forecast_revenue / scalar_conditional_funcs (r2 rows) displaced
     # by events_asof_join_forward + agg_listagg_ordered; q6's plan
     # properties remain pinned by test_plans.py and scalar coverage by

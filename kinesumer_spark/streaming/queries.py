@@ -1137,3 +1137,42 @@ def pipeline_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(agg, "ks_stream_ingest", mode="append").orderBy(
         "window_start", "event_type"
     )
+
+
+def _stream_missing_oracle() -> str:
+    from kinesumer_spark.operators.analytics import _MISSING_ORACLE
+
+    return _MISSING_ORACLE
+
+
+@register(
+    "stream_missing_hours",
+    oracle=_stream_missing_oracle(),
+    tags=("streaming", "quality"),
+)
+def stream_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar-spine completeness audit as a STREAMING query under
+    the batch oracle verbatim (batch/stream equivalence, the
+    stream_drift_chi2 pattern): the stream-scale stage is one
+    (type, hour) keyed aggregate — state = observed hour cells,
+    calendar-bounded, GC-able behind a watermark in the unbounded
+    deployment — and the spine/anti-join tail runs on the drained
+    constant-size cell table."""
+    from kinesumer_spark.operators.analytics import missing_hours_report
+
+    ev = _events_stream(spark, sf_dir)
+    cells = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(
+        cells, "ks_stream_missing_hours", mode="complete", stable=False
+    )
+    # break the memory-sink view lineage before the report tail's
+    # self-referencing joins (types × spine anti-join observed): Spark
+    # hits an INTERNAL_ERROR resolving multiple aliases of a streaming
+    # memory view; the cells are calendar-bounded, so materializing is
+    # constant-size
+    observed = out.select("event_type", "hour").localCheckpoint(eager=True)
+    return missing_hours_report(observed)
