@@ -525,3 +525,89 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "value_sum"))
         .orderBy("event_type", F.col("ingest_version").asc_nulls_first())
     )
+
+
+# -- Dead-letter routing for malformed payloads ------------------------------
+
+_DLQ_ORACLE = """
+WITH tagged AS (
+  SELECT event_type, value, (event_id % 97 = 0) AS corrupted FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_parsed,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM tagged WHERE NOT corrupted
+GROUP BY event_type
+UNION ALL
+SELECT '__dlq__' AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_parsed,
+       CAST(NULL AS DOUBLE) AS value_sum
+FROM tagged WHERE corrupted
+ORDER BY event_type
+"""
+
+
+@register("decode_dlq_route", oracle=_DLQ_ORACLE, tags=("decode", "sink", "quality"))
+def decode_dlq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing on payload decode: records whose JSON
+    payload fails to parse (here: a deterministic 1-in-97 corruption at
+    the producer stand-in) are split out of the pipeline and written —
+    ORIGINAL BYTES INTACT — to a DLQ parquet area for replay, while the
+    healthy records flow on to aggregation. No record is dropped: the
+    summary carries both the per-type parsed totals and the '__dlq__'
+    count, and the oracle proves parsed + dlq == everything.
+
+    This is the production bad-record contract (Kafka Connect DLQ /
+    PERMISSIVE-mode columnNameOfCorruptRecord, here schema-on-read over
+    the envelope): from_json yields NULL on malformed input — the split
+    is one filter on the parse result, map-side; the DLQ write touches
+    only the failing slice."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from kinesumer_spark.streaming.envelope import events_to_envelope
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    env = events_to_envelope(read_table(spark, sf_dir, "events"))
+    # producer stand-in: corrupt 1 in 97 payloads (prefix breaks JSON)
+    corrupted = env.withColumn(
+        "data",
+        F.when(
+            F.col("sequence_number").cast("bigint") % 97 == 0,
+            F.concat(F.lit(b"corrupt"), F.col("data")),
+        ).otherwise(F.col("data")),
+    )
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    parsed = corrupted.withColumn(
+        "payload", F.from_json(F.col("data").cast("string"), payload_schema)
+    )
+    bad = parsed.filter(F.col("payload").isNull() | F.col("payload.event_id").isNull())
+    good = parsed.filter(
+        F.col("payload").isNotNull() & F.col("payload.event_id").isNotNull()
+    )
+    dlq_dir = tempfile.mkdtemp(prefix="ks_dlq_") + "/dead_letters"
+    bad.select(
+        "stream", "shard_id", "sequence_number", "partition_key", "data", "arrival_ts"
+    ).write.mode("overwrite").parquet(dlq_dir)
+    n_dlq = spark.read.parquet(dlq_dir).count()  # read-back: the DLQ is real
+    from kinesumer_spark.functions.exact import exact_sum
+
+    summary = (
+        good.groupBy(F.col("payload.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parsed"),
+            exact_sum(F.col("payload.value"), "value_sum"),
+        )
+    )
+    dlq_row = spark.createDataFrame(
+        [("__dlq__", n_dlq, None)],
+        "event_type string, n_parsed bigint, value_sum double",
+    )
+    return summary.unionByName(dlq_row).orderBy("event_type")

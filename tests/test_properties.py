@@ -231,3 +231,61 @@ def test_cusum_reflected_walk_identity():
             cmin = min(cmin, c)
             via_walk.append(c - min(0, cmin))
         assert direct == via_walk
+
+
+# -- BPE pipe-doubled string-replace encoding vs list-based reference --------
+
+def _bpe_reference_merge(tokens: list[str], pair: tuple[str, str]) -> list[str]:
+    """Classic greedy left-to-right BPE merge over a token list."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if (
+            i + 1 < len(tokens)
+            and tokens[i] == pair[0]
+            and tokens[i + 1] == pair[1]
+        ):
+            out.append(pair[0] + pair[1])
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def _encode(tokens: list[str]) -> str:
+    return "||" + "||".join(tokens) + "||"
+
+
+def _string_merge(s: str, pair: tuple[str, str]) -> str:
+    """The engine's formulation (operators/text.py text_bpe_train):
+    Python str.replace is leftmost non-overlapping sequential — the
+    same contract as Spark's and DuckDB's replace()."""
+    a, b = pair
+    return s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    word=st.lists(
+        st.sampled_from("ab"), min_size=1, max_size=12
+    ),
+    merges=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "ab", "ba", "aa", "bb"]),
+            st.sampled_from(["a", "b", "ab", "ba", "aa", "bb"]),
+        ),
+        max_size=4,
+    ),
+)
+def test_bpe_string_replace_equals_list_merge(word, merges):
+    """The pipe-doubled replace encoding must implement EXACTLY the
+    classic list-based greedy merge, for any word and any merge chain —
+    including the adjacent-overlap ('a a a' with merge (a,a)) and
+    multi-char-symbol cases the docstrings reason about."""
+    tokens = list(word)
+    s = _encode(tokens)
+    for pair in merges:
+        tokens = _bpe_reference_merge(tokens, pair)
+        s = _string_merge(s, pair)
+        assert s == _encode(tokens), (word, merges, pair, s, tokens)
