@@ -186,7 +186,11 @@ _FRONT = (
     # stale); q7 remains the nation-join canary. q8 joins the r7 list.
     # q10_returned_items (r3 row) displaced by events_missing_hours;
     # q3 + q21 remain the TPC-H canaries. It joins the r7 list.
-    "q21_waiting_supplier",
+    "decode_dlq_route",
+    # q21_waiting_supplier (r3 row, the last stale slot) displaced by
+    # decode_dlq_route — never-checked outranks stale; the TPC-H family
+    # keeps q1/q2/q9/q11/q16/q20 r5 rows out-of-window and the full set
+    # in the local gate. q21 leads the r7 rotation.
     # q14/q15/q17/q18/q19/q22 displaced from the tail by the six
     # never-checked late-r6 additions just above (text_bpe_train,
     # graph_bfs_copurchase, join_null_aware_anti, join_dpp_partitioned,
