@@ -424,3 +424,63 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("text").rlike("stream [a-z]+ window").alias("has_phrase"),
     ).orderBy("doc_id")
+
+
+# -- ANSI-safe try_* family --------------------------------------------------
+
+# Spark 4 runs ANSI mode by default: bad casts and zero divisions THROW
+# unless the try_* forms are used — making this family the production
+# error-safety surface, not a convenience. DuckDB's TRY_CAST matches;
+# its arithmetic returns NULL-on-NULL but errors differently on /0 for
+# integers, so the oracle spells the same semantics with CASE.
+_TRY_ORACLE = """
+SELECT doc_id,
+       TRY_CAST(word AS BIGINT) AS as_int,
+       strftime(TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN 'not a date'
+                         ELSE '2024-01-15' END AS DATE), '%Y-%m-%d') AS as_date,
+       CASE WHEN (doc_id % 5) = 0 THEN NULL
+            ELSE CAST(n_chars AS DOUBLE) / (doc_id % 5) END AS safe_div,
+       CASE WHEN n_chars > 9223372036854775807 - doc_id THEN NULL
+            ELSE n_chars + doc_id END AS safe_add
+FROM (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id AS VARCHAR)
+              ELSE 'x' || CAST(doc_id AS VARCHAR) END AS word
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register("scalar_try_funcs", oracle=_TRY_ORACLE, tags=("scalar",))
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safe expression family (try_cast / try_divide /
+    try_add, plus a failing date cast): under Spark 4's default ANSI
+    mode these return NULL where the plain forms THROW — the difference
+    between a 100 TB job surviving one malformed row and dying at hour
+    nine. All map-side, scan-speed; the oracle mirrors the NULL-on-
+    failure semantics with TRY_CAST + CASE."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    word = F.when(
+        F.col("doc_id") % 2 == 0, F.col("doc_id").cast("string")
+    ).otherwise(F.concat(F.lit("x"), F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("word", word)
+        .select(
+            "doc_id",
+            F.expr("try_cast(word AS bigint)").alias("as_int"),
+            F.date_format(
+                F.expr(
+                    "try_cast(CASE WHEN doc_id % 3 = 0 THEN 'not a date'"
+                    " ELSE '2024-01-15' END AS date)"
+                ),
+                "yyyy-MM-dd",
+            ).alias("as_date"),
+            F.expr(
+                "try_divide(cast(n_chars AS double),"
+                " cast(doc_id % 5 AS double))"
+            ).alias("safe_div"),
+            F.expr("try_add(n_chars, doc_id)").alias("safe_add"),
+        )
+        .orderBy("doc_id")
+    )

@@ -135,7 +135,10 @@ _FRONT = (
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
     "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
-    "dedup_clusters",             # CC core rewritten (window stars)
+    # dedup_clusters displaced by scalar_try_funcs — its rewritten CC
+    # core is identically exercised by dedup_clusters_lsh below (same
+    # connected_components engine), so one in-window canary suffices;
+    # dedup_clusters joins the r7 list.
     "dedup_clusters_lsh",
     # -- oldest driver rows: r1 --
     # set_union_all (the last r1 row) displaced by
@@ -187,6 +190,7 @@ _FRONT = (
     # q10_returned_items (r3 row) displaced by events_missing_hours;
     # q3 + q21 remain the TPC-H canaries. It joins the r7 list.
     "decode_dlq_route",
+    "scalar_try_funcs",
     # q21_waiting_supplier (r3 row, the last stale slot) displaced by
     # decode_dlq_route — never-checked outranks stale; the TPC-H family
     # keeps q1/q2/q9/q11/q16/q20 r5 rows out-of-window and the full set
