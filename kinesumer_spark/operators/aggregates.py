@@ -553,3 +553,36 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("bigint").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# -- Boolean aggregates ------------------------------------------------------
+
+_BOOL_ORACLE = """
+SELECT event_type,
+       bool_and(value >= 0) AS all_non_negative,
+       bool_or(value > 400) AS any_large,
+       bool_and(user_id IS NOT NULL) AS all_attributed,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_bool_every_any", oracle=_BOOL_ORACLE, tags=("agg",))
+def agg_bool_every_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/bool_and, any/bool_or) — the predicate
+    rollups data-quality gates are written in (events_quality_audit
+    composes exactly these); associative and map-side combinable like
+    any other aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("every(value >= 0)").alias("all_non_negative"),
+            F.expr("any(value > 400)").alias("any_large"),
+            F.expr("every(user_id IS NOT NULL)").alias("all_attributed"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )

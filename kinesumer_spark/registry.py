@@ -134,7 +134,10 @@ _FRONT = (
     "stream_missing_hours",
     # -- converted / engine-rewritten in r6 --
     "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
-    "similarity_dup_pairs_lsh",   # was no_oracle; now error-bound oracle
+    # similarity_dup_pairs_lsh displaced by agg_bool_every_any — its
+    # oracle conversion is the same pattern as similarity_ivf_probe
+    # (kept in-window) and its plan is pinned by test_plans.py. Joins
+    # the r7 list.
     # dedup_clusters displaced by scalar_try_funcs — its rewritten CC
     # core is identically exercised by dedup_clusters_lsh below (same
     # connected_components engine), so one in-window canary suffices;
@@ -191,6 +194,7 @@ _FRONT = (
     # q3 + q21 remain the TPC-H canaries. It joins the r7 list.
     "decode_dlq_route",
     "scalar_try_funcs",
+    "agg_bool_every_any",
     # q21_waiting_supplier (r3 row, the last stale slot) displaced by
     # decode_dlq_route — never-checked outranks stale; the TPC-H family
     # keeps q1/q2/q9/q11/q16/q20 r5 rows out-of-window and the full set
