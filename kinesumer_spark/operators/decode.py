@@ -611,3 +611,43 @@ def decode_dlq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_parsed bigint, value_sum double",
     )
     return summary.unionByName(dlq_row).orderBy("event_type")
+
+
+# -- Custom Python Data Source (Spark 4 extension API) -----------------------
+
+_PYSRC_SHARDS = 5
+_PYSRC_RPS = 200
+
+_PYSRC_ORACLE = f"""
+SELECT 'sim' AS stream,
+       'shardId-' || lpad(CAST(i // {_PYSRC_RPS} AS VARCHAR), 12, '0') AS shard_id,
+       lpad(CAST(i AS VARCHAR), 21, '0') AS sequence_number,
+       CAST(i % 97 AS VARCHAR) AS partition_key,
+       (i * 31 + (i // {_PYSRC_RPS})) % 1000 AS payload_k
+FROM range(0, {_PYSRC_SHARDS * _PYSRC_RPS}) t(i)
+ORDER BY sequence_number
+"""
+
+
+@register("source_python_datasource", oracle=_PYSRC_ORACLE, tags=("source",))
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python Data Source API exercised end to end: a
+    custom ``kinesumer_sim`` source (sources/python_source.py) plans
+    one InputPartition per shard — the reference's shard→consumer
+    assignment (syncclient.go:114-117) expressed as planner partitions —
+    and generates the feed deterministically from (shard, offset), so
+    the DuckDB oracle reconstructs every emitted row from ``range()``.
+    This is the engine-side extension path a user takes when no
+    connector exists for their system; the envelope columns match
+    RECORD_SCHEMA's key set, so everything downstream (decode, dedup,
+    rollups) composes unchanged."""
+    from kinesumer_spark.sources.python_source import register_sim_source
+
+    register_sim_source(spark)
+    return (
+        spark.read.format("kinesumer_sim")
+        .option("numShards", _PYSRC_SHARDS)
+        .option("recordsPerShard", _PYSRC_RPS)
+        .load()
+        .orderBy("sequence_number")
+    )

@@ -206,6 +206,10 @@ _FRONT = (
     # stale per the r5 verdict); q21 stays as the EXISTS/anti-family
     # canary alongside the new NOT-IN null-aware form. The displaced six
     # lead the r7 rotation with the rest of the drop list below.
+    # Registered AFTER the window filled with 50 never-checked names
+    # (they lead the r7 rotation, before the displaced list below):
+    # source_python_datasource, and any later session additions noted
+    # in COVERAGE.md. The local gate runs ALL registered queries.
     # dropped from this window to stay within the driver's 50-name
     # prefix (this tuple is EXACTLY 50 — entries past 50 would silently
     # go unchecked): join_cross / join_full_outer / join_left_anti /
