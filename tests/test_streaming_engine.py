@@ -884,3 +884,56 @@ def test_replay_from_returns_uncommitted_tail(spark, tmp_path, events_dir):
     }
     assert {str(20_000_002).zfill(21), str(20_000_003).zfill(21)} <= seqs3
     assert str(20_000_001).zfill(21) not in seqs3
+
+
+def test_run_ordered_composes_with_reshard_lineage(spark, tmp_path):
+    """The two delivery guarantees compose: with a lineage manifest AND
+    run_ordered, every per-shard handler invocation sees its rows in
+    sequence order, and no child-shard invocation happens until the
+    parent is fully delivered."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    _raw_events_file(d / "part-0-child.parquet", range(11, 21), user_id=2)
+    _raw_events_file(d / "part-1-parent.parquet", range(1, 11), user_id=1)
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(d / f, (base + i * 60, base + i * 60))
+
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    eng = Engine(spark, app="t-ordered-reshard", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)],
+        lineage=[
+            ShardLineage(
+                stream="s", child=child, parent=parent,
+                parent_end=str(10).zfill(21),
+            )
+        ],
+    )
+
+    def fn(pdf):
+        seqs = list(pdf["sequence_number"])
+        assert seqs == sorted(seqs), "handler saw unsorted rows"
+        return pdf[["stream", "shard_id", "sequence_number"]]
+
+    seen: list = []
+    q = eng.run_ordered(
+        records,
+        fn,
+        "stream string, shard_id string, sequence_number string",
+        _collecting_sink(seen),
+    )
+    q.processAllAvailable()
+    eng.close()
+
+    flat = [(bid, r) for bid, rows in seen for r in rows]
+    parent_bids = [bid for bid, r in flat if r["shard_id"] == parent]
+    child_bids = [bid for bid, r in flat if r["shard_id"] == child]
+    assert parent_bids and child_bids
+    assert max(parent_bids) < min(child_bids)
+    assert {r["sequence_number"] for _, r in flat} == {
+        str(i).zfill(21) for i in range(1, 21)
+    }
