@@ -25,7 +25,12 @@ Design:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _DDL = (
@@ -82,3 +87,98 @@ class KinesumerSimDataSource(DataSource):
 def register_sim_source(spark) -> None:
     """Idempotent registration of the custom source on a session."""
     spark.dataSource.register(KinesumerSimDataSource)
+
+
+# -- Streaming variant: the polling shard scan (O1) as a REAL source ---------
+
+
+class KinesumerSimStreamReader(DataSourceStreamReader):
+    """Microbatch stream reader with per-shard offset tracking — the
+    reference's polling scan loop (O1, kinesumer.go:615-704) expressed
+    in the engine's own source contract:
+
+    - offset = {shard: next_sequence} map, exactly the ShardCheckPoint
+      row set (statemodel.go:40-45); Spark persists it in the WAL, so
+      restart-from-checkpoint is the AFTER_SEQUENCE_NUMBER restore
+      (O11) with no engine code.
+    - each ``latestOffset`` advances every shard by ≤ ``scanLimit``
+      records (GetRecords' limit parameter) toward ``totalPerShard``
+      (the simulated stream end) — maxRecordsPerTrigger-style pacing.
+    - ``partitions(start, end)`` plans one InputPartition per shard per
+      batch (range-split assignment, syncclient.go:114-117); ``read``
+      generates that shard's [start, end) slice deterministically, so
+      the feed is SQL-replayable like the batch variant.
+    """
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.n_shards = int(options.get("numshards", 5))
+        self.total = int(options.get("totalpershard", 100))
+        self.scan_limit = int(options.get("scanlimit", 25))
+        self.stream = options.get("stream", "sim")
+
+    def initialOffset(self) -> dict:
+        return {str(s): 0 for s in range(self.n_shards)}
+
+    def latestOffset(self) -> dict:
+        # admission control lives HERE (the offset the planner commits
+        # to IS the batch end — clamping later in partitions() would
+        # silently drop the tail of the committed range): each call
+        # advances every shard by ≤ scanLimit toward the simulated
+        # stream end, the GetRecords-limit pacing of O1. The cursor is
+        # driver-side reader state; after a WAL restart Spark replans
+        # from its own recovered offsets, and the cursor re-advances
+        # from zero — empty [start ≥ end) batches until it catches up,
+        # then normal pacing (documented sim-source simplification).
+        if not hasattr(self, "_cursor"):
+            self._cursor = {str(s): 0 for s in range(self.n_shards)}
+        self._cursor = {
+            s: min(v + self.scan_limit, self.total)
+            for s, v in self._cursor.items()
+        }
+        return dict(self._cursor)
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for s in range(self.n_shards):
+            lo = int(start[str(s)])
+            hi = int(end[str(s)])
+            if hi > lo:
+                out.append(_ShardSlice(s, lo, hi))
+        return out
+
+    def read(self, partition: "_ShardSlice"):
+        for i in range(partition.lo, partition.hi):
+            seq = partition.shard * self.total + i
+            yield (
+                self.stream,
+                f"shardId-{partition.shard:012d}",
+                str(seq).zfill(21),
+                str(seq % 97),
+                (seq * 31 + partition.shard) % 1000,
+            )
+
+    def commit(self, end: dict) -> None:  # checkpoint ack; WAL owns it
+        pass
+
+
+class _ShardSlice(InputPartition):
+    def __init__(self, shard: int, lo: int, hi: int) -> None:
+        self.shard = shard
+        self.lo = lo
+        self.hi = hi
+
+
+class KinesumerSimStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kinesumer_sim_stream"
+
+    def schema(self) -> str:
+        return _DDL
+
+    def streamReader(self, schema: StructType) -> "KinesumerSimStreamReader":
+        return KinesumerSimStreamReader(schema, self.options)
+
+
+def register_sim_stream_source(spark) -> None:
+    spark.dataSource.register(KinesumerSimStreamDataSource)

@@ -1176,3 +1176,58 @@ def stream_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant-size
     observed = out.select("event_type", "hour").localCheckpoint(eager=True)
     return missing_hours_report(observed)
+
+
+# -- Custom Python STREAMING source (the O1 polling loop as a source) --------
+
+_PYSTREAM_SHARDS = 5
+_PYSTREAM_TOTAL = 200
+_PYSTREAM_SCAN = 50
+
+_PYSTREAM_ORACLE = f"""
+SELECT 'sim' AS stream,
+       'shardId-' || lpad(CAST(i // {_PYSTREAM_TOTAL} AS VARCHAR), 12, '0')
+         AS shard_id,
+       lpad(CAST(i AS VARCHAR), 21, '0') AS sequence_number,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM range(0, {_PYSTREAM_SHARDS * _PYSTREAM_TOTAL}) t(i)
+GROUP BY 1, 2, 3
+ORDER BY sequence_number
+"""
+
+
+@register(
+    "stream_python_source_consume",
+    oracle=_PYSTREAM_ORACLE,
+    tags=("streaming", "source"),
+)
+def stream_python_source_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end consume from the CUSTOM Python streaming source
+    (sources/python_source.py KinesumerSimStreamReader): per-shard
+    offset-tracked microbatches with GetRecords-style scanLimit pacing —
+    the reference's polling scan loop (O1) implemented as a first-class
+    Spark source rather than the file stand-in, WAL-checkpointed offsets
+    standing in for the DynamoDB ShardCheckPoint table. The feed is
+    deterministic from (shard, offset), so the oracle reconstructs every
+    delivered record from range(); exactly-once within the run means
+    each (shard, sequence) arrives once (the COUNT column proves no
+    duplicate delivery across the paced batches)."""
+    from kinesumer_spark.sources.python_source import register_sim_stream_source
+
+    register_sim_stream_source(spark)
+    df = (
+        spark.readStream.format("kinesumer_sim_stream")
+        .option("numShards", _PYSTREAM_SHARDS)
+        .option("totalPerShard", _PYSTREAM_TOTAL)
+        .option("scanLimit", _PYSTREAM_SCAN)
+        .load()
+    )
+    rows = df.select("stream", "shard_id", "sequence_number")
+    out = _run_to_table(
+        rows, "ks_stream_pysource", mode="append", stable=False
+    )
+    return (
+        out.groupBy("stream", "shard_id", "sequence_number")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("sequence_number")
+    )
