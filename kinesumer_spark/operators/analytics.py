@@ -1197,3 +1197,73 @@ def missing_hours_report(observed: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- Sequence-pattern matching over per-user event journeys ------------------
+
+# MATCH_RECOGNIZE-lite: the per-user journey becomes an ordered
+# event-type string (tie-break on event_id so the string is unique),
+# and funnel patterns become regexes over it — the portable spelling of
+# row-pattern matching, which neither engine implements natively.
+_SEQ_ORACLE = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(CASE WHEN regexp_matches(journey, 's.*c.*p') THEN 1 END)
+            AS BIGINT) AS n_signup_click_purchase,
+       CAST(COUNT(CASE WHEN regexp_matches(journey, 'e{2}') THEN 1 END)
+            AS BIGINT) AS n_double_error,
+       CAST(COUNT(CASE WHEN regexp_matches(journey, '^v') THEN 1 END)
+            AS BIGINT) AS n_view_first,
+       CAST(COUNT(CASE WHEN regexp_matches(journey, 'p[^e]*$') THEN 1 END)
+            AS BIGINT) AS n_purchase_no_error_after
+FROM j
+"""
+
+
+@register("events_sequence_match", oracle=_SEQ_ORACLE, tags=("analytics", "events"))
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over user journeys (MATCH_RECOGNIZE-lite):
+    each user's ordered event sequence collapses to a compact string
+    (first letter per event, deterministic (ts, event_id) order) and
+    funnel/pattern questions become REGEXES over it — ordered funnel
+    with arbitrary gaps, immediate repetition, anchored first-touch,
+    and 'no error after purchase'. Patterns stay in the Java∩RE2
+    subset so both engines agree.
+
+    Scale: ONE user-keyed shuffle to build journeys (ordered string_agg
+    is the same per-key sort any sessionization pays); the regex
+    evaluation is map-side over |users| short strings. This is how
+    sequence analytics actually ships on engines without native
+    MATCH_RECOGNIZE — and why journey strings, not row self-joins, are
+    the 100 TB shape (a K-step self-join funnel is K fact shuffles)."""
+    e = _t(spark, sf_dir)
+    j = (
+        e.select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts, event_id, c))), x -> x.c), '')"
+            ).alias("journey")
+        )
+    )
+    m = lambda pat: F.count(  # noqa: E731
+        F.when(F.col("journey").rlike(pat), 1)
+    ).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        m("s.*c.*p").alias("n_signup_click_purchase"),
+        m("e{2}").alias("n_double_error"),
+        m("^v").alias("n_view_first"),
+        m("p[^e]*$").alias("n_purchase_no_error_after"),
+    )
