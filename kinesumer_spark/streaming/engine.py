@@ -86,9 +86,20 @@ class CommitConfig:
     ``auto=True`` → the run() wrapper writes the offset ledger after
     every microbatch (the reference flushes marks every 5 s; a
     microbatch is our commit interval). ``auto=False`` → the caller
-    invokes ``Engine.commit(batch_df, batch_id)`` inside its sink."""
+    invokes ``Engine.commit(batch_df, batch_id)`` inside its sink.
+
+    ``on_sink_error`` extends the reference's fail-fast contract with
+    the Kafka-Connect ``errors.tolerance=all`` mode: ``"fail"``
+    (default, reference behavior — the query dies and WAL replay
+    redelivers the batch) or ``"dlq"`` — a batch whose sink raises is
+    written WHOLE to the dead-letter area instead, the error is
+    recorded on the side channel, the batch still commits, and the
+    stream keeps flowing (poison-pill isolation: one bad batch cannot
+    wedge the consumer; the DLQ parquet is replayable via
+    ``Engine.replay_from`` semantics — original envelope bytes)."""
 
     auto: bool = True
+    on_sink_error: str = "fail"  # "fail" | "dlq"
 
 
 @dataclass
@@ -160,6 +171,11 @@ class Engine:
     # -- paths -------------------------------------------------------------
     def _ledger_dir(self) -> str:
         return os.path.join(self.checkpoint_root, self.app, "ledger")
+
+    def _sink_dlq_dir(self) -> str:
+        """Dead-letter area for whole batches whose sink raised under
+        CommitConfig(on_sink_error="dlq") — envelope rows, replayable."""
+        return os.path.join(self.checkpoint_root, self.app, "sink_dlq")
 
     def _deferred_dir(self) -> str:
         """Durable holding area for reshard-deferred child rows (see
@@ -415,7 +431,17 @@ class Engine:
                 arrived.persist()
                 if self._lineage:
                     batch_df = self._admit(batch_df)
-                sink(batch_df, batch_id)
+                try:
+                    sink(batch_df, batch_id)
+                except Exception as exc:
+                    if self.commit_config.on_sink_error != "dlq":
+                        raise
+                    # poison-pill isolation: park the batch, keep flowing
+                    with self._lock:
+                        self._errors.append(
+                            f"batch {batch_id}: sink failed, routed to DLQ: {exc}"
+                        )
+                    batch_df.write.mode("append").parquet(self._sink_dlq_dir())
                 if self.commit_config.auto:
                     self.commit(batch_df, batch_id)
             except Exception as exc:  # error side-channel, non-blocking (O20)

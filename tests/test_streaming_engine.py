@@ -937,3 +937,63 @@ def test_run_ordered_composes_with_reshard_lineage(spark, tmp_path):
     assert {r["sequence_number"] for _, r in flat} == {
         str(i).zfill(21) for i in range(1, 21)
     }
+
+
+def test_sink_error_dlq_mode_keeps_stream_alive(spark, tmp_path, events_dir):
+    """CommitConfig(on_sink_error='dlq'): a sink that raises on one
+    batch routes that WHOLE batch to the sink-DLQ parquet and the query
+    keeps running — every other batch delivers, the ledger still
+    advances, the error is on the side channel, and delivered + DLQ ==
+    everything."""
+    path, n_total = events_dir
+    eng = Engine(
+        spark,
+        app="t-sink-dlq",
+        checkpoint_root=str(tmp_path / "ck"),
+        commit=CommitConfig(auto=True, on_sink_error="dlq"),
+    )
+    records = eng.consume([StreamSource("events", path, max_files_per_trigger=1)])
+
+    delivered: list = []
+
+    def flaky_sink(batch_df, batch_id):
+        rows = batch_df.select("stream", "shard_id", "sequence_number").collect()
+        if batch_id == 1:
+            raise RuntimeError("poison batch")
+        delivered.extend(rows)
+
+    q = eng.run(records, flaky_sink)
+    q.processAllAvailable()
+    eng.close()
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    dlq = spark.read.parquet(
+        str(tmp_path / "ck" / "t-sink-dlq" / "sink_dlq")
+    )
+    n_dlq = dlq.count()
+    assert n_dlq > 0
+    assert len(delivered) + n_dlq == n_total
+    assert any("routed to DLQ" in e for e in eng.errors())
+    # no overlap between delivered and DLQ'd sequences
+    dlq_seqs = {r["sequence_number"] for r in dlq.collect()}
+    assert dlq_seqs.isdisjoint({r["sequence_number"] for r in delivered})
+
+
+def test_sink_error_fail_mode_is_default(spark, tmp_path, events_dir):
+    """Default on_sink_error='fail' keeps the reference's fail-fast
+    contract: the streaming query surfaces the sink exception."""
+    path, _ = events_dir
+    eng = Engine(spark, app="t-sink-fail", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", path, max_files_per_trigger=2)])
+
+    def bad_sink(batch_df, batch_id):
+        raise RuntimeError("boom")
+
+    q = eng.run(records, bad_sink)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        q.processAllAvailable()
+    eng.close()
+    assert any("boom" in e for e in eng.errors())
