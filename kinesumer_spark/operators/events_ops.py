@@ -374,3 +374,105 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# Max concurrent sessions: interval sweep (+1 at start, −1 past end)
+# over the sessionized intervals. Half-open boundaries: at equal time a
+# departure processes BEFORE an arrival (delta ascending), so touching
+# sessions never count as overlapping.
+_CONCURRENCY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+  FROM ordered
+), sessions AS (
+  SELECT user_id, session_no,
+         MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+  FROM numbered GROUP BY user_id, session_no
+), deltas AS (
+  SELECT s_us AS t, 1 AS d, user_id, session_no FROM sessions
+  UNION ALL
+  SELECT e_us AS t, -1 AS d, user_id, session_no FROM sessions
+), sweep AS (
+  SELECT t, d,
+         CAST(SUM(d) OVER (
+           ORDER BY t, d, user_id, session_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS conc
+  FROM deltas
+)
+SELECT CAST(conc AS BIGINT) AS max_concurrent,
+       strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S') AS at_ts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions
+FROM sweep ORDER BY conc DESC, t, d LIMIT 1
+"""
+
+
+@register(
+    "events_max_concurrent_sessions",
+    oracle=_CONCURRENCY_ORACLE,
+    tags=("events", "session"),
+)
+def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: the interval-sweep (+1/−1 running sum) over
+    sessionized intervals — capacity planning's favorite number. The
+    oracle sweeps one global window; the Spark side decomposes it
+    scale-honestly into TWO levels so no data-bounded single-partition
+    window exists: per-hour-bucket running sums (parallel across
+    buckets) plus a cumulative offset over the per-bucket totals (a
+    calendar-bounded window — thousands of cells at any data volume).
+    concurrency(row) = bucket_offset + within_bucket_running; identical
+    tie ordering (t, delta, user, session) both engines, departures
+    before arrivals at equal t (half-open intervals)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    numbered = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    ).withColumn("session_no", F.sum("new_session").over(wrun))
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    n_sessions = sessions.count()  # bounded scalar (reporting column)
+    deltas = sessions.selectExpr(
+        "s_us AS t", "1 AS d", "user_id", "session_no"
+    ).unionByName(
+        sessions.selectExpr("e_us AS t", "-1 AS d", "user_id", "session_no")
+    ).withColumn("bucket", F.expr("t div 3600000000"))
+    wb = (
+        W.partitionBy("bucket")
+        .orderBy("t", "d", "user_id", "session_no")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = deltas.withColumn("run", F.sum("d").over(wb))
+    totals = deltas.groupBy("bucket").agg(F.sum("d").alias("tot"))
+    woff = (
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )  # calendar-bounded cells only — see docstring
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("tot").over(woff), F.lit(0))
+    ).select("bucket", "off")
+    swept = within.join(F.broadcast(offsets), "bucket").withColumn(
+        "conc", (F.col("off") + F.col("run")).cast("bigint")
+    )
+    return (
+        swept.orderBy(F.desc("conc"), "t", "d", "user_id", "session_no")
+        .limit(1)
+        .select(
+            F.col("conc").alias("max_concurrent"),
+            F.date_format(F.timestamp_micros("t"), _TS_FMT).alias("at_ts"),
+            F.lit(n_sessions).cast("bigint").alias("n_sessions"),
+        )
+    )
