@@ -586,3 +586,76 @@ def agg_bool_every_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- Custom UDAF via pandas_udf grouped-agg: exact Gini coefficient ----------
+
+_GINI_ORACLE = """
+WITH x AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 1000000) AS HUGEINT) AS us
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, us,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY us) AS i,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM x
+), sums AS (
+  SELECT o_orderpriority,
+         CAST(SUM((2 * i - n - 1) * us) AS HUGEINT) AS num,
+         CAST(MAX(n) * SUM(us) AS HUGEINT) AS den,
+         CAST(MAX(n) AS BIGINT) AS n_orders
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS gini,
+       n_orders
+FROM sums ORDER BY o_orderpriority
+"""
+
+
+@register("agg_gini_pandas_udaf", oracle=_GINI_ORACLE, tags=("agg", "udf"))
+def agg_gini_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM aggregate through the grouped-agg pandas_udf API — the
+    UDAF extension surface (everything else in the registry is
+    deliberately built-in): the Gini coefficient of order value per
+    priority class, the inequality measure data-mixture tuning uses on
+    source contributions.
+
+    Exactness through a Python aggregate: values quantize to integer
+    micro-units; the UDAF computes Σ(2i−n−1)·xᵢ over the sorted values
+    and n·Σxᵢ in PYTHON BIG INTS (numpy int64 would overflow at
+    ~10⁵ rows × 10¹¹ micro-units), then rounds each to double BEFORE
+    the one division — the identical sequence the oracle spells with
+    HUGEINT → DOUBLE casts. Ties need no break: equal values contribute
+    the same regardless of their order within the tie run... with
+    coefficients summed across the tie the total is order-invariant.
+
+    Scale: grouped-agg pandas_udf is Arrow-batched with one shuffle on
+    the group key; each group's sort is in-executor (the same cost
+    class as percentile_exact). The deliberate contrast row for the
+    plan audit: this one IS allowed to show Python in its plan."""
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gini(v: pd.Series) -> float:
+        us = sorted(int(x) for x in (v * 1_000_000).round().astype("int64"))
+        n = len(us)
+        num = sum((2 * i - n + 1) * x for i, x in enumerate(us))  # i 0-based
+        den = n * sum(us)
+        if den == 0:
+            return 0.0
+        return float(num) / float(den)
+
+    o = _t(spark, sf_dir, "orders")
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one
+    # agg() — the count joins from a separate (tiny, group-keyed) agg
+    g = o.groupBy("o_orderpriority").agg(
+        gini(F.col("o_totalprice")).alias("gini")
+    )
+    n = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return g.join(n, "o_orderpriority").orderBy("o_orderpriority")
