@@ -997,3 +997,56 @@ def test_sink_error_fail_mode_is_default(spark, tmp_path, events_dir):
         q.processAllAvailable()
     eng.close()
     assert any("boom" in e for e in eng.errors())
+
+
+def test_reshard_deferred_rows_survive_engine_restart(spark, tmp_path):
+    """Durability of the reshard gate: stop the engine while child rows
+    sit in the deferred area (parent not yet complete), start a FRESH
+    engine generation over the same checkpoint_root — the child rows
+    must still be delivered exactly after the parent completes, from
+    the durable deferred parquet (no driver state carried over)."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    lineage = [
+        ShardLineage(
+            stream="s", child=child, parent=parent, parent_end=str(10).zfill(21)
+        )
+    ]
+    # phase 1: ONLY child data exists → everything defers, parent never
+    # completes, engine stops with rows parked durably
+    _raw_events_file(d / "part-0-child.parquet", range(11, 21), user_id=2)
+    eng1 = Engine(spark, app="t-reshard-restart", checkpoint_root=str(tmp_path / "ck"))
+    rec1 = eng1.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)], lineage=lineage
+    )
+    seen1: list = []
+    q1 = eng1.run(rec1, _collecting_sink(seen1), trigger={"availableNow": True})
+    q1.awaitTermination(120)
+    eng1.close()
+    assert not any(r["shard_id"] == child for _, rows in seen1 for r in rows)
+
+    # phase 2: parent data arrives; a NEW engine generation (fresh WAL,
+    # same app root) consumes source + durable deferred area
+    _raw_events_file(d / "part-1-parent.parquet", range(1, 11), user_id=1)
+    eng2 = Engine(spark, app="t-reshard-restart", checkpoint_root=str(tmp_path / "ck"))
+    eng2._generation = 1  # fresh WAL, same ledger/deferred dirs
+    rec2 = eng2.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)], lineage=lineage
+    )
+    seen2: list = []
+    q2 = eng2.run(rec2, _collecting_sink(seen2))
+    q2.processAllAvailable()
+    eng2.close()
+
+    flat2 = [(bid, r) for bid, rows in seen2 for r in rows]
+    parent_bids = [bid for bid, r in flat2 if r["shard_id"] == parent]
+    child_bids = [bid for bid, r in flat2 if r["shard_id"] == child]
+    assert parent_bids and child_bids
+    assert max(parent_bids) < min(child_bids)
+    assert {r["sequence_number"] for _, r in flat2 if r["shard_id"] == child} == {
+        str(i).zfill(21) for i in range(11, 21)
+    }
