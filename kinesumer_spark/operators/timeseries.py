@@ -254,3 +254,107 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cusum"), "hr")
         .limit(_CUSUM_TOP)
     )
+
+
+# -- Additive seasonal decomposition (two-factor means model) ----------------
+
+_SEASONAL_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS hod, value
+  FROM events
+), grand AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS g
+  FROM base
+), hodmeans AS (
+  SELECT hod,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m_hod
+  FROM base GROUP BY hod
+), daymeans AS (
+  SELECT day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m_day
+  FROM base GROUP BY day
+), scored AS (
+  SELECT b.hod,
+         abs(b.value - (h.m_hod + d.m_day - g.g)) AS abs_resid
+  FROM base b
+  JOIN hodmeans h USING (hod)
+  JOIN daymeans d USING (day)
+  CROSS JOIN grand g
+)
+SELECT s.hod AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(h.m_hod - g.g, 6) AS seasonal,
+       round(CAST(SUM(CAST(s.abs_resid AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS residual_mae
+FROM scored s JOIN hodmeans h ON h.hod = s.hod CROSS JOIN grand g
+GROUP BY s.hod, h.m_hod, g.g
+ORDER BY hour_of_day
+"""
+
+
+@register(
+    "timeseries_seasonal_additive",
+    oracle=_SEASONAL_ORACLE,
+    tags=("timeseries",),
+)
+def timeseries_seasonal_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (two-factor means model):
+    fitted(t) = day_mean + hour-of-day_mean − grand_mean; per
+    hour-of-day the seasonal coefficient and the residual MAE — the
+    STL-lite profile a forecasting pipeline fits before choosing model
+    complexity (large seasonal + small residual → the hourly profile
+    explains the series; EMA/Holt pick up the trend leg, CUSUM the
+    changepoints).
+
+    Determinism: every mean is an exact-decimal sum over RAW values ÷
+    count (one double division); the residual is a fixed 4-op IEEE
+    expression over those means, its magnitude re-quantized to
+    DECIMAL(18,6) before the order-independent sum. Scale: three keyed
+    aggregates over (hod / day / all) — calendar-bounded outputs — and
+    one map-side join of the stream against those broadcast means."""
+    from kinesumer_spark.functions.exact import dec
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        "value",
+    )
+    grand = e.agg(
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("g")
+    )
+    hod_means = e.groupBy("hod").agg(
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("m_hod")
+    )
+    day_means = e.groupBy("day").agg(
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("m_day")
+    )
+    scored = (
+        e.join(F.broadcast(hod_means), "hod")
+        .join(F.broadcast(day_means), "day")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "hod",
+            "m_hod",
+            "g",
+            F.abs(
+                F.col("value") - (F.col("m_hod") + F.col("m_day") - F.col("g"))
+            ).alias("abs_resid"),
+        )
+    )
+    return (
+        scored.groupBy("hod", "m_hod", "g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.col("abs_resid").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mae_raw"),
+        )
+        .select(
+            F.col("hod").alias("hour_of_day"),
+            "n",
+            F.round(F.col("m_hod") - F.col("g"), 6).alias("seasonal"),
+            F.round("mae_raw", 6).alias("residual_mae"),
+        )
+        .orderBy("hour_of_day")
+    )
