@@ -2028,3 +2028,67 @@ def embedding_mislabel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# -- Embedding norm audit ----------------------------------------------------
+
+_NORM_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), ex AS (
+  SELECT vec_id, label, d.dim,
+         CAST(floor(e[d.dim + 1] * 1000000) AS BIGINT) AS q
+  FROM v CROSS JOIN (SELECT unnest(range({_DIM})) AS dim) d
+), norms AS (
+  SELECT vec_id, label, CAST(SUM(q * q) AS HUGEINT) AS n2q
+  FROM ex GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(n2q) AS DOUBLE) / 1e12 AS min_norm2,
+       CAST(MAX(n2q) AS DOUBLE) / 1e12 AS max_norm2,
+       CAST(COUNT(CASE WHEN n2q = 0 THEN 1 END) AS BIGINT) AS n_zero,
+       CAST(COUNT(CASE WHEN n2q < 10000000000 THEN 1 END) AS BIGINT)
+         AS n_degenerate
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_norm_audit", oracle=_NORM_ORACLE, tags=("similarity", "quality"))
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health audit: per-label squared-norm range plus zero /
+    degenerate (‖v‖² < 0.01) vector counts — the broken-encoder
+    detector a pipeline runs before similarity indexing (zero vectors
+    poison cosine; magnitude collapse signals a bad checkpoint).
+
+    Quantized-integer norms (the centroid/mislabel discipline): q·q
+    sums are exact in int64/HUGEINT (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴ per
+    vector), thresholds compare integers, and the only float steps are
+    two final casts. One keyed aggregate per vector, one per label —
+    scan-speed at any corpus size."""
+    v = _t(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    norms = (
+        v.select("vec_id", "label", F.posexplode("e").alias("dim", "val"))
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.col("val") * 1000000).cast("bigint").alias("q"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.expr("q * q")).cast("decimal(38,0)").alias("n2q"))
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (F.min("n2q").cast("double") / F.lit(1e12)).alias("min_norm2"),
+            (F.max("n2q").cast("double") / F.lit(1e12)).alias("max_norm2"),
+            F.count(F.when(F.col("n2q") == 0, 1)).cast("bigint").alias("n_zero"),
+            F.count(F.when(F.col("n2q") < 10_000_000_000, 1))
+            .cast("bigint")
+            .alias("n_degenerate"),
+        )
+        .orderBy("label")
+    )
