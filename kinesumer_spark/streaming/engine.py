@@ -673,6 +673,52 @@ class Engine:
             .drop("committed_seq")
         )
 
+    def compact_ledger(self) -> int:
+        """Compact the per-batch commit files into ONE snapshot holding
+        the latest mark per (stream, shard) — the ledger's answer to
+        unbounded small-file growth (a month of 1 s microbatches is
+        ~2.6 M files; the DynamoDB analog is a single row per shard by
+        construction, statemodel.go:40-45). Returns the number of files
+        removed. Crash-safe: the snapshot (named to sort BEFORE any
+        live batch file, so later batches still win replay order) is
+        written atomically first, old files removed after; a crash
+        between leaves duplicates, which checkpoints() resolves by
+        last-writer-wins exactly as before."""
+        cps = self.checkpoints()
+        old_files = [
+            fn
+            for fn in os.listdir(self._ledger_dir())
+            if fn.endswith(".json")
+        ]
+        if not old_files:
+            return 0
+        # "a-" sorts before every "batch-…" file, so live batches keep
+        # winning last-writer-wins replay; also avoids colliding with
+        # generation 0 / batch 0's own file name
+        snap = os.path.join(self._ledger_dir(), "a-snapshot.json")
+        tmp = snap + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "app": self.app,
+                    "batch_id": -1,
+                    "compacted": True,
+                    "checkpoints": [
+                        {"stream": s, "shard_id": sh, "sequence_number": seq}
+                        for (s, sh), seq in sorted(cps.items())
+                    ],
+                },
+                f,
+            )
+        os.replace(tmp, snap)
+        removed = 0
+        for fn in old_files:
+            p = os.path.join(self._ledger_dir(), fn)
+            if p != snap and os.path.exists(p):
+                os.remove(p)
+                removed += 1
+        return removed
+
     def consumer_state(self) -> DataFrame:
         """The state-store observability view (FIXTURES.md §1 schema;
         replaces the DynamoDB table of statemodel.go:17-53). Entities:

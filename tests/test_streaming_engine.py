@@ -1050,3 +1050,30 @@ def test_reshard_deferred_rows_survive_engine_restart(spark, tmp_path):
     assert {r["sequence_number"] for _, r in flat2 if r["shard_id"] == child} == {
         str(i).zfill(21) for i in range(11, 21)
     }
+
+
+def test_compact_ledger_preserves_checkpoints(spark, tmp_path, events_dir):
+    """compact_ledger: after compaction the ledger is one snapshot file
+    and checkpoints() is unchanged; subsequent commits still win over
+    the snapshot (sort order)."""
+    path, _ = events_dir
+    eng = Engine(spark, app="t-compact", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume([StreamSource("events", path, max_files_per_trigger=1)])
+    q = eng.run(records, lambda df, bid: None)
+    q.processAllAvailable()
+    eng.close()
+
+    before = eng.checkpoints()
+    ledger = tmp_path / "ck" / "t-compact" / "ledger"
+    n_before = len(list(ledger.glob("*.json")))
+    assert n_before >= 4  # one commit per microbatch
+    removed = eng.compact_ledger()
+    assert removed == n_before  # snapshot replaces every batch file
+    assert len(list(ledger.glob("*.json"))) == 1
+    assert eng.checkpoints() == before
+
+    # a later manual commit supersedes the snapshot
+    eng.mark("events", "shardId-" + "1".rjust(12, "0"), str(10**9).zfill(21))
+    eng.commit_marks(batch_id=999)
+    after = eng.checkpoints()
+    assert after[("events", "shardId-" + "1".rjust(12, "0"))] == str(10**9).zfill(21)
