@@ -195,3 +195,150 @@ def pipeline_pretraining_curation(spark: SparkSession, sf_dir: str) -> DataFrame
             "docid_checksum",
         )
     )
+
+
+# -- Embedding-side curation pipeline ----------------------------------------
+
+_EMB_DEGEN = 10_000_000_000  # ‖v‖² < 0.01 in 10⁻¹² quantized units
+
+_EMB_PIPE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), exn AS (  -- norm quantization (no offset)
+  SELECT vec_id, CAST(SUM(q * q) AS HUGEINT) AS n2q FROM (
+    SELECT vec_id, CAST(floor(e[d.dim + 1] * 1000000) AS BIGINT) AS q
+    FROM v CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+  ) GROUP BY vec_id
+), gated AS (
+  SELECT v.vec_id, v.label, v.e FROM v JOIN exn USING (vec_id)
+  WHERE exn.n2q >= {_EMB_DEGEN}
+), exc AS (  -- centroid quantization (+2 offset, non-negative division)
+  SELECT vec_id, label, d.dim,
+         CAST(floor((e[d.dim + 1] + 2) * 1000000) AS BIGINT) AS q
+  FROM gated CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+), cent AS (
+  SELECT label AS cand, dim, CAST(SUM(q) // COUNT(*) AS BIGINT) AS c
+  FROM exc GROUP BY label, dim
+), dist AS (
+  SELECT x.vec_id, x.label, ct.cand,
+         SUM((x.q - ct.c) * (x.q - ct.c)) AS d2
+  FROM exc x JOIN cent ct ON ct.dim = x.dim
+  GROUP BY x.vec_id, x.label, ct.cand
+), assigned AS (
+  SELECT vec_id, label, cand FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+    FROM dist) WHERE rn = 1
+), disposition AS (
+  SELECT v.vec_id,
+         CASE WHEN g.vec_id IS NULL THEN 'degenerate'
+              WHEN a.cand <> a.label THEN 'mislabel'
+              ELSE 'keep' END AS disposition
+  FROM v LEFT JOIN gated g ON g.vec_id = v.vec_id
+  LEFT JOIN assigned a ON a.vec_id = v.vec_id
+)
+SELECT CASE WHEN vec_id % 10 <= 7 THEN 'train'
+            WHEN vec_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+       disposition,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+FROM disposition
+GROUP BY split, disposition
+ORDER BY split, disposition
+"""
+
+
+@register(
+    "pipeline_embedding_curation",
+    oracle=_EMB_PIPE_ORACLE,
+    tags=("pipeline", "similarity", "quality"),
+)
+def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side curation, composed:
+
+        embeddings
+          → norm health gate        (embedding_norm_audit's degenerate rule)
+          → mislabel screen         (embedding_mislabel_audit's
+                                     nearest-centroid rule, fitted on the
+                                     GATED population — audit statistics
+                                     must follow the surviving
+                                     distribution, the pipeline_curation
+                                     lesson)
+          → deterministic split     (vec_id mod 10 → 8/1/1)
+          → disposition ledger      (per-split keep/mislabel/degenerate
+                                     counts + id checksum)
+
+    The whole chain replays in one oracle — the third composed pipeline
+    beside the document curation chain and the streaming ingest hop,
+    proving the embedding operators compose as a dataflow, not just as
+    standalone queries. All stages are the exact integer formulations
+    of their standalone registrations; no float enters before the
+    (absent) display layer. Scale: two posexplode aggregates + the
+    broadcast-centroid assign join — everything corpus×k-bounded."""
+    from kinesumer_spark.operators.similarity import _as_double
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    exn = (
+        v.select("vec_id", F.posexplode("e").alias("dim", "val"))
+        .select(
+            "vec_id", F.floor(F.col("val") * 1000000).cast("bigint").alias("q")
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.expr("q * q")).cast("decimal(38,0)").alias("n2q"))
+    )
+    gated = v.join(
+        exn.filter(F.col("n2q") >= _EMB_DEGEN).select("vec_id"), "vec_id"
+    )
+    exc = gated.select(
+        "vec_id", "label", F.posexplode("e").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor((F.col("val") + 2) * 1000000).cast("bigint").alias("q"),
+    )
+    cent = exc.groupBy(F.col("label").alias("cand"), "dim").agg(
+        F.expr("cast(sum(q) div count(*) AS bigint) AS c")
+    )
+    dist = (
+        exc.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "cand")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "d2"
+            )
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cand")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cand")
+    )
+    disposition = (
+        v.select("vec_id")
+        .join(gated.select("vec_id", F.lit(1).alias("g")), "vec_id", "left")
+        .join(assigned.select("vec_id", "label", "cand"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("g").isNull(), "degenerate")
+            .when(F.col("cand") != F.col("label"), "mislabel")
+            .otherwise("keep")
+            .alias("disposition"),
+        )
+    )
+    split = (
+        F.when(F.col("vec_id") % 10 <= 7, "train")
+        .when(F.col("vec_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        disposition.select(split.alias("split"), "disposition", "vec_id")
+        .groupBy("split", "disposition")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("split", "disposition")
+    )
