@@ -82,6 +82,10 @@ EXTENDED = [
     "embedding_mislabel_audit",
     "dedup_edit_distance",
     "text_bpe_apply",
+    "pipeline_embedding_curation",
+    "events_max_concurrent_sessions",
+    "agg_bitmap_distinct",
+    "events_sequence_match",
 ]
 
 

@@ -521,3 +521,63 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# -- Referential-integrity audit ---------------------------------------------
+
+_RI_ORACLE = """
+SELECT 'lineitem->orders' AS fk,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'orders->customer' AS fk,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'customer->nation' AS fk,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+         AS n_orphans
+ORDER BY fk
+"""
+
+
+@register("warehouse_referential_integrity", oracle=_RI_ORACLE, tags=("warehouse", "quality"))
+def warehouse_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema (child rows whose
+    parent key does not exist) — the constraint check engines without
+    enforced constraints (Spark, most lakehouses) run as a batch audit
+    instead. Each edge is one left-anti join: the fact side streams,
+    the parent key set broadcasts when dim-sized, and the count is the
+    audit result (zero on consistent data — the interesting output is
+    when ingest breaks).
+
+    Scale: three independent anti-joins, each the cheapest possible
+    existence check (key columns only, broadcast parent for dims;
+    lineitem→orders is the one fact-fact anti — same single shuffle as
+    any fact join)."""
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        return child.join(
+            parent.select(pkey), child[ckey] == parent[pkey], "left_anti"
+        ).count()
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey")
+    rows = [
+        ("customer->nation", c.count(), orphans(c, "c_nationkey", n, "n_nationkey")),
+        ("lineitem->orders", li.count(), orphans(li, "l_orderkey", o, "o_orderkey")),
+        ("orders->customer", o.count(), orphans(o, "o_custkey", c, "c_custkey")),
+    ]
+    return spark.createDataFrame(
+        rows, "fk string, n_child bigint, n_orphans bigint"
+    ).orderBy("fk")
