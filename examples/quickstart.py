@@ -1,0 +1,70 @@
+"""Quickstart: the three things a kinesumer user does, on this engine.
+
+Run:  python examples/quickstart.py [sf_dir]
+
+1. CONSUME — the reference's `for record := range records` loop
+   (README.md:67-70), here: Engine.consume → run with a sink.
+2. ANALYZE — the queries the reference hands records off for:
+   any registered operator, straight from the registry.
+3. CURATE — the training-data pipeline over the same session.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesumer_spark import get_spark
+from kinesumer_spark.registry import all_queries
+from kinesumer_spark.streaming.engine import Engine, StreamSource
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="quickstart")
+
+    # 1. consume: an events-only dir stands in for a Kinesis stream ----
+    # (a StreamSource points at ONE stream's files; sf_dir holds every
+    # table, so stage a link dir — a connector would own its own topic)
+    stream_dir = tempfile.mkdtemp(prefix="qs_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    eng = Engine(spark, app="quickstart", checkpoint_root=tempfile.mkdtemp())
+    records = eng.consume(
+        [StreamSource("events", stream_dir, max_files_per_trigger=None)]
+    )
+
+    delivered: list = []
+
+    def sink(batch_df, batch_id):
+        delivered.append(batch_df.count())
+
+    q = eng.run(records, sink, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    eng.close()
+    print(f"consumed {sum(delivered)} records "
+          f"across {len(delivered)} microbatches; "
+          f"committed shards: {len(eng.checkpoints())}")
+
+    # 2. analyze: any registered query --------------------------------
+    queries = all_queries()
+    for name in ("q1_pricing_summary", "events_funnel", "events_drift_chi2"):
+        df = queries[name].spark(spark, sf_dir)
+        print(f"\n== {name} ==")
+        df.show(5, truncate=False)
+
+    # 3. curate: the composed training-data pipeline -------------------
+    for name in ("pipeline_curation", "pipeline_embedding_curation"):
+        print(f"\n== {name} ==")
+        queries[name].spark(spark, sf_dir).show(10, truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -289,3 +289,24 @@ def test_bpe_string_replace_equals_list_merge(word, merges):
         tokens = _bpe_reference_merge(tokens, pair)
         s = _string_merge(s, pair)
         assert s == _encode(tokens), (word, merges, pair, s, tokens)
+
+
+# -- ledger "ahead" predicate ≡ _seq_order_key ------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.integers(min_value=0, max_value=10**24),
+    b=st.integers(min_value=0, max_value=10**24),
+)
+def test_ahead_predicate_matches_numeric_order(a, b):
+    """The SQL length-then-lex predicate the lag/replay path uses must
+    agree with numeric order for ANY pair of unpadded decimal strings
+    (Kinesis sequence numbers exceed every fixed-width type, so the
+    engine never parses them)."""
+    from kinesumer_spark.streaming.engine import Engine
+
+    sa, sb = str(a), str(b)
+    # replicate _AHEAD_SQL in Python: sequence_number=sa, committed=sb
+    ahead = (len(sa) > len(sb)) or (len(sa) == len(sb) and sa > sb)
+    assert ahead == (a > b)
+    assert (Engine._seq_order_key(sa) > Engine._seq_order_key(sb)) == (a > b)
