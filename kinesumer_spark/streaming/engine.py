@@ -62,6 +62,26 @@ def _dir_has_data_files(path: str) -> bool:
     )
 
 
+def _generic_to_envelope(df: DataFrame, stream: str) -> DataFrame:
+    """Adapt a non-file streaming source's rows to RECORD_SCHEMA. The
+    source must provide shard_id / sequence_number / partition_key;
+    remaining payload columns become the JSON data bytes, and
+    arrival_ts derives deterministically from the sequence number (a
+    real connector supplies the service timestamp here)."""
+    key_cols = {"stream", "shard_id", "sequence_number", "partition_key"}
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    return df.select(
+        F.lit(stream).alias("stream"),
+        F.col("shard_id"),
+        F.col("sequence_number"),
+        F.col("partition_key"),
+        F.to_json(F.struct(*payload_cols)).cast("binary").alias("data"),
+        F.timestamp_micros(
+            F.col("sequence_number").cast("bigint")
+        ).alias("arrival_ts"),
+    )
+
+
 def ordered_per_shard(records: DataFrame, fn, output_schema: str) -> DataFrame:
     """Apply ``fn(pdf) -> pdf`` per (stream, shard_id) with rows sorted by
     sequence_number — the reference's processing model (one ordered
@@ -104,12 +124,19 @@ class CommitConfig:
 
 @dataclass
 class StreamSource:
-    """One named stream backed by a parquet directory (stand-in for a
-    Kinesis stream; same envelope a Kinesis/Kafka connector would emit)."""
+    """One named stream. ``format="parquet"`` (default): backed by a
+    parquet directory (stand-in for a Kinesis stream). Any other value
+    is a Spark streaming source format name — e.g. the custom Python
+    source ``"kinesumer_sim_stream"`` (sources/python_source.py) —
+    read with ``options`` and adapted to the record envelope; the
+    delivery/ledger layer is source-agnostic
+    (test_consume_from_python_stream_source)."""
 
     name: str
-    path: str
+    path: str = ""
     max_files_per_trigger: int | None = 1
+    format: str = "parquet"
+    options: dict | None = None
 
 
 @dataclass(frozen=True)
@@ -224,6 +251,16 @@ class Engine:
         self._streams = {s.name: s for s in sources}
         merged: DataFrame | None = None
         for s in sources:
+            if s.format != "parquet":
+                # non-file source path: read by format name and adapt to
+                # the envelope; the rest of the engine (run/commit/lag/
+                # replay/lineage) never knows the difference
+                reader = self.spark.readStream.format(s.format)
+                for k, v in (s.options or {}).items():
+                    reader = reader.option(k, v)
+                env = _generic_to_envelope(reader.load(), stream=s.name)
+                merged = env if merged is None else merged.unionByName(env)
+                continue
             # footer-read physical schema per source — the generator's ts
             # encoding has varied across rounds (nanos-long vs NTZ µs).
             # An EMPTY source dir (consumer started before the producer,
