@@ -151,3 +151,61 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["click", "view", "purchase", "signup", "error"])
         .orderBy("day")
     )
+
+
+# -- Multi-aggregate PIVOT ---------------------------------------------------
+
+_PIVOT_MULTI_ORACLE = """
+SELECT c_nationkey,
+       CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT)
+         AS automobile_n,
+       CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                     THEN CAST(c_acctbal AS DECIMAL(18,6)) END) AS DOUBLE)
+         AS automobile_bal,
+       CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS BIGINT)
+         AS building_n,
+       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                     THEN CAST(c_acctbal AS DECIMAL(18,6)) END) AS DOUBLE)
+         AS building_bal,
+       CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT)
+         AS machinery_n,
+       CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                     THEN CAST(c_acctbal AS DECIMAL(18,6)) END) AS DOUBLE)
+         AS machinery_bal
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("agg_pivot_multi", oracle=_PIVOT_MULTI_ORACLE, tags=("agg", "reshape"))
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per cell (count + exact balance
+    sum per segment column pair) — the wide-report variant of
+    agg_pivot; Spark expands it to conditional aggregation internally
+    (one keyed shuffle with map-side combine, #groups × #values × #aggs
+    partials), which is exactly the rewrite the oracle spells out."""
+    from kinesumer_spark.functions.exact import dec
+
+    c = read_table(spark, sf_dir, "customer")
+    p = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING", "MACHINERY"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec("c_acctbal")).cast("double").alias("bal"),
+        )
+    )
+    # pivot emits NULL (not 0) for absent (group, value) count cells;
+    # COUNT(CASE …) in the conditional-aggregation spelling emits 0 —
+    # coalesce the counts (sums stay NULL on both sides)
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    return p.select(
+        "c_nationkey",
+        z("AUTOMOBILE_n").alias("automobile_n"),
+        F.col("AUTOMOBILE_bal").alias("automobile_bal"),
+        z("BUILDING_n").alias("building_n"),
+        F.col("BUILDING_bal").alias("building_bal"),
+        z("MACHINERY_n").alias("machinery_n"),
+        F.col("MACHINERY_bal").alias("machinery_bal"),
+    ).orderBy("c_nationkey")
