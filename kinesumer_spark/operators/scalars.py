@@ -386,7 +386,8 @@ _RX_WORDS = r"\bs[a-z]+"
 
 _REGEX_ORACLE = rf"""
 SELECT doc_id,
-       regexp_extract_all(text, '{_RX_WORDS}') AS s_words,
+       COALESCE(array_to_string(regexp_extract_all(text, '{_RX_WORDS}'), ','), '')
+         AS s_words,
        CAST(len(regexp_extract_all(text, '{_RX_WORDS}')) AS BIGINT)
          AS n_s_words,
        regexp_extract(text, '{_RX_WORDS}') AS first_s_word,
@@ -406,7 +407,10 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     match. All JVM regexp expressions at scan speed; the oracle runs
     the same patterns on RE2 (DuckDB), so the query doubles as a
     portability gate for the Java∩RE2 pattern subset — same discipline
-    as text_pii_scrub."""
+    as text_pii_scrub. The extract-all list is serialized to a
+    comma-joined string on BOTH engines: registered queries must not
+    return array/map columns (driver canonicalizer constraint — see
+    the r2 note above and tests/test_registry_lint.py)."""
     d = read_table(spark, sf_dir, "documents")
     # Spark SQL string literals process backslash escapes ('\b' would be
     # a backspace); DuckDB's standard-SQL literals do not — so the Spark
@@ -414,7 +418,9 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = _RX_WORDS.replace("\\", "\\\\")
     return d.select(
         "doc_id",
-        F.expr(f"regexp_extract_all(text, '{rx}', 0)").alias("s_words"),
+        F.expr(f"array_join(regexp_extract_all(text, '{rx}', 0), ',')").alias(
+            "s_words"
+        ),
         F.expr(f"cast(size(regexp_extract_all(text, '{rx}', 0)) AS bigint)").alias(
             "n_s_words"
         ),

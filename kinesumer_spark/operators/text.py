@@ -1187,7 +1187,7 @@ WITH words0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
          '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE word <> '' GROUP BY word
+  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word
 ),
 {','.join(levels)}
 SELECT * FROM ({union}) ORDER BY step
@@ -1229,7 +1229,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         _t(spark, sf_dir)
         .select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
+        # '|' is the symbol-boundary metacharacter of the pipe-doubled
+        # encoding: a literal '|' inside a word would corrupt it, so
+        # such words are excluded from the vocabulary (both engines)
+        .filter((F.col("word") != "") & ~F.col("word").contains("|"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .withColumn(
@@ -1264,9 +1267,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((step, l, r, l + r, cnt))
+        # learned symbols go in as literal COLUMN values (F.lit), never
+        # interpolated into an expression string: a corpus word holding
+        # a quote or backslash must not break (or inject into) the plan
         words = words.withColumn(
             "s",
-            F.expr(f"replace(s, '|{l}||{r}|', '|{l}{r}|')"),
+            F.replace(
+                F.col("s"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
+            ),
         )
     return spark.createDataFrame(
         merges,
@@ -1434,7 +1442,7 @@ WITH words0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
          '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE word <> '' GROUP BY word
+  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word
 ),
 {','.join(levels)},
 vocab AS (
@@ -1479,7 +1487,10 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         _t(spark, sf_dir)
         .select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
+        # '|' is the symbol-boundary metacharacter of the pipe-doubled
+        # encoding: a literal '|' inside a word would corrupt it, so
+        # such words are excluded from the vocabulary (both engines)
+        .filter((F.col("word") != "") & ~F.col("word").contains("|"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .withColumn(
@@ -1510,8 +1521,12 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not best:
             break
         l, r = best[0]["l"], best[0]["r"]
+        # F.lit literals, not f-string expression text (see text_bpe_train)
         words = words.withColumn(
-            "s", F.expr(f"replace(s, '|{l}||{r}|', '|{l}{r}|')")
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
+            ),
         )
     seg = words.select(
         "word",

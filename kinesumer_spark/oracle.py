@@ -102,12 +102,39 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     return problems
 
 
+def lint_output_schema(schema) -> list[str]:
+    """Registered queries must not return array/map/struct columns.
+
+    The driver's canonicalizer sorts every column through pandas
+    ``sort_values``; complex-typed cells arrive as Python lists/dicts and
+    crash it with ``unhashable type`` (bit us in r2 with
+    ``scalar_array_funcs`` and again in r6 with ``scalar_regex_funcs``).
+    Serialize such columns — ``array_join``/``to_json`` on the Spark
+    side, ``array_to_string``/``to_json`` in the DuckDB oracle — before
+    returning. This lint runs inside :func:`check_query`, so the rule is
+    enforced over every registered query by the existing 222-query gate.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"output col {f.name!r} has complex type {f.dataType.simpleString()}: "
+        "serialize it (array_join/to_json) — the driver canonicalizer "
+        "cannot sort list/dict cells"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def check_query(spark, name: str, sf_dir: str) -> list[str]:
     """Run one registered query against its oracle; [] == pass."""
     from kinesumer_spark.registry import all_queries
 
     q = all_queries()[name]
-    spark_pdf = q.spark(spark, sf_dir).toPandas()
+    sdf = q.spark(spark, sf_dir)
+    schema_problems = lint_output_schema(sdf.schema)
+    if schema_problems:
+        return schema_problems
+    spark_pdf = sdf.toPandas()
     if q.oracle is None:
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     return compare_frames(spark_pdf, run_oracle(q.oracle, sf_dir))

@@ -53,198 +53,64 @@ def register(
 
 
 # External correctness gates sample a PREFIX of this registry (confirmed
-# every round: the driver checks exactly the first 50 names in iteration
-# order). The window ROTATES each round so every claimed operator
-# accumulates a driver-green row across rounds:
-#   r1: original order → relational/window/set/agg core proven.
-#   r2: streaming + LLM-pipeline + scalar array/json/map/HOF + decode/
-#       reshape/events fronted → proven (CORRECTNESS_r02).
-#   r3: never-checked + repaired + new/reworked, then the r1 core as
-#       canaries → all 50 green (CORRECTNESS_r03).
-#   r4 (this window): everything converted/reworked THIS round (the
-#       minhash/simhash full oracles, stream-dedup, sample validation,
-#       ANN recall, IVF full-probe), the new r4 operators, then the
-#       r2-proven block whose modules have churned since (dedup/
-#       similarity/reshape/streaming/text/events/decode) — per the r3
-#       verdict: no query's latest driver row should predate the last
-#       commit touching its module.
-# EXPLICIT NOTE on rotation: names behind the cutoff keep only their
-# older driver rows until re-fronted (currently: the relational/window/
-# agg/set core holds r3 rows; q1/q6/scalar_string/date/math and a few
-# agg/scalar entries hold r1-r2 rows). The local pytest gate always runs
-# ALL registered queries, so out-of-window regressions still fail CI —
-# they are just not externally re-proven until their next rotation.
-_FRONT = (
-    #   r6 (this window), per the r5 verdict's staleness directive,
-    #   priority order: (1) the three product-analytics queries that
-    #   NEVER had a driver row; (2) every r6 registration, both the
-    #   early block (stream_funnel … text_ngram_lm) and the session-2
-    #   block (text_bpe_train … agg_listagg_ordered) — never-checked
-    #   outranks stale; (3) the queries whose semantics or engine
-    #   changed this round (rows-only→error-bound conversions, the
-    #   rewritten connected-components core); (4) the oldest surviving
-    #   driver rows, r1 → r2 → r3, as far as the 50 slots allow (each
-    #   displaced name is annotated inline and leads the r7 rotation).
-    # -- never driver-checked (r5 additions, local-gate green only) --
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_value_histogram",
-    # -- new in r6 --
-    "stream_funnel",
-    "similarity_topk",
-    "text_gopher_rules",
-    "events_path_topk",
-    "events_anomaly_mad",
-    "multimodal_ahash_dedup",
-    "stream_value_histogram",
-    "events_attribution",
-    "scd2_customer_priority",
-    "events_quality_audit",
-    "dedup_semantic",
-    "embedding_quantize_int8",
-    "stream_quality_audit",
-    "events_attribution_linear",
-    "stream_rollup_upsert",
-    "stream_scd2_apply",
-    "text_ngram_lm",
-    "text_bpe_train",
-    "graph_bfs_copurchase",
-    "join_null_aware_anti",
-    "join_dpp_partitioned",
-    "agg_heavy_hitters_mg",
-    "events_drift_chi2",
-    "join_lateral_topk",
-    "stream_drift_chi2",
-    "pipeline_stream_ingest",
-    "embedding_cohort_drift",
-    "dedup_edit_distance",
-    "agg_mode_exact",
-    "scalar_regex_funcs",
-    "text_bpe_apply",
-    "basket_association_rules",
-    "embedding_mislabel_audit",
-    "sink_wap_publish",
-    "events_asof_join_forward",
-    "agg_listagg_ordered",
-    "events_cohort_ltv",
-    "source_schema_evolution",
-    "agg_bitmap_distinct",
-    "events_missing_hours",
-    "sql_recursive_bom",
-    "stream_missing_hours",
-    # -- converted / engine-rewritten in r6 --
-    "similarity_ivf_probe",       # was no_oracle; now error-bound oracle
-    # similarity_dup_pairs_lsh displaced by agg_bool_every_any — its
-    # oracle conversion is the same pattern as similarity_ivf_probe
-    # (kept in-window) and its plan is pinned by test_plans.py. Joins
-    # the r7 list.
-    # dedup_clusters displaced by scalar_try_funcs — its rewritten CC
-    # core is identically exercised by dedup_clusters_lsh below (same
-    # connected_components engine), so one in-window canary suffices;
-    # dedup_clusters joins the r7 list.
-    "dedup_clusters_lsh",
-    # -- oldest driver rows: r1 --
-    # set_union_all (the last r1 row) displaced by
-    # embedding_mislabel_audit; set_distinct/set_union_by_name hold r5
-    # rows as the set-family canaries. It leads the r7 rotation.
-    # (q1_pricing_summary_fast held the other r1 row; deregistered this
-    # round — its proof is q1_fast_validation below)
-    # -- r2 rows --
-    # agg_approx_sketches (r2 row) displaced by agg_bitmap_distinct;
-    # the sketch family keeps heavy-hitters + bitmap in-window and the
-    # HLL merge in the r7 block. It joins the r7 list.
-    # agg_collect_list_set (r2 row) displaced by sink_wap_publish;
-    # collect_list/set shapes also ride window_first_last_nth's family.
-    # It joins the r7 list.
-    # q1_fast_validation (r2 row) displaced by stream_missing_hours;
-    # the fast-variant guarantee is additionally pinned by
-    # tests/test_oracle_queries (local gate runs all queries each
-    # session). It joins the r7 list.
-    # q6_forecast_revenue / scalar_conditional_funcs (r2 rows) displaced
-    # by events_asof_join_forward + agg_listagg_ordered; q6's plan
-    # properties remain pinned by test_plans.py and scalar coverage by
-    # the r5 scalar_* rows. Both join the r7 list.
-    # -- r3 rows (oldest-first block) --
-    # agg_cube / agg_grouping_sets (r3 rows) displaced by
-    # events_cohort_ltv + source_schema_evolution; agg_pivot holds an r5
-    # row and the grouping family's semantics are unchanged since r3.
-    # Both join the r7 list.
-    # agg_min_max_by / agg_percentile_exact / join_theta_pairs displaced
-    # by dedup_edit_distance + agg_mode_exact + scalar_regex_funcs
-    # (never-checked > stale); cube/grouping_sets stay as the agg-family
-    # canaries, the joins family keeps the three new r6 join rows plus
-    # the r5 asof/range rows. All displaced names lead the r7 list.
-    # agg_rollup displaced by embedding_cohort_drift (never-checked >
-    # stale); cube/grouping_sets stay as the grouping-family canaries.
-    # It joins the r7 list.
-    # agg_stats_moments displaced by pipeline_stream_ingest; the agg
-    # family keeps cube/grouping_sets/rollup/percentile/min_max_by as
-    # in-window canaries. It joins the r7 list.
-    # embedding_centroid_by_label displaced by stream_drift_chi2; the
-    # embedding family keeps dedup_semantic + embedding_quantize_int8
-    # as in-window canaries. It joins the r7 list.
-    # q3_shipping_priority (r3 row) displaced by sql_recursive_bom;
-    # q21 + q1_fast_validation keep the TPC-H canaries. Joins the r7 list.
-    # q5_local_supplier_volume / q7_nation_volume displaced by
-    # text_bpe_apply + basket_association_rules (never-checked > stale);
-    # q3/q10/q21 keep the TPC-H join canaries. Both join the r7 list.
-    # q8_market_share displaced by join_lateral_topk (never-checked >
-    # stale); q7 remains the nation-join canary. q8 joins the r7 list.
-    # q10_returned_items (r3 row) displaced by events_missing_hours;
-    # q3 + q21 remain the TPC-H canaries. It joins the r7 list.
-    "decode_dlq_route",
-    "scalar_try_funcs",
-    "agg_bool_every_any",
-    # q21_waiting_supplier (r3 row, the last stale slot) displaced by
-    # decode_dlq_route — never-checked outranks stale; the TPC-H family
-    # keeps q1/q2/q9/q11/q16/q20 r5 rows out-of-window and the full set
-    # in the local gate. q21 leads the r7 rotation.
-    # q14/q15/q17/q18/q19/q22 displaced from the tail by the six
-    # never-checked late-r6 additions just above (text_bpe_train,
-    # graph_bfs_copurchase, join_null_aware_anti, join_dpp_partitioned,
-    # agg_heavy_hitters_mg, events_drift_chi2; never-checked outranks
-    # stale per the r5 verdict); q21 stays as the EXISTS/anti-family
-    # canary alongside the new NOT-IN null-aware form. The displaced six
-    # lead the r7 rotation with the rest of the drop list below.
-    # Registered AFTER the window filled with 50 never-checked names
-    # (they lead the r7 rotation, before the displaced list below):
-    # source_python_datasource, and any later session additions noted
-    # in COVERAGE.md. The local gate runs ALL registered queries.
-    # dropped from this window to stay within the driver's 50-name
-    # prefix (this tuple is EXACTLY 50 — entries past 50 would silently
-    # go unchecked): join_cross / join_full_outer / join_left_anti /
-    # join_left_semi / join_right_outer / scalar_array_funcs /
-    # set_except / set_intersect / window_first_last_nth /
-    # window_lag_lead, plus — displaced by the nine NEVER-checked
-    # late-r6 registrations (events_attribution + _linear,
-    # scd2_customer_priority, events_quality_audit, dedup_semantic,
-    # embedding_quantize_int8, stream_quality_audit,
-    # stream_rollup_upsert, stream_scd2_apply, text_ngram_lm; the r5
-    # verdict ranks never-checked above stale) — join_broadcast_dim /
-    # join_left_outer / window_range_frame / window_rank_forms /
-    # window_running_sum / window_topk_per_group / q4_late_orders /
-    # q12_priority_by_flag / q13_order_count_distribution /
-    # agg_count_distinct (all r3-green; their modules are
-    # unchanged since, and each family keeps an in-window canary: joins
-    # via join_theta_pairs + the r5 asof/range rows, windows via the two
-    # new window-heavy warehouse queries, EXISTS/anti shapes via
-    # q21/q22). All of the above lead the r7 rotation, FOLLOWED BY the
-    # late-r6 registrations that landed after this window was frozen
-    # (never driver-checked, local-gate green at both SFs):
-    # text_lm_doc_score, text_bpe_pair_counts, events_markov_transitions,
-    # events_rfm_segments, graph_pagerank_trade, graph_triangle_count,
-    # warehouse_snapshot_diff, embedding_pca_validation,
-    # timeseries_ema_daily, timeseries_holt_forecast,
-    # events_changepoint_cusum, stream_rfm_segments, agg_hll_sketch_merge,
-    # multimodal_scene_cuts, scalar_url_funcs. Everything with an r4/r5
-    # row keeps it. The local oracle gate still runs ALL registered
-    # queries every session.
-)
+# every round r1-r6: the driver checks exactly the first 50 names in
+# iteration order), so with 222+ registered queries the window must
+# ROTATE for every operator to accumulate driver-green evidence. Through
+# r6 the rotation was hand-curated prose; it is now computed from data
+# (per the r6 verdict): ``tools/update_evidence.py`` folds every
+# CORRECTNESS_r*.json into ``driver_evidence.json`` (each query's latest
+# driver row: round + green/red/no_oracle), and ``front_order`` sorts
+#   1. non-green latest rows first (a red or oracle-less external record
+#      must be re-proven before anything else),
+#   2. then never-driver-checked queries (local-gate green only),
+#   3. then green rows, oldest round first,
+# with registration order as the deterministic tie-break. Names beyond
+# the 50-prefix keep their older rows until rotation reaches them; the
+# local pytest gate always runs ALL registered queries, so out-of-window
+# regressions still fail CI — they are just not externally re-proven
+# until their next turn. ``tests/test_oracle_queries.py`` asserts the
+# evidence artifact is current and the window composition is the one
+# this policy implies.
+
+
+def _load_evidence() -> dict[str, dict]:
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "driver_evidence.json",
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def front_order(names: list[str]) -> list[str]:
+    """Deterministic oldest-evidence-first rotation over ``names``.
+
+    ``names`` arrives in registration order (dict insertion order from
+    the operator-module imports — stable across runs).
+    """
+    evidence = _load_evidence()
+
+    def key(pair: tuple[int, str]) -> tuple[int, int, int]:
+        idx, name = pair
+        ev = evidence.get(name)
+        if ev is None:
+            return (1, 0, idx)  # never driver-checked
+        if ev["status"] != "green":
+            return (0, ev["round"], idx)  # red / no_oracle: re-front
+        return (2, ev["round"], idx)  # green: oldest round first
+
+    return [n for _, n in sorted(enumerate(names), key=key)]
 
 
 def all_queries() -> dict[str, Query]:
     """Import every operator module (side-effect: registration) and return
-    the registry with the `_FRONT` window first."""
+    the registry in computed rotation order (see ``front_order``)."""
     # Imports are deferred so `import kinesumer_spark` stays cheap.
     from kinesumer_spark.operators import (  # noqa: F401
         relational,
@@ -274,9 +140,4 @@ def all_queries() -> dict[str, Query]:
     )
     from kinesumer_spark.streaming import queries as streaming_queries  # noqa: F401
 
-    missing = [n for n in _FRONT if n not in QUERIES]
-    if missing:  # a rename must update _FRONT, loudly
-        raise KeyError(f"_FRONT names not registered: {missing}")
-    ordered = {n: QUERIES[n] for n in _FRONT}
-    ordered.update((n, q) for n, q in QUERIES.items() if n not in ordered)
-    return ordered
+    return {n: QUERIES[n] for n in front_order(list(QUERIES))}

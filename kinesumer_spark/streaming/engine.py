@@ -64,21 +64,33 @@ def _dir_has_data_files(path: str) -> bool:
 
 def _generic_to_envelope(df: DataFrame, stream: str) -> DataFrame:
     """Adapt a non-file streaming source's rows to RECORD_SCHEMA. The
-    source must provide shard_id / sequence_number / partition_key;
-    remaining payload columns become the JSON data bytes, and
-    arrival_ts derives deterministically from the sequence number (a
-    real connector supplies the service timestamp here)."""
-    key_cols = {"stream", "shard_id", "sequence_number", "partition_key"}
+    source must provide shard_id / sequence_number / partition_key; an
+    ``arrival_ts`` column, when present, is passed through as the
+    service timestamp (what a real connector supplies). Remaining
+    payload columns become the JSON data bytes.
+
+    Without an ``arrival_ts`` column the envelope falls back to a
+    timestamp derived from the sequence number — via ``try_cast``, NOT
+    a plain cast: connector sequence numbers can run to ~56 digits
+    (past bigint), and under Spark 4's default ANSI mode a plain cast
+    would throw mid-stream. Unparseable sequences get the batch's
+    current timestamp instead."""
+    key_cols = {"stream", "shard_id", "sequence_number", "partition_key", "arrival_ts"}
     payload_cols = [c for c in df.columns if c not in key_cols]
+    if "arrival_ts" in df.columns:
+        arrival = F.col("arrival_ts").cast("timestamp")
+    else:
+        arrival = F.coalesce(
+            F.timestamp_micros(F.expr("try_cast(sequence_number AS bigint)")),
+            F.current_timestamp(),
+        )
     return df.select(
         F.lit(stream).alias("stream"),
         F.col("shard_id"),
         F.col("sequence_number"),
         F.col("partition_key"),
         F.to_json(F.struct(*payload_cols)).cast("binary").alias("data"),
-        F.timestamp_micros(
-            F.col("sequence_number").cast("bigint")
-        ).alias("arrival_ts"),
+        arrival.alias("arrival_ts"),
     )
 
 
@@ -193,6 +205,10 @@ class Engine:
         # (stream, child_shard) → [(parent_shard, parent_end), ...];
         # populated by consume(lineage=...), empty = no reshard gating
         self._lineage: dict[tuple[str, str], list[tuple[str, str]]] = {}
+        # children whose deferred backlog was already flushed this
+        # process (driver memory only — after a restart the flush re-runs
+        # once and the committed-seq filter makes it a no-op)
+        self._flushed: set[tuple[str, str]] = set()
         os.makedirs(self._ledger_dir(), exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -206,10 +222,19 @@ class Engine:
 
     def _deferred_dir(self) -> str:
         """Durable holding area for reshard-deferred child rows (see
-        ShardLineage): written as parquet by the admission gate, read
-        back by the loopback stream source — distributed end to end,
-        nothing buffers on the driver."""
+        ShardLineage). Two subdirs: ``data/`` holds the deferred rows
+        (each written exactly once, batch-read back by the gate-open
+        flush), ``tick/`` holds one-row sentinel files whose only job is
+        to keep the streaming query producing microbatches while a gate
+        holds rows back (the loopback source reads ``tick/``, never the
+        data). Nothing buffers on the driver."""
         return os.path.join(self.checkpoint_root, self.app, "deferred")
+
+    def _deferred_data_dir(self) -> str:
+        return os.path.join(self._deferred_dir(), "data")
+
+    def _deferred_tick_dir(self) -> str:
+        return os.path.join(self._deferred_dir(), "tick")
 
     def _ckpt_dir(self) -> str:
         # one WAL per query generation: a refresh()ed query has a new
@@ -291,11 +316,16 @@ class Engine:
             # merge reshard = two edges per child; admission waits on all
             self._lineage[(e.stream, e.child)].append((e.parent, e.parent_end))
         if self._lineage:
-            os.makedirs(self._deferred_dir(), exist_ok=True)
+            os.makedirs(self._deferred_data_dir(), exist_ok=True)
+            os.makedirs(self._deferred_tick_dir(), exist_ok=True)
+            # the loopback carries only 1-row wakeup sentinels (dropped
+            # by the admission gate before the sink); deferred DATA is
+            # batch-read once when the child's gate opens, so per-shard
+            # order survives the deferral (see _admit)
             loopback = (
                 self.spark.readStream.schema(RECORD_SCHEMA)
                 .option("maxFilesPerTrigger", 1)
-                .parquet(self._deferred_dir())
+                .parquet(self._deferred_tick_dir())
             )
             merged = merged.unionByName(loopback)
         return merged
@@ -334,12 +364,30 @@ class Engine:
             if prev is None or self._seq_order_key(sequence_number) > self._seq_order_key(prev):
                 self._marks[(stream, shard_id)] = sequence_number
 
+    def _monotonic_marks(
+        self, marks: dict[tuple[str, str], str]
+    ) -> dict[tuple[str, str], str]:
+        """Max-merge new marks against the ledger's current high-water:
+        a crash-replayed (or deferred-then-flushed) batch re-committing
+        older sequence numbers must never REGRESS a shard's committed
+        mark — checkpoints() is last-writer-wins by file order, so
+        without this a later batch file holding older marks would win."""
+        existing = self.checkpoints()
+        out: dict[tuple[str, str], str] = {}
+        for k, seq in marks.items():
+            prev = existing.get(k)
+            if prev is not None and self._seq_order_key(prev) > self._seq_order_key(seq):
+                seq = prev
+            out[k] = seq
+        return out
+
     def commit_marks(self, batch_id: int) -> None:
         """Flush manually-staged marks to the ledger — Commit() parity
         (kinesumer.go:767-789; marks are kept after commit, idempotent
         re-put, exactly like the reference's offsets map)."""
         with self._lock:
             marks = dict(getattr(self, "_marks", {}))
+        marks = self._monotonic_marks(marks)
         path = os.path.join(
             self._ledger_dir(), f"batch-{self._generation:06d}-{batch_id:020d}.json"
         )
@@ -383,6 +431,9 @@ class Engine:
             )
             .collect()
         )
+        merged = self._monotonic_marks(
+            {(r["stream"], r["shard_id"]): r["sequence_number"] for r in marks}
+        )
         # generation in the name: batch ids restart at 0 after refresh(),
         # and a same-named file would overwrite the previous generation's
         # committed marks
@@ -397,11 +448,11 @@ class Engine:
                     "batch_id": batch_id,
                     "checkpoints": [
                         {
-                            "stream": r["stream"],
-                            "shard_id": r["shard_id"],
-                            "sequence_number": r["sequence_number"],
+                            "stream": s,
+                            "shard_id": sh,
+                            "sequence_number": seq,
                         }
-                        for r in marks
+                        for (s, sh), seq in sorted(merged.items())
                     ],
                 },
                 f,
@@ -409,15 +460,16 @@ class Engine:
         os.replace(tmp, path)  # atomic, crash-safe like a DDB batch-put
 
     # -- reshard admission gate (ShardLineage) -----------------------------
+    _TICK_SHARD = "\x00tick"  # wakeup sentinel, never reaches the sink
+
     def _parent_complete(self, cps, stream: str, parent: str, end: str) -> bool:
         cur = cps.get((stream, parent))
         return cur is not None and self._seq_order_key(cur) >= self._seq_order_key(end)
 
-    def _blocked_children(self) -> list[str]:
+    def _blocked_children(self, cps) -> list[str]:
         """(stream, child) keys whose parent(s) are not yet committed
         through parent_end — one ledger read per microbatch, the same
         cadence as the reference's checkpoint lookups (O14)."""
-        cps = self.checkpoints()
         return [
             f"{stream}\x1f{child}"
             for (stream, child), parents in self._lineage.items()
@@ -426,22 +478,78 @@ class Engine:
             )
         ]
 
+    def _write_tick(self) -> None:
+        """Append one sentinel row to the tick area: the loopback source
+        presents it next trigger, guaranteeing another microbatch while
+        any gate holds rows deferred (without a tick, a gate that opens
+        on the LAST batch of available data would strand its backlog
+        until unrelated new data arrives)."""
+        self.spark.createDataFrame(
+            [(self._TICK_SHARD, self._TICK_SHARD, "0", None, None, None)],
+            RECORD_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(self._deferred_tick_dir())
+
     def _admit(self, batch_df: DataFrame) -> DataFrame:
-        """Split a microbatch at the reshard boundary: rows of still-
-        blocked child shards go durably to the deferred area (the
-        loopback source re-presents them next batch); everything else is
-        admitted. The commit that follows sees only admitted rows, so a
-        child's high-water never advances before its parent closes."""
-        blocked = self._blocked_children()
-        if not blocked:
-            return batch_df
+        """Split a microbatch at the reshard boundary, preserving
+        per-shard order ACROSS the deferral:
+
+        - rows of still-blocked child shards go durably (once) to the
+          deferred data area; a tick sentinel keeps microbatches coming;
+        - when a child's gate opens, its ENTIRE deferred backlog is
+          batch-read and delivered in that one microbatch (deduped on
+          sequence_number), so no older deferred row can trail a newer
+          main-source row into a later batch — the ordering hole the r6
+          advisory flagged;
+        - rows of open-gated children at or below the committed
+          high-water are dropped (idempotent flush replay after a crash
+          or restart; commit is additionally monotonic, see
+          _monotonic_marks, so a replayed batch can't regress marks).
+
+        The commit that follows sees only admitted rows, so a child's
+        high-water never advances before its parent closes."""
+        batch_df = batch_df.filter(F.col("shard_id") != self._TICK_SHARD)
+        cps = self.checkpoints()
+        blocked = self._blocked_children(cps)
         key = F.concat_ws("\x1f", F.col("stream"), F.col("shard_id"))
-        deferred = batch_df.filter(key.isin(blocked))
-        # write only when rows exist: an unconditional write would drop
-        # an empty file per batch and self-trigger the loopback forever
-        if deferred.limit(1).count() > 0:
-            deferred.write.mode("append").parquet(self._deferred_dir())
-        return batch_df.filter(~key.isin(blocked))
+        if blocked:
+            deferred = batch_df.filter(key.isin(blocked))
+            # write only when rows exist — no empty file per batch
+            if deferred.limit(1).count() > 0:
+                deferred.write.mode("append").parquet(self._deferred_data_dir())
+            batch_df = batch_df.filter(~key.isin(blocked))
+            if _dir_has_data_files(self._deferred_data_dir()):
+                self._write_tick()
+        blocked_set = set(blocked)
+        open_gated = [
+            (s, c) for (s, c) in self._lineage if f"{s}\x1f{c}" not in blocked_set
+        ]
+        if open_gated:
+            to_flush = [k for k in open_gated if k not in self._flushed]
+            if to_flush and _dir_has_data_files(self._deferred_data_dir()):
+                backlog = (
+                    self.spark.read.schema(RECORD_SCHEMA)
+                    .parquet(self._deferred_data_dir())
+                    .filter(key.isin([f"{s}\x1f{c}" for s, c in to_flush]))
+                    .dropDuplicates(["stream", "shard_id", "sequence_number"])
+                )
+                batch_df = batch_df.unionByName(backlog)
+            self._flushed.update(to_flush)
+            committed = [
+                (s, c, cps[(s, c)]) for (s, c) in open_gated if (s, c) in cps
+            ]
+            if committed:
+                cdf = self.spark.createDataFrame(
+                    committed,
+                    schema="stream string, shard_id string, committed_seq string",
+                )
+                batch_df = (
+                    batch_df.join(
+                        F.broadcast(cdf), ["stream", "shard_id"], "left"
+                    )
+                    .filter(F.expr(self._AHEAD_SQL))
+                    .drop("committed_seq")
+                )
+        return batch_df
 
     def run(
         self,
@@ -616,16 +724,24 @@ class Engine:
         "     AND sequence_number > committed_seq)"
     )
 
+    def _non_file_streams(self) -> list[str]:
+        """Subscribed streams with no file backing — their history is
+        not batch-re-readable, so lag()/replay_from() cannot cover them
+        (the streaming consume() path still delivers them fine)."""
+        return [s.name for s in self._streams.values() if s.format != "parquet"]
+
     def _batch_envelope(self, columns: list[str] | None = None) -> DataFrame | None:
-        """Batch (non-streaming) read of every subscribed stream as the
-        envelope, unioned; None when no source has data yet."""
+        """Batch (non-streaming) read of every file-backed subscribed
+        stream as the envelope, unioned; None when no source has data
+        yet. Callers must surface ``_non_file_streams()`` explicitly —
+        this helper covers only what is batch-re-readable."""
         from functools import reduce
 
         from kinesumer_spark.catalog import parquet_file_schema
 
         parts: list[DataFrame] = []
         for s in self._streams.values():
-            if not _dir_has_data_files(s.path):
+            if s.format != "parquet" or not _dir_has_data_files(s.path):
                 continue
             raw = self.spark.read.schema(
                 parquet_file_schema(self.spark, s.path)
@@ -652,16 +768,27 @@ class Engine:
         Distributed end to end: one batch scan per stream (narrow
         projection to the envelope key columns), a broadcast join
         against the ledger's committed marks (bounded by shard count),
-        and a per-shard aggregate."""
+        and a per-shard aggregate.
+
+        Non-file sources (e.g. a custom Python streaming source) have no
+        re-readable history: they appear as one explicit marker row
+        (shard_id='<non-file source: lag unavailable>', NULL metrics)
+        instead of being silently omitted."""
+        marker_schema = (
+            "stream string, shard_id string, committed_seq string, "
+            "latest_seq string, pending_records bigint"
+        )
+        markers = self.spark.createDataFrame(
+            [
+                (name, "<non-file source: lag unavailable>", None, None, None)
+                for name in self._non_file_streams()
+            ]
+            or [],
+            schema=marker_schema,
+        )
         env = self._batch_envelope(["stream", "shard_id", "sequence_number"])
         if env is None:
-            return self.spark.createDataFrame(
-                [],
-                schema=(
-                    "stream string, shard_id string, committed_seq string, "
-                    "latest_seq string, pending_records bigint"
-                ),
-            )
+            return markers
         return (
             env.join(F.broadcast(self._committed_df()), ["stream", "shard_id"], "left")
             .groupBy("stream", "shard_id")
@@ -678,11 +805,14 @@ class Engine:
                 .cast("bigint")
                 .alias("pending_records"),
             )
+            .unionByName(markers)
             .orderBy("stream", "shard_id")
         )
 
     def replay_from(
-        self, marks: dict[tuple[str, str], str] | None = None
+        self,
+        marks: dict[tuple[str, str], str] | None = None,
+        skip_non_file: bool = False,
     ) -> DataFrame:
         """Batch redelivery of every record strictly AFTER the given
         marks (default: the ledger's committed high-water) — the
@@ -692,8 +822,19 @@ class Engine:
         touching the streaming query's WAL, and delivery stays
         at-least-once end to end.
 
+        Non-file sources cannot be batch-re-read, so a replay that
+        would silently miss them RAISES instead; pass
+        ``skip_non_file=True`` to replay only the file-backed streams.
+
         Distributed: batch envelope scan ⨝ broadcast marks (shard-
         bounded), filtered by the ledger ordering predicate."""
+        non_file = self._non_file_streams()
+        if non_file and not skip_non_file:
+            raise NotImplementedError(
+                "replay_from cannot re-read non-file sources "
+                f"{non_file!r}; pass skip_non_file=True to replay only "
+                "the file-backed streams"
+            )
         env = self._batch_envelope()
         if env is None:
             return self.spark.createDataFrame([], schema=RECORD_SCHEMA)
@@ -720,15 +861,28 @@ class Engine:
         live batch file, so later batches still win replay order) is
         written atomically first, old files removed after; a crash
         between leaves duplicates, which checkpoints() resolves by
-        last-writer-wins exactly as before."""
-        cps = self.checkpoints()
-        old_files = [
+        last-writer-wins exactly as before.
+
+        Safe against a live auto-committing query: the file list is
+        taken FIRST and the snapshot is built from exactly those files —
+        a batch commit landing between the list and the deletes is
+        neither folded in nor deleted, so its marks survive untouched
+        (the r6 advisory's list-then-snapshot race)."""
+        old_files = sorted(
             fn
             for fn in os.listdir(self._ledger_dir())
             if fn.endswith(".json")
-        ]
+        )
         if not old_files:
             return 0
+        # last-writer-wins over exactly the listed files (same fold as
+        # checkpoints(), restricted to the snapshot's input set)
+        cps: dict[tuple[str, str], str] = {}
+        for fn in old_files:
+            with open(os.path.join(self._ledger_dir(), fn)) as f:
+                doc = json.load(f)
+            for cp in doc["checkpoints"]:
+                cps[(cp["stream"], cp["shard_id"])] = cp["sequence_number"]
         # "a-" sorts before every "batch-…" file, so live batches keep
         # winning last-writer-wins replay; also avoids colliding with
         # generation 0 / batch 0's own file name

@@ -1116,3 +1116,159 @@ def test_consume_from_python_stream_source(spark, tmp_path):
     cps = eng.checkpoints()
     assert cps[("sim", "shardId-" + "0".rjust(12, "0"))] == str(39).zfill(21)
     assert cps[("sim", "shardId-" + "2".rjust(12, "0"))] == str(119).zfill(21)
+
+
+def test_reshard_late_child_rows_stay_ordered_after_gate_opens(spark, tmp_path):
+    """The r6 advisory's ordering hole: child rows arriving AFTER the
+    gate opens must not overtake the previously deferred backlog. The
+    gate now flushes the entire backlog the moment it opens (one batch,
+    deduped), so for the child shard, sequence ranges across batches
+    must be non-overlapping and increasing — and the committed mark must
+    never regress across ledger files."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    # mtime order: child-early (deferred), parent (opens gate on its
+    # second file), child-late (arrives after the gate is open)
+    _raw_events_file(d / "part-0-child-early.parquet", range(11, 16), user_id=2)
+    _raw_events_file(d / "part-1-parent-a.parquet", range(1, 6), user_id=1)
+    _raw_events_file(d / "part-2-parent-b.parquet", range(6, 11), user_id=1)
+    _raw_events_file(d / "part-3-child-late.parquet", range(16, 21), user_id=2)
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(d / f, (base + i * 60, base + i * 60))
+
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    eng = Engine(spark, app="t-late-child", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)],
+        lineage=[
+            ShardLineage(
+                stream="s", child=child, parent=parent, parent_end=str(10).zfill(21)
+            )
+        ],
+    )
+    seen: list = []
+    q = eng.run(records, _collecting_sink(seen))
+    q.processAllAvailable()
+    eng.close()
+
+    # per-batch child sequence ranges must be strictly increasing: no
+    # deferred (older) row may be delivered in a later batch than any
+    # newer main-source row
+    child_by_batch = [
+        (bid, sorted(r["sequence_number"] for r in rows if r["shard_id"] == child))
+        for bid, rows in seen
+        if any(r["shard_id"] == child for r in rows)
+    ]
+    assert child_by_batch, seen
+    for (b1, seqs1), (b2, seqs2) in zip(child_by_batch, child_by_batch[1:]):
+        assert b1 < b2
+        assert max(seqs1) < min(seqs2), (
+            f"child rows out of order across batches: {child_by_batch}"
+        )
+    # nothing lost
+    delivered_child = {
+        r["sequence_number"] for _, rows in seen for r in rows
+        if r["shard_id"] == child
+    }
+    assert delivered_child == {str(i).zfill(21) for i in range(11, 21)}
+    # ledger: child committed marks never regress in file (replay) order
+    ledger = eng._ledger_dir()
+    child_marks = []
+    for fn in sorted(os.listdir(ledger)):
+        if not fn.endswith(".json"):
+            continue
+        import json as _json
+
+        with open(os.path.join(ledger, fn)) as f:
+            doc = _json.load(f)
+        for cp in doc["checkpoints"]:
+            if cp["shard_id"] == child:
+                child_marks.append(cp["sequence_number"])
+    assert child_marks == sorted(child_marks), child_marks
+    assert eng.checkpoints()[("s", child)] == str(20).zfill(21)
+
+
+def test_commit_is_monotonic_against_ledger(spark, tmp_path):
+    """A crash-replayed batch carrying OLDER rows must not regress the
+    committed high-water: commit() max-merges against the ledger."""
+    eng = Engine(spark, app="t-mono", checkpoint_root=str(tmp_path / "ck"))
+    eng._streams = {"s": StreamSource("s", "unused")}
+    shard = "shardId-" + "1".rjust(12, "0")
+
+    def batch(seqs):
+        return spark.createDataFrame(
+            [("s", shard, str(i).zfill(21), None, None, None) for i in seqs],
+            RECORD_SCHEMA,
+        )
+
+    eng.commit(batch([5, 9]), batch_id=0)
+    assert eng.checkpoints()[("s", shard)] == str(9).zfill(21)
+    # replayed older batch lands in a LATER file; mark must hold at 9
+    eng.commit(batch([3, 4]), batch_id=1)
+    assert eng.checkpoints()[("s", shard)] == str(9).zfill(21)
+    # unpadded decimal ordering: '10' beats '9' via (length, lex)
+    eng.commit(batch([12]), batch_id=2)
+    assert eng.checkpoints()[("s", shard)] == str(12).zfill(21)
+
+
+def test_lag_and_replay_surface_non_file_sources(spark, tmp_path):
+    """Non-file streams are no longer silently dropped: lag() emits an
+    explicit marker row; replay_from() raises unless told to skip."""
+    from kinesumer_spark.sources.python_source import register_sim_stream_source
+
+    register_sim_stream_source(spark)
+    eng = Engine(spark, app="t-nonfile", checkpoint_root=str(tmp_path / "ck"))
+    eng.consume(
+        [
+            StreamSource(
+                "sim",
+                format="kinesumer_sim_stream",
+                options={"numShards": "1", "totalPerShard": "5", "scanLimit": "5"},
+            )
+        ]
+    )
+    lag = eng.lag().collect()
+    assert len(lag) == 1
+    assert lag[0]["stream"] == "sim"
+    assert "non-file source" in lag[0]["shard_id"]
+    assert lag[0]["pending_records"] is None
+
+    with pytest.raises(NotImplementedError, match="sim"):
+        eng.replay_from()
+    assert eng.replay_from(skip_non_file=True).count() == 0
+    eng.close()
+
+
+def test_generic_envelope_arrival_ts_column_and_huge_sequences(spark):
+    """_generic_to_envelope: a source-supplied arrival_ts column is
+    passed through (not derived), and without one a >bigint sequence
+    number falls back to current_timestamp instead of throwing under
+    ANSI mode (the r6 advisory's overflow)."""
+    import datetime as dt
+
+    from kinesumer_spark.streaming.engine import _generic_to_envelope
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    with_ts = spark.createDataFrame(
+        [("sh-0", "1" * 56, "k", 7, ts)],
+        "shard_id string, sequence_number string, partition_key string, "
+        "v int, arrival_ts timestamp",
+    )
+    row = _generic_to_envelope(with_ts, stream="s").collect()[0]
+    assert row["arrival_ts"] == ts
+    assert b'"v":7' in bytes(row["data"])  # arrival_ts not in payload
+
+    without_ts = spark.createDataFrame(
+        [("sh-0", "1" * 56, "k", 7), ("sh-0", "123456", "k", 8)],
+        "shard_id string, sequence_number string, partition_key string, v int",
+    )
+    rows = {
+        r["sequence_number"]: r
+        for r in _generic_to_envelope(without_ts, stream="s").collect()
+    }
+    assert rows["1" * 56]["arrival_ts"] is not None  # fallback, no throw
+    assert rows["123456"]["arrival_ts"] == dt.datetime.utcfromtimestamp(0.123456)
