@@ -3,7 +3,11 @@
 Run:  python examples/quickstart.py [sf_dir]
 
 1. CONSUME — the reference's `for record := range records` loop
-   (README.md:67-70), here: Engine.consume → run with a sink.
+   (README.md:67-70), here via the engine's FIRST-CLASS path: the
+   custom Python streaming DataSource (offset-tracked shards,
+   scanLimit pacing — the O1 shard scan as a real Spark source),
+   consumed through Engine.run with the commit ledger. A file-backed
+   stream variant follows, since parquet dirs are the usual stand-in.
 2. ANALYZE — the queries the reference hands records off for:
    any registered operator, straight from the registry.
 3. CURATE — the training-data pipeline over the same session.
@@ -26,7 +30,37 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="quickstart")
 
-    # 1. consume: an events-only dir stands in for a Kinesis stream ----
+    # 1a. consume the CUSTOM Python streaming source (the default demo:
+    # a real Spark DataSource with per-shard offsets and scanLimit
+    # pacing, not a file directory) --------------------------------
+    from kinesumer_spark.sources.python_source import register_sim_stream_source
+
+    register_sim_stream_source(spark)
+    eng0 = Engine(spark, app="quickstart-pysource", checkpoint_root=tempfile.mkdtemp())
+    sim_records = eng0.consume(
+        [
+            StreamSource(
+                "sim",
+                format="kinesumer_sim_stream",
+                options={"numShards": "3", "totalPerShard": "40", "scanLimit": "15"},
+            )
+        ]
+    )
+    sim_counts: list = []
+    q0 = eng0.run(
+        sim_records,
+        lambda batch_df, batch_id: sim_counts.append(batch_df.count()),
+    )
+    q0.processAllAvailable()
+    eng0.close()
+    print(
+        f"python-source: consumed {sum(sim_counts)} records across "
+        f"{len(sim_counts)} paced microbatches; committed shards: "
+        f"{len(eng0.checkpoints())}"
+    )
+
+    # 1b. consume a file-backed stream: an events-only dir stands in
+    # for a Kinesis stream ----
     # (a StreamSource points at ONE stream's files; sf_dir holds every
     # table, so stage a link dir — a connector would own its own topic)
     stream_dir = tempfile.mkdtemp(prefix="qs_stream_")

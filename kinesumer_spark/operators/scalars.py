@@ -410,7 +410,8 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as text_pii_scrub. The extract-all list is serialized to a
     comma-joined string on BOTH engines: registered queries must not
     return array/map columns (driver canonicalizer constraint — see
-    the r2 note above and tests/test_registry_lint.py)."""
+    the r2 note above; enforced by oracle.lint_output_schema inside
+    the gate)."""
     d = read_table(spark, sf_dir, "documents")
     # Spark SQL string literals process backslash escapes ('\b' would be
     # a backspace); DuckDB's standard-SQL literals do not — so the Spark

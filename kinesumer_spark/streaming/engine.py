@@ -381,22 +381,30 @@ class Engine:
             out[k] = seq
         return out
 
-    def commit_marks(self, batch_id: int) -> None:
-        """Flush manually-staged marks to the ledger — Commit() parity
-        (kinesumer.go:767-789; marks are kept after commit, idempotent
-        re-put, exactly like the reference's offsets map)."""
-        with self._lock:
-            marks = dict(getattr(self, "_marks", {}))
-        marks = self._monotonic_marks(marks)
-        path = os.path.join(
-            self._ledger_dir(), f"batch-{self._generation:06d}-{batch_id:020d}.json"
-        )
+    def _write_ledger_file(
+        self,
+        name: str,
+        batch_id: int,
+        marks: dict[tuple[str, str], str],
+        **extra,
+    ) -> None:
+        """Atomic, torn-write-safe ledger file: write to a ``.tmp``
+        sibling (never picked up by checkpoints(), which filters on the
+        ``.json`` suffix), fsync so a machine crash cannot leave the
+        bytes unflushed behind the rename, then ``os.replace``. A crash
+        at ANY byte offset therefore leaves either the old ledger state
+        or the complete new file — the property
+        tests/test_streaming_engine.py::test_ledger_crash_at_every_step
+        exercises every interruption point, mirroring the reference's
+        commit-failure table tests (kinesumer_test.go:466-551)."""
+        path = os.path.join(self._ledger_dir(), name)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {
                     "app": self.app,
                     "batch_id": batch_id,
+                    **extra,
                     "checkpoints": [
                         {
                             "stream": s,
@@ -408,7 +416,21 @@ class Engine:
                 },
                 f,
             )
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+
+    def commit_marks(self, batch_id: int) -> None:
+        """Flush manually-staged marks to the ledger — Commit() parity
+        (kinesumer.go:767-789; marks are kept after commit, idempotent
+        re-put, exactly like the reference's offsets map)."""
+        with self._lock:
+            marks = dict(getattr(self, "_marks", {}))
+        self._write_ledger_file(
+            f"batch-{self._generation:06d}-{batch_id:020d}.json",
+            batch_id,
+            self._monotonic_marks(marks),
+        )
 
     def commit(self, batch_df: DataFrame, batch_id: int) -> None:
         """Write per-(stream, shard) high-water marks for one batch —
@@ -436,28 +458,11 @@ class Engine:
         )
         # generation in the name: batch ids restart at 0 after refresh(),
         # and a same-named file would overwrite the previous generation's
-        # committed marks
-        path = os.path.join(
-            self._ledger_dir(), f"batch-{self._generation:06d}-{batch_id:020d}.json"
+        # committed marks. Atomic + fsynced, crash-safe like a DDB
+        # batch-put (see _write_ledger_file).
+        self._write_ledger_file(
+            f"batch-{self._generation:06d}-{batch_id:020d}.json", batch_id, merged
         )
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "app": self.app,
-                    "batch_id": batch_id,
-                    "checkpoints": [
-                        {
-                            "stream": s,
-                            "shard_id": sh,
-                            "sequence_number": seq,
-                        }
-                        for (s, sh), seq in sorted(merged.items())
-                    ],
-                },
-                f,
-            )
-        os.replace(tmp, path)  # atomic, crash-safe like a DDB batch-put
 
     # -- reshard admission gate (ShardLineage) -----------------------------
     _TICK_SHARD = "\x00tick"  # wakeup sentinel, never reaches the sink
@@ -886,22 +891,9 @@ class Engine:
         # "a-" sorts before every "batch-…" file, so live batches keep
         # winning last-writer-wins replay; also avoids colliding with
         # generation 0 / batch 0's own file name
-        snap = os.path.join(self._ledger_dir(), "a-snapshot.json")
-        tmp = snap + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "app": self.app,
-                    "batch_id": -1,
-                    "compacted": True,
-                    "checkpoints": [
-                        {"stream": s, "shard_id": sh, "sequence_number": seq}
-                        for (s, sh), seq in sorted(cps.items())
-                    ],
-                },
-                f,
-            )
-        os.replace(tmp, snap)
+        snap_name = "a-snapshot.json"
+        self._write_ledger_file(snap_name, -1, cps, compacted=True)
+        snap = os.path.join(self._ledger_dir(), snap_name)
         removed = 0
         for fn in old_files:
             p = os.path.join(self._ledger_dir(), fn)

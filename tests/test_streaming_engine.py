@@ -1272,3 +1272,96 @@ def test_generic_envelope_arrival_ts_column_and_huge_sequences(spark):
     }
     assert rows["1" * 56]["arrival_ts"] is not None  # fallback, no throw
     assert rows["123456"]["arrival_ts"] == dt.datetime.utcfromtimestamp(0.123456)
+
+
+def test_ledger_crash_at_every_step(spark, tmp_path, monkeypatch):
+    """Crash-table property for the offset ledger, mirroring the
+    reference's commit-failure tests (kinesumer_test.go:466-551): a
+    crash at ANY interruption point of commit_marks or compact_ledger
+    must leave checkpoints() either at the old state or the complete
+    new state — never torn, never regressed.
+
+    Interruption points exercised:
+    - torn .tmp at every byte offset (commit writes tmp → fsync →
+      rename; a partial tmp must be invisible to checkpoints())
+    - crash before the snapshot rename in compact_ledger
+    - crash after the snapshot, before each of the K old-file deletes
+    """
+    import json as _json
+
+    import kinesumer_spark.streaming.engine as eng_mod
+
+    shard = "shardId-" + "1".rjust(12, "0")
+
+    def fresh_engine(name):
+        e = Engine(spark, app=name, checkpoint_root=str(tmp_path / name))
+        for b in range(4):
+            e.mark("s", shard, str(b + 1).zfill(21))
+            e.mark("s", f"{shard}x", str((b + 1) * 10).zfill(21))
+            e.commit_marks(b)
+        return e
+
+    base = fresh_engine("crash-base")
+    want = base.checkpoints()
+    assert want[("s", shard)] == str(4).zfill(21)
+
+    # 1) torn tmp at every byte offset: simulate the write dying after b
+    # bytes — the partial .tmp must never influence checkpoints()
+    eng = fresh_engine("crash-torn")
+    full = _json.dumps(
+        {"app": eng.app, "batch_id": 9, "checkpoints": [
+            {"stream": "s", "shard_id": shard, "sequence_number": "9" * 21}
+        ]}
+    )
+    for b in range(len(full)):
+        torn = os.path.join(
+            eng._ledger_dir(), f"batch-000000-{9:020d}.json.tmp"
+        )
+        with open(torn, "w") as f:
+            f.write(full[:b])
+        assert eng.checkpoints() == want, f"torn tmp at byte {b} leaked"
+        os.remove(torn)
+
+    # 2) crash before the snapshot rename: patch os.replace to die
+    eng2 = fresh_engine("crash-replace")
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        raise OSError("simulated crash before rename")
+
+    monkeypatch.setattr(eng_mod.os, "replace", dying_replace)
+    with pytest.raises(OSError):
+        eng2.compact_ledger()
+    monkeypatch.setattr(eng_mod.os, "replace", real_replace)
+    assert eng2.checkpoints() == want
+    # and the engine still commits fine afterwards (tmp leftovers inert)
+    eng2.mark("s", shard, str(5).zfill(21))
+    eng2.commit_marks(4)
+    assert eng2.checkpoints()[("s", shard)] == str(5).zfill(21)
+
+    # 3) crash after the snapshot, before each delete i = 0..K-1
+    n_files = 4
+    for die_at in range(n_files):
+        e = fresh_engine(f"crash-del-{die_at}")
+        want_e = e.checkpoints()
+        calls = {"n": 0}
+        real_remove = os.remove
+
+        def dying_remove(p, _calls=calls, _die=die_at):
+            if _calls["n"] >= _die:
+                raise OSError("simulated crash mid-delete")
+            _calls["n"] += 1
+            real_remove(p)
+
+        monkeypatch.setattr(eng_mod.os, "remove", dying_remove)
+        with pytest.raises(OSError):
+            e.compact_ledger()
+        monkeypatch.setattr(eng_mod.os, "remove", real_remove)
+        assert e.checkpoints() == want_e, f"state torn at delete {die_at}"
+        # re-running compaction after the crash converges cleanly
+        e.compact_ledger()
+        assert e.checkpoints() == want_e
+        files = [
+            fn for fn in os.listdir(e._ledger_dir()) if fn.endswith(".json")
+        ]
+        assert files == ["a-snapshot.json"]
