@@ -1196,3 +1196,120 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment (quote / subset detection over rare shingles)
+# --------------------------------------------------------------------------
+
+_CONTAIN_DF_CAP = 25  # shingles seen in more docs carry no signal
+_CONTAIN_THRESHOLD = 0.8
+
+_CONTAIN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), e AS (
+  SELECT doc_id, lang, unnest(shingles) AS shingle FROM s
+), rare AS (
+  SELECT lang, shingle FROM e
+  GROUP BY lang, shingle HAVING COUNT(*) <= {_CONTAIN_DF_CAP}
+), e2 AS (
+  SELECT e.doc_id, e.lang, e.shingle FROM e JOIN rare USING (lang, shingle)
+), sized AS (
+  SELECT doc_id, lang, shingle,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_rare
+  FROM e2
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared,
+         any_value(a.n_rare) AS na, any_value(b.n_rare) AS nb
+  FROM sized a JOIN sized b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       LEAST(na, nb) AS n_smaller,
+       round(shared / CAST(LEAST(na, nb) AS DOUBLE), 6) AS containment
+FROM p
+WHERE round(shared / CAST(LEAST(na, nb) AS DOUBLE), 6) >= {_CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE, tags=("dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where the SMALLER document's
+    rare-shingle set is ≥80% contained in the other's — the quote /
+    excerpt / superset relationship that symmetric Jaccard structurally
+    misses (a short doc fully quoted inside a long one has tiny Jaccard
+    but containment 1.0). This is the measure training-data pipelines
+    use to drop excerpts whose superset is already kept (Broder's
+    containment, the SEC/copy-detection formulation), complementing
+    ``dedup_ngram_jaccard``/``dedup_minhash_lsh`` (symmetric tiers) and
+    ``dedup_substring_spans`` (exact span tier).
+
+    Semantics are defined over RARE shingles only (document frequency
+    ≤ 25, per language): common shingles are boilerplate that inflates
+    containment AND is precisely what makes a shingle self-join explode
+    at scale — the df cap is simultaneously the quality filter and the
+    scale guarantee (a shingle joins at most cap docs → ≤ cap² pair
+    contributions; no all-pairs anywhere, same blocking discipline as
+    the Jaccard tier). The oracle replays the identical definition, so
+    the driver hash-checks it exactly.
+
+    Plan: map-side shingle explode (the `_shingles_raw` regexp path, no
+    shuffle) → distinct → one (lang, shingle) aggregate for the df cap
+    → per-doc rare-set sizes (doc_id window) → shingle-keyed self-join
+    bounded by the cap → pair aggregate. Shuffles carry (shingle,
+    doc_id) fingerprints, never text. At 100 TB: identical shape, with
+    the df-capped shingle table a small fraction of the corpus; skewed
+    languages ride the shingle key, not a lang key.
+    """
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles_raw(d).distinct()
+    per_shingle = W.partitionBy("lang", "shingle")
+    rare = (
+        sh.withColumn("df", F.count(F.lit(1)).over(per_shingle))
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .drop("df")
+    )
+    sized = rare.withColumn(
+        "n_rare", F.count(F.lit(1)).over(W.partitionBy("doc_id")).cast("bigint")
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared"),
+            F.first("a.n_rare").alias("na"),
+            F.first("b.n_rare").alias("nb"),
+        )
+    )
+    return (
+        pairs.withColumn("n_smaller", F.least("na", "nb"))
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.col("n_smaller").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= _CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", "shared", "n_smaller", "containment")
+        .orderBy("doc_a", "doc_b")
+    )

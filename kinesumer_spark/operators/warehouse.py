@@ -581,3 +581,99 @@ def warehouse_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, "fk string, n_child bigint, n_orphans bigint"
     ).orderBy("fk")
+
+
+# -- Small-file compaction planner ------------------------------------------
+#
+# The ops job behind SCALE.md's "driver file listing on millions of
+# small files" note: given a file manifest (here: one entry per hourly
+# partition of the event stream, the granularity the ingest engine
+# lands), plan which files coalesce into which output group so every
+# group approaches a target size. The plan is METADATA-only — at 100 TB
+# a manifest of a few million file entries is megabytes; the planner
+# never touches data, and the rewrite it drives is an ordinary
+# partitioned write (sink surface already covered by sink_wap_publish).
+
+_COMPACT_ROW_BYTES = 64  # fixed estimator: manifest rows carry n_rows
+_COMPACT_TARGET = 4096  # target output-group size (bytes)
+
+_COMPACTION_ORACLE = f"""
+WITH manifest AS (
+  SELECT date_trunc('hour', ts) AS file_hour,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) * {_COMPACT_ROW_BYTES} AS BIGINT) AS est_bytes
+  FROM events GROUP BY 1
+), planned AS (
+  SELECT file_hour, n_rows, est_bytes,
+         CAST(COALESCE(SUM(est_bytes) OVER (
+           ORDER BY file_hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM manifest
+)
+SELECT CAST(FLOOR(cum_before / {_COMPACT_TARGET}) AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(est_bytes) AS BIGINT) AS group_bytes,
+       MIN(file_hour) AS first_hour,
+       MAX(file_hour) AS last_hour
+FROM planned
+GROUP BY 1
+ORDER BY group_id
+"""
+
+
+@register("warehouse_compaction_plan", oracle=_COMPACTION_ORACLE, tags=("warehouse",))
+def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan small-file compaction: assign time-ordered manifest entries
+    (one per hourly ingest partition, sized by a fixed bytes/row
+    estimator) to output groups by cumulative-quota packing —
+    ``group = floor(bytes_before / target)`` — so each group lands
+    within one file of the target size while PRESERVING time clustering
+    (groups are hour-contiguous, so partition pruning on the compacted
+    layout keeps working). This is the size-banded strategy behind
+    lakehouse OPTIMIZE/bin-packing maintenance jobs, expressed as one
+    declarative plan the driver can hash-check.
+
+    Plan: one aggregate of the stream to the hourly manifest (the only
+    data-bounded stage; on a real lake the manifest comes from the
+    catalog's file listing instead and nothing scans data), then a
+    cumulative sum over the time-ordered manifest and a group-keyed
+    aggregate. The cumsum window is single-partition BY DESIGN — the
+    manifest is calendar/file-count-bounded metadata (the
+    events_missing_hours discipline), ~10⁶ rows at 100 TB, far under
+    one executor's memory; the alternative (range-partitioned prefix
+    sums) buys nothing at that size.
+    """
+    from pyspark.sql import Window as W
+
+    manifest = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("file_hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn(
+            "est_bytes", (F.col("n_rows") * _COMPACT_ROW_BYTES).cast("bigint")
+        )
+    )
+    w = (
+        W.orderBy("file_hour")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    planned = manifest.withColumn(
+        "cum_before", F.coalesce(F.sum("est_bytes").over(w), F.lit(0)).cast("bigint")
+    )
+    return (
+        planned.groupBy(
+            # explicit floor: a bare double→bigint cast TRUNCATES in
+            # Spark but ROUNDS in DuckDB — floor is the portable intent
+            F.floor(F.col("cum_before") / F.lit(_COMPACT_TARGET))
+            .cast("bigint")
+            .alias("group_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("est_bytes").cast("bigint").alias("group_bytes"),
+            F.min("file_hour").alias("first_hour"),
+            F.max("file_hour").alias("last_hour"),
+        )
+        .orderBy("group_id")
+    )

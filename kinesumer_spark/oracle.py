@@ -112,7 +112,7 @@ def lint_output_schema(schema) -> list[str]:
     Serialize such columns — ``array_join``/``to_json`` on the Spark
     side, ``array_to_string``/``to_json`` in the DuckDB oracle — before
     returning. This lint runs inside :func:`check_query`, so the rule is
-    enforced over every registered query by the existing 222-query gate.
+    enforced over every registered query by the full-registry gate (224 queries at r7).
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 
