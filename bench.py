@@ -86,6 +86,9 @@ EXTENDED = [
     "events_max_concurrent_sessions",
     "agg_bitmap_distinct",
     "events_sequence_match",
+    # r7 additions
+    "dedup_containment",
+    "warehouse_compaction_plan",
 ]
 
 

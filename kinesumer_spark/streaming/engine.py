@@ -902,6 +902,66 @@ class Engine:
                 removed += 1
         return removed
 
+    def compact_deferred(self) -> int:
+        """Remove deferred-area files that can no longer contribute a
+        delivery, returning the number removed. Two classes:
+
+        - ``tick/`` sentinels: pure wakeup signals; any file the
+          loopback has already presented is dead weight. All tick files
+          are removable — an in-flight gate writes a fresh one on its
+          next blocked batch, and a query start lists the directory
+          anew (removing an UNSEEN tick only delays the wakeup until
+          the next blocked batch rewrites one).
+        - ``data/`` files: dead once every row is at or below its
+          shard's committed high-water (the gate's flush filter would
+          drop them all). Checked per file via the parquet footer-level
+          read of just (stream, shard_id, sequence_number) — a file
+          with ANY potentially-live row is kept.
+
+        Maintenance API, same contract as :meth:`compact_ledger`: safe
+        to run between queries; against a LIVE query it is conservative
+        (marks are read first, so a concurrent commit only makes more
+        files dead, never resurrects one)."""
+        removed = 0
+        tick_dir = self._deferred_tick_dir()
+        if os.path.isdir(tick_dir):
+            for e in os.scandir(tick_dir):
+                if e.is_file() and not e.name.startswith((".", "_")):
+                    os.remove(e.path)
+                    removed += 1
+        data_dir = self._deferred_data_dir()
+        if not _dir_has_data_files(data_dir):
+            return removed
+        # ONE distributed job over the whole area: per file, is any row
+        # still ahead of its shard's committed mark? Only (file, liveness)
+        # pairs reach the driver — file-count-bounded, not row-bounded.
+        per_file = (
+            self.spark.read.schema(RECORD_SCHEMA)
+            .parquet(data_dir)
+            .select(
+                F.input_file_name().alias("file"),
+                "stream",
+                "shard_id",
+                "sequence_number",
+            )
+            .join(F.broadcast(self._committed_df()), ["stream", "shard_id"], "left")
+            .groupBy("file")
+            .agg(
+                F.max(F.expr(f"CASE WHEN {self._AHEAD_SQL} THEN 1 ELSE 0 END"))
+                .alias("live")
+            )
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        for r in per_file:
+            if r["live"] == 0:
+                path = unquote(urlparse(r["file"]).path)
+                if os.path.exists(path):
+                    os.remove(path)
+                    removed += 1
+        return removed
+
     def consumer_state(self) -> DataFrame:
         """The state-store observability view (FIXTURES.md §1 schema;
         replaces the DynamoDB table of statemodel.go:17-53). Entities:

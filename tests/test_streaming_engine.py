@@ -1365,3 +1365,96 @@ def test_ledger_crash_at_every_step(spark, tmp_path, monkeypatch):
             fn for fn in os.listdir(e._ledger_dir()) if fn.endswith(".json")
         ]
         assert files == ["a-snapshot.json"]
+
+
+def test_merge_reshard_child_waits_for_both_parents(spark, tmp_path):
+    """A merge reshard is two lineage edges with the same child: the
+    child's gate must stay closed until BOTH parents are committed
+    through their ends — one parent completing is not enough — and the
+    flush then delivers the full backlog in order."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    p1 = "shardId-" + "1".rjust(12, "0")
+    p2 = "shardId-" + "2".rjust(12, "0")
+    child = "shardId-" + "3".rjust(12, "0")
+    # mtime order: child first, then parent 1, then (much later) parent 2
+    _raw_events_file(d / "part-0-child.parquet", range(31, 41), user_id=3)
+    _raw_events_file(d / "part-1-parent1.parquet", range(1, 11), user_id=1)
+    _raw_events_file(d / "part-2-parent2.parquet", range(11, 21), user_id=2)
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(d / f, (base + i * 60, base + i * 60))
+
+    eng = Engine(spark, app="t-merge-reshard", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)],
+        lineage=[
+            ShardLineage(stream="s", child=child, parent=p1,
+                         parent_end=str(10).zfill(21)),
+            ShardLineage(stream="s", child=child, parent=p2,
+                         parent_end=str(20).zfill(21)),
+        ],
+    )
+    seen: list = []
+    q = eng.run(records, _collecting_sink(seen))
+    q.processAllAvailable()
+    eng.close()
+
+    flat = [(bid, r) for bid, rows in seen for r in rows]
+    bids = {
+        shard: [bid for bid, r in flat if r["shard_id"] == shard]
+        for shard in (p1, p2, child)
+    }
+    assert bids[p1] and bids[p2] and bids[child], flat
+    # child only after BOTH parents fully delivered
+    assert max(bids[p1]) < min(bids[child])
+    assert max(bids[p2]) < min(bids[child])
+    assert {r["sequence_number"] for _, r in flat if r["shard_id"] == child} == {
+        str(i).zfill(21) for i in range(31, 41)
+    }
+    cps = eng.checkpoints()
+    assert cps[("s", child)] == str(40).zfill(21)
+
+    # maintenance: after full delivery every deferred data file is dead
+    # and every tick sentinel removable
+    data_dir = eng._deferred_data_dir()
+    n_data_before = len(
+        [e for e in os.listdir(data_dir) if not e.startswith((".", "_"))]
+    )
+    assert n_data_before > 0  # child rows were deferred durably
+    removed = eng.compact_deferred()
+    assert removed >= n_data_before
+    assert not any(
+        not e.startswith((".", "_")) for e in os.listdir(data_dir)
+    )
+
+
+def test_compact_deferred_keeps_undelivered_rows(spark, tmp_path):
+    """compact_deferred must NOT remove files whose rows are still ahead
+    of the committed marks (an engine stopped mid-block)."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    # only child data: everything defers, parent never completes
+    _raw_events_file(d / "part-0-child.parquet", range(11, 21), user_id=2)
+    eng = Engine(spark, app="t-defer-keep", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)],
+        lineage=[ShardLineage(stream="s", child=child, parent=parent,
+                              parent_end=str(10).zfill(21))],
+    )
+    q = eng.run(records, lambda df, bid: None, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    eng.close()
+
+    data_dir = eng._deferred_data_dir()
+    data_files = [e for e in os.listdir(data_dir) if not e.startswith((".", "_"))]
+    assert data_files  # rows parked
+    eng.compact_deferred()
+    # live (undelivered) rows survive compaction
+    assert [e for e in os.listdir(data_dir) if not e.startswith((".", "_"))] == data_files
