@@ -88,13 +88,17 @@ def _load_evidence() -> dict[str, dict]:
         return {}
 
 
-def front_order(names: list[str]) -> list[str]:
+def front_order(
+    names: list[str], evidence: dict[str, dict] | None = None
+) -> list[str]:
     """Deterministic oldest-evidence-first rotation over ``names``.
 
     ``names`` arrives in registration order (dict insertion order from
-    the operator-module imports — stable across runs).
-    """
-    evidence = _load_evidence()
+    the operator-module imports — stable across runs). ``evidence``
+    defaults to the committed driver_evidence.json; tests inject
+    synthetic maps to property-check the policy."""
+    if evidence is None:
+        evidence = _load_evidence()
 
     def key(pair: tuple[int, str]) -> tuple[int, int, int]:
         idx, name = pair

@@ -310,3 +310,55 @@ def test_ahead_predicate_matches_numeric_order(a, b):
     ahead = (len(sa) > len(sb)) or (len(sa) == len(sb) and sa > sb)
     assert ahead == (a > b)
     assert (Engine._seq_order_key(sa) > Engine._seq_order_key(sb)) == (a > b)
+
+
+# -- rotation policy (front_order) ------------------------------------------
+
+_STATUS = st.sampled_from(["green", "red", "no_oracle"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_front_order_policy_invariants(data):
+    """For ANY evidence map, front_order must (1) be a permutation,
+    (2) put every non-green external record before everything else,
+    (3) put never-checked queries before green ones, (4) order green
+    ones oldest-round-first, and (5) be deterministic + stable (ties
+    keep registration order)."""
+    from kinesumer_spark.registry import front_order
+
+    n = data.draw(st.integers(min_value=0, max_value=60))
+    names = [f"q{i:03d}" for i in range(n)]
+    evidence = {}
+    for name in names:
+        if data.draw(st.booleans()):
+            evidence[name] = {
+                "round": data.draw(st.integers(min_value=1, max_value=9)),
+                "status": data.draw(_STATUS),
+            }
+
+    ordered = front_order(names, evidence)
+    assert sorted(ordered) == sorted(names)  # permutation
+    assert ordered == front_order(names, evidence)  # deterministic
+
+    def bucket(nm):
+        ev = evidence.get(nm)
+        if ev is None:
+            return 1
+        return 0 if ev["status"] != "green" else 2
+
+    buckets = [bucket(nm) for nm in ordered]
+    assert buckets == sorted(buckets)
+    green_rounds = [evidence[nm]["round"] for nm in ordered if bucket(nm) == 2]
+    assert green_rounds == sorted(green_rounds)
+    # stability: within equal (bucket, round) keys, registration order
+    idx = {nm: i for i, nm in enumerate(names)}
+
+    def key(nm):
+        ev = evidence.get(nm)
+        rnd = ev["round"] if ev else 0
+        return (bucket(nm), rnd)
+
+    for a, b in zip(ordered, ordered[1:]):
+        if key(a) == key(b):
+            assert idx[a] < idx[b]
