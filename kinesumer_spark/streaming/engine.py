@@ -32,6 +32,7 @@ count × partitions.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import socket
@@ -488,9 +489,24 @@ class Engine:
         presents it next trigger, guaranteeing another microbatch while
         any gate holds rows deferred (without a tick, a gate that opens
         on the LAST batch of available data would strand its backlog
-        until unrelated new data arrives)."""
+        until unrelated new data arrives).
+
+        The sentinel flows through the caller's transformations before
+        _admit drops it (the loopback unions at consume() level), so it
+        carries an inert-but-valid payload ('{}' bytes, empty partition
+        key, epoch arrival) rather than NULLs that a JSON decode or
+        NOT-NULL assertion downstream would trip over."""
         self.spark.createDataFrame(
-            [(self._TICK_SHARD, self._TICK_SHARD, "0", None, None, None)],
+            [
+                (
+                    self._TICK_SHARD,
+                    self._TICK_SHARD,
+                    "0",
+                    "",
+                    bytearray(b"{}"),
+                    datetime.datetime(1970, 1, 1),
+                )
+            ],
             RECORD_SCHEMA,
         ).coalesce(1).write.mode("append").parquet(self._deferred_tick_dir())
 
@@ -531,8 +547,12 @@ class Engine:
         if open_gated:
             to_flush = [k for k in open_gated if k not in self._flushed]
             if to_flush and _dir_has_data_files(self._deferred_data_dir()):
+                # read with the BATCH's schema, not RECORD_SCHEMA: the
+                # caller may run() a transformed records DF, and the
+                # deferred area holds whatever schema the batches carry
+                # (the gate only requires the three key columns)
                 backlog = (
-                    self.spark.read.schema(RECORD_SCHEMA)
+                    self.spark.read.schema(batch_df.schema)
                     .parquet(self._deferred_data_dir())
                     .filter(key.isin([f"{s}\x1f{c}" for s, c in to_flush]))
                     .dropDuplicates(["stream", "shard_id", "sequence_number"])
@@ -936,8 +956,10 @@ class Engine:
         # still ahead of its shard's committed mark? Only (file, liveness)
         # pairs reach the driver — file-count-bounded, not row-bounded.
         per_file = (
-            self.spark.read.schema(RECORD_SCHEMA)
-            .parquet(data_dir)
+            # inferred schema: deferred files carry whatever schema the
+            # gated batches had (possibly user-transformed); liveness
+            # only needs the three key columns every batch must carry
+            self.spark.read.parquet(data_dir)
             .select(
                 F.input_file_name().alias("file"),
                 "stream",

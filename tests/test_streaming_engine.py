@@ -1458,3 +1458,60 @@ def test_compact_deferred_keeps_undelivered_rows(spark, tmp_path):
     eng.compact_deferred()
     # live (undelivered) rows survive compaction
     assert [e for e in os.listdir(data_dir) if not e.startswith((".", "_"))] == data_files
+
+
+def test_reshard_gate_with_transformed_records(spark, tmp_path):
+    """The gate's contract is the three key columns, not the full
+    envelope: a caller who transforms consume()'s output (extra/derived
+    columns) before run() must still get correct deferral AND flush —
+    the deferred area stores the caller's schema and the flush reads it
+    back with that same schema."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    _raw_events_file(d / "part-0-child.parquet", range(11, 21), user_id=2)
+    _raw_events_file(d / "part-1-parent.parquet", range(1, 11), user_id=1)
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(d / f, (base + i * 60, base + i * 60))
+
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    eng = Engine(spark, app="t-transformed", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)],
+        lineage=[
+            ShardLineage(stream="s", child=child, parent=parent,
+                         parent_end=str(10).zfill(21))
+        ],
+    )
+    import pyspark.sql.functions as SF
+
+    transformed = records.withColumn(
+        "seq_len", SF.length("sequence_number")
+    ).drop("data")  # user schema: -data, +seq_len
+
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.append(
+            (batch_id,
+             batch_df.select("shard_id", "sequence_number", "seq_len").collect())
+        )
+
+    q = eng.run(transformed, sink)
+    q.processAllAvailable()
+    eng.close()
+
+    flat = [(bid, r) for bid, rows in seen for r in rows]
+    parent_bids = [bid for bid, r in flat if r["shard_id"] == parent]
+    child_bids = [bid for bid, r in flat if r["shard_id"] == child]
+    assert parent_bids and child_bids
+    assert max(parent_bids) < min(child_bids)
+    assert {r["sequence_number"] for _, r in flat if r["shard_id"] == child} == {
+        str(i).zfill(21) for i in range(11, 21)
+    }
+    assert all(r["seq_len"] == 21 for _, r in flat)  # derived col survived
+    # maintenance works on the user-schema deferred files too
+    assert eng.compact_deferred() >= 1
