@@ -252,10 +252,12 @@ def _fold_expr(terms: list[str], mult: int, mod: int) -> str:
 # exact verify bit-for-bit and the driver hash-compares the final pair
 # set. (This is what rows-only status bought nothing over: approximate
 # RECALL does not mean irreproducible OUTPUT.)
-def _minhash_cte() -> str:
-    """Shared CTE chain: documents → shingles → signatures → band keys →
+def _minhash_cte(src: str = "documents") -> str:
+    """Shared CTE chain: ``src`` → shingles → signatures → band keys →
     candidates → exact-verify stats (``p``). Consumed by the pair oracle
-    and, extended with a recursive walk, by the LSH clusters oracle."""
+    and, extended with a recursive walk, by the LSH clusters oracle;
+    ``src`` lets composed pipelines run the identical tier over a
+    FILTERED corpus CTE (must expose doc_id, lang, text)."""
     h = _sha32_duck("shingle")
     mins = ",\n         ".join(
         f"min(({a} * h + {b}) % {_P32}) AS h{i}" for i, (a, b) in enumerate(_COEF)
@@ -270,7 +272,7 @@ def _minhash_cte() -> str:
         )
     bands = "\n  UNION ALL ".join(band_rows)
     return f"""w AS (
-  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM documents
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM {src}
 ), s AS (
   SELECT doc_id, lang,
          CASE WHEN len(words) >= 3 THEN
@@ -360,7 +362,14 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - Min over the hash MULTISET equals min over the set (duplicates
       can't lower a minimum), so signatures need no distinct.
     """
-    d = _t(spark, sf_dir, "documents")
+    return minhash_pairs_df(_t(spark, sf_dir, "documents"))
+
+
+def minhash_pairs_df(d: DataFrame) -> DataFrame:
+    """DataFrame form of :func:`minhash_pairs` — ``d`` must expose
+    (doc_id, lang, text). Composed pipelines run the identical LSH tier
+    over a filtered corpus this way (mirroring ``_minhash_cte(src=...)``
+    on the oracle side)."""
     tri = _shingles_raw(d).withColumn("h", F.expr(_sha32("shingle")))
     min_exprs = [
         F.expr(f"min(({a}L * h + {b}L) % {_P32}L) AS h{i}")

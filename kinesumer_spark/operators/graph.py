@@ -271,24 +271,26 @@ ORDER BY dist, p_partkey
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized co-purchase edge set. ONE shuffle keyed on l_orderkey
-    (groupBy + sorted collect_set) with in-place pair expansion — the
-    minhash/simhash bucket trick — instead of a two-sided self-join
-    (which shuffles the fact twice for the same pairs; measured 2.08 s
-    → 1.44 s at sf0.1). Fan-out stays bounded by order size (≤ C(7,2)
-    pairs per order), u < v by the sort, then distinct + both
-    directions. Plan-audited in tests/test_plans.py."""
+    """Co-purchase half-edge set (u < v), NOT symmetrized and NOT
+    globally deduped. ONE shuffle keyed on l_orderkey (groupBy + sorted
+    collect_set) with in-place pair expansion — the minhash/simhash
+    bucket trick — instead of a two-sided self-join (which shuffles the
+    fact twice for the same pairs; measured 2.08 s → 1.44 s at sf0.1).
+    Fan-out stays bounded by order size (≤ C(7,2) pairs per order),
+    u < v by the sort. Cross-order duplicate pairs are KEPT: at sf0.1
+    dedup removes 0.3% of pairs (1,199,575 → 1,196,000) while its
+    full-pair-set shuffle was the single most expensive stage of the
+    BFS — every graph consumer dedups at node level anyway (r8 named
+    re-measure). Symmetrize lazily at the consumer, AFTER any
+    materialization, so checkpoints hold the half set.
+    Plan-audited in tests/test_plans.py."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
+    return (
         li.groupBy("l_orderkey")
         .agg(F.expr("sort_array(collect_set(l_partkey)) AS ids"))
         .filter(F.expr("size(ids) > 1"))
         .selectExpr("posexplode(ids) AS (i, u)", "ids")
         .selectExpr("u", "explode(slice(ids, i + 2, size(ids))) AS v")
-        .distinct()
-    )
-    return pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
 
 
@@ -300,8 +302,9 @@ def graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge derivation is the fact-scale stage: ONE l_orderkey-keyed
     shuffle collects each order's parts and expands pairs in place
     (fan-out bounded by order size: ≤ 7 lineitems per order in TPC-H,
-    so ≤ 21 pairs — never all-pairs); the distinct collapses to the
-    co-purchase edge set. The
+    so ≤ 21 pairs — never all-pairs); duplicate pairs ride through —
+    per-hop node-level distincts absorb them far cheaper than a
+    pair-set dedup shuffle would (0.3% duplicates at sf0.1). The
     BFS itself then runs on the graph, not the data: each of the 3
     rounds joins the frontier (graph-bounded, broadcast) against the
     checkpointed edge table map-side, and a left-anti against the
@@ -313,12 +316,17 @@ def graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the kinesumer delegates analytics to its consumer
     application (README.md:67-70); SURVEY.md §2.2 LLM-pipeline
     extensions claim the graph family this completes."""
-    edges = (
+    half = (
         _copurchase_edges(spark, sf_dir)
         # read once per BFS round: materialize instead of re-deriving
         # from the fact tables 3 times (ContextCleaner-collected, unlike
-        # a session-lifetime cache entry — see graph_pagerank_trade)
+        # a session-lifetime cache entry — see graph_pagerank_trade).
+        # Only the u<v HALF is checkpointed; both directions are derived
+        # below as a map over the checkpoint, halving materialized bytes
         .localCheckpoint(eager=False)
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     sources = (
         read_table(spark, sf_dir, "part")

@@ -419,9 +419,13 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = _RX_WORDS.replace("\\", "\\\\")
     return d.select(
         "doc_id",
-        F.expr(f"array_join(regexp_extract_all(text, '{rx}', 0), ',')").alias(
-            "s_words"
-        ),
+        # coalesce mirrors the oracle's COALESCE: DuckDB needs it because
+        # array_to_string([]) is NULL there; Spark needs it for NULL text
+        # (array_join propagates NULL where the oracle coalesces to '') —
+        # without BOTH, a NULL documents.text row would diverge (r7 advice)
+        F.expr(
+            f"coalesce(array_join(regexp_extract_all(text, '{rx}', 0), ','), '')"
+        ).alias("s_words"),
         F.expr(f"cast(size(regexp_extract_all(text, '{rx}', 0)) AS bigint)").alias(
             "n_s_words"
         ),

@@ -84,8 +84,27 @@ def _load_evidence() -> dict[str, dict]:
     try:
         with open(path) as f:
             return json.load(f)
-    except (OSError, ValueError):
+    except OSError:
+        # A missing artifact silently degrades the rotation to pure
+        # registration order — the externally-checked 50-name window would
+        # re-prove the same prefix every round, which is exactly the
+        # staleness failure the computed rotation exists to prevent. Warn
+        # loudly (r7 advice) instead of hiding it.
+        import warnings
+
+        warnings.warn(
+            f"driver_evidence.json missing at {path}; front_order degrades "
+            "to registration order — run `python tools/update_evidence.py`",
+            stacklevel=2,
+        )
         return {}
+    except ValueError as e:
+        # The file exists but is corrupt: that is a broken artifact, not a
+        # fresh checkout — fail instead of silently changing the window.
+        raise ValueError(
+            f"driver_evidence.json at {path} exists but failed to parse; "
+            "regenerate with `python tools/update_evidence.py`"
+        ) from e
 
 
 def front_order(

@@ -50,6 +50,30 @@ from kinesumer_spark.streaming.envelope import (
 )
 
 
+def _parquet_live_rows(path: str) -> int:
+    """Total row count across parquet data files under ``path``
+    (recursive), summed from file footers DRIVER-SIDE — no Spark job.
+
+    This is the deferred area's liveness probe: per-batch overwrite
+    writes may legitimately produce zero-row part files, so "directory
+    has files" is no longer evidence of pending rows. Footer metadata
+    reads are O(files) driver-side lookups — the deferred area is
+    file-count-bounded (one subdir per gated microbatch, compacted), so
+    this stays cheap at any data scale; on object storage the same
+    check would fold into the compaction manifest."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return 0
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                continue
+            total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
+
+
 def _dir_has_data_files(path: str) -> bool:
     """True if ``path`` exists and holds at least one non-hidden file —
     the schema probe runs only then, so real probe failures (corrupt
@@ -224,8 +248,11 @@ class Engine:
     def _deferred_dir(self) -> str:
         """Durable holding area for reshard-deferred child rows (see
         ShardLineage). Two subdirs: ``data/`` holds the deferred rows
-        (each written exactly once, batch-read back by the gate-open
-        flush), ``tick/`` holds one-row sentinel files whose only job is
+        (namespaced ``s-<schema-hash>/b-<generation>-<batch_id>/``; each
+        gated batch OVERWRITES its own subdir so crash-replay cannot
+        duplicate rows, and the gate-open flush batch-reads only the
+        current schema's namespace), ``tick/`` holds one-row sentinel
+        files whose only job is
         to keep the streaming query producing microbatches while a gate
         holds rows back (the loopback source reads ``tick/``, never the
         data). Nothing buffers on the driver."""
@@ -233,6 +260,30 @@ class Engine:
 
     def _deferred_data_dir(self) -> str:
         return os.path.join(self._deferred_dir(), "data")
+
+    def _deferred_schema_dir(self, schema) -> str:
+        """Schema-fingerprinted namespace under ``data/``: deferred rows
+        carry whatever schema the caller's transform produced, and the
+        area is shared across engine generations — a flush must never
+        read files persisted under a DIFFERENT transformed schema with
+        the current one (silent null-fill / read failure, the r7
+        advisory). Each distinct schema gets its own subdir; the flush
+        reads only the current schema's subdir and fails loudly if a
+        foreign subdir still holds live rows."""
+        import hashlib
+
+        h = hashlib.sha256(schema.json().encode()).hexdigest()[:12]
+        return os.path.join(self._deferred_data_dir(), f"s-{h}")
+
+    def _deferred_schema_dirs(self) -> list[str]:
+        data_dir = self._deferred_data_dir()
+        if not os.path.isdir(data_dir):
+            return []
+        return sorted(
+            e.path
+            for e in os.scandir(data_dir)
+            if e.is_dir() and e.name.startswith("s-")
+        )
 
     def _deferred_tick_dir(self) -> str:
         return os.path.join(self._deferred_dir(), "tick")
@@ -510,17 +561,23 @@ class Engine:
             RECORD_SCHEMA,
         ).coalesce(1).write.mode("append").parquet(self._deferred_tick_dir())
 
-    def _admit(self, batch_df: DataFrame) -> DataFrame:
+    def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Split a microbatch at the reshard boundary, preserving
         per-shard order ACROSS the deferral:
 
-        - rows of still-blocked child shards go durably (once) to the
-          deferred data area; a tick sentinel keeps microbatches coming;
+        - rows of still-blocked child shards go durably to the deferred
+          data area, OVERWRITING a per-(generation, batch_id) subdir —
+          a foreachBatch replay after a crash rewrites the same subdir,
+          so duplicate persisted copies are structurally impossible and
+          the gate-open flush needs NO row-level dedup. That keeps
+          caller transforms that fan one record out to several rows
+          sharing a sequence_number (e.g. explode) intact through the
+          deferral — the r7 advisory's asymmetric-loss hole. A tick
+          sentinel keeps microbatches coming while rows are parked;
         - when a child's gate opens, its ENTIRE deferred backlog is
-          batch-read and delivered in that one microbatch (deduped on
-          sequence_number), so no older deferred row can trail a newer
-          main-source row into a later batch — the ordering hole the r6
-          advisory flagged;
+          batch-read and delivered in that one microbatch, so no older
+          deferred row can trail a newer main-source row into a later
+          batch — the ordering hole the r6 advisory flagged;
         - rows of open-gated children at or below the committed
           high-water are dropped (idempotent flush replay after a crash
           or restart; commit is additionally monotonic, see
@@ -532,13 +589,20 @@ class Engine:
         cps = self.checkpoints()
         blocked = self._blocked_children(cps)
         key = F.concat_ws("\x1f", F.col("stream"), F.col("shard_id"))
+        schema_dir = self._deferred_schema_dir(batch_df.schema)
         if blocked:
-            deferred = batch_df.filter(key.isin(blocked))
-            # write only when rows exist — no empty file per batch
-            if deferred.limit(1).count() > 0:
-                deferred.write.mode("append").parquet(self._deferred_data_dir())
+            # one write job, unconditionally: the overwrite of this
+            # batch's own subdir is the emptiness check (zero-row part
+            # files are ignored by the footer-level liveness probe), so
+            # no separate limit(1).count() job runs per gated batch
+            batch_dir = os.path.join(
+                schema_dir, f"b-{self._generation:06d}-{batch_id:020d}"
+            )
+            batch_df.filter(key.isin(blocked)).write.mode("overwrite").parquet(
+                batch_dir
+            )
             batch_df = batch_df.filter(~key.isin(blocked))
-            if _dir_has_data_files(self._deferred_data_dir()):
+            if _parquet_live_rows(self._deferred_data_dir()) > 0:
                 self._write_tick()
         blocked_set = set(blocked)
         open_gated = [
@@ -546,16 +610,29 @@ class Engine:
         ]
         if open_gated:
             to_flush = [k for k in open_gated if k not in self._flushed]
-            if to_flush and _dir_has_data_files(self._deferred_data_dir()):
+            if to_flush:
+                foreign = [
+                    d
+                    for d in self._deferred_schema_dirs()
+                    if d != schema_dir and _parquet_live_rows(d) > 0
+                ]
+                if foreign:
+                    raise RuntimeError(
+                        "deferred backlog persisted under a different "
+                        f"transformed schema ({foreign}); drain it with the "
+                        "original transform or compact_deferred() before "
+                        "changing the schema of a gated stream"
+                    )
+            if to_flush and _parquet_live_rows(schema_dir) > 0:
                 # read with the BATCH's schema, not RECORD_SCHEMA: the
                 # caller may run() a transformed records DF, and the
                 # deferred area holds whatever schema the batches carry
                 # (the gate only requires the three key columns)
                 backlog = (
                     self.spark.read.schema(batch_df.schema)
-                    .parquet(self._deferred_data_dir())
+                    .option("recursiveFileLookup", "true")
+                    .parquet(schema_dir)
                     .filter(key.isin([f"{s}\x1f{c}" for s, c in to_flush]))
-                    .dropDuplicates(["stream", "shard_id", "sequence_number"])
                 )
                 batch_df = batch_df.unionByName(backlog)
             self._flushed.update(to_flush)
@@ -600,7 +677,7 @@ class Engine:
             try:
                 arrived.persist()
                 if self._lineage:
-                    batch_df = self._admit(batch_df)
+                    batch_df = self._admit(batch_df, batch_id)
                 try:
                     sink(batch_df, batch_id)
                 except Exception as exc:
@@ -928,15 +1005,18 @@ class Engine:
 
         - ``tick/`` sentinels: pure wakeup signals; any file the
           loopback has already presented is dead weight. All tick files
-          are removable — an in-flight gate writes a fresh one on its
-          next blocked batch, and a query start lists the directory
-          anew (removing an UNSEEN tick only delays the wakeup until
-          the next blocked batch rewrites one).
+          are removable — but if live deferred rows remain after the
+          sweep, ONE fresh sentinel is rewritten: an open-but-unflushed
+          gate will never rewrite a tick itself (its batches are no
+          longer blocked), so without the rewrite its backlog would
+          strand until unrelated source data arrives (r7 advisory).
         - ``data/`` files: dead once every row is at or below its
           shard's committed high-water (the gate's flush filter would
           drop them all). Checked per file via the parquet footer-level
           read of just (stream, shard_id, sequence_number) — a file
-          with ANY potentially-live row is kept.
+          with ANY potentially-live row is kept. One job per schema
+          namespace (normally one), since different transformed schemas
+          cannot share a scan; emptied batch/schema subdirs are pruned.
 
         Maintenance API, same contract as :meth:`compact_ledger`: safe
         to run between queries; against a LIVE query it is conservative
@@ -950,38 +1030,74 @@ class Engine:
                     os.remove(e.path)
                     removed += 1
         data_dir = self._deferred_data_dir()
-        if not _dir_has_data_files(data_dir):
-            return removed
-        # ONE distributed job over the whole area: per file, is any row
-        # still ahead of its shard's committed mark? Only (file, liveness)
-        # pairs reach the driver — file-count-bounded, not row-bounded.
-        per_file = (
-            # inferred schema: deferred files carry whatever schema the
-            # gated batches had (possibly user-transformed); liveness
-            # only needs the three key columns every batch must carry
-            self.spark.read.parquet(data_dir)
-            .select(
-                F.input_file_name().alias("file"),
-                "stream",
-                "shard_id",
-                "sequence_number",
-            )
-            .join(F.broadcast(self._committed_df()), ["stream", "shard_id"], "left")
-            .groupBy("file")
-            .agg(
-                F.max(F.expr(f"CASE WHEN {self._AHEAD_SQL} THEN 1 ELSE 0 END"))
-                .alias("live")
-            )
-            .collect()
-        )
         from urllib.parse import unquote, urlparse
 
-        for r in per_file:
-            if r["live"] == 0:
-                path = unquote(urlparse(r["file"]).path)
-                if os.path.exists(path):
-                    os.remove(path)
-                    removed += 1
+        import pyarrow.parquet as pq
+
+        for schema_dir in self._deferred_schema_dirs():
+            # zero-row part files (a gated batch that deferred nothing
+            # still overwrites its subdir) are dead by construction and
+            # invisible to the scan below — remove from footer metadata
+            for root, _dirs, files in os.walk(schema_dir):
+                for name in files:
+                    if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                        continue
+                    path = os.path.join(root, name)
+                    if pq.ParquetFile(path).metadata.num_rows == 0:
+                        os.remove(path)
+                        removed += 1
+            if _parquet_live_rows(schema_dir) == 0:
+                continue  # emptied dirs are pruned below
+            # per file, is any row still ahead of its shard's committed
+            # mark? Only (file, liveness) pairs reach the driver —
+            # file-count-bounded, not row-bounded.
+            per_file = (
+                # inferred schema: deferred files carry whatever schema
+                # the gated batches had (possibly user-transformed);
+                # liveness only needs the three key columns every batch
+                # must carry
+                self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(schema_dir)
+                .select(
+                    F.input_file_name().alias("file"),
+                    "stream",
+                    "shard_id",
+                    "sequence_number",
+                )
+                .join(
+                    F.broadcast(self._committed_df()), ["stream", "shard_id"], "left"
+                )
+                .groupBy("file")
+                .agg(
+                    F.max(F.expr(f"CASE WHEN {self._AHEAD_SQL} THEN 1 ELSE 0 END"))
+                    .alias("live")
+                )
+                .collect()
+            )
+            for r in per_file:
+                if r["live"] == 0:
+                    path = unquote(urlparse(r["file"]).path)
+                    if os.path.exists(path):
+                        os.remove(path)
+                        removed += 1
+        # prune emptied batch/schema subdirs (and stray hidden markers);
+        # bottom-up with a FRESH listing per dir so a parent whose
+        # children were just removed is itself removable
+        if os.path.isdir(data_dir):
+            for root, _dirs, _files in os.walk(data_dir, topdown=False):
+                if root == data_dir:
+                    continue
+                entries = os.listdir(root)
+                if all(
+                    e.startswith((".", "_"))
+                    and os.path.isfile(os.path.join(root, e))
+                    for e in entries
+                ):
+                    for e in entries:
+                        os.remove(os.path.join(root, e))
+                    os.rmdir(root)
+        if _parquet_live_rows(data_dir) > 0:
+            self._write_tick()
         return removed
 
     def consumer_state(self) -> DataFrame:

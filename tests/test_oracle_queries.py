@@ -50,8 +50,15 @@ def test_driver_evidence_current():
     spec.loader.exec_module(mod)
     with open(os.path.join(repo, "driver_evidence.json")) as f:
         committed = json.load(f)
-    assert committed == mod.build_evidence(), (
+    assert committed == mod.build_evidence(set(all_queries())), (
         "driver_evidence.json is stale — run: python tools/update_evidence.py"
+    )
+    # the fold is restricted to LIVE registry names (r7 verdict: a
+    # deregistered query's stale row must not linger — it could jump the
+    # rotation queue as "non-green" if the name were ever re-registered)
+    assert set(committed) <= set(all_queries()), (
+        "driver_evidence.json holds rows for deregistered queries — "
+        "run: python tools/update_evidence.py"
     )
 
 

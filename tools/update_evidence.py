@@ -49,7 +49,14 @@ def _row_status(row: dict) -> str:
     return "red"
 
 
-def build_evidence() -> dict:
+def build_evidence(registered: set[str] | None = None) -> dict:
+    """Fold every CORRECTNESS_r*.json into {name: latest driver row}.
+
+    ``registered`` restricts the fold to live registry names so rows for
+    deregistered queries can't linger (and can't silently jump the
+    rotation queue as "non-green" if the name is ever re-registered) —
+    per the r7 verdict, which found `q1_pricing_summary_fast` surviving
+    as an r1 no_oracle row after its r6 deregistration."""
     evidence: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -62,11 +69,26 @@ def build_evidence() -> dict:
             # later rounds overwrite: files iterate in ascending round
             # order, so each query keeps its LATEST driver row
             evidence[name] = {"round": rnd, "status": _row_status(row)}
+    if registered is not None:
+        dropped = sorted(set(evidence) - registered)
+        for name in dropped:
+            del evidence[name]
+        if dropped:
+            print(f"pruned {len(dropped)} deregistered name(s): {dropped}")
     return dict(sorted(evidence.items()))
 
 
+def _registered_names() -> set[str]:
+    import sys
+
+    sys.path.insert(0, REPO)
+    from kinesumer_spark.registry import all_queries
+
+    return set(all_queries())
+
+
 def main() -> None:
-    evidence = build_evidence()
+    evidence = build_evidence(_registered_names())
     with open(OUT, "w") as f:
         json.dump(evidence, f, indent=1, sort_keys=True)
         f.write("\n")
