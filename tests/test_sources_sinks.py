@@ -441,3 +441,142 @@ def test_kafka_contract_replay_through_engine(spark, tmp_path):
     cps = eng.checkpoints()
     assert cps[("orders", "shardId-" + "0".rjust(12, "0"))] == str(7).zfill(20)
     assert cps[("orders", "shardId-" + "1".rjust(12, "0"))] == str(102).zfill(20)
+
+
+def test_kafka_contract_resubscribe_resumes_from_ledger(spark, tmp_path):
+    """The reference's consumePipe resubscribes its EFO stream every ~5
+    minutes (subscription expiry) and continues from the stored
+    checkpoint with no loss (kinesumer.go:513-607). Engine analog for
+    the kafka contract shape: stop the query, let new connector rows
+    arrive, start a FRESH engine over the same app root — the WAL +
+    ledger must hand the new reader exactly the unconsumed tail, marks
+    never regressing."""
+    import pandas as pd
+
+    from kinesumer_spark.sources.kafka import normalize_connector_output
+    from kinesumer_spark.streaming.engine import Engine
+
+    d = tmp_path / "kafka_shape"
+    d.mkdir()
+
+    def kafka_file(path, offsets_by_partition):
+        rows = [
+            {
+                "topic": "orders",
+                "partition": p,
+                "offset": o,
+                "key": f"k{o}".encode(),
+                "value": f'{{"n": {o}}}'.encode(),
+            }
+            for p, offs in offsets_by_partition.items()
+            for o in offs
+        ]
+        df = pd.DataFrame(rows)
+        df["timestamp"] = pd.to_datetime("2024-03-01 12:00:00").to_datetime64()
+        df["timestamp"] = df["timestamp"].astype("datetime64[us]")
+        df.to_parquet(path)
+
+    schema = (
+        "topic string, partition bigint, offset bigint, key binary, "
+        "value binary, timestamp timestamp"
+    )
+
+    def run_once(seen):
+        raw = spark.readStream.schema(schema).parquet(str(d))
+        records = normalize_connector_output(raw)
+        eng = Engine(
+            spark, app="t-kafka-resub", checkpoint_root=str(tmp_path / "ck")
+        )
+        eng._streams = {}  # no file-backed streams; delivery only
+
+        def sink(batch_df, batch_id):
+            seen.extend(
+                batch_df.select("shard_id", "sequence_number").collect()
+            )
+
+        q = eng.run(records, sink, trigger={"availableNow": True})
+        q.awaitTermination(120)
+        eng.close()
+        return eng.checkpoints()
+
+    kafka_file(d / "batch-0.parquet", {0: [5, 6, 7], 1: [100, 101]})
+    seen1: list = []
+    cps1 = run_once(seen1)
+    assert len(seen1) == 5
+    assert cps1[("orders", "shardId-" + "0".rjust(12, "0"))] == str(7).zfill(20)
+
+    # "subscription expired": reader gone, new records land meanwhile
+    kafka_file(d / "batch-1.parquet", {0: [8, 9], 1: [102, 103, 104]})
+    seen2: list = []
+    cps2 = run_once(seen2)
+
+    # the resumed reader got exactly the unconsumed tail (WAL-granular:
+    # the consumed file is never re-read)
+    assert {(r["shard_id"], r["sequence_number"]) for r in seen2} == {
+        ("shardId-" + "0".rjust(12, "0"), str(o).zfill(20)) for o in (8, 9)
+    } | {
+        ("shardId-" + "1".rjust(12, "0"), str(o).zfill(20)) for o in (102, 103, 104)
+    }
+    # ledger continuity: marks advanced, never regressed
+    assert cps2[("orders", "shardId-" + "0".rjust(12, "0"))] == str(9).zfill(20)
+    assert cps2[("orders", "shardId-" + "1".rjust(12, "0"))] == str(104).zfill(20)
+
+
+def test_python_source_restart_after_stream_error(spark, tmp_path):
+    """The reference resubscribes on STREAM ERROR mid-consume
+    (kinesumer.go:513-607) and continues from the checkpoint, tolerating
+    duplicates (at-least-once). Engine analog for the custom Python
+    streaming source: the sink dies between paced batches, the query
+    terminates, a fresh engine resumes from the WAL — union of both
+    runs covers every record, ledger ends at the per-shard highs."""
+    import pytest as _pytest
+
+    from kinesumer_spark.sources.python_source import register_sim_stream_source
+    from kinesumer_spark.streaming.engine import Engine, StreamSource
+
+    register_sim_stream_source(spark)
+    src = StreamSource(
+        "sim",
+        format="kinesumer_sim_stream",
+        options={"numShards": "2", "totalPerShard": "30", "scanLimit": "10"},
+    )
+
+    seen1: list = []
+
+    def dying_sink(batch_df, batch_id):
+        rows = batch_df.select("shard_id", "sequence_number").collect()
+        if batch_id >= 1:
+            raise RuntimeError("simulated stream drop")
+        seen1.extend(rows)
+
+    eng = Engine(spark, app="t-pysrc-resub", checkpoint_root=str(tmp_path / "ck"))
+    q = eng.run(eng.consume([src]), dying_sink)
+    with _pytest.raises(Exception):
+        q.processAllAvailable()
+    eng.close()
+    assert seen1, "first paced batch must deliver before the drop"
+    assert any("simulated stream drop" in e for e in eng.errors())
+
+    # resubscribe: fresh engine, same app root → WAL + ledger resume
+    seen2: list = []
+
+    def sink2(batch_df, batch_id):
+        seen2.extend(batch_df.select("shard_id", "sequence_number").collect())
+
+    eng2 = Engine(spark, app="t-pysrc-resub", checkpoint_root=str(tmp_path / "ck"))
+    q2 = eng2.run(eng2.consume([src]), sink2)
+    q2.processAllAvailable()
+    eng2.close()
+
+    got = {(r["shard_id"], r["sequence_number"]) for r in seen1} | {
+        (r["shard_id"], r["sequence_number"]) for r in seen2
+    }
+    want = {
+        ("shardId-" + str(s).rjust(12, "0"), str(s * 30 + i).zfill(21))
+        for s in range(2)
+        for i in range(30)
+    }
+    assert got == want  # nothing lost, nothing invented (dups deduped)
+    cps = eng2.checkpoints()
+    assert cps[("sim", "shardId-" + "0".rjust(12, "0"))] == str(29).zfill(21)
+    assert cps[("sim", "shardId-" + "1".rjust(12, "0"))] == str(59).zfill(21)

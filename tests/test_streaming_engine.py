@@ -1515,3 +1515,139 @@ def test_reshard_gate_with_transformed_records(spark, tmp_path):
     assert all(r["seq_len"] == 21 for _, r in flat)  # derived col survived
     # maintenance works on the user-schema deferred files too
     assert eng.compact_deferred() >= 1
+
+
+def test_reshard_gate_preserves_explode_fanout(spark, tmp_path):
+    """r7 advisory (medium): a caller transform that fans ONE record out
+    to SEVERAL rows sharing a sequence_number (explode) must deliver the
+    same row multiset whether the rows went through the deferral or not.
+    The old flush deduped on (stream, shard_id, sequence_number), which
+    silently collapsed deferred fan-out rows; per-batch overwrite
+    deferral needs no row dedup, so fan-out now survives."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    import pyspark.sql.functions as SF
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    _raw_events_file(d / "part-0-child.parquet", range(11, 21), user_id=2)
+    _raw_events_file(d / "part-1-parent.parquet", range(1, 11), user_id=1)
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(d / f, (base + i * 60, base + i * 60))
+
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    eng = Engine(spark, app="t-fanout", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)],
+        lineage=[ShardLineage(stream="s", child=child, parent=parent,
+                              parent_end=str(10).zfill(21))],
+    )
+    fanned = records.withColumn(
+        "copy", SF.explode(SF.array(SF.lit(1), SF.lit(2)))
+    ).drop("data")
+
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.append(
+            batch_df.select("shard_id", "sequence_number", "copy").collect()
+        )
+
+    q = eng.run(fanned, sink)
+    q.processAllAvailable()
+    eng.close()
+
+    flat = [r for rows in seen for r in rows]
+    # at-least-once: dedup on the FULL row before comparing
+    child_rows = {
+        (r["sequence_number"], r["copy"])
+        for r in flat
+        if r["shard_id"] == child
+    }
+    # every (seq, copy) pair survived the deferral — no fan-out collapse
+    assert child_rows == {
+        (str(i).zfill(21), c) for i in range(11, 21) for c in (1, 2)
+    }
+
+
+def test_compact_deferred_rewrites_tick_when_backlog_live(spark, tmp_path):
+    """r7 advisory: compact_deferred removes ALL tick sentinels; if live
+    deferred rows remain it must write ONE fresh sentinel, otherwise an
+    open-but-unflushed gate (whose batches are no longer blocked, so
+    never rewrite a tick) strands its backlog until unrelated data
+    arrives."""
+    from kinesumer_spark.streaming.engine import ShardLineage, _parquet_live_rows
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    # only child data: everything defers, parent never completes
+    _raw_events_file(d / "part-0-child.parquet", range(11, 21), user_id=2)
+    eng = Engine(spark, app="t-tick-rewrite", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)],
+        lineage=[ShardLineage(stream="s", child=child, parent=parent,
+                              parent_end=str(10).zfill(21))],
+    )
+    q = eng.run(records, lambda df, bid: None, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    eng.close()
+
+    assert _parquet_live_rows(eng._deferred_data_dir()) > 0  # backlog parked
+    eng.compact_deferred()
+    tick_files = [
+        e for e in os.listdir(eng._deferred_tick_dir())
+        if not e.startswith((".", "_"))
+    ]
+    assert tick_files, "live backlog but no wakeup sentinel after compaction"
+
+
+def test_reshard_flush_rejects_foreign_schema_backlog(spark, tmp_path):
+    """r7 advisory: deferred rows persisted under transform schema A must
+    NOT be read back with a later generation's schema B (silent null-fill
+    / read failure). The flush fails loudly instead."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    import pyspark.sql.functions as SF
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    lineage = [ShardLineage(stream="s", child=child, parent=parent,
+                            parent_end=str(10).zfill(21))]
+    # generation 1: child-only data under schema A (extra derived column)
+    _raw_events_file(d / "part-0-child.parquet", range(11, 21), user_id=2)
+    eng = Engine(spark, app="t-foreign", checkpoint_root=str(tmp_path / "ck"))
+    records = eng.consume(
+        [StreamSource("s", str(d), max_files_per_trigger=1)], lineage=lineage
+    )
+    schema_a = records.withColumn("seq_len", SF.length("sequence_number")).drop(
+        "data"
+    )
+    q = eng.run(schema_a, lambda df, bid: None, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    eng.close()
+
+    # generation 2 (fresh engine, same app root): parent data arrives, the
+    # gate opens — but the transform now produces a DIFFERENT schema
+    _raw_events_file(d / "part-1-parent.parquet", range(1, 11), user_id=1)
+    eng2 = Engine(spark, app="t-foreign", checkpoint_root=str(tmp_path / "ck"))
+    eng2._generation = 1  # fresh WAL, same ledger/deferred dirs
+    records2 = eng2.consume([StreamSource("s", str(d))], lineage=lineage)
+    schema_b = records2.withColumn("upper_pk", SF.upper("partition_key")).drop(
+        "data"
+    )
+    # default trigger (not availableNow): the tick written while the
+    # child defers must fire a later microbatch in which the gate opens
+    # and the flush hits the foreign-schema backlog
+    q2 = eng2.run(schema_b, lambda df, bid: None)
+    with pytest.raises(Exception):
+        q2.processAllAvailable()
+    eng2.close()
+    assert any("different" in e and "schema" in e for e in eng2.errors()), (
+        eng2.errors()
+    )
