@@ -70,7 +70,7 @@ EXTENDED = [
     "agg_hll_sketch_merge",
     "embedding_pca_validation",
     "events_dau_wau",
-    "pipeline_pretraining_curation",
+    "pipeline_pretraining_curation_neardup",
     # r6 session-2 additions
     "text_bpe_train",
     "graph_bfs_copurchase",

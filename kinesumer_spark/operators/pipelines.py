@@ -1,26 +1,38 @@
 """End-to-end pretraining-data curation pipeline — the capstone
-composition of the round-6 curation operators into ONE oracle-checked
-dataflow:
+composition of the curation operators into ONE oracle-checked dataflow
+(r8: the near-dup tier is composed in, per the r7 verdict — real
+pretraining curation runs MinHash/LSH between exact dedup and the
+selection cut):
 
     documents
       → Gopher quality gate          (text_gopher_rules' keep rules)
-      → corpus-LM selection cut      (text_lm_doc_score's mean_prob,
-                                      re-derived over the KEPT corpus —
-                                      selection statistics must follow
-                                      the surviving distribution)
       → exact dedup, canonical keep  (dedup_exact's sha256 / min-doc_id)
-      → corpus summary               (stage survivor counts, final token
-                                      mass, doc-id checksum)
+      → near-dup survivor filter     (dedup_minhash_lsh's full tier over
+                                      the deduped corpus: MinHash(64) →
+                                      LSH(16×4) candidates → exact-Jaccard
+                                      verify ≥ 0.5; of each verified pair
+                                      the LARGER doc_id drops — the same
+                                      min-id canonical rule as the exact
+                                      stage)
+      → corpus-LM selection cut      (text_lm_doc_score's mean_prob,
+                                      re-derived over the SURVIVING
+                                      corpus — selection statistics must
+                                      follow the surviving distribution)
+      → corpus summary               (per-stage survivor counts, final
+                                      token mass, doc-id checksum)
 
 This is the "could a user run their whole pipeline here" proof: each
 stage is the registered operator's exact semantics, chained, and the
 DuckDB oracle replays the ENTIRE chain — so a drift in any stage's
 semantics (not just its standalone query) reddens the driver row.
 
-Scale: gate and dedup are map-side + one hash shuffle each; the LM cut
-is the two token-table shuffles text_lm_doc_score documents; the
-bottom-K selection is TakeOrdered (per-partition heads) anti-joined
-back as a broadcast of K ids. No stage collects to the driver.
+Scale: gate and dedup are map-side + one hash shuffle each; the
+near-dup tier is the banded-LSH shape of dedup_minhash_lsh (signatures
+and band keys shuffle, never text; no all-pairs) with its drop set
+broadcast back; the LM cut is the two token-table shuffles
+text_lm_doc_score documents; the bottom-K selection is TakeOrdered
+(per-partition heads) anti-joined back as a broadcast of K ids. No
+stage collects to the driver.
 
 Reference parity: the reference hands records to exactly this kind of
 downstream curation application (kinesumer.go:346-370, README.md:67-70).
@@ -33,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesumer_spark.catalog import read_table
+from kinesumer_spark.operators.dedup import _minhash_cte, minhash_pairs_df
 from kinesumer_spark.operators.text import (
     _GOPHER_MIN_ALPHA,
     _GOPHER_MIN_STOP,
@@ -50,7 +63,7 @@ _LM_DROP = 50  # documents cut at the LM-selection stage (bottom mean_prob)
 
 _PIPE_ORACLE = f"""
 WITH g AS (
-  SELECT d.doc_id, d.text,
+  SELECT d.doc_id, d.lang, d.text,
          len(regexp_split_to_array(d.text, ' ')) AS n_words,
          len(replace(d.text, ' ', ''))
            / CAST(len(regexp_split_to_array(d.text, ' ')) AS DOUBLE)
@@ -64,13 +77,27 @@ WITH g AS (
            AS alpha_frac
   FROM documents d
 ), kept1 AS (
-  SELECT doc_id, text FROM g
+  SELECT doc_id, lang, text FROM g
   WHERE n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI}
     AND mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
     AND n_stop_distinct >= {_GOPHER_MIN_STOP}
     AND alpha_frac >= {_GOPHER_MIN_ALPHA}
+), kept_exact AS (
+  SELECT doc_id, lang, text
+  FROM (SELECT doc_id, lang, text,
+               doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
+                 AS is_canonical
+        FROM kept1)
+  WHERE is_canonical
+), {_minhash_cte(src="kept_exact")}, nd_drop AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+), kept_nd AS (
+  SELECT doc_id, text FROM kept_exact
+  WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)
 ), tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM kept1
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM kept_nd
 ), wc AS (
   SELECT doc_id, COUNT(*) OVER (PARTITION BY word) AS c_w FROM tok
 ), per_doc AS (
@@ -87,21 +114,14 @@ WITH g AS (
   FROM per_doc CROSS JOIN tot
 ), dropset AS (
   SELECT doc_id FROM scored ORDER BY mean_prob ASC, doc_id LIMIT {_LM_DROP}
-), kept2 AS (
-  SELECT k.doc_id, k.text, s.n_tokens
-  FROM kept1 k JOIN scored s USING (doc_id)
-  WHERE k.doc_id NOT IN (SELECT doc_id FROM dropset)
 ), final AS (
-  SELECT doc_id, n_tokens
-  FROM (SELECT doc_id, n_tokens,
-               doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
-                 AS is_canonical
-        FROM kept2)
-  WHERE is_canonical
+  SELECT doc_id, n_tokens FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
 )
 SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
        CAST((SELECT COUNT(*) FROM kept1) AS BIGINT) AS n_after_gate,
-       CAST((SELECT COUNT(*) FROM kept2) AS BIGINT) AS n_after_lm,
+       CAST((SELECT COUNT(*) FROM kept_exact) AS BIGINT) AS n_after_exact,
+       CAST((SELECT COUNT(*) FROM kept_nd) AS BIGINT) AS n_after_neardup,
        CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_final,
        CAST((SELECT SUM(n_tokens) FROM final) AS BIGINT) AS tokens_final,
        CAST((SELECT SUM(doc_id) FROM final) AS BIGINT) AS docid_checksum
@@ -109,24 +129,57 @@ SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
 
 
 @register(
-    "pipeline_pretraining_curation",
+    "pipeline_pretraining_curation_neardup",
     oracle=_PIPE_ORACLE,
-    tags=("pipeline", "dedup", "text", "quality"),
+    tags=("pipeline", "dedup", "text", "quality", "approx"),
 )
-def pipeline_pretraining_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_pretraining_curation_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """The composed curation dataflow (module docstring): Gopher gate →
-    LM-selection cut (bottom-50 mean_prob over the kept corpus) → exact
-    dedup canonical keep → one-row summary with per-stage survivor
-    counts, the final corpus token mass, and an exact doc-id checksum.
-    The gate stage REUSES the registered text_gopher_rules plan; the LM
-    statistics are re-derived over the gated corpus (selection must
-    follow the surviving distribution — scoring against full-corpus
-    counts is a subtle, common curation bug this composition pins)."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact dedup canonical keep → MinHash/LSH near-dup survivor filter →
+    LM-selection cut (bottom-50 mean_prob over the surviving corpus) →
+    one-row summary with per-stage survivor counts, the final corpus
+    token mass, and an exact doc-id checksum. Extends the r6/r7 chain
+    with the near-dup tier between exact dedup and the LM cut (r7
+    verdict #5) — the gate stage REUSES the registered
+    text_gopher_rules plan, the near-dup tier REUSES minhash_pairs_df
+    (dedup_minhash_lsh's exact code path) over the deduped corpus, and
+    the LM statistics are re-derived over the near-dup survivors
+    (selection must follow the surviving distribution — scoring against
+    full-corpus counts is a subtle, common curation bug this
+    composition pins)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     kept_ids = text_gopher_rules(spark, sf_dir).filter("keep").select("doc_id")
     kept1 = docs.join(kept_ids, "doc_id")
 
-    tok = kept1.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    # exact dedup, canonical keep — materialized once: the near-dup tier
+    # reads it twice (signatures + verify sets), the survivor filter and
+    # the stage count once more
+    kept_exact = (
+        kept1.withColumn(
+            "is_canonical",
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                W.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
+            ),
+        )
+        .filter("is_canonical")
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
+    )
+
+    # near-dup tier: the registered LSH pipeline over the deduped corpus;
+    # of each verified pair (doc_a < doc_b) the larger id drops. The drop
+    # set is pair-bounded — broadcast back as an anti-join
+    nd_drop = minhash_pairs_df(kept_exact).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    kept_nd = kept_exact.join(
+        F.broadcast(nd_drop), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    tok = kept_nd.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     wc = tok.select(
         "doc_id", F.count(F.lit(1)).over(W.partitionBy("word")).alias("c_w")
     )
@@ -148,48 +201,29 @@ def pipeline_pretraining_curation(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("mean_prob"),
     )
     dropset = scored.orderBy("mean_prob", "doc_id").limit(_LM_DROP).select("doc_id")
-    # materialize the LM survivors once (text included — |docs|-bounded,
-    # not token-bounded): the count branch and the dedup stage both read it
-    kept2 = (
-        kept1.join(scored.select("doc_id", "n_tokens"), "doc_id")
-        .join(F.broadcast(dropset), "doc_id", "left_anti")
-        .localCheckpoint(eager=False)
-    )
-    final = (
-        kept2.withColumn(
-            "is_canonical",
-            F.col("doc_id")
-            == F.min("doc_id").over(
-                W.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
-            ),
-        )
-        .filter("is_canonical")
-        .select("doc_id", "n_tokens")
+    final = scored.join(F.broadcast(dropset), "doc_id", "left_anti").select(
+        "doc_id", "n_tokens"
     )
     stats = final.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_final"),
         F.sum("n_tokens").cast("bigint").alias("tokens_final"),
         F.sum("doc_id").cast("bigint").alias("docid_checksum"),
     )
+
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
     return (
-        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
-        .crossJoin(
-            F.broadcast(
-                kept_ids.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_after_gate")
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                kept2.agg(F.count(F.lit(1)).cast("bigint").alias("n_after_lm"))
-            )
-        )
+        _cnt(docs, "n_input")
+        .crossJoin(F.broadcast(_cnt(kept_ids, "n_after_gate")))
+        .crossJoin(F.broadcast(_cnt(kept_exact, "n_after_exact")))
+        .crossJoin(F.broadcast(_cnt(kept_nd, "n_after_neardup")))
         .crossJoin(F.broadcast(stats))
         .select(
             "n_input",
             "n_after_gate",
-            "n_after_lm",
+            "n_after_exact",
+            "n_after_neardup",
             "n_final",
             "tokens_final",
             "docid_checksum",
