@@ -2092,3 +2092,310 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ vector, fused by Reciprocal Rank Fusion
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical RRF constant (Cormack et al. 2009)
+_RRF_N = 50  # depth of each retrieval list before fusion
+_RRF_TOP = 25
+
+
+def _rrf_oracle() -> str:
+    from kinesumer_spark.operators.text import _bm25_cte
+
+    return f"""
+WITH {_bm25_cte()}, lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS lex_rnk
+  FROM bm25_scored QUALIFY lex_rnk <= {_RRF_N}
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT e AS qe FROM v WHERE vec_id = 0
+), vecscored AS (
+  SELECT v.vec_id AS doc_id,
+         round(list_dot_product(q.qe, v.e) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+  FROM v CROSS JOIN q
+), vec AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+           AS vec_rnk
+  FROM vecscored QUALIFY vec_rnk <= {_RRF_N}
+), fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(l.lex_rnk, 0) AS lex_rnk,
+         COALESCE(v.vec_rnk, 0) AS vec_rnk,
+         round(
+           (CASE WHEN l.lex_rnk IS NULL THEN 0.0
+                 ELSE 1.0 / ({_RRF_K} + l.lex_rnk) END)
+           + (CASE WHEN v.vec_rnk IS NULL THEN 0.0
+                   ELSE 1.0 / ({_RRF_K} + v.vec_rnk) END), 9) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rnk, vec_rnk, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS rnk
+FROM fused QUALIFY rnk <= {_RRF_TOP} ORDER BY rnk
+"""
+
+
+@register("similarity_hybrid_rrf", oracle=_rrf_oracle(), tags=("similarity", "text"))
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: the exact-rational
+    BM25 ranking (text_bm25's lexical list, query {dup, vector, spark,
+    scan}) and the exact-cosine vector ranking (query = embedding of
+    doc 0, the 1:1 vec_id↔doc_id linkage of the fixture corpus) are
+    each cut at depth 50, then fused by RRF(k=60):
+
+        rrf(d) = Σ_lists 1 / (60 + rank_list(d))
+
+    the standard zero-tuning fusion for lexical∪vector search (Cormack
+    et al., SIGIR 2009) — the retrieval shape RAG/data-selection
+    pipelines run over curated corpora. Docs absent from a list
+    contribute nothing for it (reported rank 0). ORACLE-EXACT: ranks
+    are integers, each RRF term is one correctly-rounded int→double
+    division, and the two-term sum is a single IEEE addition — both
+    engines compute bit-identical scores, so the fused top-25 is
+    deterministic ((rrf_score, doc_id) order).
+
+    Scale: both lists are TakeOrderedAndProject top-N (per-partition
+    heads, no global sort); ranking the N survivors is an N-row
+    single-partition window (list-depth-bounded, not corpus-bounded);
+    the fusion joins two ≤N-row lists — driver-free and broadcast-sized
+    at any corpus scale. The corpus-bounded stages are exactly
+    bm25_scores' one scan + broadcast stats join and the cosine scan."""
+    from kinesumer_spark.operators.text import bm25_scores
+
+    lex_top = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_RRF_N)
+    )
+    lex = lex_top.withColumn(
+        "lex_rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("bigint"),
+    ).select("doc_id", "lex_rnk")
+
+    v = _t(spark, sf_dir).select(
+        "vec_id", _as_double("embedding").alias("e")
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    vec_top = (
+        v.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cosine(_dot("qe", "e"), F.col("qnrm"), F.col("nrm")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        .limit(_RRF_N)
+    )
+    vec = vec_top.withColumn(
+        "vec_rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), F.col("doc_id")))
+        .cast("bigint"),
+    ).select(F.col("doc_id").alias("v_doc_id"), "vec_rnk")
+
+    # same term order as the oracle: lexical term + vector term
+    lex_term = F.when(
+        F.col("lex_rnk").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rnk")))
+    vec_term = F.when(
+        F.col("vec_rnk").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rnk")))
+    fused = (
+        lex.join(vec, lex.doc_id == F.col("v_doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("v_doc_id")).alias("doc_id"),
+            F.coalesce(F.col("lex_rnk"), F.lit(0)).cast("bigint").alias("lex_rnk"),
+            F.coalesce(F.col("vec_rnk"), F.lit(0)).cast("bigint").alias("vec_rnk"),
+            F.round(lex_term + vec_term, 9).alias("rrf_score"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= _RRF_TOP)
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# MMR diversification (maximal marginal relevance)
+# --------------------------------------------------------------------------
+
+_MMR_CAND = 20  # relevance-ranked candidate pool
+_MMR_SELECT = 5  # diversified picks
+
+
+def _mmr_oracle() -> str:
+    """Unrolled 5-step MMR in DuckDB: cand (top-20 rel) → pairs (cosine)
+    → per-step argmax of rel − max-sim-to-selected (λ = ½ variant; see
+    the operator docstring for why the ½ factors drop out)."""
+    steps = []
+    sels = []
+    for i in range(1, _MMR_SELECT + 1):
+        if i == 1:
+            steps.append(
+                "s1 AS (SELECT 1 AS step, doc_id, rel, rel AS mmr FROM cand"
+                " ORDER BY rel DESC, doc_id LIMIT 1)"
+            )
+        else:
+            prev_sel = " UNION ALL ".join(
+                f"SELECT doc_id FROM s{j}" for j in range(1, i)
+            )
+            steps.append(
+                f"""m{i} AS (
+  SELECT p.a AS doc_id, MAX(p.sim) AS maxsim FROM pairs p
+  WHERE p.b IN ({prev_sel}) GROUP BY p.a
+), s{i} AS (
+  SELECT {i} AS step, c.doc_id, c.rel,
+         round(c.rel - COALESCE(m.maxsim, 0), 6) AS mmr
+  FROM cand c LEFT JOIN m{i} m ON m.doc_id = c.doc_id
+  WHERE c.doc_id NOT IN ({prev_sel})
+  ORDER BY mmr DESC, c.doc_id LIMIT 1
+)"""
+            )
+        sels.append(f"SELECT * FROM s{i}")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT e AS qe FROM v WHERE vec_id = 0
+), cand AS (
+  SELECT v.vec_id AS doc_id,
+         round(list_dot_product(q.qe, v.e) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(v.e, v.e))), 6) AS rel
+  FROM v CROSS JOIN q WHERE v.vec_id <> 0
+  ORDER BY rel DESC, doc_id LIMIT {_MMR_CAND}
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+  FROM v a JOIN v b
+    ON a.vec_id IN (SELECT doc_id FROM cand)
+   AND b.vec_id IN (SELECT doc_id FROM cand)
+   AND a.vec_id <> b.vec_id
+),
+{",".join(steps)}
+SELECT CAST(step AS BIGINT) AS step, doc_id AS vec_id, rel, mmr
+FROM ({" UNION ALL ".join(sels)})
+ORDER BY step
+"""
+
+
+@register("similarity_mmr_diversify", oracle=_mmr_oracle(), tags=("similarity",))
+def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    from the top-20 cosine candidates of query vector 0, pick 5
+    iteratively, each step taking the argmax of
+
+        mmr(d) = rel(d) − max_{s ∈ selected} sim(d, s)
+
+    — the λ = ½ MMR variant with the common ½ factor dropped (argmax is
+    scale-invariant, and one subtraction of two already-6dp-rounded
+    cosines is bit-identical cross-engine, where λ·a − (1−λ)·b would add
+    two more float products to keep in lockstep). This is the
+    diversified-selection shape of data-curation (pick informative AND
+    mutually non-redundant examples) and RAG context packing.
+
+    ORACLE-EXACT: 5 unrolled argmax steps over integer-tied rounded
+    cosines, ties broken by vec_id; DuckDB replays the identical
+    selection.
+
+    Scale: the candidate pool is list-depth-bounded (top-20 via
+    TakeOrderedAndProject), the pairwise-sim table is |pool|² = 400
+    rows, and each step is a ≤400-row join + ≤20-row argmax — the
+    iterative stage is pool-bounded, never corpus-bounded; the only
+    corpus-scale work is the one relevance scan (same shape as
+    similarity_cosine_topk). Five steps add five tiny jobs, not five
+    corpus passes."""
+    v = _t(spark, sf_dir).select(
+        "vec_id", _as_double("embedding").alias("e")
+    ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    cand = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "e",
+            "nrm",
+            _cosine(_dot("qe", "e"), F.col("qnrm"), F.col("nrm")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(_MMR_CAND)
+        # pool-bounded (20 rows), read by every step: materialize once
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(
+        F.col("doc_id").alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = cand.select(
+        F.col("doc_id").alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a", "b", _cosine(_dot("ea", "eb"), F.col("na"), F.col("nb")).alias("sim")
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = cand.select("doc_id", "rel")
+    selected = (
+        base.orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("step"),
+            "doc_id",
+            "rel",
+            F.col("rel").alias("mmr"),
+        )
+    )
+    for i in range(2, _MMR_SELECT + 1):
+        sel_ids = selected.select("doc_id")
+        mx = (
+            pairs.join(F.broadcast(sel_ids), pairs.b == sel_ids.doc_id)
+            .groupBy("a")
+            .agg(F.max("sim").alias("maxsim"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        nxt = (
+            base.join(F.broadcast(sel_ids), "doc_id", "left_anti")
+            .join(F.broadcast(mx), "doc_id", "left")
+            .select(
+                F.lit(i).cast("bigint").alias("step"),
+                "doc_id",
+                "rel",
+                F.round(
+                    F.col("rel") - F.coalesce(F.col("maxsim"), F.lit(0.0)), 6
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("doc_id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(nxt).localCheckpoint(eager=False)
+    return selected.select(
+        "step", F.col("doc_id").alias("vec_id"), "rel", "mmr"
+    ).orderBy("step")

@@ -369,7 +369,10 @@ def _tf_col(words: Column, term: str) -> Column:
     return F.size(F.filter(words, lambda x: x == F.lit(term))).cast("bigint")
 
 
-def _bm25_oracle() -> str:
+def _bm25_cte() -> str:
+    """Shared DuckDB CTE chain ``tf → stats → bm25_scored`` mirroring
+    :func:`bm25_scores`; consumed by the text_bm25 oracle and the
+    hybrid-retrieval fusion oracle (similarity_hybrid_rrf)."""
     tf_cols = ",\n         ".join(
         f"CAST(len(list_filter(words, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
         for t in _BM25_TERMS
@@ -384,8 +387,7 @@ def _bm25_oracle() -> str:
         f" AS DOUBLE))"
         for t in _BM25_TERMS
     )
-    return f"""
-WITH tf AS (
+    return f"""tf AS (
   SELECT doc_id, lang,
          CAST(len(words) AS BIGINT) AS dl,
          {tf_cols}
@@ -394,23 +396,29 @@ WITH tf AS (
 ), stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(dl) AS s_len, {df_cols}
   FROM tf
-), scored AS (
+), bm25_scored AS (
   SELECT doc_id, lang, dl,
          {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
          {s_terms} AS score
   FROM tf CROSS JOIN stats
   WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
-)
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_cte()}
 SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-FROM scored QUALIFY rnk <= {_BM25_TOP} ORDER BY rnk
+FROM bm25_scored QUALIFY rnk <= {_BM25_TOP} ORDER BY rnk
 """
 
 
-@register("text_bm25", oracle=_bm25_oracle(), tags=("text",))
-def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 relevance of every document against a fixed query
-    ({dup, vector, spark, scan}), top-50 — the relevance/quality-ranking
-    primitive of a curation pipeline, oracle-checked bit-for-bit.
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every matching document against a fixed query
+    ({dup, vector, spark, scan}) — the relevance/quality-ranking
+    primitive of a curation pipeline, oracle-checked bit-for-bit
+    through its registered consumers (text_bm25's top-50 and
+    similarity_hybrid_rrf's fusion).
 
     Exact-rational formulation (why this is oracle-checkable when
     textbook BM25 is not): ln() differs between glibc and the JVM by
@@ -479,7 +487,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _BM25_TERMS[1:]:
         any_tf = any_tf + F.col(f"tf_{t}")
 
-    scored = (
+    return (
         tf.crossJoin(F.broadcast(stats))
         .filter(any_tf > 0)
         .select(
@@ -489,9 +497,17 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"tf_{t}" for t in _BM25_TERMS],
             score.alias("score"),
         )
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(_BM25_TOP)  # TakeOrderedAndProject — distributed top-k
     )
+
+
+@register("text_bm25", oracle=_bm25_oracle(), tags=("text",))
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``bm25_scores`` (see its docstring): the
+    distributed top-50 (TakeOrderedAndProject — per-partition heads, no
+    global sort shuffle) of the exact-rational BM25 scores, ranked."""
+    scored = bm25_scores(spark, sf_dir).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    ).limit(_BM25_TOP)
     w = W.orderBy(F.col("score").desc(), F.col("doc_id"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).orderBy(
         "rnk"

@@ -307,3 +307,78 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("column_name")
+
+
+# -- quality-weighted deterministic sampling ---------------------------------
+
+_QW_SAT = 500  # saturation half-point of the length-quality weight
+
+
+_QW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         {_sha32_duck("'qw:' || doc_id")} % (n_chars + {_QW_SAT}) < n_chars
+           AS keep
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+         AS id_checksum
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "sample_quality_weighted", oracle=_QW_ORACLE, tags=("training", "sample")
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WEIGHTED Bernoulli sampling, fully deterministic:
+    document d is kept iff
+
+        sha32('qw:' || doc_id)  mod  (n_chars + {_QW_SAT})  <  n_chars
+
+    an EXACT integer Bernoulli draw with keep probability
+    p(d) = n_chars / (n_chars + {_QW_SAT}) — the saturating length
+    weight (longer documents are likelier training keepers; p → 1 as
+    n_chars ≫ {_QW_SAT}, p = ½ at n_chars = {_QW_SAT}). This is the
+    importance-sampling step of a data-mixing pipeline (quality-weighted
+    keep/drop at corpus scale), complementing split_train_val_test
+    (uniform buckets) and resample_temperature (which PLANS per-lang
+    rates but does not draw). Replacing n_chars with any integer quality
+    score (text_doc_score's scaled output) is the same plan.
+
+    Determinism/portability: the sha256-prefix hash and the modulus are
+    non-negative int64 on both engines, so `%` and `<` agree exactly —
+    no float enters the draw. The modulo-bias of hash%m is O(m/2³²),
+    irrelevant for sampling and IDENTICAL in both engines anyway.
+
+    Scale: one map-side scan (hash + compare per row, zero shuffles)
+    followed by a |langs|-row aggregate — the cheapest possible
+    full-corpus pass; the keep decision is reproducible per row from
+    (doc_id, n_chars) alone, so resumption/sharding need no state."""
+    salted = "concat('qw:', cast(doc_id AS string))"
+    keep = F.expr(f"{_sha32(salted)} % (n_chars + {_QW_SAT}) < n_chars")
+    return (
+        _t(spark, sf_dir)
+        .select("doc_id", "lang", "n_chars", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
