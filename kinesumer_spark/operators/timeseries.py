@@ -358,3 +358,137 @@ def timeseries_seasonal_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+# -- calendar gap-fill + linear interpolation --------------------------------
+
+_GAP_ORACLE = """
+WITH obs AS (
+  SELECT event_type, day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS val
+  FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+  WHERE date_part('day', day) % 3 = 1
+  GROUP BY event_type, day
+), cal AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+  FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+        FROM obs GROUP BY event_type)
+), j AS (
+  SELECT c.event_type, c.day, o.val,
+         last_value(o.val IGNORE NULLS) OVER w_prev AS prev_val,
+         last_value(CASE WHEN o.val IS NOT NULL THEN c.day END IGNORE NULLS)
+           OVER w_prev AS prev_day,
+         first_value(o.val IGNORE NULLS) OVER w_next AS next_val,
+         first_value(CASE WHEN o.val IS NOT NULL THEN c.day END IGNORE NULLS)
+           OVER w_next AS next_day
+  FROM cal c LEFT JOIN obs o ON o.event_type = c.event_type AND o.day = c.day
+  WINDOW
+    w_prev AS (PARTITION BY c.event_type ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY c.event_type ORDER BY c.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       val IS NOT NULL AS is_observed,
+       round(CASE
+         WHEN val IS NOT NULL THEN val
+         WHEN prev_val IS NULL THEN next_val
+         WHEN next_val IS NULL THEN prev_val
+         ELSE prev_val + (next_val - prev_val)
+              * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                 / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+       END, 6) AS val_filled
+FROM j
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "timeseries_gapfill_interpolate", oracle=_GAP_ORACLE, tags=("timeseries",)
+)
+def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + linear interpolation: the daily mean
+    event value, OBSERVED only every third calendar day (a downsampled
+    sensor/metric series), is re-expanded to the full per-type calendar
+    (`sequence` + explode — Spark's generate_series) and missing days
+    are linearly interpolated between the nearest observed anchors
+    (edges forward/backward-filled). The standard time-series
+    preparation step before any of this module's models (EMA / Holt /
+    seasonal) can run on gappy data.
+
+    Exactness: the daily mean is an exact decimal sum with ONE int→
+    double division; anchors are found with IGNORE NULLS frame
+    endpoints (last/first over unbounded frames — both engines define
+    them identically); the interpolation weight is an integer day-diff
+    ratio, and the fill expression is spelled with the identical
+    operation order in both engines, then rounded to 6 dp.
+
+    Scale: one events scan → per-(type, day) aggregate; the calendar
+    explode is |types|×|days| rows (tiny vs the fact table); both
+    anchor windows are per-type sorts of the DENSIFIED series — at
+    100 TB the fact-scale work is still only the first aggregate, and
+    the window partitions by event_type keep the sort distributed (a
+    high-cardinality key series would partition by (key) the same
+    way)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    obs = (
+        ev.filter(F.dayofmonth("day") % 3 == 1)
+        .groupBy("event_type", "day")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("val")
+        )
+    )
+    cal = (
+        obs.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day"),
+        )
+    )
+    j = cal.join(obs, ["event_type", "day"], "left")
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("val").isNotNull(), F.col("day"))
+    anch = j.select(
+        "event_type",
+        "day",
+        "val",
+        F.last("val", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("val", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    fill = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (
+                F.datediff("day", "prev_day").cast("double")
+                / F.datediff("next_day", "prev_day").cast("double")
+            )
+        )
+    )
+    return anch.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("val").isNotNull().alias("is_observed"),
+        F.round(fill, 6).alias("val_filled"),
+    ).orderBy("event_type", "day")

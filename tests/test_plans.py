@@ -498,3 +498,52 @@ def test_session2_operators_stay_jvm_side(spark):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
         assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_hybrid_rrf_lists_are_takeordered_and_jvm_only(spark):
+    """Both retrieval lists of similarity_hybrid_rrf must be distributed
+    top-N (TakeOrderedAndProject — per-partition heads, no global sort
+    Exchange of the corpus), the fusion join list-bounded, and the whole
+    plan JVM-side (no row-at-a-time Python)."""
+    plan = plan_string(_df(spark, "similarity_hybrid_rrf"))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_weighted_sampling_is_one_scan_one_exchange(spark):
+    """sample_quality_weighted: the Bernoulli draw is map-side (hash +
+    integer compare in the scan stage); the ONLY exchange is the final
+    |langs|-row aggregate shuffle, and nothing touches Python."""
+    df = _df(spark, "sample_quality_weighted")
+    plan = plan_string(df)
+    # partial agg -> exchange -> final agg (+ the orderBy's range
+    # exchange over |langs| rows): no join/broadcast/python anywhere
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(read_schemas(df)) == 1, plan
+
+
+def test_mmr_iterations_are_pool_bounded(spark):
+    """similarity_mmr_diversify: the corpus appears ONLY in the one
+    relevance scan (plus the checkpointed pool reads); each MMR step
+    joins against broadcast ≤pool-size sides — no corpus-scale shuffle
+    join and no Python in the loop."""
+    plan = plan_string(_df(spark, "similarity_mmr_diversify"))
+    assert "BatchEvalPython" not in plan, plan
+    # the final plan is union of 5 checkpoint-backed argmax branches;
+    # every join must be broadcast (pool-bounded sides)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gapfill_windows_partition_by_type(spark):
+    """timeseries_gapfill_interpolate: both anchor windows must
+    partition by event_type (distributed per-key sort, never a single-
+    partition global window), and the plan stays JVM-side."""
+    plan = plan_string(_df(spark, "timeseries_gapfill_interpolate"))
+    assert "BatchEvalPython" not in plan, plan
+    # anchor windows exist and their exchanges hash-partition on the
+    # series key (event_type) — a keyless window would show
+    # SinglePartition on the Window input exchange instead
+    assert "Window" in plan, plan
+    assert "hashpartitioning(event_type" in plan, plan
