@@ -89,6 +89,11 @@ EXTENDED = [
     # r7 additions
     "dedup_containment",
     "warehouse_compaction_plan",
+    # r8 additions
+    "similarity_hybrid_rrf",
+    "similarity_mmr_diversify",
+    "sample_quality_weighted",
+    "timeseries_gapfill_interpolate",
 ]
 
 
