@@ -677,105 +677,3 @@ def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
-
-
-# -- Z-order (Morton) layout clustering ---------------------------------------
-
-_Z_BITS = 8  # interleave the low 8 bits of each key → 16-bit z-value
-_Z_BUCKET_SHIFT = 6  # 2^6 z-values per layout bucket (≤ 1024 buckets)
-
-
-def _z_expr(x: str, y: str, shift_op: bool) -> str:
-    """Bit-interleave expression z = Σᵢ ((x≫i)&1)·2^{2i} + ((y≫i)&1)·2^{2i+1}.
-    ``shift_op`` picks the engine spelling: DuckDB's infix ``>>`` vs
-    Spark's ``shiftright`` (Spark SQL has no infix shift). Pure int64
-    bit arithmetic — bit-identical everywhere."""
-
-    def shr(col: str, i: int) -> str:
-        return f"({col} >> {i})" if shift_op else f"shiftright({col}, {i})"
-
-    terms = []
-    for i in range(_Z_BITS):
-        terms.append(f"(({shr(x, i)} & 1) * {1 << (2 * i)})")
-        terms.append(f"(({shr(y, i)} & 1) * {1 << (2 * i + 1)})")
-    return " + ".join(terms)
-
-
-_ZORDER_ORACLE = f"""
-WITH k AS (
-  SELECT p_partkey, p_partkey % 256 AS x, p_size % 256 AS y
-  FROM part
-), z AS (
-  SELECT p_partkey, x, y,
-         CAST({_z_expr("x", "y", shift_op=True)} AS BIGINT) AS z_value
-  FROM k
-), b AS (
-  SELECT z_value >> {_Z_BUCKET_SHIFT} AS bucket, x, y FROM z
-)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
-       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
-       CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
-         AS bbox_area
-FROM b
-GROUP BY bucket
-ORDER BY bucket
-"""
-
-
-@register("warehouse_zorder_layout", oracle=_ZORDER_ORACLE, tags=("warehouse", "layout"))
-def warehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton-curve) layout clustering — the OPTIMIZE ZORDER
-    BY (x, y) primitive of lakehouse table maintenance: interleaving
-    the bits of two filter keys gives a 1-D sort order whose contiguous
-    ranges cover tight 2-D rectangles, so min/max file statistics prune
-    scans on EITHER key. Here parts are z-ordered on
-    (p_partkey mod 256, p_size mod 256); rows are grouped into layout
-    buckets of 64 consecutive z-values and each bucket
-    reports its bounding box — bbox_area per bucket is the pruning
-    quality metric a layout optimizer watches (Z-order buckets bound it
-    by ~4× the bucket size, where a single-key sort degenerates to
-    full-range boxes on the second key).
-
-    ORACLE-EXACT: the interleave is pure int64 bit arithmetic
-    (shiftright/&/×-powers-of-two), unrolled to 8 bit pairs —
-    bit-identical in any engine; only the per-engine SPELLING differs
-    (infix ``>>`` vs shiftright, see _z_expr).
-
-    Scale: one scan + one map-side projection (the z expression is one
-    codegen'd arithmetic chain) + a groupBy(bucket) aggregate — the
-    exact shape of a real OPTIMIZE job's planning pass; the write phase
-    would be repartitionByRange(z_value) over the same expression.
-    Reference parity: kinesumer delegates storage layout entirely to
-    its consumers (README.md:67-70); this registers the layout slice of
-    that application surface."""
-    k = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        (F.col("p_partkey") % 256).alias("x"),
-        (F.col("p_size") % 256).alias("y"),
-    )
-    z = k.withColumn(
-        "z_value", F.expr(_z_expr("x", "y", shift_op=False)).cast("bigint")
-    )
-    b = z.select(
-        F.shiftright("z_value", _Z_BUCKET_SHIFT).cast("bigint").alias("bucket"),
-        "x",
-        "y",
-    )
-    return (
-        b.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("x").cast("bigint").alias("min_x"),
-            F.max("x").cast("bigint").alias("max_x"),
-            F.min("y").cast("bigint").alias("min_y"),
-            F.max("y").cast("bigint").alias("max_y"),
-            (
-                (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
-            )
-            .cast("bigint")
-            .alias("bbox_area"),
-        )
-        .orderBy("bucket")
-    )
