@@ -182,3 +182,163 @@ class KinesumerSimStreamDataSource(DataSource):
 
 def register_sim_stream_source(spark) -> None:
     spark.dataSource.register(KinesumerSimStreamDataSource)
+
+
+# -- Writer variant: the PutRecords producer path as a REAL custom sink ------
+#
+# The reference is consumer-side only, but its operational contract has a
+# producer on the other end (Kinesis PutRecords: records hashed to shards
+# by partition key, accepted in batches, durable once acknowledged). This
+# sink expresses that contract through Spark 4's DataSourceWriter /
+# DataSourceStreamWriter plugin point, with the write-audit-publish
+# discipline a real connector needs:
+#
+# - executors STAGE their task output (one file per task, never visible
+#   to readers) and return a WriterCommitMessage with per-shard counts —
+#   the PutRecords response shape;
+# - the DRIVER publishes atomically on commit(): staged files are
+#   os.replace()d into data/ and ONE manifest records the job's
+#   per-shard totals. abort() deletes the staging files — a failed job
+#   leaves nothing visible (two-phase commit, the same tmp→fsync→rename
+#   discipline as the Engine's ledger, engine.py O13);
+# - the streaming variant namespaces its manifest by batchId, so a
+#   foreachBatch-style replay overwrites the same manifest instead of
+#   double-publishing (idempotent per-microbatch publication).
+
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceStreamWriter, DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _PutBatch(WriterCommitMessage):
+    staged: str  # staged task file (relative to the sink root)
+    n_rows: int
+    by_shard: dict  # shard_id -> row count
+
+
+def _shard_of(partition_key: str, n_shards: int) -> int:
+    """Deterministic partition-key → shard hash (the PutRecords MD5 ring,
+    spelled with the repo-standard sha256 prefix)."""
+    import hashlib
+
+    h = hashlib.sha256(str(partition_key).encode()).hexdigest()[:8]
+    return int(h, 16) % n_shards
+
+
+class _PutRecordsWriterBase:
+    def __init__(self, schema, options: dict) -> None:
+        self.path = options["path"]
+        self.n_shards = int(options.get("numshards", 5))
+        self.key_col = options.get("keycolumn", "partition_key")
+        self.cols = schema.fieldNames()
+
+    # -- executor side ------------------------------------------------------
+    def write(self, iterator) -> _PutBatch:
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+        name = os.path.join("_staging", f"task-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        by_shard: dict[str, int] = {}
+        full = os.path.join(self.path, name)
+        with open(full, "w") as f:
+            for row in iterator:
+                d = {c: row[c] for c in self.cols}
+                key = d.get(self.key_col, "")
+                shard = f"shardId-{_shard_of(key, self.n_shards):012d}"
+                by_shard[shard] = by_shard.get(shard, 0) + 1
+                d["_shard"] = shard
+                f.write(json.dumps(d, default=str) + "\n")
+                n += 1
+            f.flush()
+            os.fsync(f.fileno())
+        return _PutBatch(staged=name, n_rows=n, by_shard=by_shard)
+
+    # -- driver side --------------------------------------------------------
+    def _publish(self, messages, manifest_name: str) -> None:
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        total = 0
+        by_shard: dict[str, int] = {}
+        files = []
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                if m is not None:
+                    os.remove(os.path.join(self.path, m.staged))
+                continue
+            dst = os.path.basename(m.staged).replace("task-", "put-")
+            os.replace(
+                os.path.join(self.path, m.staged), os.path.join(data_dir, dst)
+            )
+            files.append(dst)
+            total += m.n_rows
+            for s, c in m.by_shard.items():
+                by_shard[s] = by_shard.get(s, 0) + c
+        tmp = os.path.join(self.path, f".{manifest_name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"files": sorted(files), "n_rows": total, "by_shard": by_shard},
+                f,
+                sort_keys=True,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, manifest_name))
+        # janitor: a failed/cancelled job can orphan staged files that
+        # never reached a commit message (Spark hands abort() None for
+        # cancelled tasks) — they are invisible to readers (only
+        # manifest-listed data/ files count) and swept here on the next
+        # successful publish. Single-writer-per-path contract, like the
+        # fixed manifest name itself.
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            for e in os.scandir(staging):
+                if e.is_file():
+                    os.remove(e.path)
+
+    def _discard(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                p = os.path.join(self.path, m.staged)
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+class KinesumerPutRecordsWriter(_PutRecordsWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._publish(messages, "manifest-batch.json")
+
+    def abort(self, messages) -> None:
+        self._discard(messages)
+
+
+class KinesumerPutRecordsStreamWriter(_PutRecordsWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        # batchId-keyed manifest: a replayed microbatch re-publishes the
+        # SAME manifest (os.replace overwrite) — idempotent publication
+        self._publish(messages, f"manifest-{batchId:020d}.json")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._discard(messages)
+
+
+class KinesumerSimSinkDataSource(DataSource):
+    """``df.write.format("kinesumer_sim_sink").option("path", dir)`` /
+    ``writeStream.format("kinesumer_sim_sink")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesumer_sim_sink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return KinesumerPutRecordsWriter(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return KinesumerPutRecordsStreamWriter(schema, self.options)
+
+
+def register_sim_sink(spark) -> None:
+    spark.dataSource.register(KinesumerSimSinkDataSource)

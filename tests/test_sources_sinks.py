@@ -580,3 +580,137 @@ def test_python_source_restart_after_stream_error(spark, tmp_path):
     cps = eng2.checkpoints()
     assert cps[("sim", "shardId-" + "0".rjust(12, "0"))] == str(29).zfill(21)
     assert cps[("sim", "shardId-" + "1".rjust(12, "0"))] == str(59).zfill(21)
+
+
+def test_python_sink_batch_write_audit_publish(spark, tmp_path):
+    """The custom Python DataSource WRITER (PutRecords producer analog):
+    executors stage, the driver publishes atomically — rows land under
+    data/ with ONE manifest whose per-shard totals match, staging is
+    empty after commit, and the shard assignment is the deterministic
+    partition-key hash."""
+    import json
+    import os
+
+    from kinesumer_spark.sources.python_source import (
+        _shard_of,
+        register_sim_sink,
+    )
+
+    register_sim_sink(spark)
+    d = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "cast(id as string) AS partition_key", "id * 7 AS value"
+    )
+    df.coalesce(4).write.format("kinesumer_sim_sink").option("path", d).option(
+        "numshards", "3"
+    ).mode("append").save()
+
+    with open(os.path.join(d, "manifest-batch.json")) as f:
+        man = json.load(f)
+    assert man["n_rows"] == 100
+    assert sum(man["by_shard"].values()) == 100
+    # staging drained, data published
+    assert not os.listdir(os.path.join(d, "_staging"))
+    rows = []
+    for fn in man["files"]:
+        with open(os.path.join(d, "data", fn)) as f:
+            rows += [json.loads(line) for line in f]
+    assert len(rows) == 100
+    # per-row shard assignment is the deterministic key hash
+    for r in rows:
+        assert r["_shard"] == f"shardId-{_shard_of(r['partition_key'], 3):012d}"
+    # manifest totals agree with the data files
+    from collections import Counter
+
+    assert dict(Counter(r["_shard"] for r in rows)) == man["by_shard"]
+
+
+def test_python_sink_abort_leaves_nothing_visible(spark, tmp_path):
+    """Two-phase commit: when a write task fails, abort() must remove
+    the staged files and publish NO manifest and NO data — a failed job
+    is invisible to readers (the WAP discipline at connector level)."""
+    import os
+
+    import pytest as _pytest
+
+    from kinesumer_spark.sources.python_source import register_sim_sink
+
+    register_sim_sink(spark)
+    d = str(tmp_path / "sink")
+    bad = spark.range(100).selectExpr(
+        "cast(id as string) AS partition_key",
+        # one partition poisons the job AFTER others may have staged
+        "CASE WHEN id = 99 THEN raise_error('poison') ELSE 'v' END AS v",
+    )
+    with _pytest.raises(Exception):
+        bad.coalesce(4).write.format("kinesumer_sim_sink").option(
+            "path", d
+        ).mode("append").save()
+    # the two-phase guarantee: nothing VISIBLE — no manifest, no data/
+    # (staged orphans may remain: cancelled tasks never reach abort()'s
+    # message list; readers only see manifest-listed files)
+    assert not os.path.exists(os.path.join(d, "manifest-batch.json"))
+    assert not os.path.isdir(os.path.join(d, "data")) or not os.listdir(
+        os.path.join(d, "data")
+    )
+    # the next successful publish sweeps the orphans (janitor contract)
+    import json
+
+    spark.range(10).selectExpr(
+        "cast(id as string) AS partition_key", "'v' AS v"
+    ).write.format("kinesumer_sim_sink").option("path", d).mode(
+        "append"
+    ).save()
+    with open(os.path.join(d, "manifest-batch.json")) as f:
+        assert json.load(f)["n_rows"] == 10
+    assert not os.listdir(os.path.join(d, "_staging"))
+
+
+def test_python_sink_streaming_per_batch_manifests(spark, tmp_path):
+    """Streaming variant: each microbatch publishes its own
+    batchId-keyed manifest; totals across manifests equal the source
+    rows (idempotent per-batch publication — a replay overwrites the
+    same manifest instead of double-publishing)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kinesumer_spark.sources.python_source import register_sim_sink
+
+    register_sim_sink(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    # two files → ≥2 microbatches under maxFilesPerTrigger=1
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), src / "a.parquet")
+    pq.write_table(t.slice(half), src / "b.parquet")
+
+    d = str(tmp_path / "sink")
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    ).selectExpr("cast(user_id AS string) AS partition_key", "event_id")
+    q = (
+        raw.writeStream.format("kinesumer_sim_sink")
+        .option("path", d)
+        .option("numshards", "4")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    manifests = sorted(glob.glob(os.path.join(d, "manifest-*.json")))
+    assert len(manifests) >= 2  # one per microbatch
+    total = 0
+    for m in manifests:
+        with open(m) as f:
+            doc = json.load(f)
+        total += doc["n_rows"]
+        assert sum(doc["by_shard"].values()) == doc["n_rows"]
+    assert total == t.num_rows
+    assert not os.listdir(os.path.join(d, "_staging"))
