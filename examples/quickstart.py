@@ -10,7 +10,13 @@ Run:  python examples/quickstart.py [sf_dir]
    stream variant follows, since parquet dirs are the usual stand-in.
 2. ANALYZE — the queries the reference hands records off for:
    any registered operator, straight from the registry.
-3. CURATE — the training-data pipeline over the same session.
+3. CURATE — the training-data pipeline over the same session (the
+   full chain: quality gate → exact dedup → MinHash/LSH near-dup →
+   LM selection cut, plus hybrid BM25∪vector retrieval over the
+   curated corpus).
+4. PRODUCE — the other side of the wire: the custom Python DataSource
+   WRITER (PutRecords-style two-phase sink: staged task files, atomic
+   manifest publish).
 """
 
 from __future__ import annotations
@@ -92,10 +98,33 @@ def main() -> None:
         print(f"\n== {name} ==")
         df.show(5, truncate=False)
 
-    # 3. curate: the composed training-data pipeline -------------------
-    for name in ("pipeline_curation", "pipeline_embedding_curation"):
+    # 3. curate: the composed training-data pipelines + retrieval ------
+    for name in (
+        "pipeline_pretraining_curation_neardup",  # gate→exact→LSH→LM cut
+        "pipeline_embedding_curation",
+        "similarity_hybrid_rrf",  # BM25 ∪ vector, RRF-fused top-25
+    ):
         print(f"\n== {name} ==")
         queries[name].spark(spark, sf_dir).show(10, truncate=False)
+
+    # 4. produce: the custom Python DataSource WRITER ------------------
+    from kinesumer_spark.sources.python_source import register_sim_sink
+
+    register_sim_sink(spark)
+    sink_dir = tempfile.mkdtemp(prefix="qs_sink_")
+    spark.range(1000).selectExpr(
+        "cast(id % 97 AS string) AS partition_key", "id AS payload"
+    ).write.format("kinesumer_sim_sink").option("path", sink_dir).option(
+        "numshards", "4"
+    ).mode("append").save()
+    import json
+
+    with open(os.path.join(sink_dir, "manifest-batch.json")) as f:
+        man = json.load(f)
+    print(
+        f"\nproduced {man['n_rows']} records into {len(man['by_shard'])} "
+        f"shards across {len(man['files'])} put batches (atomic manifest)"
+    )
 
     spark.stop()
 
