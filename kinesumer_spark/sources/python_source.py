@@ -261,6 +261,21 @@ class _PutRecordsWriterBase:
     def _publish(self, messages, manifest_name: str) -> None:
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
+        # idempotent re-publish: a replayed job/microbatch stages fresh
+        # uuid-named task files, so overwriting the manifest alone would
+        # orphan the previous attempt's data files (r8 review). Sweep the
+        # files the old manifest listed BEFORE publishing the new set —
+        # readers that follow manifests never see a mix of attempts.
+        prev = os.path.join(self.path, manifest_name)
+        if os.path.exists(prev):
+            try:
+                with open(prev) as f:
+                    for fn in json.load(f).get("files", []):
+                        p = os.path.join(data_dir, fn)
+                        if os.path.exists(p):
+                            os.remove(p)
+            except ValueError:
+                pass  # torn manifest: nothing reliable to sweep
         total = 0
         by_shard: dict[str, int] = {}
         files = []

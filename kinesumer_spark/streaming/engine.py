@@ -70,7 +70,21 @@ def _parquet_live_rows(path: str) -> int:
         for name in files:
             if name.startswith((".", "_")) or not name.endswith(".parquet"):
                 continue
-            total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+            try:
+                total += pq.ParquetFile(
+                    os.path.join(root, name)
+                ).metadata.num_rows
+            except (FileNotFoundError, OSError):
+                # concurrently compacted or overwritten (compact_deferred
+                # racing a live gate, or a replayed batch rewriting its
+                # subdir): a vanished file holds no live rows — skip, so
+                # the probe never kills the streaming query (r8 review)
+                continue
+            if total > 0:
+                # callers only test > 0 / == 0 — stop at first live row
+                # so a long-held gate's probe is O(files-until-hit), not
+                # O(all files) per microbatch
+                return total
     return total
 
 
@@ -283,6 +297,22 @@ class Engine:
             e.path
             for e in os.scandir(data_dir)
             if e.is_dir() and e.name.startswith("s-")
+        )
+
+    def _deferred_rows_ahead(self, path: str) -> int:
+        """1 if ``path`` holds any row still AHEAD of its shard's
+        committed mark, else 0 — one bounded Spark job (inferred schema;
+        only the three key columns are read). Used on the rare
+        schema-change path to distinguish a genuinely pending foreign
+        backlog from drained-and-committed files awaiting compaction."""
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
+            .select("stream", "shard_id", "sequence_number")
+            .join(F.broadcast(self._committed_df()), ["stream", "shard_id"], "left")
+            .filter(F.expr(self._AHEAD_SQL))
+            .limit(1)
+            .count()
         )
 
     def _deferred_tick_dir(self) -> str:
@@ -568,11 +598,17 @@ class Engine:
         - rows of still-blocked child shards go durably to the deferred
           data area, OVERWRITING a per-(generation, batch_id) subdir —
           a foreachBatch replay after a crash rewrites the same subdir,
-          so duplicate persisted copies are structurally impossible and
-          the gate-open flush needs NO row-level dedup. That keeps
-          caller transforms that fan one record out to several rows
-          sharing a sequence_number (e.g. explode) intact through the
-          deferral — the r7 advisory's asymmetric-loss hole. A tick
+          so duplicate persisted copies within a generation are
+          structurally impossible. Caller transforms that fan one
+          record out to several DISTINCT rows sharing a sequence_number
+          (e.g. explode) survive the deferral intact — the r7
+          advisory's asymmetric-loss hole; only EXACT full-row
+          duplicates collapse at a gate-open flush (dropDuplicates with
+          no subset), which covers the two replay paths per-batch
+          overwrite alone cannot: a replay where the gate opened
+          between the original batch and the replay (stale subdir +
+          main-path copy in one batch), and a cross-generation restart
+          re-deferring the same rows under a new batch-dir name. A tick
           sentinel keeps microbatches coming while rows are parked;
         - when a child's gate opens, its ENTIRE deferred backlog is
           batch-read and delivered in that one microbatch, so no older
@@ -592,9 +628,9 @@ class Engine:
         schema_dir = self._deferred_schema_dir(batch_df.schema)
         if blocked:
             # one write job, unconditionally: the overwrite of this
-            # batch's own subdir is the emptiness check (zero-row part
-            # files are ignored by the footer-level liveness probe), so
-            # no separate limit(1).count() job runs per gated batch
+            # batch's own subdir doubles as the emptiness check (its
+            # footers are read back driver-side, a few files), so no
+            # separate limit(1).count() job runs per gated batch
             batch_dir = os.path.join(
                 schema_dir, f"b-{self._generation:06d}-{batch_id:020d}"
             )
@@ -602,7 +638,20 @@ class Engine:
                 batch_dir
             )
             batch_df = batch_df.filter(~key.isin(blocked))
-            if _parquet_live_rows(self._deferred_data_dir()) > 0:
+            deferred_now = _parquet_live_rows(batch_dir)
+            if deferred_now == 0:
+                # nothing deferred this batch: drop the empty overwrite
+                # dir immediately, so a long-held gate accumulates one
+                # subdir per batch WITH rows, never one per batch (r8
+                # review: the walk below must stay backlog-bounded)
+                for root, _dirs, files in os.walk(batch_dir, topdown=False):
+                    for f_name in files:
+                        os.remove(os.path.join(root, f_name))
+                    os.rmdir(root)
+            # rows parked this batch imply live backlog — skip the scan
+            if deferred_now > 0 or _parquet_live_rows(
+                self._deferred_data_dir()
+            ) > 0:
                 self._write_tick()
         blocked_set = set(blocked)
         open_gated = [
@@ -614,7 +663,15 @@ class Engine:
                 foreign = [
                     d
                     for d in self._deferred_schema_dirs()
-                    if d != schema_dir and _parquet_live_rows(d) > 0
+                    if d != schema_dir
+                    and _parquet_live_rows(d) > 0
+                    # footer rows alone are not enough to abort the
+                    # query: a drained-and-committed old-schema backlog
+                    # keeps its (dead) files until compact_deferred, so
+                    # only rows still AHEAD of the committed marks make
+                    # a namespace genuinely foreign (r8 review) — the
+                    # extra job runs only on the rare schema-change path
+                    and self._deferred_rows_ahead(d) > 0
                 ]
                 if foreign:
                     raise RuntimeError(
@@ -627,14 +684,17 @@ class Engine:
                 # read with the BATCH's schema, not RECORD_SCHEMA: the
                 # caller may run() a transformed records DF, and the
                 # deferred area holds whatever schema the batches carry
-                # (the gate only requires the three key columns)
+                # (the gate only requires the three key columns).
+                # dropDuplicates over ALL columns removes exact
+                # crash-replay copies (see docstring) while distinct
+                # fan-out rows pass through
                 backlog = (
                     self.spark.read.schema(batch_df.schema)
                     .option("recursiveFileLookup", "true")
                     .parquet(schema_dir)
                     .filter(key.isin([f"{s}\x1f{c}" for s, c in to_flush]))
                 )
-                batch_df = batch_df.unionByName(backlog)
+                batch_df = batch_df.unionByName(backlog).dropDuplicates()
             self._flushed.update(to_flush)
             committed = [
                 (s, c, cps[(s, c)]) for (s, c) in open_gated if (s, c) in cps

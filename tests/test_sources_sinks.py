@@ -714,3 +714,43 @@ def test_python_sink_streaming_per_batch_manifests(spark, tmp_path):
         assert sum(doc["by_shard"].values()) == doc["n_rows"]
     assert total == t.num_rows
     assert not os.listdir(os.path.join(d, "_staging"))
+
+
+def test_python_sink_republish_sweeps_previous_attempt(spark, tmp_path):
+    """r8 review: a replayed microbatch stages fresh uuid-named files,
+    so overwriting the manifest alone would orphan the first attempt's
+    data files. _publish must sweep the files the old manifest listed —
+    after a re-publish, data/ holds exactly the new attempt's files."""
+    import json
+    import os
+
+    from kinesumer_spark.sources.python_source import (
+        KinesumerPutRecordsStreamWriter,
+        _PutBatch,
+    )
+    from pyspark.sql.types import StructType
+
+    d = str(tmp_path / "sink")
+    os.makedirs(os.path.join(d, "_staging"))
+    w = KinesumerPutRecordsStreamWriter(
+        StructType.fromDDL("partition_key string"), {"path": d}
+    )
+
+    def stage(tag, n):
+        name = os.path.join("_staging", f"task-{tag}.jsonl")
+        with open(os.path.join(d, name), "w") as f:
+            for i in range(n):
+                f.write(json.dumps({"partition_key": str(i)}) + "\n")
+        return _PutBatch(staged=name, n_rows=n, by_shard={"shardId-0": n})
+
+    w.commit([stage("attempt1a", 3), stage("attempt1b", 2)], batchId=7)
+    first = set(os.listdir(os.path.join(d, "data")))
+    assert len(first) == 2
+    # replay of batch 7: fresh task files, same manifest slot
+    w.commit([stage("attempt2", 5)], batchId=7)
+    with open(os.path.join(d, f"manifest-{7:020d}.json")) as f:
+        man = json.load(f)
+    assert man["n_rows"] == 5
+    data = set(os.listdir(os.path.join(d, "data")))
+    assert data == set(man["files"])  # first attempt swept, no orphans
+    assert not data & first

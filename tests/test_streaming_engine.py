@@ -1651,3 +1651,89 @@ def test_reshard_flush_rejects_foreign_schema_backlog(spark, tmp_path):
     assert any("different" in e and "schema" in e for e in eng2.errors()), (
         eng2.errors()
     )
+
+
+def _gate_engine(spark, tmp_path, app):
+    """Engine with one parent→child lineage edge and the deferred area
+    materialized, for driving _admit directly (the batch-side unit of
+    the reshard gate — foreachBatch hands it a plain DataFrame)."""
+    from kinesumer_spark.streaming.engine import ShardLineage
+
+    parent = "shardId-" + "1".rjust(12, "0")
+    child = "shardId-" + "2".rjust(12, "0")
+    eng = Engine(spark, app=app, checkpoint_root=str(tmp_path / "ck"))
+    eng._lineage = {("s", child): [(parent, str(10).zfill(21))]}
+    os.makedirs(eng._deferred_data_dir(), exist_ok=True)
+    os.makedirs(eng._deferred_tick_dir(), exist_ok=True)
+    return eng, parent, child
+
+
+def _gate_rows(spark, shard, seqs, extra=None):
+    rows = [("s", shard, str(i).zfill(21), "k", extra or "v") for i in seqs]
+    return spark.createDataFrame(
+        rows, "stream string, shard_id string, sequence_number string, "
+        "partition_key string, payload string"
+    )
+
+
+def test_admit_replay_after_gate_opened_delivers_once(spark, tmp_path):
+    """r8 review: batch B defers child rows, commit() opens the gate,
+    the process dies BEFORE the WAL commit, and B replays with the gate
+    now open — the child rows arrive via the MAIN path while the stale
+    b-<gen>-<B> subdir still holds the deferred copies. The flush's
+    full-row dedup must deliver each row exactly once."""
+    eng, parent, child = _gate_engine(spark, tmp_path, "t-replay-open")
+    # parent committed through parent_end → gate OPEN
+    eng.commit(_gate_rows(spark, parent, range(1, 11)), 0)
+
+    batch = _gate_rows(spark, child, range(11, 21))
+    # the crashed attempt's deferral: same rows, persisted under this
+    # schema's namespace as batch 1 of generation 0
+    stale = os.path.join(
+        eng._deferred_schema_dir(batch.schema), "b-000000-" + "1".zfill(20)
+    )
+    batch.write.mode("overwrite").parquet(stale)
+
+    out = eng._admit(batch, 1).collect()
+    seqs = sorted(r["sequence_number"] for r in out)
+    assert seqs == [str(i).zfill(21) for i in range(11, 21)], seqs  # once each
+    eng.close()
+
+
+def test_admit_ignores_dead_foreign_schema_backlog(spark, tmp_path):
+    """r8 review: a drained-and-committed backlog under an OLD transform
+    schema keeps its files until compact_deferred — footer rows alone
+    must not abort the query; only rows still ahead of the committed
+    marks make a namespace foreign."""
+    eng, parent, child = _gate_engine(spark, tmp_path, "t-dead-foreign")
+    # child fully committed through 20 → any ≤20 backlog row is dead
+    eng.commit(_gate_rows(spark, parent, range(1, 11)), 0)
+    eng.commit(_gate_rows(spark, child, range(11, 21)), 1)
+
+    # old-schema (extra column) drained backlog, all rows ≤ the mark
+    import pyspark.sql.functions as SF
+
+    old = _gate_rows(spark, child, range(11, 21)).withColumn(
+        "seq_len", SF.length("sequence_number")
+    )
+    stale = os.path.join(
+        eng._deferred_schema_dir(old.schema), "b-000000-" + "0".zfill(20)
+    )
+    old.write.mode("overwrite").parquet(stale)
+
+    batch = _gate_rows(spark, child, range(21, 26))  # current schema
+    out = eng._admit(batch, 2).collect()  # must NOT raise
+    assert sorted(r["sequence_number"] for r in out) == [
+        str(i).zfill(21) for i in range(21, 26)
+    ]
+
+    # and a LIVE foreign backlog (rows ahead of the mark) still raises
+    live = _gate_rows(spark, child, range(30, 35)).withColumn(
+        "seq_len", SF.length("sequence_number")
+    )
+    live.write.mode("append").parquet(stale)
+    eng2, _, _ = _gate_engine(spark, tmp_path, "t-dead-foreign")
+    with pytest.raises(RuntimeError, match="different"):
+        eng2._admit(_gate_rows(spark, child, range(26, 28)), 3)
+    eng.close()
+    eng2.close()
