@@ -651,3 +651,89 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .orderBy("sequence_number")
     )
+
+
+# -- Custom Python Data Source WRITER: producer-contract roundtrip -----------
+
+_SINK_RT_SHARDS = 4
+
+# DuckDB replays the sink's partition-key → shard hash ring exactly:
+# _shard_of is int(sha256(key)[:8 hex], 16) % n_shards, and the hex→int
+# fold below is exact in doubles (16^8 < 2^53)
+_SINK_RT_ORACLE = f"""
+WITH src AS (
+  SELECT CAST(user_id AS VARCHAR) AS partition_key
+  FROM events WHERE event_type = 'purchase'
+), h AS (
+  SELECT partition_key,
+         'shardId-' || lpad(CAST(
+             CAST(list_sum(list_transform(range(8),
+                 i -> (strpos('0123456789abcdef',
+                              substr(sha256(partition_key), i + 1, 1)) - 1)
+                      * 16**(7 - i))) AS BIGINT) % {_SINK_RT_SHARDS}
+           AS VARCHAR), 12, '0') AS shard_id
+  FROM src
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT partition_key) AS BIGINT) AS n_keys
+FROM h
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@register("sink_putrecords_roundtrip", oracle=_SINK_RT_ORACLE, tags=("sink",))
+def sink_putrecords_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom PutRecords-style WRITER proven end to end as a
+    producer contract, not just unit behavior (r8 verdict #5): purchase
+    events are written through ``kinesumer_sim_sink`` (executors stage,
+    driver publishes atomically — sources/python_source.py), the read
+    side consumes ONLY manifest-listed files (the two-phase visibility
+    rule), and the per-shard totals are re-derived by the oracle
+    replaying the same sha256-prefix hash ring in SQL. A hash match
+    proves: nothing staged leaked, nothing published was lost, and the
+    shard assignment is the deterministic key hash — the reference's
+    producer-side envelope (Kinesis PutRecords semantics) on the other
+    end of the consume path it implements.
+
+    Scale: the write is one distributed pass (hash + stage per
+    executor); the driver handles only commit messages (one per task)
+    and manifest JSON — file-count-bounded, never row-bounded. Reading
+    back via an explicit file list keeps planning at manifest size."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kinesumer_spark.sources.python_source import (
+        published_files,
+        register_sim_sink,
+    )
+
+    register_sim_sink(spark)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "ks_sink_rt_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
+    )
+    ev = read_table(spark, sf_dir, "events")
+    (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").cast("string").alias("partition_key"), "event_id"
+        )
+        .write.format("kinesumer_sim_sink")
+        .option("path", d)
+        .option("numshards", str(_SINK_RT_SHARDS))
+        .mode("overwrite")  # idempotent re-run: replaces the whole dataset
+        .save()
+    )
+    files = published_files(d)
+    out = spark.read.schema("partition_key string, _shard string").json(files)
+    return (
+        out.groupBy(F.col("_shard").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("partition_key").cast("bigint").alias("n_keys"),
+        )
+        .orderBy("shard_id")
+    )

@@ -258,24 +258,34 @@ class _PutRecordsWriterBase:
         return _PutBatch(staged=name, n_rows=n, by_shard=by_shard)
 
     # -- driver side --------------------------------------------------------
-    def _publish(self, messages, manifest_name: str) -> None:
+    def _publish(self, messages, manifest_name: str, sweep=()) -> None:
+        """Atomically publish staged task files under ``manifest_name``.
+
+        ``sweep`` lists manifest filenames whose listed data files are
+        removed BEFORE publishing (and the manifests themselves, unless
+        the slot is being rewritten) — used for (a) same-slot streaming
+        replay (a replayed microbatch stages fresh uuid-named files, so
+        overwriting the manifest alone would orphan the previous
+        attempt's data, r8 review) and (b) batch ``overwrite`` mode,
+        which replaces every previously published manifest (r9
+        advisory: append must NOT sweep — it was silently replace-all)."""
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
-        # idempotent re-publish: a replayed job/microbatch stages fresh
-        # uuid-named task files, so overwriting the manifest alone would
-        # orphan the previous attempt's data files (r8 review). Sweep the
-        # files the old manifest listed BEFORE publishing the new set —
-        # readers that follow manifests never see a mix of attempts.
-        prev = os.path.join(self.path, manifest_name)
-        if os.path.exists(prev):
+        for man in sweep:
+            prev = os.path.join(self.path, man)
+            if not os.path.exists(prev):
+                continue
             try:
                 with open(prev) as f:
-                    for fn in json.load(f).get("files", []):
-                        p = os.path.join(data_dir, fn)
-                        if os.path.exists(p):
-                            os.remove(p)
+                    listed = json.load(f).get("files", [])
             except ValueError:
-                pass  # torn manifest: nothing reliable to sweep
+                listed = []  # torn manifest: nothing reliable to sweep
+            for fn in listed:
+                p = os.path.join(data_dir, fn)
+                if os.path.exists(p):
+                    os.remove(p)
+            if man != manifest_name:
+                os.remove(prev)
         total = 0
         by_shard: dict[str, int] = {}
         files = []
@@ -322,9 +332,51 @@ class _PutRecordsWriterBase:
                     os.remove(p)
 
 
+def _list_manifests(path: str) -> list:
+    """Published manifest filenames under a sink root, sorted (batch
+    jobs publish ``manifest-batch*.json``, microbatches
+    ``manifest-<batchId>.json``)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        e.name
+        for e in os.scandir(path)
+        if e.is_file()
+        and e.name.startswith("manifest-")
+        and e.name.endswith(".json")
+    )
+
+
+def published_files(path: str) -> list:
+    """Absolute paths of every data file the sink's manifests list —
+    the reader contract: only manifest-listed files exist; staged or
+    orphaned files are invisible. Append jobs each publish their own
+    manifest, so readers union all of them (r9)."""
+    out = []
+    for man in _list_manifests(path):
+        with open(os.path.join(path, man)) as f:
+            for fn in json.load(f).get("files", []):
+                out.append(os.path.join(path, "data", fn))
+    return sorted(out)
+
+
 class KinesumerPutRecordsWriter(_PutRecordsWriterBase, DataSourceWriter):
+    def __init__(self, schema, options: dict, overwrite: bool) -> None:
+        super().__init__(schema, options)
+        self.overwrite = overwrite
+
     def commit(self, messages) -> None:
-        self._publish(messages, "manifest-batch.json")
+        if self.overwrite:
+            # overwrite replaces the whole published dataset: sweep every
+            # prior manifest (batch and streaming) and their data files
+            self._publish(
+                messages, "manifest-batch.json", sweep=_list_manifests(self.path)
+            )
+        else:
+            # append: a job-unique manifest slot, nothing swept — two
+            # appends coexist and readers union manifests (r9 advisory;
+            # the fixed slot made append silently replace-all)
+            self._publish(messages, f"manifest-batch-{uuid.uuid4().hex[:12]}.json")
 
     def abort(self, messages) -> None:
         self._discard(messages)
@@ -333,8 +385,9 @@ class KinesumerPutRecordsWriter(_PutRecordsWriterBase, DataSourceWriter):
 class KinesumerPutRecordsStreamWriter(_PutRecordsWriterBase, DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         # batchId-keyed manifest: a replayed microbatch re-publishes the
-        # SAME manifest (os.replace overwrite) — idempotent publication
-        self._publish(messages, f"manifest-{batchId:020d}.json")
+        # SAME slot, sweeping only its own previous attempt's files
+        name = f"manifest-{batchId:020d}.json"
+        self._publish(messages, name, sweep=(name,))
 
     def abort(self, messages, batchId: int) -> None:
         self._discard(messages)
@@ -349,9 +402,11 @@ class KinesumerSimSinkDataSource(DataSource):
         return "kinesumer_sim_sink"
 
     def writer(self, schema: StructType, overwrite: bool):
-        return KinesumerPutRecordsWriter(schema, self.options)
+        return KinesumerPutRecordsWriter(schema, self.options, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
+        # streaming epochs are append-shaped regardless of outputMode;
+        # replay idempotence is per-batchId (commit above)
         return KinesumerPutRecordsStreamWriter(schema, self.options)
 
 

@@ -50,6 +50,26 @@ from kinesumer_spark.streaming.envelope import (
 )
 
 
+def _canonical_schema(schema):
+    """Strip nullability and field metadata RECURSIVELY so the deferred-
+    namespace fingerprint keys on logical shape — (name, dataType) —
+    only (r9 advisory; see _deferred_schema_dir)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def canon(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [StructField(f.name, canon(f.dataType), True) for f in dt.fields]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(canon(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(canon(dt.keyType), canon(dt.valueType), True)
+        return dt
+
+    return canon(schema)
+
+
 def _parquet_live_rows(path: str) -> int:
     """Total row count across parquet data files under ``path``
     (recursive), summed from file footers DRIVER-SIDE — no Spark job.
@@ -283,10 +303,20 @@ class Engine:
         the current one (silent null-fill / read failure, the r7
         advisory). Each distinct schema gets its own subdir; the flush
         reads only the current schema's subdir and fails loudly if a
-        foreign subdir still holds live rows."""
+        foreign subdir still holds live rows.
+
+        The fingerprint hashes only (name, dataType) pairs with
+        nullability and field metadata stripped recursively (r9
+        advisory): a benign nullability flip between engine generations
+        (a Spark upgrade, a plan change marking a column nullable) must
+        NOT re-namespace a still-pending backlog — the data is fully
+        readable with the current schema, and a spurious new s-<hash>
+        would make the old namespace look foreign and kill the query."""
         import hashlib
 
-        h = hashlib.sha256(schema.json().encode()).hexdigest()[:12]
+        h = hashlib.sha256(
+            _canonical_schema(schema).json().encode()
+        ).hexdigest()[:12]
         return os.path.join(self._deferred_data_dir(), f"s-{h}")
 
     def _deferred_schema_dirs(self) -> list[str]:
@@ -602,13 +632,16 @@ class Engine:
           structurally impossible. Caller transforms that fan one
           record out to several DISTINCT rows sharing a sequence_number
           (e.g. explode) survive the deferral intact — the r7
-          advisory's asymmetric-loss hole; only EXACT full-row
-          duplicates collapse at a gate-open flush (dropDuplicates with
-          no subset), which covers the two replay paths per-batch
-          overwrite alone cannot: a replay where the gate opened
-          between the original batch and the replay (stale subdir +
-          main-path copy in one batch), and a cross-generation restart
-          re-deferring the same rows under a new batch-dir name. A tick
+          advisory's asymmetric-loss hole; replay dedup at a gate-open
+          flush is BACKLOG-side only (r9 advisory — main-path rows are
+          never collapsed, so identical fan-out rows on never-deferred
+          shards keep their multiplicity), and covers the two replay
+          paths per-batch overwrite alone cannot: a cross-generation
+          restart re-deferring the same rows under a new batch-dir name
+          (collapsed to the within-subdir multiplicity), and a replay
+          where the gate opened between the original batch and the
+          replay (stale subdir + main-path copy in one batch; the
+          backlog copy yields to the main one). A tick
           sentinel keeps microbatches coming while rows are parked;
         - when a child's gate opens, its ENTIRE deferred backlog is
           batch-read and delivered in that one microbatch, so no older
@@ -685,16 +718,57 @@ class Engine:
                 # caller may run() a transformed records DF, and the
                 # deferred area holds whatever schema the batches carry
                 # (the gate only requires the three key columns).
-                # dropDuplicates over ALL columns removes exact
-                # crash-replay copies (see docstring) while distinct
-                # fan-out rows pass through
                 backlog = (
                     self.spark.read.schema(batch_df.schema)
                     .option("recursiveFileLookup", "true")
                     .parquet(schema_dir)
                     .filter(key.isin([f"{s}\x1f{c}" for s, c in to_flush]))
                 )
-                batch_df = batch_df.unionByName(backlog).dropDuplicates()
+                # r9 (advisory): replay dedup must never touch MAIN-path
+                # rows — a transform legitimately emitting identical rows
+                # (explode of repeated values) on never-deferred shards
+                # delivers every copy even in a flush batch. The two
+                # replay shapes the old full-union dropDuplicates()
+                # covered are handled backlog-side only:
+                #  (a) cross-generation restart re-deferring the same
+                #      rows under a new b-<gen>-<id> subdir: replay
+                #      copies whole batches, so per row-content the true
+                #      fan-out multiplicity is the count WITHIN one
+                #      subdir — collapse across subdirs to that max;
+                #  (b) gate opened between the crashed attempt and its
+                #      replay (stale subdir + main-path copy in ONE
+                #      batch): drop backlog content that also arrived on
+                #      the main path this batch — the main copy carries
+                #      the same fan-out multiplicity, re-derived by the
+                #      same transform (null-safe match, else NULL-bearing
+                #      rows would anti-join-survive and double-deliver).
+                cols = batch_df.columns
+                collapsed = (
+                    backlog.withColumn(
+                        "_ks_subdir",
+                        F.regexp_extract(F.input_file_name(), r"(b-[^/]+)/", 1),
+                    )
+                    .groupBy(*cols, "_ks_subdir")
+                    .agg(F.count(F.lit(1)).alias("_ks_n"))
+                    .groupBy(*cols)
+                    .agg(F.max("_ks_n").alias("_ks_n"))
+                    .withColumn("_ks_i", F.explode(F.expr("sequence(1, _ks_n)")))
+                    .drop("_ks_n", "_ks_i")
+                )
+                from functools import reduce as _reduce
+
+                cond = _reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"_ks_bk.`{c}`").eqNullSafe(F.col(f"_ks_mn.`{c}`"))
+                        for c in cols
+                    ],
+                )
+                fresh = (
+                    collapsed.alias("_ks_bk")
+                    .join(batch_df.alias("_ks_mn"), cond, "left_anti")
+                )
+                batch_df = batch_df.unionByName(fresh)
             self._flushed.update(to_flush)
             committed = [
                 (s, c, cps[(s, c)]) for (s, c) in open_gated if (s, c) in cps
@@ -1103,9 +1177,16 @@ class Engine:
                     if name.startswith((".", "_")) or not name.endswith(".parquet"):
                         continue
                     path = os.path.join(root, name)
-                    if pq.ParquetFile(path).metadata.num_rows == 0:
-                        os.remove(path)
-                        removed += 1
+                    # a live gate's per-batch overwrite deletes and
+                    # rewrites its b-* subdir; the file can vanish
+                    # between the walk and the footer read — skip, same
+                    # guard as _parquet_live_rows (r9 advisory)
+                    try:
+                        if pq.ParquetFile(path).metadata.num_rows == 0:
+                            os.remove(path)
+                            removed += 1
+                    except (FileNotFoundError, OSError):
+                        continue
             if _parquet_live_rows(schema_dir) == 0:
                 continue  # emptied dirs are pruned below
             # per file, is any row still ahead of its shard's committed

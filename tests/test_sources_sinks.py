@@ -605,7 +605,13 @@ def test_python_sink_batch_write_audit_publish(spark, tmp_path):
         "numshards", "3"
     ).mode("append").save()
 
-    with open(os.path.join(d, "manifest-batch.json")) as f:
+    # r9: append publishes a job-unique manifest slot (fixed-name slot
+    # made a second append silently replace-all)
+    from kinesumer_spark.sources.python_source import _list_manifests
+
+    manifests = _list_manifests(d)
+    assert len(manifests) == 1 and manifests[0].startswith("manifest-batch-")
+    with open(os.path.join(d, manifests[0])) as f:
         man = json.load(f)
     assert man["n_rows"] == 100
     assert sum(man["by_shard"].values()) == 100
@@ -649,7 +655,9 @@ def test_python_sink_abort_leaves_nothing_visible(spark, tmp_path):
     # the two-phase guarantee: nothing VISIBLE — no manifest, no data/
     # (staged orphans may remain: cancelled tasks never reach abort()'s
     # message list; readers only see manifest-listed files)
-    assert not os.path.exists(os.path.join(d, "manifest-batch.json"))
+    from kinesumer_spark.sources.python_source import _list_manifests
+
+    assert _list_manifests(d) == []
     assert not os.path.isdir(os.path.join(d, "data")) or not os.listdir(
         os.path.join(d, "data")
     )
@@ -661,9 +669,58 @@ def test_python_sink_abort_leaves_nothing_visible(spark, tmp_path):
     ).write.format("kinesumer_sim_sink").option("path", d).mode(
         "append"
     ).save()
-    with open(os.path.join(d, "manifest-batch.json")) as f:
+    (man,) = _list_manifests(d)
+    with open(os.path.join(d, man)) as f:
         assert json.load(f)["n_rows"] == 10
     assert not os.listdir(os.path.join(d, "_staging"))
+
+
+def test_python_sink_append_accumulates_overwrite_replaces(spark, tmp_path):
+    """r9 advisory (medium): append must ACCUMULATE — a second
+    df.write.mode('append') may not delete the first job's committed
+    data — and overwrite must replace the entire published dataset.
+    Readers follow published_files(): the union of all manifests."""
+    import json
+    import os
+
+    from kinesumer_spark.sources.python_source import (
+        _list_manifests,
+        published_files,
+        register_sim_sink,
+    )
+
+    register_sim_sink(spark)
+    d = str(tmp_path / "sink")
+
+    def write(n, mode):
+        spark.range(n).selectExpr(
+            "cast(id as string) AS partition_key", "id AS v"
+        ).coalesce(2).write.format("kinesumer_sim_sink").option(
+            "path", d
+        ).mode(mode).save()
+
+    write(40, "append")
+    write(25, "append")
+    assert len(_list_manifests(d)) == 2
+    rows = []
+    for p in published_files(d):
+        with open(p) as f:
+            rows += [json.loads(line) for line in f]
+    assert len(rows) == 65  # both appends visible — nothing swept
+    # manifests' listed files are exactly data/ (no orphans either way)
+    data = {os.path.basename(p) for p in published_files(d)}
+    assert data == set(os.listdir(os.path.join(d, "data")))
+
+    write(10, "overwrite")
+    assert _list_manifests(d) == ["manifest-batch.json"]
+    rows = []
+    for p in published_files(d):
+        with open(p) as f:
+            rows += [json.loads(line) for line in f]
+    assert len(rows) == 10  # prior dataset fully replaced
+    assert {os.path.basename(p) for p in published_files(d)} == set(
+        os.listdir(os.path.join(d, "data"))
+    )
 
 
 def test_python_sink_streaming_per_batch_manifests(spark, tmp_path):

@@ -1737,3 +1737,107 @@ def test_admit_ignores_dead_foreign_schema_backlog(spark, tmp_path):
         eng2._admit(_gate_rows(spark, child, range(26, 28)), 3)
     eng.close()
     eng2.close()
+
+
+def test_admit_flush_preserves_main_path_duplicates(spark, tmp_path):
+    """r9 advisory: replay dedup is BACKLOG-side only — two legitimately
+    identical rows produced by a caller transform on the MAIN path (e.g.
+    explode of an array with repeated values) must BOTH deliver even in
+    a gate-open flush batch, including on never-deferred shards."""
+    eng, parent, child = _gate_engine(spark, tmp_path, "t-main-dups")
+    eng.commit(_gate_rows(spark, parent, range(1, 11)), 0)  # gate OPEN
+
+    # stale deferral of the child rows (crashed attempt), replayed on
+    # the main path together with an identical fan-out pair on an
+    # unrelated shard
+    child_rows = _gate_rows(spark, child, range(11, 16))
+    stale = os.path.join(
+        eng._deferred_schema_dir(child_rows.schema), "b-000000-" + "1".zfill(20)
+    )
+    child_rows.write.mode("overwrite").parquet(stale)
+    other = "shardId-" + "7".rjust(12, "0")
+    fanout = _gate_rows(spark, other, [30]).unionAll(
+        _gate_rows(spark, other, [30])
+    )  # identical full rows, multiplicity 2
+    out = eng._admit(child_rows.unionAll(fanout), 1).collect()
+    seqs = sorted(r["sequence_number"] for r in out)
+    assert seqs == [str(i).zfill(21) for i in range(11, 16)] + [
+        str(30).zfill(21)
+    ] * 2, seqs  # child once each, fan-out pair intact
+    eng.close()
+
+
+def test_admit_flush_backlog_fanout_multiplicity(spark, tmp_path):
+    """r9 advisory: a cross-generation replay re-defers the same rows
+    under a NEW b-<gen>-<id> subdir. Per row-content the true fan-out
+    multiplicity is the count within ONE subdir — the flush collapses
+    replay copies across subdirs but keeps within-subdir duplicates."""
+    eng, parent, child = _gate_engine(spark, tmp_path, "t-backlog-mult")
+    eng.commit(_gate_rows(spark, parent, range(1, 11)), 0)  # gate OPEN
+
+    pair = _gate_rows(spark, child, [12]).unionAll(_gate_rows(spark, child, [12]))
+    schema_dir = eng._deferred_schema_dir(pair.schema)
+    # generation-0 deferral: fan-out pair (legit multiplicity 2)
+    pair.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(schema_dir, "b-000000-" + "1".zfill(20))
+    )
+    # generation-1 replay of the SAME batch content under a new subdir
+    pair.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(schema_dir, "b-000001-" + "0".zfill(20))
+    )
+    out = eng._admit(_gate_rows(spark, parent, [40]), 1).collect()
+    seqs = sorted(r["sequence_number"] for r in out)
+    assert seqs == [str(12).zfill(21)] * 2 + [str(40).zfill(21)], seqs
+    eng.close()
+
+
+def test_deferred_schema_fingerprint_ignores_nullability(spark, tmp_path):
+    """r9 advisory: a benign nullability/metadata flip between engine
+    generations must NOT re-namespace the deferred backlog (the old
+    namespace would look foreign and kill the query); a real dataType
+    or name change still must."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    eng, _parent, _child = _gate_engine(spark, tmp_path, "t-fingerprint")
+    a = StructType(
+        [
+            StructField("stream", StringType(), True),
+            StructField("tags", ArrayType(StringType(), True), True),
+            StructField(
+                "nested",
+                StructType([StructField("x", LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+    flipped = StructType(
+        [
+            StructField("stream", StringType(), False, {"note": "meta"}),
+            StructField("tags", ArrayType(StringType(), False), True),
+            StructField(
+                "nested",
+                StructType([StructField("x", LongType(), False)]),
+                False,
+            ),
+        ]
+    )
+    assert eng._deferred_schema_dir(a) == eng._deferred_schema_dir(flipped)
+    changed = StructType(
+        [
+            StructField("stream", StringType(), True),
+            StructField("tags", ArrayType(LongType(), True), True),  # type flip
+            StructField(
+                "nested",
+                StructType([StructField("x", LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+    assert eng._deferred_schema_dir(a) != eng._deferred_schema_dir(changed)
+    eng.close()
