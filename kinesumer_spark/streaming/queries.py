@@ -1325,3 +1325,193 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, "ks_stream_stream_left", mode="append").orderBy(
         "purchase_id", F.col("click_id").asc_nulls_first()
     )
+
+
+_STREAM_STREAM_FULL_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id AS c_user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), wm AS (
+  -- final global watermark: min over inputs of max(event time) - 2 h
+  SELECT least((SELECT MAX(p_ts) FROM p), (SELECT MAX(c_ts) FROM c))
+         - INTERVAL 2 HOUR AS w
+)
+SELECT purchase_id, click_id, user_id FROM (
+  SELECT p.purchase_id, c.click_id, p.user_id
+  FROM p JOIN c ON p.user_id = c.c_user_id
+   AND c.c_ts <= p.p_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+  UNION ALL
+  -- unmatched purchases finalize when no future click (c_ts >= w) can
+  -- satisfy c_ts <= p_ts: p_ts < w
+  SELECT p.purchase_id, NULL AS click_id, p.user_id
+  FROM p CROSS JOIN wm
+  WHERE p.p_ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM c
+      WHERE p.user_id = c.c_user_id
+        AND c.c_ts <= p.p_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+    )
+  UNION ALL
+  -- unmatched clicks finalize when no future purchase (p_ts >= w) can
+  -- satisfy p_ts <= c_ts + 1 h: c_ts + 1 h < w
+  SELECT NULL AS purchase_id, c.click_id, c.c_user_id AS user_id
+  FROM c CROSS JOIN wm
+  WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = c.c_user_id
+        AND c.c_ts <= p.p_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+    )
+)
+ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST
+"""
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle=_STREAM_STREAM_FULL_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — the last emission
+    semantics in the streaming-join matrix (inner: stream_stream_join;
+    left outer: stream_stream_left_outer). BOTH sides NULL-pad once the
+    watermark proves no match can ever arrive, and the two sides
+    finalize at DIFFERENT watermark offsets because the time-range
+    condition is asymmetric: an unmatched purchase needs no future
+    click with c_ts <= p_ts, so it emits once p_ts < w; an unmatched
+    click needs no future purchase with p_ts <= c_ts + 1 h, so it
+    emits once c_ts + 1 h < w (w = min over inputs of max event time
+    - 2 h, Spark's multiple-watermark min policy). The oracle models
+    both finalization predicates exactly — the same
+    oracle-models-the-watermark discipline as the left-outer row; rows
+    inside their trailing windows correctly stay in state forever on a
+    finite stream.
+
+    Scale: identical state shape to the inner join — both sides keyed
+    on user_id, state GC'd by the watermark against the time-range
+    condition; emission is append-only. The full-outer variant adds no
+    state over left-outer: the right side's eviction scan is the same
+    pass that already maintains its match index."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+    )
+    return _run_to_table(joined, "ks_stream_stream_full", mode="append").orderBy(
+        F.col("purchase_id").asc_nulls_first(),
+        F.col("click_id").asc_nulls_first(),
+    )
+
+
+_STREAM_DEDUP_JOIN_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id AS c_user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, c.click_id, p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_emitted
+FROM p JOIN c ON p.user_id = c.c_user_id
+ AND c.c_ts <= p.p_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+GROUP BY p.purchase_id, c.click_id, p.user_id
+ORDER BY purchase_id, click_id
+"""
+
+
+@register(
+    "stream_dedup_join",
+    oracle=_STREAM_DEDUP_JOIN_ORACLE,
+    tags=("streaming", "join", "dedup"),
+)
+def stream_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark composed UPSTREAM of a stream-stream
+    join — the at-least-once ingestion reality: a redelivering source
+    (Kinesis consumer restart, producer retry) feeds the click side
+    twice (two file-stream scans unioned), the watermarked dedup
+    collapses redeliveries by click_id with state bounded by the 2 h
+    watermark, and the deduplicated stream then joins purchases
+    exactly-once. The oracle's n_emitted column proves every join pair
+    was emitted exactly ONCE — without the dedup stage the doubled
+    input would emit every pair twice and the hash would mismatch; with
+    it, the composition converges to the batch join over distinct
+    clicks.
+
+    Watermark propagation across the compose is the Spark feature under
+    test: the dedup operator consumes the click watermark and emits one
+    the downstream join can still use for state GC on both sides.
+
+    Scale: dedup state is (click_id -> expiry) bounded by delay x
+    rate; the join state is the inner-join shape (stream_stream_join).
+    Both stages shuffle on their keys (click_id, then user_id) — two
+    exchanges, same as any keyed two-stage streaming topology; a
+    deployment would pre-bucket by user_id only if the dedup key
+    matched, which it deliberately does not here."""
+    ev1 = _events_stream(spark, sf_dir)
+    ev2 = _events_stream(spark, sf_dir)  # second scan = the redelivery
+
+    def clicks_of(ev: DataFrame) -> DataFrame:
+        return ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+
+    clicks = (
+        clicks_of(ev1)
+        .unionByName(clicks_of(ev2))
+        .withWatermark("c_ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["click_id"])
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", "user_id")
+    out = _run_to_table(joined, "ks_stream_dedup_join", mode="append")
+    return (
+        out.groupBy("purchase_id", "click_id", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_emitted"))
+        .orderBy("purchase_id", "click_id")
+    )
