@@ -718,11 +718,12 @@ class Engine:
                 # caller may run() a transformed records DF, and the
                 # deferred area holds whatever schema the batches carry
                 # (the gate only requires the three key columns).
+                flush_keys = [f"{s}\x1f{c}" for s, c in to_flush]
                 backlog = (
                     self.spark.read.schema(batch_df.schema)
                     .option("recursiveFileLookup", "true")
                     .parquet(schema_dir)
-                    .filter(key.isin([f"{s}\x1f{c}" for s, c in to_flush]))
+                    .filter(key.isin(flush_keys))
                 )
                 # r9 (advisory): replay dedup must never touch MAIN-path
                 # rows — a transform legitimately emitting identical rows
@@ -764,9 +765,19 @@ class Engine:
                         for c in cols
                     ],
                 )
+                # backlog content can only collide with main rows on the
+                # SAME flushing shard (full-row match includes shard_id),
+                # so the anti-join's right side is the flush-shard slice
+                # of the batch — usually empty, non-empty only on replay;
+                # the never-deferred bulk of the batch stays out of this
+                # shuffle entirely
                 fresh = (
                     collapsed.alias("_ks_bk")
-                    .join(batch_df.alias("_ks_mn"), cond, "left_anti")
+                    .join(
+                        batch_df.filter(key.isin(flush_keys)).alias("_ks_mn"),
+                        cond,
+                        "left_anti",
+                    )
                 )
                 batch_df = batch_df.unionByName(fresh)
             self._flushed.update(to_flush)
