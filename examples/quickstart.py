@@ -108,7 +108,10 @@ def main() -> None:
         queries[name].spark(spark, sf_dir).show(10, truncate=False)
 
     # 4. produce: the custom Python DataSource WRITER ------------------
-    from kinesumer_spark.sources.python_source import register_sim_sink
+    from kinesumer_spark.sources.python_source import (
+        _list_manifests,
+        register_sim_sink,
+    )
 
     register_sim_sink(spark)
     sink_dir = tempfile.mkdtemp(prefix="qs_sink_")
@@ -119,7 +122,10 @@ def main() -> None:
     ).mode("append").save()
     import json
 
-    with open(os.path.join(sink_dir, "manifest-batch.json")) as f:
+    # append publishes a job-unique manifest (r9: append accumulates;
+    # overwrite replaces) — readers union _list_manifests/published_files
+    (man_name,) = _list_manifests(sink_dir)
+    with open(os.path.join(sink_dir, man_name)) as f:
         man = json.load(f)
     print(
         f"\nproduced {man['n_rows']} records into {len(man['by_shard'])} "
