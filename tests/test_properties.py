@@ -362,3 +362,31 @@ def test_front_order_policy_invariants(data):
     for a, b in zip(ordered, ordered[1:]):
         if key(a) == key(b):
             assert idx[a] < idx[b]
+
+
+@given(
+    st.text(st.characters(codec="utf-8"), min_size=0, max_size=40),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_sink_shard_ring_matches_oracle_sql(key, n_shards):
+    """The sink_putrecords_roundtrip oracle replays _shard_of's
+    sha256-prefix hash ring in DuckDB SQL (hex chars folded with
+    16**(7-i), exact in doubles since 16^8 < 2^53). Property: the SQL
+    fold equals the Python ring for ARBITRARY partition keys and shard
+    counts, not just the events fixture's user_ids — so the registered
+    oracle's hash arithmetic cannot silently diverge. The key is bound
+    as a parameter, exactly like the registered oracle feeds keys from
+    a column."""
+    import duckdb
+
+    from kinesumer_spark.sources.python_source import _shard_of
+
+    sql = f"""
+    SELECT CAST(list_sum(list_transform(range(8),
+             i -> (strpos('0123456789abcdef',
+                          substr(sha256(?), i + 1, 1)) - 1)
+                  * 16**(7 - i))) AS BIGINT) % {n_shards}
+    """
+    got = duckdb.execute(sql, [key]).fetchone()[0]
+    assert got == _shard_of(key, n_shards)
