@@ -547,3 +547,20 @@ def test_gapfill_windows_partition_by_type(spark):
     # SinglePartition on the Window input exchange instead
     assert "Window" in plan, plan
     assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_sink_roundtrip_readback_plan(spark):
+    """sink_putrecords_roundtrip's read-back side: a bounded
+    manifest-file-list JSON scan that reads ONLY the two referenced
+    columns (explicit schema = parse-level pruning), aggregates with a
+    partial/final pair, and stays JVM-side — the producer-contract
+    query's scale properties, pinned like the other LLM-op plans."""
+    df = _df(spark, "sink_putrecords_roundtrip")
+    plan = plan_string(df)
+    assert "BatchEvalPython" not in plan
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema in plan"
+    assert "partition_key" in schemas[0] and "_shard" in schemas[0]
+    for unused in ("event_id",):  # written but never read back
+        assert unused not in schemas[0], schemas[0]
+    assert plan.count("HashAggregate") >= 2, plan
