@@ -323,6 +323,17 @@ class _PutRecordsWriterBase:
             for e in os.scandir(staging):
                 if e.is_file():
                     os.remove(e.path)
+        # a publish that crashed between fsync and rename leaves a stale
+        # .manifest-*.json.tmp — never reader-visible (dot-prefixed,
+        # excluded by _list_manifests) but accumulating; swept here like
+        # the staging orphans (own tmp was already renamed away above)
+        for e in os.scandir(self.path):
+            if (
+                e.is_file()
+                and e.name.startswith(".manifest-")
+                and e.name.endswith(".tmp")
+            ):
+                os.remove(e.path)
 
     def _discard(self, messages) -> None:
         for m in messages:

@@ -811,3 +811,30 @@ def test_python_sink_republish_sweeps_previous_attempt(spark, tmp_path):
     data = set(os.listdir(os.path.join(d, "data")))
     assert data == set(man["files"])  # first attempt swept, no orphans
     assert not data & first
+
+
+def test_python_sink_publish_sweeps_stale_tmp_manifests(spark, tmp_path):
+    """A publish that crashed between fsync and rename leaves a stale
+    .manifest-*.json.tmp in the sink root. It must never be
+    reader-visible (_list_manifests excludes dotfiles) and the next
+    successful publish must sweep it."""
+    import os
+
+    from kinesumer_spark.sources.python_source import (
+        _list_manifests,
+        register_sim_sink,
+    )
+
+    register_sim_sink(spark)
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    stale = os.path.join(d, ".manifest-batch-deadbeef.json.tmp")
+    with open(stale, "w") as f:
+        f.write('{"files": ["never-published.jsonl"]}')
+
+    assert _list_manifests(d) == []  # invisible to readers
+    spark.range(5).selectExpr(
+        "cast(id as string) AS partition_key"
+    ).write.format("kinesumer_sim_sink").option("path", d).mode("append").save()
+    assert len(_list_manifests(d)) == 1
+    assert not os.path.exists(stale)  # swept by the janitor
