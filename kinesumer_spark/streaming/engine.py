@@ -744,17 +744,32 @@ class Engine:
                 #      same transform (null-safe match, else NULL-bearing
                 #      rows would anti-join-survive and double-deliver).
                 cols = batch_df.columns
+
+                def _fresh(base: str) -> str:
+                    # caller transforms own the column namespace — temp
+                    # names must not collide with theirs
+                    while base in cols:
+                        base += "_"
+                    return base
+
+                c_sub, c_n, c_i = (
+                    _fresh("_ks_subdir"),
+                    _fresh("_ks_n"),
+                    _fresh("_ks_i"),
+                )
                 collapsed = (
                     backlog.withColumn(
-                        "_ks_subdir",
+                        c_sub,
                         F.regexp_extract(F.input_file_name(), r"(b-[^/]+)/", 1),
                     )
-                    .groupBy(*cols, "_ks_subdir")
-                    .agg(F.count(F.lit(1)).alias("_ks_n"))
+                    .groupBy(*cols, c_sub)
+                    .agg(F.count(F.lit(1)).alias(c_n))
                     .groupBy(*cols)
-                    .agg(F.max("_ks_n").alias("_ks_n"))
-                    .withColumn("_ks_i", F.explode(F.expr("sequence(1, _ks_n)")))
-                    .drop("_ks_n", "_ks_i")
+                    .agg(F.max(c_n).alias(c_n))
+                    .withColumn(
+                        c_i, F.explode(F.expr(f"sequence(1, `{c_n}`)"))
+                    )
+                    .drop(c_n, c_i)
                 )
                 from functools import reduce as _reduce
 

@@ -1841,3 +1841,26 @@ def test_deferred_schema_fingerprint_ignores_nullability(spark, tmp_path):
     )
     assert eng._deferred_schema_dir(a) != eng._deferred_schema_dir(changed)
     eng.close()
+
+
+def test_admit_flush_with_reserved_looking_columns(spark, tmp_path):
+    """r9 hardening: the flush's temp columns must not collide with
+    caller-transform columns that happen to use the same names."""
+    import pyspark.sql.functions as SF
+
+    eng, parent, child = _gate_engine(spark, tmp_path, "t-reserved-cols")
+    eng.commit(_gate_rows(spark, parent, range(1, 11)), 0)  # gate OPEN
+
+    rows = _gate_rows(spark, child, range(11, 14)).withColumn(
+        "_ks_n", SF.lit("caller-owned")
+    ).withColumn("_ks_subdir", SF.lit(7))
+    stale = os.path.join(
+        eng._deferred_schema_dir(rows.schema), "b-000000-" + "1".zfill(20)
+    )
+    rows.write.mode("overwrite").parquet(stale)
+
+    out = eng._admit(rows, 1).collect()  # replay: backlog + main copies
+    seqs = sorted(r["sequence_number"] for r in out)
+    assert seqs == [str(i).zfill(21) for i in range(11, 14)], seqs
+    assert all(r["_ks_n"] == "caller-owned" and r["_ks_subdir"] == 7 for r in out)
+    eng.close()
