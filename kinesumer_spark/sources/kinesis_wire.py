@@ -1,0 +1,487 @@
+"""Kinesis WIRE-protocol execution path: an in-process endpoint speaking
+the public Kinesis JSON API + a boto3-driven polling source.
+
+Every round so far, the one reference behavior that had never executed
+here was a live network source (reference kinesumer_test.go:137-193
+runs against localstack Kinesis; this sandbox has no localstack/broker).
+This module closes that gap with what the environment DOES allow: a
+localhost HTTP server implementing the documented Kinesis JSON protocol
+(``X-Amz-Target: Kinesis_20131202.*``, ``application/x-amz-json-1.1``
+bodies, base64 ``Data`` blobs — the public AWS API reference shapes),
+consumed by real ``boto3``/``botocore`` clients doing real HTTP with
+real retry handling. The polling scan loop (O1, kinesumer.go:615-704)
+therefore executes over an actual wire: shard discovery (ListShards —
+including ``ParentShardId`` lineage and ``EndingSequenceNumber`` CLOSED
+markers, the O3 surface from syncclient.go), iterator acquisition
+(GetShardIterator TRIM_HORIZON / AT / AFTER_SEQUENCE_NUMBER), paced
+GetRecords with ``Limit`` (the reference's scanLimit), pagination via
+``NextShardIterator``, and ProvisionedThroughputExceededException
+throttling answered by botocore's standard retry policy.
+
+The feed is DETERMINISTIC from (shard, offset) — same scheme as the
+``kinesumer_sim`` source — so the registered query's DuckDB oracle
+reconstructs every delivered record from ``range()`` and the driver
+hash-checks exactly-once delivery through the real protocol stack.
+
+Scale notes: one planner partition per shard per microbatch (the
+reference's range-split assignment); the driver holds only the
+per-shard sequence cursor (the ShardCheckPoint row set) and a
+scanLimit-paced tip probe; record payloads flow through executors
+only. On a real deployment the same consumer code points at the AWS
+endpoint — the fake is configuration, not architecture.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_DDL = (
+    "stream string, shard_id string, sequence_number string, "
+    "partition_key string, payload_k bigint"
+)
+
+
+# ---------------------------------------------------------------------------
+# The deterministic shard feed (mirrors the kinesumer_sim scheme so the
+# DuckDB oracle can replay it from range())
+# ---------------------------------------------------------------------------
+
+
+def _record(stream: str, shard: int, per_shard: int, i: int) -> dict:
+    seq = shard * per_shard + i
+    return {
+        "SequenceNumber": str(seq).zfill(21),
+        "ApproximateArrivalTimestamp": 1700000000.0 + i,
+        "PartitionKey": str(seq % 97),
+        # Data is the raw payload blob (base64 on the wire, like the real
+        # API); the consumer decodes schema-on-read, as the reference's
+        # application does
+        "Data": base64.b64encode(
+            json.dumps({"k": (seq * 31 + shard) % 1000}).encode()
+        ).decode(),
+    }
+
+
+class _Shard:
+    def __init__(
+        self,
+        shard_id: str,
+        n_records: int,
+        *,
+        parent: str | None = None,
+        closed: bool = False,
+    ) -> None:
+        self.shard_id = shard_id
+        self.n_records = n_records
+        self.parent = parent
+        self.closed = closed
+
+
+class _ApiError(Exception):
+    def __init__(self, type_: str, message: str) -> None:
+        super().__init__(message)
+        self.type = type_
+        self.message = message
+
+
+class _KinesisApi:
+    """Dispatch table for the protocol subset a polling consumer uses."""
+
+    def __init__(self, streams: dict[str, list[_Shard]]) -> None:
+        self.streams = streams
+        self.throttle_every = 0  # every Nth GetRecords throttles (0 = off)
+        self._calls = 0
+        self.lock = threading.Lock()
+
+    # -- iterator tokens: base64(json) — opaque to clients, like AWS's ----
+    def _token(self, stream: str, shard_id: str, idx: int) -> str:
+        return base64.b64encode(
+            json.dumps({"s": stream, "h": shard_id, "i": idx}).encode()
+        ).decode()
+
+    def _shard(self, stream: str, shard_id: str) -> tuple[int, _Shard]:
+        shards = self.streams.get(stream)
+        if shards is None:
+            raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        for idx, sh in enumerate(shards):
+            if sh.shard_id == shard_id:
+                return idx, sh
+        raise _ApiError("ResourceNotFoundException", f"no shard {shard_id}")
+
+    def dispatch(self, op: str, body: dict) -> dict:
+        fn = getattr(self, f"op_{op}", None)
+        if fn is None:
+            raise _ApiError("UnknownOperationException", op)
+        return fn(body)
+
+    def op_ListShards(self, body: dict) -> dict:
+        stream = body["StreamName"]
+        shards = self.streams.get(stream)
+        if shards is None:
+            raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        out = []
+        for pos, sh in enumerate(shards):
+            rng: dict = {
+                "StartingSequenceNumber": str(pos * sh.n_records).zfill(21)
+            }
+            if sh.closed:
+                rng["EndingSequenceNumber"] = str(
+                    pos * sh.n_records + sh.n_records - 1
+                ).zfill(21)
+            doc = {
+                "ShardId": sh.shard_id,
+                "HashKeyRange": {
+                    "StartingHashKey": "0",
+                    "EndingHashKey": "340282366920938463463374607431768211455",
+                },
+                "SequenceNumberRange": rng,
+            }
+            if sh.parent:
+                doc["ParentShardId"] = sh.parent
+            out.append(doc)
+        return {"Shards": out}
+
+    def op_GetShardIterator(self, body: dict) -> dict:
+        stream = body["StreamName"]
+        shard_id = body["ShardId"]
+        pos, sh = self._shard(stream, shard_id)
+        kind = body["ShardIteratorType"]
+        if kind == "TRIM_HORIZON":
+            idx = 0
+        elif kind == "LATEST":
+            idx = sh.n_records
+        elif kind in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
+            seq = int(body["StartingSequenceNumber"])
+            idx = seq - pos * sh.n_records
+            if kind == "AFTER_SEQUENCE_NUMBER":
+                idx += 1
+            idx = max(0, min(idx, sh.n_records))
+        else:
+            raise _ApiError("InvalidArgumentException", kind)
+        return {"ShardIterator": self._token(stream, shard_id, idx)}
+
+    def op_GetRecords(self, body: dict) -> dict:
+        with self.lock:
+            self._calls += 1
+            throttled = (
+                self.throttle_every and self._calls % self.throttle_every == 0
+            )
+        if throttled:
+            raise _ApiError(
+                "ProvisionedThroughputExceededException", "slow down"
+            )
+        tok = json.loads(base64.b64decode(body["ShardIterator"]))
+        stream, shard_id, idx = tok["s"], tok["h"], tok["i"]
+        pos, sh = self._shard(stream, shard_id)
+        limit = int(body.get("Limit", 10000))
+        hi = min(idx + limit, sh.n_records)
+        records = [
+            _record(stream, pos, sh.n_records, i) for i in range(idx, hi)
+        ]
+        out: dict = {"Records": records, "MillisBehindLatest": 0}
+        if sh.closed and hi >= sh.n_records:
+            # closed shard fully consumed: the null iterator is the wire
+            # signal the reference's CLOSED filter keys on (O3)
+            out["NextShardIterator"] = None
+        else:
+            out["NextShardIterator"] = self._token(stream, shard_id, hi)
+        return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_POST(self) -> None:  # noqa: N802 - http.server contract
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length) or b"{}")
+        op = self.headers.get("X-Amz-Target", "").split(".")[-1]
+        try:
+            doc = self.server.api.dispatch(op, body)  # type: ignore[attr-defined]
+            code = 200
+        except _ApiError as e:
+            doc = {"__type": e.type, "message": e.message}
+            code = 400
+        data = json.dumps(doc).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/x-amz-json-1.1")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *args) -> None:  # silence per-request stderr spam
+        pass
+
+
+class FakeKinesisServer:
+    """Localhost wire endpoint; ``with FakeKinesisServer({...}) as url:``."""
+
+    def __init__(self, streams: dict[str, list[_Shard]]) -> None:
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+        self._httpd.api = _KinesisApi(streams)  # type: ignore[attr-defined]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def api(self) -> _KinesisApi:
+        return self._httpd.api  # type: ignore[attr-defined]
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def __enter__(self) -> "FakeKinesisServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def simple_stream(
+    name: str = "wire", n_shards: int = 4, per_shard: int = 50
+) -> dict[str, list[_Shard]]:
+    return {
+        name: [
+            _Shard(f"shardId-{s:012d}", per_shard) for s in range(n_shards)
+        ]
+    }
+
+
+def resharded_stream(name: str = "wire", per_shard: int = 20) -> dict:
+    """A post-split topology: closed parent, two open children carrying
+    ``ParentShardId`` — the lineage shape the reference reads from
+    ListShards (syncclient.go) and this engine's gate consumes."""
+    parent = _Shard("shardId-000000000000", per_shard, closed=True)
+    kids = [
+        _Shard(f"shardId-{i:012d}", per_shard, parent=parent.shard_id)
+        for i in (1, 2)
+    ]
+    return {name: [parent, *kids]}
+
+
+# ---------------------------------------------------------------------------
+# boto3 client + lineage mapping
+# ---------------------------------------------------------------------------
+
+
+def wire_client(endpoint: str):
+    """Real boto3 Kinesis client pointed at the localhost endpoint —
+    botocore does the signing, (de)serialization, blob base64 decode,
+    and standard-mode retries (throttling included)."""
+    import boto3
+    from botocore.config import Config
+
+    return boto3.client(
+        "kinesis",
+        region_name="us-east-1",
+        aws_access_key_id="testing",
+        aws_secret_access_key="testing",
+        endpoint_url=endpoint,
+        config=Config(
+            retries={"mode": "standard", "max_attempts": 8},
+            connect_timeout=5,
+            read_timeout=10,
+        ),
+    )
+
+
+def lineage_from_list_shards(client, stream: str) -> dict:
+    """ListShards → the Engine's reshard-lineage map
+    ``{(stream, child_shard): [(parent_shard, parent_ending_seq)]}``
+    (engine.py Engine._lineage). Only CLOSED parents gate: an open
+    parent has no EndingSequenceNumber yet, so its children cannot be
+    admitted before it anyway (they hold no data until the split)."""
+    shards = client.list_shards(StreamName=stream)["Shards"]
+    ending = {
+        s["ShardId"]: s["SequenceNumberRange"].get("EndingSequenceNumber")
+        for s in shards
+    }
+    lineage: dict = {}
+    for s in shards:
+        parent = s.get("ParentShardId")
+        if parent and ending.get(parent) is not None:
+            lineage.setdefault((stream, s["ShardId"]), []).append(
+                (parent, ending[parent])
+            )
+    return lineage
+
+
+# ---------------------------------------------------------------------------
+# The polling source: O1's scan loop as a Python streaming DataSource
+# whose data path is the wire
+# ---------------------------------------------------------------------------
+
+
+class _WireSlice(InputPartition):
+    def __init__(
+        self, shard_id: str, after_seq: str | None, end_seq: str
+    ) -> None:
+        self.shard_id = shard_id
+        self.after_seq = after_seq  # exclusive start (None = TRIM_HORIZON)
+        self.end_seq = end_seq  # inclusive end
+
+
+class KinesumerWireStreamReader(DataSourceStreamReader):
+    """Per-shard offset map (the ShardCheckPoint row set) with
+    GetRecords-paced advancement, all state JSON-picklable: boto3
+    clients are created lazily per use and NEVER stored on self (the
+    reader is serialized to executors for read())."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.endpoint = options["endpoint"]
+        self.stream = options.get("stream", "wire")
+        self.scan_limit = int(options.get("scanlimit", 25))
+
+    def initialOffset(self) -> dict:
+        client = wire_client(self.endpoint)
+        shards = client.list_shards(StreamName=self.stream)["Shards"]
+        # "" = nothing consumed yet (TRIM_HORIZON on first read)
+        return {s["ShardId"]: "" for s in shards}
+
+    def latestOffset(self) -> dict:
+        # the tip probe IS a GetRecords scan (there is no "what's the
+        # tip" API in Kinesis — consumers discover it by reading): each
+        # call advances every shard by ≤ scanLimit records, exactly the
+        # reference's paced loop. Record payloads are re-fetched by the
+        # executors for the committed range — Kinesis reads are
+        # replayable by design, which is what makes the planner/executor
+        # split safe.
+        if not hasattr(self, "_cursor"):
+            self._cursor = self.initialOffset()
+        client = wire_client(self.endpoint)
+        for shard_id, last in self._cursor.items():
+            if last is None:
+                continue  # closed shard fully drained
+            if last == "":
+                it = client.get_shard_iterator(
+                    StreamName=self.stream,
+                    ShardId=shard_id,
+                    ShardIteratorType="TRIM_HORIZON",
+                )["ShardIterator"]
+            else:
+                it = client.get_shard_iterator(
+                    StreamName=self.stream,
+                    ShardId=shard_id,
+                    ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+                    StartingSequenceNumber=last,
+                )["ShardIterator"]
+            out = client.get_records(ShardIterator=it, Limit=self.scan_limit)
+            if out["Records"]:
+                self._cursor[shard_id] = out["Records"][-1]["SequenceNumber"]
+            if out.get("NextShardIterator") is None and not out["Records"]:
+                self._cursor[shard_id] = None  # CLOSED + drained (O3)
+        return dict(self._cursor)
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for shard_id, end_seq in end.items():
+            if end_seq in ("", None):
+                continue
+            start_seq = start.get(shard_id, "")
+            if start_seq == end_seq:
+                continue
+            out.append(
+                _WireSlice(shard_id, start_seq or None, end_seq)
+            )
+        return out
+
+    def read(self, partition: _WireSlice):
+        client = wire_client(self.endpoint)
+        if partition.after_seq is None:
+            it = client.get_shard_iterator(
+                StreamName=self.stream,
+                ShardId=partition.shard_id,
+                ShardIteratorType="TRIM_HORIZON",
+            )["ShardIterator"]
+        else:
+            it = client.get_shard_iterator(
+                StreamName=self.stream,
+                ShardId=partition.shard_id,
+                ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+                StartingSequenceNumber=partition.after_seq,
+            )["ShardIterator"]
+        end = partition.end_seq
+        while it is not None:
+            out = client.get_records(ShardIterator=it, Limit=10000)
+            for rec in out["Records"]:
+                seq = rec["SequenceNumber"]
+                if seq > end:  # zero-padded: lexicographic == numeric
+                    return
+                payload = json.loads(bytes(rec["Data"]).decode())
+                yield (
+                    self.stream,
+                    partition.shard_id,
+                    seq,
+                    rec["PartitionKey"],
+                    int(payload["k"]),
+                )
+                if seq == end:
+                    return
+            it = out.get("NextShardIterator")
+
+    def commit(self, end: dict) -> None:  # WAL owns the checkpoint
+        pass
+
+
+class KinesumerWireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kinesumer_wire"
+
+    def schema(self) -> str:
+        return _DDL
+
+    def streamReader(self, schema: StructType) -> KinesumerWireStreamReader:
+        return KinesumerWireStreamReader(schema, self.options)
+
+
+def register_wire_source(spark) -> None:
+    spark.dataSource.register(KinesumerWireDataSource)
+
+
+def drain_via_wire(
+    endpoint: str, stream: str, scan_limit: int = 10000
+) -> list[tuple]:
+    """Driver-side reference consume loop (no Spark): the literal O1
+    polling algorithm over the wire — used by tests to cross-check the
+    Spark source against a direct protocol walk."""
+    client = wire_client(endpoint)
+    rows = []
+    for s in client.list_shards(StreamName=stream)["Shards"]:
+        it = client.get_shard_iterator(
+            StreamName=stream,
+            ShardId=s["ShardId"],
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+        while it is not None:
+            out = client.get_records(ShardIterator=it, Limit=scan_limit)
+            for rec in out["Records"]:
+                rows.append(
+                    (
+                        s["ShardId"],
+                        rec["SequenceNumber"],
+                        rec["PartitionKey"],
+                        json.loads(bytes(rec["Data"]).decode())["k"],
+                    )
+                )
+            if not out["Records"]:
+                # tip of an open shard (a real poller sleeps and retries;
+                # the test feed is finite) or the closed-shard null
+                # iterator — either way this shard is drained
+                break
+            it = out.get("NextShardIterator")
+    return rows

@@ -838,3 +838,177 @@ def test_python_sink_publish_sweeps_stale_tmp_manifests(spark, tmp_path):
     ).write.format("kinesumer_sim_sink").option("path", d).mode("append").save()
     assert len(_list_manifests(d)) == 1
     assert not os.path.exists(stale)  # swept by the janitor
+
+
+# -- Kinesis wire-protocol path (sources/kinesis_wire.py) --------------------
+
+
+def test_kinesis_wire_protocol_walk():
+    """Direct boto3 walk of the in-process endpoint: shard discovery,
+    Limit-paced pagination, AFTER_SEQUENCE_NUMBER resume, and the
+    closed-shard null-iterator signal (O1/O3 over real HTTP)."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        resharded_stream,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 2, 7)) as srv:
+        c = wire_client(srv.url)
+        shards = c.list_shards(StreamName="wire")["Shards"]
+        assert [s["ShardId"] for s in shards] == [
+            "shardId-000000000000",
+            "shardId-000000000001",
+        ]
+        it = c.get_shard_iterator(
+            StreamName="wire",
+            ShardId="shardId-000000000001",
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+        page1 = c.get_records(ShardIterator=it, Limit=3)
+        assert [r["SequenceNumber"] for r in page1["Records"]] == [
+            str(i).zfill(21) for i in (7, 8, 9)
+        ]
+        # blobs cross the wire base64'd; botocore hands back bytes
+        import json as _json
+
+        assert _json.loads(bytes(page1["Records"][0]["Data"]))["k"] == (
+            7 * 31 + 1
+        ) % 1000
+        # resume AFTER a committed sequence number (the checkpoint path)
+        it2 = c.get_shard_iterator(
+            StreamName="wire",
+            ShardId="shardId-000000000001",
+            ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+            StartingSequenceNumber=str(9).zfill(21),
+        )["ShardIterator"]
+        rest = c.get_records(ShardIterator=it2, Limit=100)
+        assert [r["SequenceNumber"] for r in rest["Records"]] == [
+            str(i).zfill(21) for i in (10, 11, 12, 13)
+        ]
+        # open shard keeps a live iterator at the tip
+        assert rest["NextShardIterator"] is not None
+
+    with FakeKinesisServer(resharded_stream("wire", 4)) as srv:
+        c = wire_client(srv.url)
+        it = c.get_shard_iterator(
+            StreamName="wire",
+            ShardId="shardId-000000000000",
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+        out = c.get_records(ShardIterator=it, Limit=100)
+        assert len(out["Records"]) == 4
+        # the wire sends "NextShardIterator": null for a drained CLOSED
+        # shard; botocore drops null fields, so the signal surfaces as
+        # an ABSENT key — exactly what the source's .get() handles
+        assert out.get("NextShardIterator") is None
+
+
+def test_kinesis_wire_throttling_retried():
+    """ProvisionedThroughputExceededException on every 3rd GetRecords:
+    botocore's standard retry mode must absorb it — the drain still
+    delivers every record exactly once (the reference's throttle-retry
+    loop, kinesumer.go GetRecords error handling, via the SDK)."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        drain_via_wire,
+        simple_stream,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 3, 10)) as srv:
+        clean = drain_via_wire(srv.url, "wire", scan_limit=4)
+        srv.api.throttle_every = 3
+        throttled = drain_via_wire(srv.url, "wire", scan_limit=4)
+    assert len(clean) == 30 and sorted(clean) == sorted(throttled)
+
+
+def test_kinesis_wire_lineage_feeds_engine_gate(spark, tmp_path):
+    """ListShards' ParentShardId/EndingSequenceNumber topology maps into
+    the Engine's reshard-lineage table, and the gate then enforces
+    parent-before-child over the WIRE-described split: child rows defer
+    while the parent is uncommitted, flush once it commits through its
+    wire-reported ending sequence."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        lineage_from_list_shards,
+        resharded_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(resharded_stream("wire", 5)) as srv:
+        lineage = lineage_from_list_shards(wire_client(srv.url), "wire")
+    parent_end = str(4).zfill(21)
+    assert lineage == {
+        ("wire", "shardId-000000000001"): [("shardId-000000000000", parent_end)],
+        ("wire", "shardId-000000000002"): [("shardId-000000000000", parent_end)],
+    }
+
+    eng = Engine(spark, app="t-wire-lineage", checkpoint_root=str(tmp_path / "ck"))
+    eng._lineage = lineage
+    os.makedirs(eng._deferred_data_dir(), exist_ok=True)
+    os.makedirs(eng._deferred_tick_dir(), exist_ok=True)
+
+    def rows(shard, seqs):
+        return spark.createDataFrame(
+            [("wire", shard, str(i).zfill(21), "k", "v") for i in seqs],
+            "stream string, shard_id string, sequence_number string, "
+            "partition_key string, payload string",
+        )
+
+    child = "shardId-000000000001"
+    # child rows arrive first: gated (parent uncommitted) → deferred
+    admitted = eng._admit(rows(child, range(5, 8)), 0).collect()
+    assert admitted == []
+    # parent commits through its wire-reported end → gate opens, flush
+    eng.commit(rows("shardId-000000000000", range(0, 5)), 1)
+    flushed = eng._admit(rows("shardId-000000000000", []).limit(0), 2).collect()
+    got = sorted(r["sequence_number"] for r in flushed)
+    assert got == [str(i).zfill(21) for i in range(5, 8)], got
+    eng.close()
+
+
+def test_kinesis_wire_spark_source_exact_feed(spark):
+    """The kinesumer_wire streaming source end to end: scanLimit-paced
+    microbatches through real boto3 in executors deliver the exact
+    deterministic feed, once each."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+    )
+
+    register_wire_source(spark)
+    with FakeKinesisServer(simple_stream("wire", 3, 20)) as srv:
+        df = (
+            spark.readStream.format("kinesumer_wire")
+            .option("endpoint", srv.url)
+            .option("stream", "wire")
+            .option("scanlimit", 8)
+            .load()
+        )
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_wire_feed")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        rows = spark.table("t_wire_feed").collect()
+    got = sorted(
+        (r["shard_id"], r["sequence_number"], r["partition_key"], r["payload_k"])
+        for r in rows
+    )
+    want = sorted(
+        (
+            f"shardId-{s:012d}",
+            str(s * 20 + i).zfill(21),
+            str((s * 20 + i) % 97),
+            ((s * 20 + i) * 31 + s) % 1000,
+        )
+        for s in range(3)
+        for i in range(20)
+    )
+    assert got == want
