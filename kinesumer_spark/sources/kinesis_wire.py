@@ -57,6 +57,9 @@ _DDL = (
 # ---------------------------------------------------------------------------
 
 
+_HASH_SPACE = 2**128  # the Kinesis partition-key hash ring (MD5)
+
+
 def _record(stream: str, shard: int, per_shard: int, i: int) -> dict:
     seq = shard * per_shard + i
     return {
@@ -73,18 +76,41 @@ def _record(stream: str, shard: int, per_shard: int, i: int) -> dict:
 
 
 class _Shard:
+    """Record storage per shard. Pre-filled feeds use the deterministic
+    (shard, offset) scheme above; PutRecords appends live records routed
+    by the real MD5 hash ring over ``hash_range``."""
+
     def __init__(
         self,
         shard_id: str,
-        n_records: int,
+        n_records: int = 0,
         *,
         parent: str | None = None,
         closed: bool = False,
+        hash_range: tuple[int, int] | None = None,
     ) -> None:
         self.shard_id = shard_id
-        self.n_records = n_records
+        self.n_records = n_records  # prefill size (see _prefill)
         self.parent = parent
         self.closed = closed
+        self.hash_range = hash_range or (0, _HASH_SPACE - 1)
+        self.records: list[dict] = []
+
+    def _prefill(self, stream: str, pos: int) -> None:
+        self.records = [
+            _record(stream, pos, self.n_records, i)
+            for i in range(self.n_records)
+        ]
+
+    def seq_index(self, seq: str, *, after: bool) -> int:
+        """Index of the first record at (or after, exclusive) ``seq`` —
+        zero-padded sequence strings compare lexicographically."""
+        import bisect
+
+        seqs = [r["SequenceNumber"] for r in self.records]
+        if after:
+            return bisect.bisect_right(seqs, seq)
+        return bisect.bisect_left(seqs, seq)
 
 
 class _ApiError(Exception):
@@ -130,19 +156,21 @@ class _KinesisApi:
         if shards is None:
             raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
         out = []
-        for pos, sh in enumerate(shards):
+        for sh in shards:
             rng: dict = {
-                "StartingSequenceNumber": str(pos * sh.n_records).zfill(21)
+                "StartingSequenceNumber": (
+                    sh.records[0]["SequenceNumber"]
+                    if sh.records
+                    else str(0).zfill(21)
+                )
             }
-            if sh.closed:
-                rng["EndingSequenceNumber"] = str(
-                    pos * sh.n_records + sh.n_records - 1
-                ).zfill(21)
+            if sh.closed and sh.records:
+                rng["EndingSequenceNumber"] = sh.records[-1]["SequenceNumber"]
             doc = {
                 "ShardId": sh.shard_id,
                 "HashKeyRange": {
-                    "StartingHashKey": "0",
-                    "EndingHashKey": "340282366920938463463374607431768211455",
+                    "StartingHashKey": str(sh.hash_range[0]),
+                    "EndingHashKey": str(sh.hash_range[1]),
                 },
                 "SequenceNumberRange": rng,
             }
@@ -154,18 +182,16 @@ class _KinesisApi:
     def op_GetShardIterator(self, body: dict) -> dict:
         stream = body["StreamName"]
         shard_id = body["ShardId"]
-        pos, sh = self._shard(stream, shard_id)
+        _pos, sh = self._shard(stream, shard_id)
         kind = body["ShardIteratorType"]
         if kind == "TRIM_HORIZON":
             idx = 0
         elif kind == "LATEST":
-            idx = sh.n_records
-        elif kind in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
-            seq = int(body["StartingSequenceNumber"])
-            idx = seq - pos * sh.n_records
-            if kind == "AFTER_SEQUENCE_NUMBER":
-                idx += 1
-            idx = max(0, min(idx, sh.n_records))
+            idx = len(sh.records)
+        elif kind == "AT_SEQUENCE_NUMBER":
+            idx = sh.seq_index(body["StartingSequenceNumber"], after=False)
+        elif kind == "AFTER_SEQUENCE_NUMBER":
+            idx = sh.seq_index(body["StartingSequenceNumber"], after=True)
         else:
             raise _ApiError("InvalidArgumentException", kind)
         return {"ShardIterator": self._token(stream, shard_id, idx)}
@@ -182,20 +208,81 @@ class _KinesisApi:
             )
         tok = json.loads(base64.b64decode(body["ShardIterator"]))
         stream, shard_id, idx = tok["s"], tok["h"], tok["i"]
-        pos, sh = self._shard(stream, shard_id)
+        _pos, sh = self._shard(stream, shard_id)
         limit = int(body.get("Limit", 10000))
-        hi = min(idx + limit, sh.n_records)
-        records = [
-            _record(stream, pos, sh.n_records, i) for i in range(idx, hi)
-        ]
+        with self.lock:  # PutRecords may be appending concurrently
+            n = len(sh.records)
+            hi = min(idx + limit, n)
+            records = list(sh.records[idx:hi])
         out: dict = {"Records": records, "MillisBehindLatest": 0}
-        if sh.closed and hi >= sh.n_records:
+        if sh.closed and hi >= n:
             # closed shard fully consumed: the null iterator is the wire
             # signal the reference's CLOSED filter keys on (O3)
             out["NextShardIterator"] = None
         else:
             out["NextShardIterator"] = self._token(stream, shard_id, hi)
         return out
+
+    def op_PutRecords(self, body: dict) -> dict:
+        """The producer half of the protocol: each record routes to the
+        open shard owning MD5(PartitionKey) on the 128-bit hash ring —
+        the real Kinesis placement algorithm (public API semantics) —
+        and is assigned the stream's next monotonic sequence number."""
+        import hashlib
+
+        stream = body["StreamName"]
+        shards = self.streams.get(stream)
+        if shards is None:
+            raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        results = []
+        with self.lock:
+            next_seq = (
+                max(
+                    (
+                        int(sh.records[-1]["SequenceNumber"])
+                        for sh in shards
+                        if sh.records
+                    ),
+                    default=-1,
+                )
+                + 1
+            )
+            for rec in body["Records"]:
+                h = int.from_bytes(
+                    hashlib.md5(rec["PartitionKey"].encode()).digest(), "big"
+                )
+                owner = next(
+                    (
+                        sh
+                        for sh in shards
+                        if not sh.closed
+                        and sh.hash_range[0] <= h <= sh.hash_range[1]
+                    ),
+                    None,
+                )
+                if owner is None:
+                    results.append(
+                        {
+                            "ErrorCode": "InternalFailure",
+                            "ErrorMessage": "no open shard owns key",
+                        }
+                    )
+                    continue
+                seq = str(next_seq).zfill(21)
+                next_seq += 1
+                owner.records.append(
+                    {
+                        "SequenceNumber": seq,
+                        "ApproximateArrivalTimestamp": 1700000000.0,
+                        "PartitionKey": rec["PartitionKey"],
+                        "Data": rec["Data"],  # already base64 on the wire
+                    }
+                )
+                results.append(
+                    {"SequenceNumber": seq, "ShardId": owner.shard_id}
+                )
+        failed = sum(1 for r in results if "ErrorCode" in r)
+        return {"FailedRecordCount": failed, "Records": results}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -251,12 +338,32 @@ class FakeKinesisServer:
         self._httpd.server_close()
 
 
+def _split_ranges(n: int) -> list[tuple[int, int]]:
+    step = _HASH_SPACE // n
+    return [
+        (i * step, (i + 1) * step - 1 if i < n - 1 else _HASH_SPACE - 1)
+        for i in range(n)
+    ]
+
+
 def simple_stream(
     name: str = "wire", n_shards: int = 4, per_shard: int = 50
 ) -> dict[str, list[_Shard]]:
+    shards = [
+        _Shard(f"shardId-{s:012d}", per_shard, hash_range=rng)
+        for s, rng in enumerate(_split_ranges(n_shards))
+    ]
+    for pos, sh in enumerate(shards):
+        sh._prefill(name, pos)
+    return {name: shards}
+
+
+def open_stream(name: str = "wire", n_shards: int = 4) -> dict:
+    """Empty open shards — the producer-side (PutRecords) topology."""
     return {
         name: [
-            _Shard(f"shardId-{s:012d}", per_shard) for s in range(n_shards)
+            _Shard(f"shardId-{s:012d}", 0, hash_range=rng)
+            for s, rng in enumerate(_split_ranges(n_shards))
         ]
     }
 
@@ -266,11 +373,20 @@ def resharded_stream(name: str = "wire", per_shard: int = 20) -> dict:
     ``ParentShardId`` — the lineage shape the reference reads from
     ListShards (syncclient.go) and this engine's gate consumes."""
     parent = _Shard("shardId-000000000000", per_shard, closed=True)
+    half = _HASH_SPACE // 2
     kids = [
-        _Shard(f"shardId-{i:012d}", per_shard, parent=parent.shard_id)
-        for i in (1, 2)
+        _Shard(
+            f"shardId-{i:012d}",
+            per_shard,
+            parent=parent.shard_id,
+            hash_range=rng,
+        )
+        for i, rng in zip((1, 2), [(0, half - 1), (half, _HASH_SPACE - 1)])
     ]
-    return {name: [parent, *kids]}
+    shards = [parent, *kids]
+    for pos, sh in enumerate(shards):
+        sh._prefill(name, pos)
+    return {name: shards}
 
 
 # ---------------------------------------------------------------------------
