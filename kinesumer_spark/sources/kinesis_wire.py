@@ -35,7 +35,9 @@ from __future__ import annotations
 
 import base64
 import json
+import struct
 import threading
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql.datasource import (
@@ -58,6 +60,49 @@ _DDL = (
 
 
 _HASH_SPACE = 2**128  # the Kinesis partition-key hash ring (MD5)
+
+
+# ---------------------------------------------------------------------------
+# vnd.amazon.eventstream framing (public spec: the AWS event-stream
+# encoding — prelude [total_len u32][headers_len u32][prelude_crc u32],
+# headers as (name_len u8, name, type u8=7 string, value_len u16, value),
+# payload, message crc32) — what SubscribeToShard responses speak; the
+# frames below parse with botocore's own EventStreamBuffer.
+# ---------------------------------------------------------------------------
+
+
+def _es_header(name: str, value: str) -> bytes:
+    nb, vb = name.encode(), value.encode()
+    return (
+        bytes([len(nb)]) + nb + bytes([7]) + struct.pack(">H", len(vb)) + vb
+    )
+
+
+def _es_frame(headers: dict, payload: bytes) -> bytes:
+    hdrs = b"".join(_es_header(k, v) for k, v in headers.items())
+    prelude = struct.pack(">II", 12 + len(hdrs) + len(payload) + 4, len(hdrs))
+    msg = (
+        prelude
+        + struct.pack(">I", zlib.crc32(prelude) & 0xFFFFFFFF)
+        + hdrs
+        + payload
+    )
+    return msg + struct.pack(">I", zlib.crc32(msg) & 0xFFFFFFFF)
+
+
+def _es_event(event_type: str, payload: dict) -> bytes:
+    return _es_frame(
+        {
+            ":event-type": event_type,
+            ":message-type": "event",
+            ":content-type": "application/x-amz-json-1.1",
+        },
+        json.dumps(payload).encode(),
+    )
+
+
+# botocore requires the stream to open with an initial-response event
+_ES_INITIAL = _es_event("initial-response", {})
 
 
 def _record(stream: str, shard: int, per_shard: int, i: int) -> dict:
@@ -128,6 +173,19 @@ class _KinesisApi:
         self.throttle_every = 0  # every Nth GetRecords throttles (0 = off)
         self._calls = 0
         self.lock = threading.Lock()
+        # EFO consumer registry (O19): ConsumerARN -> doc. Registration
+        # surfaces CREATING first; DescribeStreamConsumer flips it to
+        # ACTIVE on the second describe, so consumers must run the real
+        # poll-until-active loop the reference runs.
+        self.consumers: dict[str, dict] = {}
+        self._describes: dict[str, int] = {}
+        self.efo_event_batch = 10  # records per SubscribeToShardEvent
+
+    def _stream_arn(self, stream: str) -> str:
+        return f"arn:aws:kinesis:us-east-1:000000000000:stream/{stream}"
+
+    def _stream_of_arn(self, arn: str) -> str:
+        return arn.rsplit("stream/", 1)[-1].split("/", 1)[0]
 
     # -- iterator tokens: base64(json) — opaque to clients, like AWS's ----
     def _token(self, stream: str, shard_id: str, idx: int) -> str:
@@ -284,6 +342,134 @@ class _KinesisApi:
         failed = sum(1 for r in results if "ErrorCode" in r)
         return {"FailedRecordCount": failed, "Records": results}
 
+    # -- EFO registry (O19) + push scan (O2) --------------------------------
+
+    def op_RegisterStreamConsumer(self, body: dict) -> dict:
+        stream = self._stream_of_arn(body["StreamARN"])
+        if stream not in self.streams:
+            raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        name = body["ConsumerName"]
+        arn = f"{self._stream_arn(stream)}/consumer/{name}:1700000001"
+        with self.lock:
+            doc = {
+                "ConsumerName": name,
+                "ConsumerARN": arn,
+                "ConsumerStatus": "CREATING",
+                "ConsumerCreationTimestamp": 1700000001.0,
+            }
+            self.consumers[arn] = doc
+            self._describes[arn] = 0
+        return {"Consumer": dict(doc)}
+
+    def op_DescribeStreamConsumer(self, body: dict) -> dict:
+        arn = body.get("ConsumerARN")
+        if arn is None:
+            stream = self._stream_of_arn(body["StreamARN"])
+            name = body["ConsumerName"]
+            arn = next(
+                (
+                    a
+                    for a, d in self.consumers.items()
+                    if d["ConsumerName"] == name
+                    and self._stream_of_arn(a) == stream
+                ),
+                None,
+            )
+        doc = self.consumers.get(arn)
+        if doc is None:
+            raise _ApiError("ResourceNotFoundException", f"no consumer {arn}")
+        with self.lock:
+            self._describes[arn] += 1
+            if self._describes[arn] >= 2:
+                doc["ConsumerStatus"] = "ACTIVE"
+        out = dict(doc)
+        out["StreamARN"] = self._stream_arn(self._stream_of_arn(arn))
+        return {"ConsumerDescription": out}
+
+    def op_ListStreamConsumers(self, body: dict) -> dict:
+        stream = self._stream_of_arn(body["StreamARN"])
+        return {
+            "Consumers": [
+                dict(d)
+                for a, d in self.consumers.items()
+                if self._stream_of_arn(a) == stream
+            ]
+        }
+
+    def op_DeregisterStreamConsumer(self, body: dict) -> dict:
+        arn = body["ConsumerARN"]
+        with self.lock:
+            if arn not in self.consumers:
+                raise _ApiError(
+                    "ResourceNotFoundException", f"no consumer {arn}"
+                )
+            del self.consumers[arn]
+        return {}
+
+    def op_SubscribeToShard(self, body: dict):
+        """Returns ("eventstream", payload_bytes) — the handler streams
+        it with the eventstream content type. The event split (a few
+        records per SubscribeToShardEvent, each carrying the
+        ContinuationSequenceNumber to resume AT) is the push-pacing the
+        reference's EFO loop consumes (O2)."""
+        arn = body["ConsumerARN"]
+        doc = self.consumers.get(arn)
+        if doc is None:
+            raise _ApiError("ResourceNotFoundException", f"no consumer {arn}")
+        if doc["ConsumerStatus"] != "ACTIVE":
+            raise _ApiError(
+                "ResourceInUseException", f"consumer {arn} not ACTIVE"
+            )
+        stream = self._stream_of_arn(arn)
+        _pos, sh = self._shard(stream, body["ShardId"])
+        pos_type = body["StartingPosition"]["Type"]
+        if pos_type == "TRIM_HORIZON":
+            idx = 0
+        elif pos_type == "LATEST":
+            idx = len(sh.records)
+        elif pos_type == "AT_SEQUENCE_NUMBER":
+            idx = sh.seq_index(
+                body["StartingPosition"]["SequenceNumber"], after=False
+            )
+        elif pos_type == "AFTER_SEQUENCE_NUMBER":
+            idx = sh.seq_index(
+                body["StartingPosition"]["SequenceNumber"], after=True
+            )
+        else:
+            raise _ApiError("InvalidArgumentException", pos_type)
+        with self.lock:
+            records = list(sh.records[idx:])
+        payload = _ES_INITIAL
+        step = self.efo_event_batch
+        chunks = [
+            records[i : i + step] for i in range(0, len(records), step)
+        ] or [[]]
+        for chunk in chunks:
+            # continuation = the sequence to resume AT next (AWS contract)
+            last_in_chunk = chunk[-1]["SequenceNumber"] if chunk else None
+            if last_in_chunk is not None:
+                nxt = sh.seq_index(last_in_chunk, after=True)
+                cont = (
+                    sh.records[nxt]["SequenceNumber"]
+                    if nxt < len(sh.records)
+                    else str(int(last_in_chunk) + 1).zfill(21)
+                )
+            else:
+                cont = (
+                    sh.records[idx]["SequenceNumber"]
+                    if idx < len(sh.records)
+                    else str(0).zfill(21)
+                )
+            payload += _es_event(
+                "SubscribeToShardEvent",
+                {
+                    "Records": chunk,
+                    "ContinuationSequenceNumber": cont,
+                    "MillisBehindLatest": 0,
+                },
+            )
+        return ("eventstream", payload)
+
 
 class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802 - http.server contract
@@ -296,9 +482,14 @@ class _Handler(BaseHTTPRequestHandler):
         except _ApiError as e:
             doc = {"__type": e.type, "message": e.message}
             code = 400
-        data = json.dumps(doc).encode()
+        if isinstance(doc, tuple) and doc[0] == "eventstream":
+            data = doc[1]
+            ctype = "application/vnd.amazon.eventstream"
+        else:
+            data = json.dumps(doc).encode()
+            ctype = "application/x-amz-json-1.1"
         self.send_response(code)
-        self.send_header("Content-Type", "application/x-amz-json-1.1")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
         self.wfile.write(data)
@@ -415,6 +606,67 @@ def wire_client(endpoint: str):
     )
 
 
+def register_efo_consumer(client, stream: str, name: str) -> str:
+    """RegisterStreamConsumer + the reference's poll-until-ACTIVE loop
+    (O19; kinesumer.go EFO init) — returns the ConsumerARN."""
+    arn = client.register_stream_consumer(
+        StreamARN=f"arn:aws:kinesis:us-east-1:000000000000:stream/{stream}",
+        ConsumerName=name,
+    )["Consumer"]["ConsumerARN"]
+    for _ in range(50):
+        desc = client.describe_stream_consumer(ConsumerARN=arn)[
+            "ConsumerDescription"
+        ]
+        if desc["ConsumerStatus"] == "ACTIVE":
+            return arn
+    raise TimeoutError(f"consumer {arn} never became ACTIVE")
+
+
+def drain_via_efo(
+    endpoint: str, stream: str, consumer_name: str = "drain"
+) -> list[tuple]:
+    """The reference's EFO push loop (O2) over the wire: register,
+    wait-for-ACTIVE, subscribe per shard, consume pushed events, then
+    RESUBSCRIBE from the ContinuationSequenceNumber (the reference
+    renews its subscription every lease; here the resubscribe proves
+    continuation semantics — the second subscription must deliver
+    nothing new on a finite feed)."""
+    client = wire_client(endpoint)
+    arn = register_efo_consumer(client, stream, consumer_name)
+    rows = []
+    try:
+        for s in client.list_shards(StreamName=stream)["Shards"]:
+            position = {"Type": "TRIM_HORIZON"}
+            for _round in range(2):  # initial subscription + renewal
+                resp = client.subscribe_to_shard(
+                    ConsumerARN=arn,
+                    ShardId=s["ShardId"],
+                    StartingPosition=position,
+                )
+                cont = None
+                for ev in resp["EventStream"]:
+                    e = ev["SubscribeToShardEvent"]
+                    for rec in e["Records"]:
+                        rows.append(
+                            (
+                                s["ShardId"],
+                                rec["SequenceNumber"],
+                                rec["PartitionKey"],
+                                json.loads(bytes(rec["Data"]).decode())["k"],
+                            )
+                        )
+                    cont = e["ContinuationSequenceNumber"]
+                if cont is None:
+                    break
+                position = {
+                    "Type": "AT_SEQUENCE_NUMBER",
+                    "SequenceNumber": cont,
+                }
+    finally:
+        client.deregister_stream_consumer(ConsumerARN=arn)
+    return rows
+
+
 def lineage_from_list_shards(client, stream: str) -> dict:
     """ListShards → the Engine's reshard-lineage map
     ``{(stream, child_shard): [(parent_shard, parent_ending_seq)]}``
@@ -461,6 +713,11 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         self.endpoint = options["endpoint"]
         self.stream = options.get("stream", "wire")
         self.scan_limit = int(options.get("scanlimit", 25))
+        # mode=efo switches the EXECUTOR data path to SubscribeToShard
+        # push events (O2); the planner's tip probe stays a polling scan
+        # either way (pacing is admission control, not the data path)
+        self.mode = options.get("mode", "polling")
+        self.consumer_arn = options.get("consumerarn", "")
 
     def initialOffset(self) -> dict:
         client = wire_client(self.endpoint)
@@ -517,6 +774,9 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _WireSlice):
         client = wire_client(self.endpoint)
+        if self.mode == "efo":
+            yield from self._read_efo(client, partition)
+            return
         if partition.after_seq is None:
             it = client.get_shard_iterator(
                 StreamName=self.stream,
@@ -548,6 +808,40 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
                 if seq == end:
                     return
             it = out.get("NextShardIterator")
+
+    def _read_efo(self, client, partition: _WireSlice):
+        """The EFO push path in the executor: SubscribeToShard events
+        consumed off the event stream until the committed range end —
+        the reference's O2 loop (push records + continuation) with the
+        planner still owning the batch boundary."""
+        if partition.after_seq is None:
+            position = {"Type": "TRIM_HORIZON"}
+        else:
+            position = {
+                "Type": "AFTER_SEQUENCE_NUMBER",
+                "SequenceNumber": partition.after_seq,
+            }
+        resp = client.subscribe_to_shard(
+            ConsumerARN=self.consumer_arn,
+            ShardId=partition.shard_id,
+            StartingPosition=position,
+        )
+        end = partition.end_seq
+        for ev in resp["EventStream"]:
+            for rec in ev["SubscribeToShardEvent"]["Records"]:
+                seq = rec["SequenceNumber"]
+                if seq > end:
+                    return
+                payload = json.loads(bytes(rec["Data"]).decode())
+                yield (
+                    self.stream,
+                    partition.shard_id,
+                    seq,
+                    rec["PartitionKey"],
+                    int(payload["k"]),
+                )
+                if seq == end:
+                    return
 
     def commit(self, end: dict) -> None:  # WAL owns the checkpoint
         pass

@@ -1442,6 +1442,69 @@ def stream_kinesis_wire_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_kinesis_efo_consume",
+    oracle=_WIRE_ORACLE,
+    tags=("streaming", "source", "wire", "efo"),
+)
+def stream_kinesis_efo_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENHANCED FAN-OUT push scan (O2, kinesumer.go EFO
+    mode) executed at protocol level: RegisterStreamConsumer →
+    poll-DescribeStreamConsumer-until-ACTIVE (the O19 registry
+    lifecycle) → SubscribeToShard, whose response is a genuine
+    ``vnd.amazon.eventstream`` binary stream (public AWS framing spec:
+    CRC-guarded prelude + typed headers + payload) parsed by botocore's
+    own event-stream decoder INSIDE SPARK EXECUTORS — push-delivered
+    record events with ContinuationSequenceNumber resume semantics,
+    crossing an actual HTTP boundary. Same deterministic feed and
+    oracle as the polling variant (stream_kinesis_wire_consume), so the
+    two driver rows together prove polling and push paths deliver the
+    identical exactly-once stream — the reference's O1/O2 duality. The
+    consumer is deregistered on completion (full O19 lifecycle).
+
+    Scale: push events flow straight to executors; the driver holds the
+    consumer ARN and per-shard cursors only. Against AWS the same
+    consumer changes the endpoint option — SubscribeToShard there rides
+    HTTP/2, here HTTP/1.1; the framing and semantics are identical."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_efo_consumer,
+        register_wire_source,
+        simple_stream,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    with FakeKinesisServer(
+        simple_stream("wire", _WIRE_SHARDS, _WIRE_PER_SHARD)
+    ) as srv:
+        client = wire_client(srv.url)
+        arn = register_efo_consumer(client, "wire", "kinesumer-spark")
+        try:
+            df = (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .option("scanlimit", _WIRE_SCAN)
+                .option("mode", "efo")
+                .option("consumerarn", arn)
+                .load()
+            )
+            out = _run_to_table(
+                df, "ks_stream_efo", mode="append", stable=False
+            )
+            out = out.localCheckpoint(eager=True)
+        finally:
+            client.deregister_stream_consumer(ConsumerARN=arn)
+    return (
+        out.groupBy(
+            "stream", "shard_id", "sequence_number", "partition_key", "payload_k"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("sequence_number")
+    )
+
+
 _STREAM_STREAM_FULL_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts

@@ -1080,3 +1080,131 @@ def test_kinesis_wire_put_records_roundtrip(spark):
     acked = Counter(r["ShardId"] for r in resp["Records"])
     consumed = Counter(r["shard_id"] for r in rows)
     assert acked == consumed
+
+
+def test_kinesis_wire_efo_registry_lifecycle():
+    """O19 over the wire: RegisterStreamConsumer surfaces CREATING;
+    SubscribeToShard refuses a non-ACTIVE consumer; the describe poll
+    flips it ACTIVE; deregistration makes the ARN unknown."""
+    import pytest as _pytest
+    from botocore.exceptions import ClientError
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, 3)) as srv:
+        c = wire_client(srv.url)
+        stream_arn = "arn:aws:kinesis:us-east-1:000000000000:stream/wire"
+        consumer = c.register_stream_consumer(
+            StreamARN=stream_arn, ConsumerName="app"
+        )["Consumer"]
+        assert consumer["ConsumerStatus"] == "CREATING"
+        with _pytest.raises(ClientError) as exc:
+            c.subscribe_to_shard(
+                ConsumerARN=consumer["ConsumerARN"],
+                ShardId="shardId-000000000000",
+                StartingPosition={"Type": "TRIM_HORIZON"},
+            )
+        assert exc.value.response["Error"]["Code"] == "ResourceInUseException"
+        # the poll-until-ACTIVE loop the reference runs
+        for _ in range(5):
+            desc = c.describe_stream_consumer(
+                ConsumerARN=consumer["ConsumerARN"]
+            )["ConsumerDescription"]
+            if desc["ConsumerStatus"] == "ACTIVE":
+                break
+        assert desc["ConsumerStatus"] == "ACTIVE"
+        resp = c.subscribe_to_shard(
+            ConsumerARN=consumer["ConsumerARN"],
+            ShardId="shardId-000000000000",
+            StartingPosition={"Type": "TRIM_HORIZON"},
+        )
+        n = sum(
+            len(ev["SubscribeToShardEvent"]["Records"])
+            for ev in resp["EventStream"]
+        )
+        assert n == 3
+        c.deregister_stream_consumer(ConsumerARN=consumer["ConsumerARN"])
+        with _pytest.raises(ClientError) as exc2:
+            c.subscribe_to_shard(
+                ConsumerARN=consumer["ConsumerARN"],
+                ShardId="shardId-000000000000",
+                StartingPosition={"Type": "TRIM_HORIZON"},
+            )
+        assert (
+            exc2.value.response["Error"]["Code"] == "ResourceNotFoundException"
+        )
+
+
+def test_kinesis_wire_efo_push_equals_polling():
+    """O1/O2 duality at protocol level: the EFO push drain (register →
+    ACTIVE → SubscribeToShard events → resubscribe from the
+    ContinuationSequenceNumber) delivers exactly the polling drain's
+    record set."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        drain_via_efo,
+        drain_via_wire,
+        simple_stream,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 3, 14)) as srv:
+        srv.api.efo_event_batch = 5  # several push events per shard
+        polled = drain_via_wire(srv.url, "wire")
+        pushed = drain_via_efo(srv.url, "wire")
+    assert len(polled) == 42
+    assert sorted(polled) == sorted(pushed)
+
+
+def test_kinesis_wire_efo_spark_source_exact_feed(spark):
+    """The EFO push path in Spark executors: SubscribeToShard event
+    streams (real vnd.amazon.eventstream frames, parsed by botocore in
+    the workers) deliver the exact deterministic feed once each."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_efo_consumer,
+        register_wire_source,
+        simple_stream,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    with FakeKinesisServer(simple_stream("wire", 3, 20)) as srv:
+        arn = register_efo_consumer(wire_client(srv.url), "wire", "t-efo")
+        df = (
+            spark.readStream.format("kinesumer_wire")
+            .option("endpoint", srv.url)
+            .option("stream", "wire")
+            .option("scanlimit", 8)
+            .option("mode", "efo")
+            .option("consumerarn", arn)
+            .load()
+        )
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_efo_feed")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        rows = spark.table("t_efo_feed").collect()
+    got = sorted(
+        (r["shard_id"], r["sequence_number"], r["partition_key"], r["payload_k"])
+        for r in rows
+    )
+    want = sorted(
+        (
+            f"shardId-{s:012d}",
+            str(s * 20 + i).zfill(21),
+            str((s * 20 + i) % 97),
+            ((s * 20 + i) * 31 + s) % 1000,
+        )
+        for s in range(3)
+        for i in range(20)
+    )
+    assert got == want
