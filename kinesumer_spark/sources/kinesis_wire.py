@@ -718,6 +718,15 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # either way (pacing is admission control, not the data path)
         self.mode = options.get("mode", "polling")
         self.consumer_arn = options.get("consumerarn", "")
+        # lineagegate=true adds the reshard admission rule the reference
+        # leaves open (``TODO(mingrammer): handle the closed shards``,
+        # kinesumer.go:314): a child shard's records are not admitted
+        # until its CLOSED parent is fully drained, so per-key order
+        # survives a split/merge boundary. Planner-side only — O(#shards)
+        # driver state, zero executor cost.
+        self.lineage_gate = (
+            str(options.get("lineagegate", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         client = wire_client(self.endpoint)
@@ -736,9 +745,38 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         if not hasattr(self, "_cursor"):
             self._cursor = self.initialOffset()
         client = wire_client(self.endpoint)
+        if self.lineage_gate and not hasattr(self, "_parents"):
+            # ListShards carries the lineage (ParentShardId +
+            # EndingSequenceNumber) — the same sync the reference's
+            # syncShardInfo performs. Only CLOSED parents gate: an open
+            # parent has no post-split children data to order against.
+            shards = client.list_shards(StreamName=self.stream)["Shards"]
+            ending = {
+                s["ShardId"]: s["SequenceNumberRange"].get(
+                    "EndingSequenceNumber"
+                )
+                for s in shards
+            }
+            self._parents = {
+                s["ShardId"]: s["ParentShardId"]
+                for s in shards
+                if s.get("ParentShardId")
+                and ending.get(s["ParentShardId"]) is not None
+            }
         for shard_id, last in self._cursor.items():
             if last is None:
                 continue  # closed shard fully drained
+            if self.lineage_gate:
+                parent = self._parents.get(shard_id)
+                # a parent absent from the cursor map (trimmed past
+                # retention) gates nothing — matches KCL semantics
+                # defer child admission until the parent drains; parents
+                # iterate first (ListShards order), so the child unblocks
+                # in the same planner round the parent is marked drained,
+                # admitting its first records in the NEXT microbatch —
+                # strictly after every parent row
+                if parent is not None and self._cursor.get(parent) is not None:
+                    continue
             if last == "":
                 it = client.get_shard_iterator(
                     StreamName=self.stream,

@@ -1505,6 +1505,125 @@ def stream_kinesis_efo_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Reshard over the wire: the lineage gate at protocol level --------------
+
+_WIRE_RESHARD_PER = 20
+_PARENT_SHARD = "shardId-000000000000"
+
+_WIRE_RESHARD_ORACLE = f"""
+SELECT 'wire' AS stream,
+       'shardId-' || lpad(CAST(i // {_WIRE_RESHARD_PER} AS VARCHAR), 12, '0')
+         AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_distinct,
+       lpad(CAST(MIN(i) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(i) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM((i * 31 + (i // {_WIRE_RESHARD_PER})) % 1000) AS BIGINT)
+         AS sum_k,
+       TRUE AS admitted_after_parent
+FROM range(0, {3 * _WIRE_RESHARD_PER}) t(i)
+GROUP BY 1, 2
+ORDER BY shard_id
+"""
+
+
+@register(
+    "stream_kinesis_wire_reshard",
+    oracle=_WIRE_RESHARD_ORACLE,
+    tags=("streaming", "source", "wire", "reshard"),
+)
+def stream_kinesis_wire_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A RESHARDED stream consumed over the wire protocol with the
+    lineage admission gate the reference explicitly leaves open
+    (``TODO(mingrammer): handle the closed shards``, kinesumer.go:314;
+    shard filter syncclient.go:305-344): ListShards returns a CLOSED
+    parent (EndingSequenceNumber set) and two open children carrying
+    ``ParentShardId``, and the planner refuses to admit any child
+    record until the parent is fully drained — so per-key ordering
+    survives the split boundary, which the reference cannot guarantee.
+    The run captures every microbatch via foreachBatch with its
+    batchId; ``admitted_after_parent`` is computed FROM that delivery
+    record (each child's first batch strictly after the parent's last
+    data batch), so the gate property is driver-checked as data, not
+    asserted in a test. Content columns (n, n_distinct, min/max seq,
+    payload checksum) prove the drain is complete and exactly-once.
+
+    Scale: the gate is planner-side admission control — O(#shards)
+    driver state consulted when building each batch's offset range;
+    executors and payload volume are untouched. After a reshard storm
+    on a 1000-shard stream, only the blocked children idle, and each
+    unblocks one planner round after its own parent drains."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        resharded_stream,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_reshard_")
+    try:
+        with FakeKinesisServer(
+            resharded_stream("wire", _WIRE_RESHARD_PER)
+        ) as srv:
+            df = (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .option("scanlimit", 7)  # parent drains over 3 rounds
+                .option("lineagegate", "true")
+                .load()
+            )
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn(
+                    "batch_id", F.lit(int(batch_id))
+                ).write.mode("append").parquet(work)
+
+            q = df.writeStream.foreachBatch(capture).start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        out = spark.read.parquet(work)
+        parent_last = out.filter(F.col("shard_id") == _PARENT_SHARD).agg(
+            F.max("batch_id").alias("parent_last_batch")
+        )
+        res = (
+            out.groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("sequence_number").alias("n_distinct"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+                F.min("batch_id").alias("_first_batch"),
+            )
+            .crossJoin(F.broadcast(parent_last))
+            .select(
+                "stream",
+                "shard_id",
+                "n",
+                "n_distinct",
+                "min_seq",
+                "max_seq",
+                "sum_k",
+                (
+                    (F.col("shard_id") == _PARENT_SHARD)
+                    | (F.col("_first_batch") > F.col("parent_last_batch"))
+                ).alias("admitted_after_parent"),
+            )
+            .orderBy("shard_id")
+        )
+        # materialize before the capture dir is removed
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _STREAM_STREAM_FULL_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts

@@ -1208,3 +1208,108 @@ def test_kinesis_wire_efo_spark_source_exact_feed(spark):
         for i in range(20)
     )
     assert got == want
+
+
+def _drive_planner(reader, max_rounds=20):
+    """Call latestOffset until the offset map stops changing; return the
+    per-round cursor history."""
+    hist = []
+    for _ in range(max_rounds):
+        off = dict(reader.latestOffset())
+        if hist and off == hist[-1]:
+            break
+        hist.append(off)
+    return hist
+
+
+def test_kinesis_wire_lineage_gate_blocks_children():
+    """lineagegate=true: the planner refuses to advance a child shard's
+    cursor until its CLOSED parent is fully drained — per-key order
+    across the reshard boundary (the reference's open TODO,
+    kinesumer.go:314), enforced at admission time over the wire."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        resharded_stream,
+    )
+
+    parent = "shardId-000000000000"
+    kids = ("shardId-000000000001", "shardId-000000000002")
+    with FakeKinesisServer(resharded_stream("wire", 20)) as srv:
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "scanlimit": "7",
+                "lineagegate": "true",
+            },
+        )
+        hist = _drive_planner(r)
+    drained_at = next(i for i, h in enumerate(hist) if h[parent] is None)
+    for i, h in enumerate(hist):
+        for kid in kids:
+            if i < drained_at:
+                assert h[kid] == "", (i, h)  # blocked while parent lives
+            else:
+                assert h[kid] != "", (i, h)  # unblocks the same round
+    # both children still drain completely once admitted
+    assert hist[-1][kids[0]] == str(39).zfill(21)
+    assert hist[-1][kids[1]] == str(59).zfill(21)
+
+
+def test_kinesis_wire_no_gate_interleaves():
+    """Sensitivity: without lineagegate the same topology admits child
+    records from round 0 — proving the gated run's ordering is the
+    gate's doing, not an artifact of the fake feed."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        resharded_stream,
+    )
+
+    with FakeKinesisServer(resharded_stream("wire", 20)) as srv:
+        r = KinesumerWireStreamReader(
+            None, {"endpoint": srv.url, "stream": "wire", "scanlimit": "7"}
+        )
+        first = r.latestOffset()
+    assert first["shardId-000000000001"] != ""
+    assert first["shardId-000000000002"] != ""
+
+
+def test_kinesis_wire_gate_ignores_open_parent():
+    """A child whose parent is still OPEN (no EndingSequenceNumber in
+    ListShards — e.g. mid-reshard discovery) is not gated: an open
+    parent cannot have post-split data to order against, and blocking
+    on it would deadlock the stream."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        _Shard,
+        _split_ranges,
+    )
+
+    half = _split_ranges(2)
+    parent = _Shard("shardId-000000000000", 5, hash_range=half[0])
+    child = _Shard(
+        "shardId-000000000001",
+        5,
+        parent=parent.shard_id,
+        hash_range=half[1],
+    )
+    topo = {"wire": [parent, child]}
+    for pos, sh in enumerate(topo["wire"]):
+        sh._prefill("wire", pos)
+    with FakeKinesisServer(topo) as srv:
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "scanlimit": "10",
+                "lineagegate": "true",
+            },
+        )
+        first = r.latestOffset()
+    # open parent never gates: the child advances in round 0
+    assert first["shardId-000000000001"] == str(9).zfill(21)
