@@ -281,6 +281,50 @@ class _KinesisApi:
             out["NextShardIterator"] = self._token(stream, shard_id, hi)
         return out
 
+    def op_SplitShard(self, body: dict) -> dict:
+        """Live resharding (public SplitShard semantics): close the
+        parent and open two children covering its hash range either
+        side of ``NewStartingHashKey``, each carrying ``ParentShardId``
+        — the topology change the reference's syncShardInfo discovers
+        on its next ListShards sweep. Subsequent PutRecords route to
+        the children; the closed parent serves its remaining records
+        until the null-iterator drain signal."""
+        stream = body["StreamName"]
+        shards = self.streams.get(stream)
+        if shards is None:
+            raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        with self.lock:
+            _pos, parent = self._shard(stream, body["ShardToSplit"])
+            if parent.closed:
+                raise _ApiError(
+                    "InvalidArgumentException", "shard is not open"
+                )
+            split_at = int(body["NewStartingHashKey"])
+            lo, hi = parent.hash_range
+            if not (lo < split_at <= hi):
+                raise _ApiError(
+                    "InvalidArgumentException", "hash key outside shard range"
+                )
+            parent.closed = True
+            nxt = (
+                max(int(s.shard_id.rsplit("-", 1)[1]) for s in shards) + 1
+            )
+            shards.extend(
+                [
+                    _Shard(
+                        f"shardId-{nxt:012d}",
+                        parent=parent.shard_id,
+                        hash_range=(lo, split_at - 1),
+                    ),
+                    _Shard(
+                        f"shardId-{nxt + 1:012d}",
+                        parent=parent.shard_id,
+                        hash_range=(split_at, hi),
+                    ),
+                ]
+            )
+        return {}
+
     def op_PutRecords(self, body: dict) -> dict:
         """The producer half of the protocol: each record routes to the
         open shard owning MD5(PartitionKey) on the 128-bit hash ring —
@@ -745,12 +789,19 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         if not hasattr(self, "_cursor"):
             self._cursor = self.initialOffset()
         client = wire_client(self.endpoint)
-        if self.lineage_gate and not hasattr(self, "_parents"):
-            # ListShards carries the lineage (ParentShardId +
-            # EndingSequenceNumber) — the same sync the reference's
-            # syncShardInfo performs. Only CLOSED parents gate: an open
-            # parent has no post-split children data to order against.
-            shards = client.list_shards(StreamName=self.stream)["Shards"]
+        # Every planning round re-lists the topology — the reference's
+        # syncShardInfo sweep (syncclient.go): shards born from a LIVE
+        # SplitShard/MergeShards enter the cursor map here (O18 refresh),
+        # and the lineage table rebuilds so a freshly-closed parent
+        # starts gating its children the same round. One ListShards per
+        # microbatch — O(#shards) driver work, no executor cost.
+        shards = client.list_shards(StreamName=self.stream)["Shards"]
+        for s in shards:
+            self._cursor.setdefault(s["ShardId"], "")
+        if self.lineage_gate:
+            # Only CLOSED parents gate (EndingSequenceNumber present):
+            # an open parent has no post-split children data to order
+            # against, and blocking on it would deadlock the stream.
             ending = {
                 s["ShardId"]: s["SequenceNumberRange"].get(
                     "EndingSequenceNumber"

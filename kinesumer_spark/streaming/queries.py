@@ -1624,6 +1624,157 @@ def stream_kinesis_wire_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- LIVE resharding mid-consumption: SplitShard + discovery + the gate -----
+
+_WIRE_SPLIT_ORACLE = """
+WITH parent AS (
+  SELECT i AS seq, (i * 31) % 1000 AS k,
+         'shardId-000000000000' AS shard_id
+  FROM range(0, 20) t(i)
+), put AS (
+  -- PutRecords assigns the stream's next monotonic sequence in call
+  -- order; placement replays the 128-bit MD5 ring: first hex nibble
+  -- 0-7 = top bit 0 = the lower child of a half split
+  SELECT 20 + i AS seq, 500 + i AS k,
+         CASE WHEN substr(md5('pk-' || CAST(i AS VARCHAR)), 1, 1)
+                   BETWEEN '0' AND '7'
+              THEN 'shardId-000000000001'
+              ELSE 'shardId-000000000002' END AS shard_id
+  FROM range(0, 20) t(i)
+), allr AS (
+  SELECT * FROM parent UNION ALL SELECT * FROM put
+)
+SELECT 'wire' AS stream, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_distinct,
+       lpad(CAST(MIN(seq) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(seq) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       TRUE AS admitted_after_parent
+FROM allr
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@register(
+    "stream_kinesis_wire_live_split",
+    oracle=_WIRE_SPLIT_ORACLE,
+    tags=("streaming", "source", "wire", "reshard"),
+)
+def stream_kinesis_wire_live_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SplitShard issued MID-CONSUMPTION over the wire — the full
+    reshard lifecycle the reference spreads across syncShardInfo
+    (syncclient.go:305-344) and its open closed-shard TODO
+    (kinesumer.go:314), executed live: the stream starts as ONE open
+    shard; after microbatch 1 commits, the driver calls the public
+    SplitShard API (parent closes, two children open either side of
+    the ring midpoint) and PutRecords 20 more records, which the
+    endpoint routes to the children by the real MD5 hash ring. The
+    planner's next round re-lists the topology (the syncShardInfo
+    sweep), discovers the children, and — lineage gate — holds them
+    until the closed parent drains its remaining records, so per-key
+    order survives the split. The oracle replays the MD5 ring in SQL
+    (md5 nibble fold) to reconstruct each child's exact membership,
+    and ``admitted_after_parent`` is computed from the captured
+    batchId record, so discovery latency, placement, drain
+    completeness, exactly-once, and gate order are all driver-checked
+    as data.
+
+    Scale: discovery is one ListShards per planning round (the
+    reference's sync cadence) — O(#shards) driver work; payloads and
+    placement hashing stay server/executor-side. A reshard storm on a
+    1000-shard stream adds cursor entries, never executor stalls."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        _HASH_SPACE,
+        _Shard,
+        FakeKinesisServer,
+        register_wire_source,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_split_")
+    parent = _Shard(_PARENT_SHARD, _WIRE_RESHARD_PER)
+    parent._prefill("wire", 0)
+    try:
+        with FakeKinesisServer({"wire": [parent]}) as srv:
+            client = wire_client(srv.url)
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn(
+                    "batch_id", F.lit(int(batch_id))
+                ).write.mode("append").parquet(work)
+                if batch_id == 1:  # split while the parent still has rows
+                    client.split_shard(
+                        StreamName="wire",
+                        ShardToSplit=_PARENT_SHARD,
+                        NewStartingHashKey=str(_HASH_SPACE // 2),
+                    )
+                    client.put_records(
+                        StreamName="wire",
+                        Records=[
+                            {
+                                "Data": _json.dumps({"k": 500 + i}).encode(),
+                                "PartitionKey": f"pk-{i}",
+                            }
+                            for i in range(20)
+                        ],
+                    )
+
+            df = (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .option("scanlimit", 7)
+                .option("lineagegate", "true")
+                .load()
+            )
+            q = df.writeStream.foreachBatch(capture).start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        out = spark.read.parquet(work)
+        parent_last = out.filter(F.col("shard_id") == _PARENT_SHARD).agg(
+            F.max("batch_id").alias("parent_last_batch")
+        )
+        res = (
+            out.groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("sequence_number").alias("n_distinct"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+                F.min("batch_id").alias("_first_batch"),
+            )
+            .crossJoin(F.broadcast(parent_last))
+            .select(
+                "stream",
+                "shard_id",
+                "n",
+                "n_distinct",
+                "min_seq",
+                "max_seq",
+                "sum_k",
+                (
+                    (F.col("shard_id") == _PARENT_SHARD)
+                    | (F.col("_first_batch") > F.col("parent_last_batch"))
+                ).alias("admitted_after_parent"),
+            )
+            .orderBy("shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _STREAM_STREAM_FULL_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts

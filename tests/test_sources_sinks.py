@@ -1313,3 +1313,65 @@ def test_kinesis_wire_gate_ignores_open_parent():
         first = r.latestOffset()
     # open parent never gates: the child advances in round 0
     assert first["shardId-000000000001"] == str(9).zfill(21)
+
+
+def test_kinesis_wire_live_split_discovery_and_gate():
+    """A SplitShard issued WHILE the planner is mid-drain: the next
+    planning round's ListShards sweep (the reference's syncShardInfo,
+    syncclient.go:305-344) must discover the two children, admit them
+    only after the now-closed parent drains, and route live PutRecords
+    to the children by the MD5 hash ring — the full live-reshard
+    lifecycle at the planner level."""
+    import json
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        _HASH_SPACE,
+        _Shard,
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        wire_client,
+    )
+
+    parent = _Shard("shardId-000000000000", 20)
+    parent._prefill("wire", 0)
+    with FakeKinesisServer({"wire": [parent]}) as srv:
+        client = wire_client(srv.url)
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "scanlimit": "7",
+                "lineagegate": "true",
+            },
+        )
+        hist = [dict(r.latestOffset())]  # round 0: single-shard world
+        assert set(hist[0]) == {"shardId-000000000000"}
+        client.split_shard(
+            StreamName="wire",
+            ShardToSplit="shardId-000000000000",
+            NewStartingHashKey=str(_HASH_SPACE // 2),
+        )
+        client.put_records(
+            StreamName="wire",
+            Records=[
+                {
+                    "Data": json.dumps({"k": i}).encode(),
+                    "PartitionKey": f"pk-{i}",
+                }
+                for i in range(10)
+            ],
+        )
+        hist.extend(_drive_planner(r))
+    kids = ("shardId-000000000001", "shardId-000000000002")
+    # round 1 discovered the children (cursor entries exist)...
+    assert set(hist[1]) == {"shardId-000000000000", *kids}
+    # ...but gated them until the closed parent drained
+    drained_at = next(i for i, h in enumerate(hist) if h.get("shardId-000000000000") is None)
+    for i, h in enumerate(hist[1:], start=1):
+        for kid in kids:
+            assert (h[kid] != "") == (i >= drained_at), (i, h)
+    # the 10 live records all landed and fully drained: child max
+    # sequence numbers cover the stream's post-parent range 20..29
+    finals = {int(hist[-1][k]) for k in kids}
+    assert max(finals) == 29
