@@ -131,12 +131,14 @@ class _Shard:
         n_records: int = 0,
         *,
         parent: str | None = None,
+        adjacent_parent: str | None = None,
         closed: bool = False,
         hash_range: tuple[int, int] | None = None,
     ) -> None:
         self.shard_id = shard_id
         self.n_records = n_records  # prefill size (see _prefill)
         self.parent = parent
+        self.adjacent_parent = adjacent_parent  # MergeShards second parent
         self.closed = closed
         self.hash_range = hash_range or (0, _HASH_SPACE - 1)
         self.records: list[dict] = []
@@ -234,6 +236,8 @@ class _KinesisApi:
             }
             if sh.parent:
                 doc["ParentShardId"] = sh.parent
+            if sh.adjacent_parent:
+                doc["AdjacentParentShardId"] = sh.adjacent_parent
             out.append(doc)
         return {"Shards": out}
 
@@ -322,6 +326,48 @@ class _KinesisApi:
                         hash_range=(split_at, hi),
                     ),
                 ]
+            )
+        return {}
+
+    def op_MergeShards(self, body: dict) -> dict:
+        """Live scale-in (public MergeShards semantics): close BOTH
+        adjacent shards and open one child spanning their union hash
+        range, carrying ``ParentShardId`` + ``AdjacentParentShardId``
+        — the dual-lineage shape the reference's syncShardInfo reads.
+        Subsequent PutRecords route to the child; each closed parent
+        serves its remainder until its null-iterator drain signal, and
+        a lineage-gating consumer must wait for BOTH."""
+        stream = body["StreamName"]
+        shards = self.streams.get(stream)
+        if shards is None:
+            raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        with self.lock:
+            _p, a = self._shard(stream, body["ShardToMerge"])
+            _q, b = self._shard(stream, body["AdjacentShardToMerge"])
+            if a.closed or b.closed:
+                raise _ApiError(
+                    "InvalidArgumentException", "shard is not open"
+                )
+            lo_sh, hi_sh = sorted((a, b), key=lambda s: s.hash_range[0])
+            if lo_sh.hash_range[1] + 1 != hi_sh.hash_range[0]:
+                raise _ApiError(
+                    "InvalidArgumentException", "shards are not adjacent"
+                )
+            a.closed = True
+            b.closed = True
+            nxt = (
+                max(int(s.shard_id.rsplit("-", 1)[1]) for s in shards) + 1
+            )
+            shards.append(
+                _Shard(
+                    f"shardId-{nxt:012d}",
+                    parent=body["ShardToMerge"],
+                    adjacent_parent=body["AdjacentShardToMerge"],
+                    hash_range=(
+                        lo_sh.hash_range[0],
+                        hi_sh.hash_range[1],
+                    ),
+                )
             )
         return {}
 
@@ -724,11 +770,14 @@ def lineage_from_list_shards(client, stream: str) -> dict:
     }
     lineage: dict = {}
     for s in shards:
-        parent = s.get("ParentShardId")
-        if parent and ending.get(parent) is not None:
-            lineage.setdefault((stream, s["ShardId"]), []).append(
-                (parent, ending[parent])
-            )
+        for parent in (
+            s.get("ParentShardId"),
+            s.get("AdjacentParentShardId"),  # merge child's second parent
+        ):
+            if parent and ending.get(parent) is not None:
+                lineage.setdefault((stream, s["ShardId"]), []).append(
+                    (parent, ending[parent])
+                )
     return lineage
 
 
@@ -808,25 +857,36 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
                 )
                 for s in shards
             }
-            self._parents = {
-                s["ShardId"]: s["ParentShardId"]
-                for s in shards
-                if s.get("ParentShardId")
-                and ending.get(s["ParentShardId"]) is not None
-            }
+            # A merge child carries TWO parents (ParentShardId +
+            # AdjacentParentShardId) and must wait for BOTH to drain.
+            self._parents = {}
+            for s in shards:
+                gating = [
+                    p
+                    for p in (
+                        s.get("ParentShardId"),
+                        s.get("AdjacentParentShardId"),
+                    )
+                    if p and ending.get(p) is not None
+                ]
+                if gating:
+                    self._parents[s["ShardId"]] = gating
         for shard_id, last in self._cursor.items():
             if last is None:
                 continue  # closed shard fully drained
             if self.lineage_gate:
-                parent = self._parents.get(shard_id)
                 # a parent absent from the cursor map (trimmed past
                 # retention) gates nothing — matches KCL semantics
-                # defer child admission until the parent drains; parents
-                # iterate first (ListShards order), so the child unblocks
-                # in the same planner round the parent is marked drained,
+                # defer child admission until EVERY closed parent drains
+                # (a merge child has two); parents iterate first
+                # (ListShards order), so the child unblocks in the same
+                # planner round its last parent is marked drained,
                 # admitting its first records in the NEXT microbatch —
                 # strictly after every parent row
-                if parent is not None and self._cursor.get(parent) is not None:
+                if any(
+                    self._cursor.get(p) is not None
+                    for p in self._parents.get(shard_id, ())
+                ):
                     continue
             if last == "":
                 it = client.get_shard_iterator(

@@ -1775,6 +1775,159 @@ def stream_kinesis_wire_live_split(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- LIVE merge mid-consumption: MergeShards + dual-parent gate ------------
+
+_WIRE_MERGE_ORACLE = f"""
+WITH p0 AS (
+  SELECT i AS seq, (i * 31) % 1000 AS k,
+         'shardId-000000000000' AS shard_id
+  FROM range(0, {_WIRE_RESHARD_PER}) t(i)
+), p1 AS (
+  SELECT {_WIRE_RESHARD_PER} + i AS seq,
+         (({_WIRE_RESHARD_PER} + i) * 31 + 1) % 1000 AS k,
+         'shardId-000000000001' AS shard_id
+  FROM range(0, {_WIRE_RESHARD_PER}) t(i)
+), put AS (
+  -- post-merge PutRecords: the stream's next monotonic sequence, all
+  -- routed to the single merged child (it owns the whole hash ring)
+  SELECT {2 * _WIRE_RESHARD_PER} + i AS seq, 500 + i AS k,
+         'shardId-000000000002' AS shard_id
+  FROM range(0, {_WIRE_RESHARD_PER}) t(i)
+), allr AS (
+  SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM put
+)
+SELECT 'wire' AS stream, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_distinct,
+       lpad(CAST(MIN(seq) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(seq) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       TRUE AS admitted_after_parents
+FROM allr
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@register(
+    "stream_kinesis_wire_live_merge",
+    oracle=_WIRE_MERGE_ORACLE,
+    tags=("streaming", "source", "wire", "reshard"),
+)
+def stream_kinesis_wire_live_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeShards issued MID-CONSUMPTION — live scale-in, the dual of
+    ``stream_kinesis_wire_live_split`` and the second half of the
+    topology changes the reference's syncShardInfo absorbs
+    (syncclient.go:305-344). The stream starts as TWO open shards
+    (halves of the hash ring); after microbatch 1 commits, the driver
+    calls the public MergeShards API — both parents close, one child
+    opens spanning the union range, carrying ParentShardId +
+    AdjacentParentShardId — and PutRecords 20 more records, which all
+    route to the child. The planner's next ListShards sweep discovers
+    the child, and the lineage gate holds it until BOTH closed parents
+    drain (one is not enough — the child interleaves keys from both
+    ranges, so early admission would break per-key order against
+    either). ``admitted_after_parents`` is computed from the captured
+    batchId record: the child's first batch must be strictly after the
+    LAST batch of either parent.
+
+    Scale: same O(#shards)-per-round driver cost as the split path; a
+    scale-in wave on a 1000-shard stream shrinks the cursor map and
+    never stalls executors."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        _Shard,
+        _split_ranges,
+        FakeKinesisServer,
+        register_wire_source,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_merge_")
+    half = _split_ranges(2)
+    parents = ["shardId-000000000000", "shardId-000000000001"]
+    s0 = _Shard(parents[0], _WIRE_RESHARD_PER, hash_range=half[0])
+    s1 = _Shard(parents[1], _WIRE_RESHARD_PER, hash_range=half[1])
+    s0._prefill("wire", 0)
+    s1._prefill("wire", 1)
+    try:
+        with FakeKinesisServer({"wire": [s0, s1]}) as srv:
+            client = wire_client(srv.url)
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn(
+                    "batch_id", F.lit(int(batch_id))
+                ).write.mode("append").parquet(work)
+                if batch_id == 1:  # merge while both parents have rows
+                    client.merge_shards(
+                        StreamName="wire",
+                        ShardToMerge=parents[0],
+                        AdjacentShardToMerge=parents[1],
+                    )
+                    client.put_records(
+                        StreamName="wire",
+                        Records=[
+                            {
+                                "Data": _json.dumps({"k": 500 + i}).encode(),
+                                "PartitionKey": f"pk-{i}",
+                            }
+                            for i in range(_WIRE_RESHARD_PER)
+                        ],
+                    )
+
+            df = (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .option("scanlimit", 7)
+                .option("lineagegate", "true")
+                .load()
+            )
+            q = df.writeStream.foreachBatch(capture).start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        out = spark.read.parquet(work)
+        parents_last = out.filter(F.col("shard_id").isin(parents)).agg(
+            F.max("batch_id").alias("parents_last_batch")
+        )
+        res = (
+            out.groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("sequence_number").alias("n_distinct"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+                F.min("batch_id").alias("_first_batch"),
+            )
+            .crossJoin(F.broadcast(parents_last))
+            .select(
+                "stream",
+                "shard_id",
+                "n",
+                "n_distinct",
+                "min_seq",
+                "max_seq",
+                "sum_k",
+                (
+                    F.col("shard_id").isin(parents)
+                    | (F.col("_first_batch") > F.col("parents_last_batch"))
+                ).alias("admitted_after_parents"),
+            )
+            .orderBy("shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _STREAM_STREAM_FULL_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts

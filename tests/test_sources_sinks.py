@@ -1375,3 +1375,75 @@ def test_kinesis_wire_live_split_discovery_and_gate():
     # sequence numbers cover the stream's post-parent range 20..29
     finals = {int(hist[-1][k]) for k in kids}
     assert max(finals) == 29
+
+
+def test_kinesis_wire_live_merge_waits_for_both_parents():
+    """MergeShards mid-drain: the merged child carries ParentShardId +
+    AdjacentParentShardId, and the lineage gate must hold it until BOTH
+    closed parents drain — one drained parent is not enough. Live
+    PutRecords route to the child (it owns the whole ring post-merge)."""
+    import json
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        _Shard,
+        _split_ranges,
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        wire_client,
+    )
+
+    half = _split_ranges(2)
+    s0 = _Shard("shardId-000000000000", 6, hash_range=half[0])
+    s1 = _Shard("shardId-000000000001", 20, hash_range=half[1])
+    s0._prefill("wire", 0)
+    s1._prefill("wire", 1)  # deliberately longer: drains well after s0
+    with FakeKinesisServer({"wire": [s0, s1]}) as srv:
+        client = wire_client(srv.url)
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "scanlimit": "7",
+                "lineagegate": "true",
+            },
+        )
+        hist = [dict(r.latestOffset())]
+        client.merge_shards(
+            StreamName="wire",
+            ShardToMerge="shardId-000000000000",
+            AdjacentShardToMerge="shardId-000000000001",
+        )
+        client.put_records(
+            StreamName="wire",
+            Records=[
+                {
+                    "Data": json.dumps({"k": i}).encode(),
+                    "PartitionKey": f"pk-{i}",
+                }
+                for i in range(10)
+            ],
+        )
+        hist.extend(_drive_planner(r))
+    child = "shardId-000000000002"
+    both_drained_at = next(
+        i
+        for i, h in enumerate(hist)
+        if h.get("shardId-000000000000") is None
+        and h.get("shardId-000000000001") is None
+    )
+    # the short parent drains strictly earlier — the child must NOT
+    # unblock on that alone
+    first_drained_at = next(
+        i
+        for i, h in enumerate(hist)
+        if h.get("shardId-000000000000") is None
+        or h.get("shardId-000000000001") is None
+    )
+    assert first_drained_at < both_drained_at
+    for i, h in enumerate(hist):
+        if child in h:
+            assert (h[child] != "") == (i >= both_drained_at), (i, h)
+    # all 10 live records drained through the child: the stream's next
+    # monotonic sequence continues from s1's prefill tail (39) → 40..49
+    assert int(hist[-1][child]) == 49
