@@ -820,12 +820,33 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         self.lineage_gate = (
             str(options.get("lineagegate", "false")).lower() == "true"
         )
+        # dynamoendpoint + app: seed the starting cursor from the
+        # DynamoDB wire state store's committed checkpoints — the
+        # reference's restart path (syncclient.go:146 ListCheckPoints →
+        # kinesumer.go:575 resume AFTER the stored sequence number). A
+        # fresh consumer group (no checkpoint rows) degrades to
+        # TRIM_HORIZON per shard.
+        self.dynamo_endpoint = options.get("dynamoendpoint", "")
+        self.app = options.get("app", "app")
+        self.state_table = options.get("statetable", "kinesumer-state")
 
     def initialOffset(self) -> dict:
         client = wire_client(self.endpoint)
         shards = client.list_shards(StreamName=self.stream)["Shards"]
-        # "" = nothing consumed yet (TRIM_HORIZON on first read)
-        return {s["ShardId"]: "" for s in shards}
+        committed: dict[str, str] = {}
+        if self.dynamo_endpoint:
+            from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
+
+            store = DynamoStateStore(
+                self.dynamo_endpoint, self.app, table=self.state_table
+            )
+            committed = store.list_check_points(
+                self.stream, [s["ShardId"] for s in shards]
+            )
+        # "" = nothing consumed yet (TRIM_HORIZON on first read); a
+        # committed sequence number resumes AFTER it (exactly-once
+        # across consumer restarts via the external store)
+        return {s["ShardId"]: committed.get(s["ShardId"], "") for s in shards}
 
     def latestOffset(self) -> dict:
         # the tip probe IS a GetRecords scan (there is no "what's the

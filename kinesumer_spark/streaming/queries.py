@@ -1928,6 +1928,282 @@ def stream_kinesis_wire_live_merge(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- DynamoDB wire state store: the reference's coordination plane ---------
+
+_DYNAMO_COORD_ORACLE = """
+WITH shards AS (SELECT i AS s FROM range(0, 6) t(i)),
+owners AS (
+  -- range-split assignment (syncclient.go:114-117) over the ASCENDING
+  -- alive-client order the state store returns: client i of n owns
+  -- shards [i*S/n, (i+1)*S/n). S=6 divides both n=3 and n=2 exactly.
+  SELECT 'boot' AS phase, s,
+         CASE s // 2 WHEN 0 THEN 'c-a' WHEN 1 THEN 'c-b'
+                     ELSE 'c-c' END AS client_id
+  FROM shards
+  UNION ALL
+  SELECT 'after_prune' AS phase, s,
+         CASE s // 3 WHEN 0 THEN 'c-a' ELSE 'c-c' END AS client_id
+  FROM shards
+)
+SELECT phase, client_id,
+       'shardId-' || lpad(CAST(s AS VARCHAR), 12, '0') AS shard_id,
+       lpad(CAST(10 * s + 7 AS VARCHAR), 21, '0') AS checkpoint,
+       client_id = 'c-a' AS is_leader
+FROM owners
+ORDER BY phase, shard_id
+"""
+
+
+@register(
+    "coordination_dynamo_statestore",
+    oracle=_DYNAMO_COORD_ORACLE,
+    tags=("streaming", "coordination", "wire"),
+)
+def coordination_dynamo_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DISTRIBUTED COORDINATION plane executed over the
+    DynamoDB wire protocol (statestore.go:23-33 over real boto3 against
+    a localhost endpoint speaking the public DynamoDB_20120810 JSON
+    API): three clients register into the single-table client registry
+    (``client#<app>`` rows, statemodel.go:35-37); the alive listing
+    comes back in ascending sk order — which IS the leader-election
+    order (leader = index 0, syncclient.go:86) — and drives the
+    reference's exact range-split shard assignment (golden math,
+    syncclient.go:114-117); the leader publishes the shard cache
+    (UpdateShards, syncleader.go:15-29); each client batch-commits
+    checkpoints for its shards (BatchWriteItem, statestore.go:260-281).
+    Then one client stops heartbeating: the staleness filter hides it
+    (last_update > now-10s, statestore.go:120), PruneClients deletes it
+    via the last_update LSI (statestore.go:186-221), and the surviving
+    clients rebalance 6 shards 2-ways. Output = one row per
+    (phase, shard): owner, committed checkpoint, leader bit. The
+    DuckDB oracle recomputes ownership from the same split math in SQL.
+
+    Deterministic: the store's clock is injected, so staleness is
+    exact. Coordination is O(#clients + #shards) DRIVER work by design
+    — the reference's control plane never touches record payloads, and
+    neither does this; at 1000 executors the table holds ~2k tiny
+    items. Driver-built rows are therefore the honest shape (same as
+    ``consumer_state()``), not a scale compromise."""
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+    from kinesumer_spark.streaming.assignment import full_assignment, leader
+
+    rows = []
+    clock = [100.0]
+    with FakeDynamoServer() as srv:
+        store = DynamoStateStore(
+            srv.url, "analytics", clock=lambda: clock[0]
+        )
+        store.register_client("c-b")
+        clock[0] = 101.0
+        store.register_client("c-a")
+        clock[0] = 102.0
+        store.register_client("c-c")
+
+        def snapshot(phase: str) -> None:
+            alive = store.list_all_alive_client_ids()
+            lead = leader(alive)
+            shard_ids = [
+                s["shard_id"] for s in store.get_shards("events")
+            ]
+            cps = store.list_check_points("events", shard_ids)
+            for cid, owned in full_assignment(shard_ids, alive).items():
+                for sid in owned:
+                    rows.append(
+                        (phase, cid, sid, cps[sid], cid == lead)
+                    )
+
+        # leader publishes the shard cache; every client commits its
+        # shard checkpoints (sequence = 10*s+7, zero-padded like real
+        # Kinesis sequence numbers)
+        store.update_shards(
+            "events",
+            [
+                {"shard_id": f"shardId-{i:012d}", "closed": False}
+                for i in range(6)
+            ],
+        )
+        store.update_check_points(
+            [
+                {
+                    "stream": "events",
+                    "shard_id": f"shardId-{i:012d}",
+                    "sequence_number": str(10 * i + 7).zfill(21),
+                }
+                for i in range(6)
+            ]
+        )
+        snapshot("boot")
+        clock[0] = 109.0  # within the gap: heartbeat the survivors
+        store.ping_client_aliveness("c-a")
+        store.ping_client_aliveness("c-c")
+        clock[0] = 112.0  # c-b (last_update=100) is now beyond the gap
+        pruned = store.prune_clients()
+        if pruned != ["c-b"]:  # the lifecycle must actually happen
+            raise AssertionError(f"expected prune of c-b, got {pruned}")
+        snapshot("after_prune")
+    return spark.createDataFrame(
+        rows,
+        "phase string, client_id string, shard_id string, "
+        "checkpoint string, is_leader boolean",
+    ).orderBy("phase", "shard_id")
+
+
+_WIRE_RESTORE_ORACLE = """
+WITH p AS (
+  -- phase 1: the prefilled feed, fully drained from TRIM_HORIZON
+  SELECT CAST(1 AS BIGINT) AS phase, i AS seq,
+         (i * 31 + i // 20) % 1000 AS k,
+         'shardId-' || lpad(CAST(i // 20 AS VARCHAR), 12, '0') AS shard_id
+  FROM range(0, 40) t(i)
+), put AS (
+  -- phase 2: live PutRecords, consumed by a RESTARTED consumer seeded
+  -- from the DynamoDB checkpoints; MD5-ring placement (nibble fold)
+  SELECT CAST(2 AS BIGINT) AS phase, 40 + i AS seq, 500 + i AS k,
+         CASE WHEN substr(md5('pk-' || CAST(i AS VARCHAR)), 1, 1)
+                   BETWEEN '0' AND '7'
+              THEN 'shardId-000000000000'
+              ELSE 'shardId-000000000001' END AS shard_id
+  FROM range(0, 20) t(i)
+), allr AS (
+  SELECT * FROM p UNION ALL SELECT * FROM put
+)
+SELECT phase, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       lpad(CAST(MIN(seq) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(seq) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM allr
+GROUP BY phase, shard_id
+ORDER BY phase, shard_id
+"""
+
+
+@register(
+    "stream_kinesis_wire_dynamo_restore",
+    oracle=_WIRE_RESTORE_ORACLE,
+    tags=("streaming", "source", "wire", "checkpoint"),
+)
+def stream_kinesis_wire_dynamo_restore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consumer restart with checkpoints in the EXTERNAL DynamoDB wire
+    store — the reference's whole persistence story (kinesumer's
+    Commit() batch-puts ShardCheckPoint rows, kinesumer.go:731-804; a
+    restarting client seeds its iterators from ListCheckPoints,
+    syncclient.go:146 + kinesumer.go:575), executed across BOTH wire
+    protocols at once. Phase 1: a consumer drains the prefilled
+    2-shard stream from TRIM_HORIZON, committing the per-shard max
+    sequence number to DynamoDB after every microbatch (the reference's
+    commit loop). The query then STOPS — and a brand-new streaming
+    query (fresh Spark checkpoint, no WAL continuity) starts with
+    ``dynamoendpoint`` set, so its initial offset comes from the
+    external store's checkpoints, not Spark state. 20 live PutRecords
+    land between the two runs; phase 2 must deliver EXACTLY those —
+    min_seq strictly after phase 1's max proves no replay, counts
+    prove no loss: exactly-once across a consumer restart via the
+    external store, the property kinesumer_test.go:137-193 drives
+    against localstack Kinesis+DynamoDB.
+
+    Scale: the checkpoint commit is one BatchWriteItem of #shards tiny
+    rows per microbatch (driver-side aggregate of the batch — the same
+    per-shard max the engine ledger already computes); restore is one
+    BatchGetItem at startup. Data volume never touches DynamoDB."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_restore_")
+    try:
+        with FakeKinesisServer(
+            simple_stream("wire", 2, _WIRE_RESHARD_PER)
+        ) as ksrv, FakeDynamoServer() as dsrv:
+            store = DynamoStateStore(dsrv.url, "analytics")
+
+            def run_phase(phase: int, opts: dict) -> None:
+                def capture(batch_df: DataFrame, batch_id: int) -> None:
+                    batch_df.withColumn(
+                        "phase", F.lit(phase).cast("bigint")
+                    ).write.mode("append").parquet(work)
+                    # the reference's Commit(): per-shard max sequence
+                    # batch-put to the state store (kinesumer.go:731)
+                    marks = (
+                        batch_df.groupBy("shard_id")
+                        .agg(F.max("sequence_number").alias("seq"))
+                        .collect()
+                    )
+                    if marks:
+                        store.update_check_points(
+                            [
+                                {
+                                    "stream": "wire",
+                                    "shard_id": m["shard_id"],
+                                    "sequence_number": m["seq"],
+                                }
+                                for m in marks
+                            ]
+                        )
+
+                reader = spark.readStream.format("kinesumer_wire").option(
+                    "endpoint", ksrv.url
+                ).option("stream", "wire").option("scanlimit", 7)
+                for k, v in opts.items():
+                    reader = reader.option(k, v)
+                q = reader.load().writeStream.foreachBatch(capture).start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+
+            run_phase(1, {})  # fresh consumer: TRIM_HORIZON drain
+            # live records arrive while no consumer is running
+            wire_client(ksrv.url).put_records(
+                StreamName="wire",
+                Records=[
+                    {
+                        "Data": _json.dumps({"k": 500 + i}).encode(),
+                        "PartitionKey": f"pk-{i}",
+                    }
+                    for i in range(_WIRE_RESHARD_PER)
+                ],
+            )
+            # restarted consumer: NEW query, offsets seeded from the
+            # DynamoDB checkpoints — not Spark's own WAL
+            run_phase(
+                2,
+                {"dynamoendpoint": dsrv.url, "app": "analytics"},
+            )
+        res = (
+            spark.read.parquet(work)
+            .groupBy("phase", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("phase", "shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _STREAM_STREAM_FULL_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts

@@ -1447,3 +1447,230 @@ def test_kinesis_wire_live_merge_waits_for_both_parents():
     # all 10 live records drained through the child: the stream's next
     # monotonic sequence continues from s1's prefill tail (39) → 40..49
     assert int(hist[-1][child]) == 49
+
+
+# ---------------------------------------------------------------------------
+# DynamoDB wire state store (reference statestore.go over boto3)
+# ---------------------------------------------------------------------------
+
+
+def _dyn_store(url, clock):
+    from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
+
+    return DynamoStateStore(url, "analytics", clock=clock)
+
+
+def test_dynamo_wire_client_registry_lifecycle():
+    """Register → ascending alive listing (the leader-election order,
+    syncclient.go:86) → heartbeat keeps a client alive → staleness
+    filter hides an unpinged client → LSI prune deletes it → deregister
+    removes explicitly. Deterministic injected clock; all calls cross
+    the wire through genuine boto3."""
+    from kinesumer_spark.sources.dynamo_wire import FakeDynamoServer
+
+    t = [100.0]
+    with FakeDynamoServer() as srv:
+        st = _dyn_store(srv.url, lambda: t[0])
+        st.register_client("c-b")
+        t[0] = 101.0
+        st.register_client("c-a")
+        t[0] = 102.0
+        st.register_client("c-c")
+        # ascending client-id order regardless of registration order
+        assert st.list_all_alive_client_ids() == ["c-a", "c-b", "c-c"]
+        t[0] = 109.5
+        st.ping_client_aliveness("c-a")
+        st.ping_client_aliveness("c-c")
+        t[0] = 112.0  # c-b's last_update=100 is now beyond OUTDATED_GAP
+        assert st.list_all_alive_client_ids() == ["c-a", "c-c"]
+        # prune uses the LSI range (pk, last_update < cutoff)
+        assert st.prune_clients() == ["c-b"]
+        assert st.prune_clients() == []  # idempotent
+        st.deregister_client("c-a")
+        assert st.list_all_alive_client_ids() == ["c-c"]
+
+
+def test_dynamo_wire_shard_cache_roundtrip():
+    """GetShards on a cold cache returns the no-cache signal (the
+    reference's ErrNoShardCache, statestore.go:86-88); UpdateShards
+    then a consistent read returns the exact list including the
+    closed flag (the O3 filter's input)."""
+    from kinesumer_spark.sources.dynamo_wire import FakeDynamoServer
+
+    with FakeDynamoServer() as srv:
+        st = _dyn_store(srv.url, lambda: 0.0)
+        assert st.get_shards("events") is None
+        shards = [
+            {"shard_id": "shardId-000000000000", "closed": True},
+            {"shard_id": "shardId-000000000001", "closed": False},
+        ]
+        st.update_shards("events", shards)
+        assert st.get_shards("events") == shards
+        # per-stream isolation under the same app
+        assert st.get_shards("other") is None
+
+
+def test_dynamo_wire_checkpoints_batch_roundtrip():
+    """UpdateCheckPoints/ListCheckPoints over BatchWriteItem /
+    BatchGetItem: shards without a committed checkpoint are absent
+    from the map (statestore.go:247-256), empty input raises
+    (ErrEmptyShardIDs), and a re-put overwrites."""
+    import pytest
+
+    from kinesumer_spark.sources.dynamo_wire import FakeDynamoServer
+
+    with FakeDynamoServer() as srv:
+        st = _dyn_store(srv.url, lambda: 0.0)
+        with pytest.raises(ValueError):
+            st.list_check_points("events", [])
+        st.update_check_points(
+            [
+                {
+                    "stream": "events",
+                    "shard_id": "shardId-000000000000",
+                    "sequence_number": "000000000000000000007",
+                },
+                {
+                    "stream": "events",
+                    "shard_id": "shardId-000000000001",
+                    "sequence_number": "000000000000000000019",
+                },
+            ]
+        )
+        got = st.list_check_points(
+            "events",
+            [
+                "shardId-000000000000",
+                "shardId-000000000001",
+                "shardId-000000000099",  # never committed -> absent
+            ],
+        )
+        assert got == {
+            "shardId-000000000000": "000000000000000000007",
+            "shardId-000000000001": "000000000000000000019",
+        }
+        st.update_check_points(
+            [
+                {
+                    "stream": "events",
+                    "shard_id": "shardId-000000000000",
+                    "sequence_number": "000000000000000000011",
+                }
+            ]
+        )
+        assert (
+            st.list_check_points("events", ["shardId-000000000000"])[
+                "shardId-000000000000"
+            ]
+            == "000000000000000000011"
+        )
+
+
+def test_dynamo_wire_protocol_errors_via_botocore():
+    """Protocol-level errors surface as real botocore ClientError with
+    the service's __type code: unknown table (ResourceNotFoundException)
+    and unknown index."""
+    import pytest
+    from botocore.exceptions import ClientError
+
+    from kinesumer_spark.sources.dynamo_wire import (
+        FakeDynamoServer,
+        dynamo_client,
+    )
+
+    with FakeDynamoServer() as srv:
+        c = dynamo_client(srv.url)
+        with pytest.raises(ClientError) as ei:
+            c.describe_table(TableName="nope")
+        assert (
+            ei.value.response["Error"]["Code"]
+            == "ResourceNotFoundException"
+        )
+        with pytest.raises(ClientError) as ei:
+            c.query(
+                TableName="kinesumer-state",
+                IndexName="no-such-index",
+                KeyConditionExpression="pk = :p",
+                ExpressionAttributeValues={":p": {"S": "x"}},
+            )
+        assert (
+            ei.value.response["Error"]["Code"]
+            == "ResourceNotFoundException"
+        )
+
+
+def test_dynamo_wire_alive_ids_drive_golden_assignment():
+    """The wire store's ascending alive listing composes with the
+    reference's exact range-split math (streaming/assignment.py golden
+    vectors): leader = index 0, and each client's shard slice matches
+    full_assignment over the wire-cached shard ids."""
+    from kinesumer_spark.sources.dynamo_wire import FakeDynamoServer
+    from kinesumer_spark.streaming.assignment import (
+        full_assignment,
+        leader,
+    )
+
+    with FakeDynamoServer() as srv:
+        st = _dyn_store(srv.url, lambda: 50.0)
+        for cid in ("c-2", "c-0", "c-1"):
+            st.register_client(cid)
+        shards = [
+            {"shard_id": f"shardId-{i:012d}", "closed": False}
+            for i in range(6)
+        ]
+        st.update_shards("events", shards)
+        alive = st.list_all_alive_client_ids()
+        assert leader(alive) == "c-0"
+        ids = [s["shard_id"] for s in st.get_shards("events")]
+        asg = full_assignment(ids, alive)
+        assert asg == {
+            "c-0": ids[0:2],
+            "c-1": ids[2:4],
+            "c-2": ids[4:6],
+        }
+
+
+def test_kinesis_wire_reader_seeds_offsets_from_dynamo():
+    """With ``dynamoendpoint`` set, the wire reader's initial offset
+    comes from the DynamoDB store's committed checkpoints (resume
+    AFTER the stored sequence — syncclient.go:146 + kinesumer.go:575);
+    shards without a checkpoint degrade to TRIM_HORIZON ("")."""
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        simple_stream,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 2, 20)) as ksrv, (
+        FakeDynamoServer()
+    ) as dsrv:
+        store = DynamoStateStore(dsrv.url, "analytics")
+        store.update_check_points(
+            [
+                {
+                    "stream": "wire",
+                    "shard_id": "shardId-000000000000",
+                    "sequence_number": str(11).zfill(21),
+                }
+            ]
+        )
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": ksrv.url,
+                "stream": "wire",
+                "dynamoendpoint": dsrv.url,
+                "app": "analytics",
+            },
+        )
+        first = r.initialOffset()
+        assert first["shardId-000000000000"] == str(11).zfill(21)
+        assert first["shardId-000000000001"] == ""  # no checkpoint
+        # and the paced scan resumes AFTER the checkpoint: first
+        # advance lands at 11 + scanLimit on the seeded shard
+        nxt = r.latestOffset()
+        assert int(nxt["shardId-000000000000"]) > 11
