@@ -829,10 +829,27 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         self.dynamo_endpoint = options.get("dynamoendpoint", "")
         self.app = options.get("app", "app")
         self.state_table = options.get("statetable", "kinesumer-state")
+        # shards=<comma-separated ids>: this consumer's ASSIGNED slice —
+        # the reference's range-partition assignment (O5) makes each
+        # client read only its own shards; an empty option means "all"
+        # (single-consumer mode). Planner-side filter, zero executor
+        # cost.
+        raw = options.get("shards", "")
+        self.shard_filter = (
+            frozenset(s.strip() for s in raw.split(",") if s.strip())
+            or None
+        )
+
+    def _visible(self, shards: list[dict]) -> list[dict]:
+        if self.shard_filter is None:
+            return shards
+        return [s for s in shards if s["ShardId"] in self.shard_filter]
 
     def initialOffset(self) -> dict:
         client = wire_client(self.endpoint)
-        shards = client.list_shards(StreamName=self.stream)["Shards"]
+        shards = self._visible(
+            client.list_shards(StreamName=self.stream)["Shards"]
+        )
         committed: dict[str, str] = {}
         if self.dynamo_endpoint:
             from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
@@ -865,7 +882,9 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # and the lineage table rebuilds so a freshly-closed parent
         # starts gating its children the same round. One ListShards per
         # microbatch — O(#shards) driver work, no executor cost.
-        shards = client.list_shards(StreamName=self.stream)["Shards"]
+        shards = self._visible(
+            client.list_shards(StreamName=self.stream)["Shards"]
+        )
         for s in shards:
             self._cursor.setdefault(s["ShardId"], "")
         if self.lineage_gate:

@@ -2204,6 +2204,202 @@ def stream_kinesis_wire_dynamo_restore(
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- Multi-client consumption + checkpoint handoff across both wires ------
+
+_WIRE_HANDOFF_ORACLE = f"""
+WITH p AS (
+  -- phase 1: 4 prefilled shards drained by TWO clients, each owning
+  -- its range-assigned half (c-a: shards 0,1; c-b: shards 2,3)
+  SELECT CAST(1 AS BIGINT) AS phase,
+         CASE WHEN i // {2 * _WIRE_RESHARD_PER} = 0
+              THEN 'c-a' ELSE 'c-b' END AS client_id,
+         i AS seq,
+         (i * 31 + i // {_WIRE_RESHARD_PER}) % 1000 AS k,
+         'shardId-' || lpad(CAST(i // {_WIRE_RESHARD_PER} AS VARCHAR), 12, '0')
+           AS shard_id
+  FROM range(0, {4 * _WIRE_RESHARD_PER}) t(i)
+), put AS (
+  -- phase 2: c-b died; c-a owns ALL shards and resumes c-b's from
+  -- c-b's committed checkpoints. Live records place by the MD5 ring:
+  -- first hex nibble // 4 picks the quarter-range shard
+  SELECT CAST(2 AS BIGINT) AS phase, 'c-a' AS client_id,
+         {4 * _WIRE_RESHARD_PER} + i AS seq, 500 + i AS k,
+         'shardId-' || lpad(CAST(
+             (strpos('0123456789abcdef',
+                     substr(md5('pk-' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+             // 4 AS VARCHAR), 12, '0') AS shard_id
+  FROM range(0, {2 * _WIRE_RESHARD_PER}) t(i)
+), allr AS (
+  SELECT * FROM p UNION ALL SELECT * FROM put
+)
+SELECT phase, client_id, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       lpad(CAST(MIN(seq) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(seq) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM allr
+GROUP BY phase, client_id, shard_id
+ORDER BY phase, client_id, shard_id
+"""
+
+
+@register(
+    "coordination_multiclient_handoff",
+    oracle=_WIRE_HANDOFF_ORACLE,
+    tags=("streaming", "coordination", "wire", "checkpoint"),
+)
+def coordination_multiclient_handoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE kinesumer scenario — multiple clients splitting one stream,
+    then a rebalance with checkpoint HANDOFF — executed across both
+    wire protocols. Phase 1: clients c-a and c-b register in the
+    DynamoDB registry; the range-split assignment (golden math,
+    syncclient.go:114-117) gives c-a shards 0-1 and c-b shards 2-3;
+    each runs its own streaming query over the Kinesis wire restricted
+    to its ASSIGNED slice (the ``shards`` option — O5's planner-side
+    ownership), committing per-shard checkpoints to the SHARED store
+    after every microbatch. Then c-b dies (no heartbeat): the
+    staleness filter hides it, PruneClients deletes it via the LSI,
+    and the re-run assignment hands ALL four shards to c-a. 40 live
+    PutRecords land during the outage. Phase 2: c-a's NEW query (fresh
+    Spark checkpoint) seeds offsets from the shared store — resuming
+    its own shards from its own checkpoints and c-b's shards from
+    C-B'S checkpoints. It must deliver exactly the outage records: the
+    handoff loses nothing and replays nothing — the property the whole
+    reference exists to provide (kinesumer_test.go:137-193 drives the
+    same scenario against localstack Kinesis+DynamoDB).
+
+    Scale: per-client planner state is O(assigned shards); the handoff
+    itself is one BatchGetItem. Adding clients never re-reads data —
+    ownership is a planner filter, and payload bytes move only
+    executor-side. At 1000 shards / 50 clients this is the same 20-row
+    slice math the golden vectors pin."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+        wire_client,
+    )
+    from kinesumer_spark.streaming.assignment import full_assignment
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_handoff_")
+    clock = [100.0]
+    try:
+        with FakeKinesisServer(
+            simple_stream("wire", 4, _WIRE_RESHARD_PER)
+        ) as ksrv, FakeDynamoServer() as dsrv:
+            store = DynamoStateStore(
+                dsrv.url, "analytics", clock=lambda: clock[0]
+            )
+            store.register_client("c-a")
+            store.register_client("c-b")
+            shard_ids = [f"shardId-{i:012d}" for i in range(4)]
+            store.update_shards(
+                "wire",
+                [{"shard_id": s, "closed": False} for s in shard_ids],
+            )
+
+            def run_client(
+                phase: int, client_id: str, owned: list[str], seeded: bool
+            ) -> None:
+                def capture(batch_df: DataFrame, batch_id: int) -> None:
+                    batch_df.withColumn(
+                        "phase", F.lit(phase).cast("bigint")
+                    ).withColumn(
+                        "client_id", F.lit(client_id)
+                    ).write.mode("append").parquet(work)
+                    marks = (
+                        batch_df.groupBy("shard_id")
+                        .agg(F.max("sequence_number").alias("seq"))
+                        .collect()
+                    )
+                    if marks:
+                        store.update_check_points(
+                            [
+                                {
+                                    "stream": "wire",
+                                    "shard_id": m["shard_id"],
+                                    "sequence_number": m["seq"],
+                                }
+                                for m in marks
+                            ]
+                        )
+
+                reader = (
+                    spark.readStream.format("kinesumer_wire")
+                    .option("endpoint", ksrv.url)
+                    .option("stream", "wire")
+                    .option("scanlimit", 7)
+                    .option("shards", ",".join(owned))
+                )
+                if seeded:
+                    reader = reader.option(
+                        "dynamoendpoint", dsrv.url
+                    ).option("app", "analytics")
+                q = reader.load().writeStream.foreachBatch(capture).start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+
+            # phase 1: both clients drain their range-assigned slices
+            alive = store.list_all_alive_client_ids()
+            asg = full_assignment(
+                [s["shard_id"] for s in store.get_shards("wire")], alive
+            )
+            for cid in alive:
+                run_client(1, cid, asg[cid], seeded=False)
+            # c-b dies; records arrive during the outage
+            wire_client(ksrv.url).put_records(
+                StreamName="wire",
+                Records=[
+                    {
+                        "Data": _json.dumps({"k": 500 + i}).encode(),
+                        "PartitionKey": f"pk-{i}",
+                    }
+                    for i in range(2 * _WIRE_RESHARD_PER)
+                ],
+            )
+            clock[0] = 109.0
+            store.ping_client_aliveness("c-a")  # c-b does not heartbeat
+            clock[0] = 112.0
+            if store.prune_clients() != ["c-b"]:
+                raise AssertionError("expected c-b to be pruned")
+            # phase 2: rebalance — c-a owns everything, resumes from
+            # the SHARED checkpoints (its own + the dead client's)
+            alive = store.list_all_alive_client_ids()
+            asg = full_assignment(
+                [s["shard_id"] for s in store.get_shards("wire")], alive
+            )
+            for cid in alive:
+                run_client(2, cid, asg[cid], seeded=True)
+        res = (
+            spark.read.parquet(work)
+            .groupBy("phase", "client_id", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("phase", "client_id", "shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _STREAM_STREAM_FULL_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts

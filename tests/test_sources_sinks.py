@@ -1674,3 +1674,43 @@ def test_kinesis_wire_reader_seeds_offsets_from_dynamo():
         # advance lands at 11 + scanLimit on the seeded shard
         nxt = r.latestOffset()
         assert int(nxt["shardId-000000000000"]) > 11
+
+
+def test_kinesis_wire_reader_shard_ownership_filter():
+    """The ``shards`` option restricts a consumer to its ASSIGNED slice
+    (O5): the planner's cursor map contains only owned shards, other
+    shards are never scanned, and two disjoint readers cover the stream
+    with no overlap."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        simple_stream,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 4, 10)) as srv:
+        a = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "scanlimit": "50",
+                "shards": "shardId-000000000000,shardId-000000000001",
+            },
+        )
+        b = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "scanlimit": "50",
+                "shards": "shardId-000000000002,shardId-000000000003",
+            },
+        )
+        off_a = a.latestOffset()
+        off_b = b.latestOffset()
+    assert set(off_a) == {"shardId-000000000000", "shardId-000000000001"}
+    assert set(off_b) == {"shardId-000000000002", "shardId-000000000003"}
+    # disjoint slices drain to their own tails: prefill seqs are
+    # pos*per_shard + i, so shard s tops out at (s+1)*10 - 1
+    assert off_a["shardId-000000000001"] == str(19).zfill(21)
+    assert off_b["shardId-000000000003"] == str(39).zfill(21)
