@@ -1928,6 +1928,120 @@ def stream_kinesis_wire_live_merge(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- O4 multi-stream union over the wire ------------------------------------
+
+_WIRE_MULTISTREAM_ORACLE = f"""
+WITH orders AS (
+  SELECT 'orders' AS stream, i AS seq,
+         (i * 31 + i // {_WIRE_RESHARD_PER}) % 1000 AS k,
+         'shardId-' || lpad(CAST(i // {_WIRE_RESHARD_PER} AS VARCHAR), 12, '0')
+           AS shard_id
+  FROM range(0, {2 * _WIRE_RESHARD_PER}) t(i)
+), clicks AS (
+  SELECT 'clicks' AS stream, i AS seq,
+         (i * 31 + i // {_WIRE_RESHARD_PER}) % 1000 AS k,
+         'shardId-' || lpad(CAST(i // {_WIRE_RESHARD_PER} AS VARCHAR), 12, '0')
+           AS shard_id
+  FROM range(0, {3 * _WIRE_RESHARD_PER}) t(i)
+), allr AS (
+  SELECT * FROM orders UNION ALL SELECT * FROM clicks
+)
+SELECT stream, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       lpad(CAST(MIN(seq) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(seq) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM allr
+GROUP BY stream, shard_id
+ORDER BY stream, shard_id
+"""
+
+
+@register(
+    "stream_kinesis_wire_multistream",
+    oracle=_WIRE_MULTISTREAM_ORACLE,
+    tags=("streaming", "source", "wire"),
+)
+def stream_kinesis_wire_multistream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O4 — multi-stream consumption (the reference consumes a SET of
+    streams with one client, kinesumer.go NewKinesumer streams config)
+    — executed over the wire: one endpoint hosts two streams with
+    different shard counts ('orders': 2×20, 'clicks': 3×20); two wire
+    readers union into ONE streaming query (the Spark expression of
+    the reference's per-stream consume loops feeding one application
+    channel), drained together with per-stream per-shard exactly-once
+    checked against the oracle. Per-stream sequence spaces overlap by
+    construction — the stream column keeps them distinct, exactly the
+    reference's (stream, shard, seq) record identity.
+
+    Scale: a union of N streaming sources plans each source's offsets
+    independently — per-stream shard maps stay O(#shards), and the
+    union is a planner concat, not a shuffle."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        _Shard,
+        _split_ranges,
+        FakeKinesisServer,
+        register_wire_source,
+    )
+
+    register_wire_source(spark)
+
+    def make(stream: str, n_shards: int) -> list:
+        shards = [
+            _Shard(f"shardId-{s:012d}", _WIRE_RESHARD_PER, hash_range=rng)
+            for s, rng in enumerate(_split_ranges(n_shards))
+        ]
+        for pos, sh in enumerate(shards):
+            sh._prefill(stream, pos)
+        return shards
+
+    work = tempfile.mkdtemp(prefix="ks_wire_multi_")
+    try:
+        with FakeKinesisServer(
+            {"orders": make("orders", 2), "clicks": make("clicks", 3)}
+        ) as srv:
+
+            def source(stream: str) -> DataFrame:
+                return (
+                    spark.readStream.format("kinesumer_wire")
+                    .option("endpoint", srv.url)
+                    .option("stream", stream)
+                    .option("scanlimit", 9)
+                    .load()
+                )
+
+            union = source("orders").unionByName(source("clicks"))
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(work)
+
+            q = union.writeStream.foreachBatch(capture).start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        res = (
+            spark.read.parquet(work)
+            .groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("stream", "shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # -- DynamoDB wire state store: the reference's coordination plane ---------
 
 _DYNAMO_COORD_ORACLE = """
