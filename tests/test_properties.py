@@ -390,3 +390,81 @@ def test_sink_shard_ring_matches_oracle_sql(key, n_shards):
     """
     got = duckdb.execute(sql, [key]).fetchone()[0]
     assert got == _shard_of(key, n_shards)
+
+
+def _registry_prop_server():
+    # one shared wire endpoint for the whole property run; per-example
+    # isolation comes from a unique app namespace (client#<app> keys)
+    from kinesumer_spark.sources.dynamo_wire import FakeDynamoServer
+
+    global _REG_SRV
+    try:
+        return _REG_SRV
+    except NameError:
+        _REG_SRV = FakeDynamoServer().__enter__()
+        return _REG_SRV
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["register", "ping", "deregister", "prune"]),
+            st.integers(min_value=0, max_value=3),
+            st.floats(min_value=0.0, max_value=15.0),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_dynamo_registry_matches_model(ops):
+    """Property: for ARBITRARY interleavings of register / heartbeat /
+    deregister / prune under arbitrary clock advances, the wire store's
+    alive listing equals a plain-dict model of the reference semantics
+    (statestore.go:111-221): alive = last_update STRICTLY greater than
+    now-10s in ascending id order; prune deletes exactly the rows
+    STRICTLY older than now-10s (the boundary row is neither alive nor
+    prunable — Filter `>` vs prune `<`)."""
+    import uuid
+
+    from kinesumer_spark.sources.dynamo_wire import (
+        OUTDATED_GAP,
+        DynamoStateStore,
+    )
+
+    srv = _registry_prop_server()
+    clock = [1000.0]
+    store = DynamoStateStore(
+        srv.url, f"prop-{uuid.uuid4().hex[:12]}", clock=lambda: clock[0]
+    )
+    model: dict[str, float] = {}
+    for kind, idx, dt in ops:
+        clock[0] += dt
+        cid = f"c-{idx}"
+        if kind == "register":
+            store.register_client(cid)
+            model[cid] = clock[0]
+        elif kind == "ping":
+            # reference pings only registered clients; UpdateItem would
+            # upsert, so the port mirrors the caller contract
+            if cid in model:
+                store.ping_client_aliveness(cid)
+                model[cid] = clock[0]
+        elif kind == "deregister":
+            store.deregister_client(cid)
+            model.pop(cid, None)
+        elif kind == "prune":
+            expect = sorted(
+                c
+                for c, t in model.items()
+                if t < clock[0] - OUTDATED_GAP
+            )
+            got = sorted(store.prune_clients())
+            assert got == expect, (got, expect)
+            for c in expect:
+                del model[c]
+        alive = store.list_all_alive_client_ids()
+        want = sorted(
+            c for c, t in model.items() if t > clock[0] - OUTDATED_GAP
+        )
+        assert alive == want, (kind, alive, want)
