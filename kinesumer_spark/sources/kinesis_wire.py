@@ -174,6 +174,15 @@ class _KinesisApi:
         self.streams = streams
         self.throttle_every = 0  # every Nth GetRecords throttles (0 = off)
         self._calls = 0
+        # every Nth GetRecords raises ExpiredIteratorException (0 = off)
+        # — the fault the reference recovers from by re-acquiring the
+        # iterator at its checkpoint (kinesumer.go:689-693). Unlike
+        # throttling, botocore does NOT retry this; the consumer must.
+        self.expire_every = 0
+        self._gr_calls = 0
+        # cap GetRecords page size server-side (0 = honor Limit only):
+        # forces multi-page reads so mid-read faults are exercisable
+        self.max_page = 0
         self.lock = threading.Lock()
         # EFO consumer registry (O19): ConsumerARN -> doc. Registration
         # surfaces CREATING first; DescribeStreamConsumer flips it to
@@ -264,14 +273,25 @@ class _KinesisApi:
             throttled = (
                 self.throttle_every and self._calls % self.throttle_every == 0
             )
+            self._gr_calls += 1
+            expired = (
+                self.expire_every
+                and self._gr_calls % self.expire_every == 0
+            )
         if throttled:
             raise _ApiError(
                 "ProvisionedThroughputExceededException", "slow down"
+            )
+        if expired:
+            raise _ApiError(
+                "ExpiredIteratorException", "Iterator expired"
             )
         tok = json.loads(base64.b64decode(body["ShardIterator"]))
         stream, shard_id, idx = tok["s"], tok["h"], tok["i"]
         _pos, sh = self._shard(stream, shard_id)
         limit = int(body.get("Limit", 10000))
+        if self.max_page:
+            limit = min(limit, self.max_page)
         with self.lock:  # PutRecords may be appending concurrently
             n = len(sh.records)
             hi = min(idx + limit, n)
@@ -928,20 +948,38 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
                     for p in self._parents.get(shard_id, ())
                 ):
                     continue
-            if last == "":
-                it = client.get_shard_iterator(
-                    StreamName=self.stream,
-                    ShardId=shard_id,
-                    ShardIteratorType="TRIM_HORIZON",
-                )["ShardIterator"]
-            else:
-                it = client.get_shard_iterator(
-                    StreamName=self.stream,
-                    ShardId=shard_id,
-                    ShardIteratorType="AFTER_SEQUENCE_NUMBER",
-                    StartingSequenceNumber=last,
-                )["ShardIterator"]
-            out = client.get_records(ShardIterator=it, Limit=self.scan_limit)
+            from botocore.exceptions import ClientError
+
+            # the probe acquires a FRESH iterator every round, so an
+            # expired iterator only means the fault landed between the
+            # two calls — re-acquire and retry, bounded (the reference's
+            # same invalidate-and-restart, kinesumer.go:689-693)
+            for attempt in range(5):
+                if last == "":
+                    it = client.get_shard_iterator(
+                        StreamName=self.stream,
+                        ShardId=shard_id,
+                        ShardIteratorType="TRIM_HORIZON",
+                    )["ShardIterator"]
+                else:
+                    it = client.get_shard_iterator(
+                        StreamName=self.stream,
+                        ShardId=shard_id,
+                        ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+                        StartingSequenceNumber=last,
+                    )["ShardIterator"]
+                try:
+                    out = client.get_records(
+                        ShardIterator=it, Limit=self.scan_limit
+                    )
+                    break
+                except ClientError as e:
+                    if (
+                        e.response["Error"]["Code"]
+                        != "ExpiredIteratorException"
+                        or attempt == 4
+                    ):
+                        raise
             if out["Records"]:
                 self._cursor[shard_id] = out["Records"][-1]["SequenceNumber"]
             if out.get("NextShardIterator") is None and not out["Records"]:
@@ -966,22 +1004,47 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         if self.mode == "efo":
             yield from self._read_efo(client, partition)
             return
-        if partition.after_seq is None:
-            it = client.get_shard_iterator(
-                StreamName=self.stream,
-                ShardId=partition.shard_id,
-                ShardIteratorType="TRIM_HORIZON",
-            )["ShardIterator"]
-        else:
-            it = client.get_shard_iterator(
+        from botocore.exceptions import ClientError
+
+        last_seq = partition.after_seq
+
+        def acquire() -> str:
+            # re-acquire from the last delivered sequence — the
+            # reference's expired-iterator recovery (kinesumer.go:689-693:
+            # invalidate the cached iterator, restart from checkpoint)
+            if last_seq is None:
+                return client.get_shard_iterator(
+                    StreamName=self.stream,
+                    ShardId=partition.shard_id,
+                    ShardIteratorType="TRIM_HORIZON",
+                )["ShardIterator"]
+            return client.get_shard_iterator(
                 StreamName=self.stream,
                 ShardId=partition.shard_id,
                 ShardIteratorType="AFTER_SEQUENCE_NUMBER",
-                StartingSequenceNumber=partition.after_seq,
+                StartingSequenceNumber=last_seq,
             )["ShardIterator"]
+
         end = partition.end_seq
+        it = acquire()
+        stale = 0  # consecutive-expiry bound: progress resets it, a
+        # persistently-expiring endpoint fails the task instead of
+        # livelocking the executor (Spark then retries the task)
         while it is not None:
-            out = client.get_records(ShardIterator=it, Limit=10000)
+            try:
+                out = client.get_records(ShardIterator=it, Limit=10000)
+                stale = 0
+            except ClientError as e:
+                if (
+                    e.response["Error"]["Code"]
+                    == "ExpiredIteratorException"
+                ):
+                    stale += 1
+                    if stale > 10:
+                        raise
+                    it = acquire()
+                    continue
+                raise
             for rec in out["Records"]:
                 seq = rec["SequenceNumber"]
                 if seq > end:  # zero-padded: lexicographic == numeric
@@ -994,6 +1057,7 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
                     rec["PartitionKey"],
                     int(payload["k"]),
                 )
+                last_seq = seq
                 if seq == end:
                     return
             it = out.get("NextShardIterator")

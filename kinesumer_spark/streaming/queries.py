@@ -2042,6 +2042,102 @@ def stream_kinesis_wire_multistream(
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- Expired-iterator fault injection: delivery unchanged -------------------
+
+_WIRE_EXPIRY_ORACLE = f"""
+SELECT 'wire' AS stream,
+       'shardId-' || lpad(CAST(i // {_WIRE_RESHARD_PER} AS VARCHAR), 12, '0')
+         AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_distinct,
+       lpad(CAST(MIN(i) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(i) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM((i * 31 + i // {_WIRE_RESHARD_PER}) % 1000) AS BIGINT)
+         AS sum_k
+FROM range(0, {3 * _WIRE_RESHARD_PER}) t(i)
+GROUP BY 2
+ORDER BY 2
+"""
+
+
+@register(
+    "stream_kinesis_wire_iterator_expiry",
+    oracle=_WIRE_EXPIRY_ORACLE,
+    tags=("streaming", "source", "wire", "fault"),
+)
+def stream_kinesis_wire_iterator_expiry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iterator-expiry fault injection over the wire: the endpoint
+    raises ExpiredIteratorException on every 4th GetRecords — hitting
+    planner probes and executor page loops alike, wherever the counter
+    lands — and caps pages at 5 records so executor drains are
+    multi-page (expiry can strike MID-partition). botocore does not
+    retry this error (it is not a throttle); recovery is the
+    consumer's job, and both paths re-acquire from their last position
+    (the reference's invalidate-and-restart, kinesumer.go:689-693).
+    The oracle is the UNFAULTED feed: delivery must be byte-identical
+    — exactly-once, per-shard ordered — no matter where the faults
+    landed. n_distinct pins no-replay; sum_k pins no-loss.
+
+    Scale: recovery is one extra GetShardIterator per fault with a
+    consecutive-expiry bound (a persistently-broken shard fails the
+    task and escalates to Spark's task retry instead of spinning)."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_expiry_")
+    try:
+        with FakeKinesisServer(
+            simple_stream("wire", 3, _WIRE_RESHARD_PER)
+        ) as srv:
+            srv.api.expire_every = 4
+            srv.api.max_page = 5
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(work)
+
+            q = (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .option("scanlimit", 7)
+                .load()
+                .writeStream.foreachBatch(capture)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+            faults = srv.api._gr_calls // 4
+            if faults == 0:  # the injection must actually exercise
+                raise AssertionError("no expiry faults fired")
+        res = (
+            spark.read.parquet(work)
+            .groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("sequence_number").alias("n_distinct"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # -- DynamoDB wire state store: the reference's coordination plane ---------
 
 _DYNAMO_COORD_ORACLE = """

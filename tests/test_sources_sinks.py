@@ -1714,3 +1714,68 @@ def test_kinesis_wire_reader_shard_ownership_filter():
     # pos*per_shard + i, so shard s tops out at (s+1)*10 - 1
     assert off_a["shardId-000000000001"] == str(19).zfill(21)
     assert off_b["shardId-000000000003"] == str(39).zfill(21)
+
+
+
+def test_kinesis_wire_expired_iterator_recovery_mid_read():
+    """An iterator that expires MID-READ (between pages of one
+    partition drain) is re-acquired from the last delivered sequence —
+    the reference's expired-iterator handling (kinesumer.go:689-693) —
+    with no loss and no replay. botocore does NOT retry this error
+    (it is not a throttle); the consumer's recovery path must."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        _WireSlice,
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        simple_stream,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, 20)) as srv:
+        srv.api.max_page = 5  # force multi-page drains
+        srv.api.expire_every = 3  # every 3rd GetRecords expires
+        r = KinesumerWireStreamReader(
+            None, {"endpoint": srv.url, "stream": "wire"}
+        )
+        rows = list(
+            r.read(
+                _WireSlice("shardId-000000000000", None, str(19).zfill(21))
+            )
+        )
+    seqs = [int(t[2]) for t in rows]
+    assert seqs == list(range(20))  # exact, ordered, no loss/replay
+    # 4 successful pages of 5 records took 5 GetRecords calls total —
+    # exactly one (call 3) expired and was recovered, not retried away
+    # by botocore
+    assert srv.api._gr_calls == 5
+
+
+def test_kinesis_wire_expired_iterator_livelock_bound():
+    """A persistently-expiring endpoint (every call fails) must FAIL
+    the read after the consecutive-expiry bound rather than spin the
+    executor forever — Spark's task retry is the correct escalation."""
+    import pytest
+    from botocore.exceptions import ClientError
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        _WireSlice,
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        simple_stream,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, 10)) as srv:
+        srv.api.expire_every = 1
+        r = KinesumerWireStreamReader(
+            None, {"endpoint": srv.url, "stream": "wire"}
+        )
+        with pytest.raises(ClientError) as ei:
+            list(
+                r.read(
+                    _WireSlice(
+                        "shardId-000000000000", None, str(9).zfill(21)
+                    )
+                )
+            )
+        assert (
+            ei.value.response["Error"]["Code"] == "ExpiredIteratorException"
+        )
