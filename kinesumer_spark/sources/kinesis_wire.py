@@ -191,6 +191,12 @@ class _KinesisApi:
         self.consumers: dict[str, dict] = {}
         self._describes: dict[str, int] = {}
         self.efo_event_batch = 10  # records per SubscribeToShardEvent
+        # cap events per subscription (0 = unlimited): a capped
+        # subscription ends its event stream early — the wire analog of
+        # AWS ending every SubscribeToShard after 5 minutes — so the
+        # consumer must RESUBSCRIBE at the ContinuationSequenceNumber
+        self.efo_max_events_per_sub = 0
+        self.efo_subscriptions = 0  # observability: renewals must fire
 
     def _stream_arn(self, stream: str) -> str:
         return f"arn:aws:kinesis:us-east-1:000000000000:stream/{stream}"
@@ -549,11 +555,17 @@ class _KinesisApi:
             raise _ApiError("InvalidArgumentException", pos_type)
         with self.lock:
             records = list(sh.records[idx:])
+            self.efo_subscriptions += 1
         payload = _ES_INITIAL
         step = self.efo_event_batch
         chunks = [
             records[i : i + step] for i in range(0, len(records), step)
         ] or [[]]
+        if self.efo_max_events_per_sub:
+            # end the subscription early (AWS's 5-minute lease, O2):
+            # the last emitted event still carries the continuation the
+            # consumer must renew from
+            chunks = chunks[: self.efo_max_events_per_sub]
         for chunk in chunks:
             # continuation = the sequence to resume AT next (AWS contract)
             last_in_chunk = chunk[-1]["SequenceNumber"] if chunk else None
@@ -564,12 +576,14 @@ class _KinesisApi:
                     if nxt < len(sh.records)
                     else str(int(last_in_chunk) + 1).zfill(21)
                 )
+            elif idx < len(sh.records):
+                cont = sh.records[idx]["SequenceNumber"]
+            elif sh.records:
+                # at the tip: continuation = next EXPECTED sequence, so
+                # a renewing consumer idles there — never replays
+                cont = str(int(sh.records[-1]["SequenceNumber"]) + 1).zfill(21)
             else:
-                cont = (
-                    sh.records[idx]["SequenceNumber"]
-                    if idx < len(sh.records)
-                    else str(0).zfill(21)
-                )
+                cont = str(0).zfill(21)
             payload += _es_event(
                 "SubscribeToShardEvent",
                 {
@@ -1066,7 +1080,15 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         """The EFO push path in the executor: SubscribeToShard events
         consumed off the event stream until the committed range end —
         the reference's O2 loop (push records + continuation) with the
-        planner still owning the batch boundary."""
+        planner still owning the batch boundary.
+
+        A subscription that ends before the range end is NOT done —
+        AWS ends every SubscribeToShard after 5 minutes — so the loop
+        RENEWS at the last event's ContinuationSequenceNumber (AWS
+        contract: the sequence to resume AT), exactly the reference's
+        EFO renewal. A renewal that delivers no progress counts toward
+        a stale bound: a persistently-dead subscription fails the task
+        (Spark's task retry is the escalation), never livelocks."""
         if partition.after_seq is None:
             position = {"Type": "TRIM_HORIZON"}
         else:
@@ -1074,27 +1096,42 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
                 "Type": "AFTER_SEQUENCE_NUMBER",
                 "SequenceNumber": partition.after_seq,
             }
-        resp = client.subscribe_to_shard(
-            ConsumerARN=self.consumer_arn,
-            ShardId=partition.shard_id,
-            StartingPosition=position,
-        )
         end = partition.end_seq
-        for ev in resp["EventStream"]:
-            for rec in ev["SubscribeToShardEvent"]["Records"]:
-                seq = rec["SequenceNumber"]
-                if seq > end:
-                    return
-                payload = json.loads(bytes(rec["Data"]).decode())
-                yield (
-                    self.stream,
-                    partition.shard_id,
-                    seq,
-                    rec["PartitionKey"],
-                    int(payload["k"]),
+        stale = 0
+        while True:
+            resp = client.subscribe_to_shard(
+                ConsumerARN=self.consumer_arn,
+                ShardId=partition.shard_id,
+                StartingPosition=position,
+            )
+            cont = None
+            progressed = False
+            for ev in resp["EventStream"]:
+                e = ev["SubscribeToShardEvent"]
+                for rec in e["Records"]:
+                    seq = rec["SequenceNumber"]
+                    if seq > end:
+                        return
+                    payload = json.loads(bytes(rec["Data"]).decode())
+                    yield (
+                        self.stream,
+                        partition.shard_id,
+                        seq,
+                        rec["PartitionKey"],
+                        int(payload["k"]),
+                    )
+                    progressed = True
+                    if seq == end:
+                        return
+                cont = e["ContinuationSequenceNumber"]
+            stale = 0 if progressed else stale + 1
+            if cont is None or stale > 10:
+                raise RuntimeError(
+                    f"EFO subscription for {partition.shard_id} ended "
+                    f"before committed end {end} with no continuation "
+                    f"progress (stale={stale})"
                 )
-                if seq == end:
-                    return
+            position = {"Type": "AT_SEQUENCE_NUMBER", "SequenceNumber": cont}
 
     def commit(self, end: dict) -> None:  # WAL owns the checkpoint
         pass

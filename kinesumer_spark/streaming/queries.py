@@ -2138,6 +2138,97 @@ def stream_kinesis_wire_iterator_expiry(
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "stream_kinesis_efo_renewal",
+    oracle=_WIRE_EXPIRY_ORACLE,
+    tags=("streaming", "source", "wire", "efo", "fault"),
+)
+def stream_kinesis_efo_renewal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFO subscription renewal over the wire: the endpoint caps every
+    SubscribeToShard at 2 events of 4 records, ending the event stream
+    early — the wire analog of AWS ending every subscription after 5
+    minutes — so draining a 20-record shard range takes ≥3
+    subscriptions, and the executor's push loop must RENEW at the last
+    event's ContinuationSequenceNumber (AWS contract: resume AT it).
+    This is the reference's EFO renewal loop (kinesumer.go O2 push
+    mode) exercised mid-partition over a real HTTP event stream. The
+    oracle is the UNFAULTED feed: delivery must be byte-identical —
+    exactly-once, per-shard ordered — however the lease ends sliced
+    it. n_distinct pins no-replay across renewals (AT-continuation,
+    not AFTER-last, is the replay-prone edge); sum_k pins no-loss.
+
+    Scale: renewal is one extra SubscribeToShard per lease end with a
+    stale bound (a subscription that stops progressing fails the task
+    and escalates to Spark's task retry, never livelocks)."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_efo_consumer,
+        register_wire_source,
+        simple_stream,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_efo_renew_")
+    try:
+        with FakeKinesisServer(
+            simple_stream("wire", 3, _WIRE_RESHARD_PER)
+        ) as srv:
+            srv.api.efo_event_batch = 4
+            srv.api.efo_max_events_per_sub = 2
+            client = wire_client(srv.url)
+            arn = register_efo_consumer(client, "wire", "kinesumer-spark")
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(work)
+
+            try:
+                q = (
+                    spark.readStream.format("kinesumer_wire")
+                    .option("endpoint", srv.url)
+                    .option("stream", "wire")
+                    # admit whole shards per batch: each partition drain
+                    # spans 20 records = 8+8+4 across 3 subscriptions,
+                    # so renewal is exercised MID-partition
+                    .option("scanlimit", 50)
+                    .option("mode", "efo")
+                    .option("consumerarn", arn)
+                    .load()
+                    .writeStream.foreachBatch(capture)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+            finally:
+                client.deregister_stream_consumer(ConsumerARN=arn)
+            if srv.api.efo_subscriptions < 2 * 3:
+                raise AssertionError(
+                    "subscription caps never forced a renewal: "
+                    f"{srv.api.efo_subscriptions} subscriptions"
+                )
+        res = (
+            spark.read.parquet(work)
+            .groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("sequence_number").alias("n_distinct"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # -- DynamoDB wire state store: the reference's coordination plane ---------
 
 _DYNAMO_COORD_ORACLE = """

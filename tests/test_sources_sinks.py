@@ -1779,3 +1779,80 @@ def test_kinesis_wire_expired_iterator_livelock_bound():
         assert (
             ei.value.response["Error"]["Code"] == "ExpiredIteratorException"
         )
+
+
+def test_kinesis_wire_efo_subscription_renewal_mid_read():
+    """A SubscribeToShard that the endpoint ends early (AWS ends every
+    subscription after 5 minutes) is RENEWED at the last event's
+    ContinuationSequenceNumber — the reference's EFO renewal loop —
+    with no loss and no replay across the renewal boundaries."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        _WireSlice,
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        register_efo_consumer,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, 20)) as srv:
+        srv.api.efo_event_batch = 4
+        srv.api.efo_max_events_per_sub = 2  # 8 records per subscription
+        arn = register_efo_consumer(wire_client(srv.url), "wire", "t-renew")
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "mode": "efo",
+                "consumerarn": arn,
+            },
+        )
+        rows = list(
+            r.read(
+                _WireSlice("shardId-000000000000", None, str(19).zfill(21))
+            )
+        )
+        subs = srv.api.efo_subscriptions
+    seqs = [int(t[2]) for t in rows]
+    assert seqs == list(range(20))  # exact, ordered, no loss/replay
+    assert subs == 3  # 8 + 8 + 4: two renewals actually fired
+
+
+def test_kinesis_wire_efo_stale_subscription_bound():
+    """An EFO range whose end is beyond the tip (the subscription can
+    never progress past the last record) must FAIL after the stale
+    bound rather than renew forever — Spark's task retry is the
+    correct escalation, and idling AT the tip must not replay."""
+    import pytest
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        _WireSlice,
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        register_efo_consumer,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, 20)) as srv:
+        srv.api.efo_event_batch = 4
+        srv.api.efo_max_events_per_sub = 2
+        arn = register_efo_consumer(wire_client(srv.url), "wire", "t-stale")
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "mode": "efo",
+                "consumerarn": arn,
+            },
+        )
+        delivered = []
+        with pytest.raises(RuntimeError, match="ended before committed end"):
+            for row in r.read(
+                _WireSlice("shardId-000000000000", None, str(25).zfill(21))
+            ):
+                delivered.append(row)
+    # everything that EXISTS was delivered exactly once before failing
+    assert [int(t[2]) for t in delivered] == list(range(20))
