@@ -43,7 +43,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -183,6 +185,13 @@ class _KinesisApi:
         # cap GetRecords page size server-side (0 = honor Limit only):
         # forces multi-page reads so mid-read faults are exercisable
         self.max_page = 0
+        # every Nth PutRecords ENTRY (counted across calls) fails with a
+        # per-record ProvisionedThroughputExceededException (0 = off) —
+        # the AWS partial-failure contract: the CALL succeeds
+        # (FailedRecordCount > 0), botocore does NOT retry, and the
+        # producer must resubmit exactly the failed subset
+        self.put_fail_every = 0
+        self._put_entries = 0
         self.lock = threading.Lock()
         # EFO consumer registry (O19): ConsumerARN -> doc. Registration
         # surfaces CREATING first; DescribeStreamConsumer flips it to
@@ -422,6 +431,20 @@ class _KinesisApi:
                 + 1
             )
             for rec in body["Records"]:
+                self._put_entries += 1
+                if (
+                    self.put_fail_every
+                    and self._put_entries % self.put_fail_every == 0
+                ):
+                    results.append(
+                        {
+                            "ErrorCode": (
+                                "ProvisionedThroughputExceededException"
+                            ),
+                            "ErrorMessage": "rate exceeded",
+                        }
+                    )
+                    continue
                 h = int.from_bytes(
                     hashlib.md5(rec["PartitionKey"].encode()).digest(), "big"
                 )
@@ -1137,6 +1160,97 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         pass
 
 
+class _WirePutResult(WriterCommitMessage):
+    def __init__(self, n_ok: int, n_retried: int, n_calls: int) -> None:
+        self.n_ok = n_ok
+        self.n_retried = n_retried
+        self.n_calls = n_calls
+
+
+class KinesumerWirePutWriter(DataSourceWriter):
+    """The producer half over the wire: each executor batches its rows
+    into PutRecords calls of ≤500 entries (the AWS per-call cap) and
+    retries ONLY the failed subset — the AWS partial-failure contract:
+    the call itself succeeds with ``FailedRecordCount > 0`` and
+    per-entry ``ErrorCode``s, botocore does NOT retry (it only retries
+    failed CALLS), so resubmitting failed entries is the producer's
+    job. Bounded attempts with backoff; a partition that cannot drain
+    its failures fails the task (Spark's task retry escalates).
+
+    Semantics match AWS producers: at-least-once under task retry
+    (PutRecords is not transactional — a re-run task resubmits rows
+    already placed by the failed attempt), per-key shard placement via
+    the MD5 hash ring, no cross-call ordering guarantee. The reference
+    is a consumer library; its own test harness produces the feed with
+    exactly this call (kinesumer_test.go:117-128).
+
+    Scale: executors stream rows straight onto the wire — no driver
+    collect, no staging; state per task is one pending-entries buffer
+    of at most ``batchsize`` rows."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.endpoint = options["endpoint"]
+        self.stream = options.get("stream", "wire")
+        self.key_col = options.get("keycolumn", "partition_key")
+        self.data_col = options.get("datacolumn", "data")
+        self.batch_size = min(int(options.get("batchsize", 500)), 500)
+        self.max_attempts = int(options.get("maxattempts", 8))
+
+    def _flush(self, client, entries: list) -> tuple[int, int]:
+        import time
+
+        pending = entries
+        retried = calls = 0
+        for attempt in range(self.max_attempts):
+            resp = client.put_records(
+                StreamName=self.stream, Records=pending
+            )
+            calls += 1
+            if not resp.get("FailedRecordCount"):
+                return retried, calls
+            pending = [
+                pending[i]
+                for i, r in enumerate(resp["Records"])
+                if "ErrorCode" in r
+            ]
+            retried += len(pending)
+            time.sleep(0.01 * (2**attempt))  # 10ms..1.3s over 8 tries
+        raise RuntimeError(
+            f"{len(pending)} records still throttled after "
+            f"{self.max_attempts} PutRecords attempts"
+        )
+
+    def write(self, iterator) -> _WirePutResult:
+        client = wire_client(self.endpoint)
+        buf: list = []
+        n_ok = n_retried = n_calls = 0
+        for row in iterator:
+            buf.append(
+                {
+                    "PartitionKey": row[self.key_col],
+                    "Data": row[self.data_col].encode(),
+                }
+            )
+            if len(buf) >= self.batch_size:
+                r, c = self._flush(client, buf)
+                n_ok += len(buf)
+                n_retried += r
+                n_calls += c
+                buf = []
+        if buf:
+            r, c = self._flush(client, buf)
+            n_ok += len(buf)
+            n_retried += r
+            n_calls += c
+        return _WirePutResult(n_ok, n_retried, n_calls)
+
+    def commit(self, messages) -> None:  # wire placement IS the commit
+        pass
+
+    def abort(self, messages) -> None:  # nothing staged to clean up
+        pass
+
+
 class KinesumerWireDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -1147,6 +1261,9 @@ class KinesumerWireDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> KinesumerWireStreamReader:
         return KinesumerWireStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return KinesumerWirePutWriter(schema, self.options)
 
 
 def register_wire_source(spark) -> None:

@@ -2229,6 +2229,123 @@ def stream_kinesis_efo_renewal(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- Producer over the wire: distributed PutRecords with partial retry -----
+
+_WIRE_PUT_ORACLE = """
+SELECT 'shardId-' || lpad(CAST(s AS VARCHAR), 12, '0') AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(SUM(event_id % 1000) AS BIGINT) AS sum_k
+FROM (
+  -- the fake endpoint's shard placement IS the AWS one: MD5(key) on
+  -- the 128-bit ring, 4 even ranges -> top nibble // 4
+  SELECT user_id, event_id,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) // 4 AS s
+  FROM events WHERE event_type = 'purchase'
+) placed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "sink_kinesis_wire_putrecords",
+    oracle=_WIRE_PUT_ORACLE,
+    tags=("sink", "wire", "fault"),
+)
+def sink_kinesis_wire_putrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCER half over the wire, distributed and fault-injected:
+    every purchase event is written through the ``kinesumer_wire``
+    batch writer — executors batch rows into PutRecords calls of ≤500
+    entries and retry ONLY the failed subset (the AWS partial-failure
+    contract: the call succeeds with FailedRecordCount > 0 and
+    per-entry ErrorCodes; botocore does not retry those) — while the
+    endpoint throttles every 7th entry. The stream is then consumed
+    back through the wire STREAMING source, so one driver row proves
+    produce → hash-ring placement → consume end to end. The oracle
+    replays the placement in SQL (DuckDB md5 == the ring's md5: 4 even
+    ranges = top nibble // 4): per-shard counts pin exactly-once under
+    retry (a lost failed entry drops n; a double-submitted one raises
+    it), sum_k pins payload integrity. The reference's own harness
+    produces its feed with exactly this call (kinesumer_test.go:117).
+
+    Scale: executors stream rows straight onto the wire (no driver
+    collect, no staging; one ≤500-row buffer per task); read-back is
+    one planner partition per shard. Against AWS the writer changes
+    its endpoint option — batching, retry subset, and placement are
+    identical."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        open_stream,
+        register_wire_source,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_put_")
+    try:
+        with FakeKinesisServer(open_stream("wire", 4)) as srv:
+            srv.api.put_fail_every = 7
+            src = (
+                read_table(spark, sf_dir, "events")
+                .filter(F.col("event_type") == "purchase")
+                .select(
+                    F.col("user_id").cast("string").alias("partition_key"),
+                    F.to_json(
+                        F.struct((F.col("event_id") % 1000).alias("k"))
+                    ).alias("data"),
+                )
+            )
+            n_rows = src.count()
+            (
+                src.write.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .mode("append")
+                .save()
+            )
+            if srv.api._put_entries <= n_rows:  # injection must exercise
+                raise AssertionError(
+                    "no PutRecords entry was throttled and resubmitted: "
+                    f"{srv.api._put_entries} entries for {n_rows} rows"
+                )
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(work)
+
+            q = (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .option("scanlimit", 1000)
+                .load()
+                .writeStream.foreachBatch(capture)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        res = (
+            spark.read.parquet(work)
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("partition_key").alias("n_keys"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # -- DynamoDB wire state store: the reference's coordination plane ---------
 
 _DYNAMO_COORD_ORACLE = """

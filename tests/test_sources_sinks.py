@@ -1856,3 +1856,63 @@ def test_kinesis_wire_efo_stale_subscription_bound():
                 delivered.append(row)
     # everything that EXISTS was delivered exactly once before failing
     assert [int(t[2]) for t in delivered] == list(range(20))
+
+
+def test_kinesis_wire_putrecords_partial_failure_retry():
+    """The wire batch writer resubmits EXACTLY the failed subset of a
+    PutRecords call (AWS contract: per-entry failures succeed the call
+    with FailedRecordCount > 0; botocore never retries them), until
+    every record is placed — no loss, no double-placement."""
+    import json as _json
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWirePutWriter,
+        drain_via_wire,
+        open_stream,
+    )
+
+    class _Row(dict):
+        def __getitem__(self, k):  # writer indexes rows by column name
+            return dict.__getitem__(self, k)
+
+    rows = [
+        _Row(partition_key=f"pk-{i}", data=_json.dumps({"k": i}))
+        for i in range(40)
+    ]
+    with FakeKinesisServer(open_stream("wire", 4)) as srv:
+        srv.api.put_fail_every = 3  # every 3rd entry throttles
+        w = KinesumerWirePutWriter(
+            None, {"endpoint": srv.url, "stream": "wire", "batchsize": 10}
+        )
+        msg = w.write(iter(rows))
+        assert msg.n_ok == 40
+        assert msg.n_retried > 0  # the injection actually exercised
+        drained = drain_via_wire(srv.url, "wire")
+    ks = sorted(int(t[3]) for t in drained)
+    assert ks == list(range(40))  # every record placed exactly once
+
+
+def test_kinesis_wire_putrecords_gives_up_after_bound():
+    """A sink whose every entry is throttled forever must FAIL the
+    task after the attempt bound, not spin."""
+    import json as _json
+
+    import pytest
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWirePutWriter,
+        open_stream,
+    )
+
+    with FakeKinesisServer(open_stream("wire", 2)) as srv:
+        srv.api.put_fail_every = 1  # everything fails, always
+        w = KinesumerWirePutWriter(
+            None,
+            {"endpoint": srv.url, "stream": "wire", "maxattempts": 3},
+        )
+        with pytest.raises(RuntimeError, match="still throttled after"):
+            w.write(
+                iter([{"partition_key": "pk", "data": _json.dumps({"k": 1})}])
+            )
