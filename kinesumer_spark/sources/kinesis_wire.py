@@ -192,6 +192,12 @@ class _KinesisApi:
         # producer must resubmit exactly the failed subset
         self.put_fail_every = 0
         self._put_entries = 0
+        # per-stream lifecycle: DeleteStream flips ACTIVE → DELETING,
+        # after which data-plane ops raise ResourceInUseException —
+        # the error the reference answers by EXITING that stream's
+        # consume loop (kinesumer.go:667-675, 685-688)
+        self.stream_status = {name: "ACTIVE" for name in streams}
+        self.riue_raised = 0
         self.lock = threading.Lock()
         # EFO consumer registry (O19): ConsumerARN -> doc. Registration
         # surfaces CREATING first; DescribeStreamConsumer flips it to
@@ -234,8 +240,24 @@ class _KinesisApi:
             raise _ApiError("UnknownOperationException", op)
         return fn(body)
 
+    def _require_active(self, stream: str) -> None:
+        if self.stream_status.get(stream, "ACTIVE") != "ACTIVE":
+            with self.lock:
+                self.riue_raised += 1
+            raise _ApiError(
+                "ResourceInUseException", f"stream {stream} not ACTIVE"
+            )
+
+    def op_DeleteStream(self, body: dict) -> dict:
+        stream = body["StreamName"]
+        if stream not in self.streams:
+            raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        self.stream_status[stream] = "DELETING"
+        return {}
+
     def op_ListShards(self, body: dict) -> dict:
         stream = body["StreamName"]
+        self._require_active(stream)
         shards = self.streams.get(stream)
         if shards is None:
             raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
@@ -267,6 +289,7 @@ class _KinesisApi:
 
     def op_GetShardIterator(self, body: dict) -> dict:
         stream = body["StreamName"]
+        self._require_active(stream)
         shard_id = body["ShardId"]
         _pos, sh = self._shard(stream, shard_id)
         kind = body["ShardIteratorType"]
@@ -303,6 +326,7 @@ class _KinesisApi:
             )
         tok = json.loads(base64.b64decode(body["ShardIterator"]))
         stream, shard_id, idx = tok["s"], tok["h"], tok["i"]
+        self._require_active(stream)
         _pos, sh = self._shard(stream, shard_id)
         limit = int(body.get("Limit", 10000))
         if self.max_page:
@@ -414,6 +438,7 @@ class _KinesisApi:
         import hashlib
 
         stream = body["StreamName"]
+        self._require_active(stream)
         shards = self.streams.get(stream)
         if shards is None:
             raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
@@ -932,6 +957,27 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # split safe.
         if not hasattr(self, "_cursor"):
             self._cursor = self.initialOffset()
+        # A stream that went non-ACTIVE (ResourceInUseException — e.g.
+        # DELETING under the consumer) is FROZEN, not fatal: the
+        # reference exits that stream's consume loop and the client
+        # lives on (kinesumer.go:667-675 "closed" return, 685-688).
+        # Here the planner stops advancing its offsets — no new
+        # partitions — so sibling sources in a unioned query keep
+        # flowing; records already committed stay delivered. Sticky by
+        # design, like the reference's loop exit.
+        if getattr(self, "_stream_dead", False):
+            return dict(self._cursor)
+        from botocore.exceptions import ClientError
+
+        try:
+            return self._probe_tips()
+        except ClientError as e:
+            if e.response["Error"]["Code"] != "ResourceInUseException":
+                raise
+            self._stream_dead = True
+            return dict(self._cursor)
+
+    def _probe_tips(self) -> dict:
         client = wire_client(self.endpoint)
         # Every planning round re-lists the topology — the reference's
         # syncShardInfo sweep (syncclient.go): shards born from a LIVE

@@ -2346,6 +2346,138 @@ def sink_kinesis_wire_putrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- Stream deletion mid-consumption: freeze one source, not the query ----
+
+_WIRE_DELETION_ORACLE = """
+WITH prefill AS (
+  SELECT st.stream, i // 20 AS s, (i * 31 + i // 20) % 1000 AS k
+  FROM range(0, 40) t(i)
+  CROSS JOIN (SELECT 'orders' AS stream UNION ALL SELECT 'clicks') st
+),
+late AS (
+  -- phase-2 PutRecords into 'orders' only: MD5 ring placement over 2
+  -- even ranges = top md5 nibble // 8 (validated == the ring math)
+  SELECT 'orders' AS stream,
+         (strpos('0123456789abcdef',
+                 substr(md5('pk-' || CAST(i AS VARCHAR)), 1, 1)) - 1) // 8
+           AS s,
+         900 + i AS k
+  FROM range(0, 20) t(i)
+),
+allr AS (SELECT * FROM prefill UNION ALL SELECT * FROM late)
+SELECT stream,
+       'shardId-' || lpad(CAST(s AS VARCHAR), 12, '0') AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM allr
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "stream_kinesis_wire_stream_deletion",
+    oracle=_WIRE_DELETION_ORACLE,
+    tags=("streaming", "source", "wire", "fault"),
+)
+def stream_kinesis_wire_stream_deletion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A stream DELETED under a live multi-stream consumer: one query
+    unions two wire streams; after both drain, 'clicks' is
+    DeleteStream-ed (its data plane then raises
+    ResourceInUseException) and 20 more records are produced into
+    'orders'. The reference answers RIUE by exiting that stream's
+    consume loop while the client lives on (kinesumer.go:667-675
+    closed return, :685-688); the Spark expression is planner-side:
+    the dead stream's source FREEZES its offsets (no new partitions —
+    sticky, like the loop exit) so the sibling source keeps flowing
+    and the query never crashes. Delivery: both full prefills plus
+    every phase-2 'orders' record, exactly once — records committed
+    before the deletion stay delivered. The endpoint's RIUE counter
+    is asserted, so the freeze path provably executed.
+
+    Scale: a dead stream costs nothing after the first refusal (the
+    planner short-circuits before any wire call); the union's other
+    sources plan independently — O(#shards) driver state each."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        _Shard,
+        _split_ranges,
+        FakeKinesisServer,
+        register_wire_source,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+
+    def make(stream: str, n_shards: int) -> list:
+        shards = [
+            _Shard(f"shardId-{s:012d}", _WIRE_RESHARD_PER, hash_range=rng)
+            for s, rng in enumerate(_split_ranges(n_shards))
+        ]
+        for pos, sh in enumerate(shards):
+            sh._prefill(stream, pos)
+        return shards
+
+    work = tempfile.mkdtemp(prefix="ks_wire_del_")
+    try:
+        with FakeKinesisServer(
+            {"orders": make("orders", 2), "clicks": make("clicks", 2)}
+        ) as srv:
+
+            def source(stream: str) -> DataFrame:
+                return (
+                    spark.readStream.format("kinesumer_wire")
+                    .option("endpoint", srv.url)
+                    .option("stream", stream)
+                    .option("scanlimit", 9)
+                    .load()
+                )
+
+            union = source("orders").unionByName(source("clicks"))
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(work)
+
+            q = union.writeStream.foreachBatch(capture).start()
+            try:
+                q.processAllAvailable()  # phase 1: both streams drained
+                client = wire_client(srv.url)
+                client.delete_stream(StreamName="clicks")
+                client.put_records(
+                    StreamName="orders",
+                    Records=[
+                        {
+                            "Data": _json.dumps({"k": 900 + i}).encode(),
+                            "PartitionKey": f"pk-{i}",
+                        }
+                        for i in range(20)
+                    ],
+                )
+                q.processAllAvailable()  # phase 2: orders only
+            finally:
+                q.stop()
+                q.awaitTermination()
+            if srv.api.riue_raised == 0:  # the freeze path must exercise
+                raise AssertionError("deletion never surfaced as RIUE")
+        res = (
+            spark.read.parquet(work)
+            .groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("stream", "shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # -- DynamoDB wire state store: the reference's coordination plane ---------
 
 _DYNAMO_COORD_ORACLE = """

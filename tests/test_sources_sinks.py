@@ -1916,3 +1916,29 @@ def test_kinesis_wire_putrecords_gives_up_after_bound():
             w.write(
                 iter([{"partition_key": "pk", "data": _json.dumps({"k": 1})}])
             )
+
+
+def test_kinesis_wire_stream_deletion_freezes_planner():
+    """DeleteStream under a consumer: the planner's next probe hits
+    ResourceInUseException and FREEZES the stream's offsets (sticky —
+    the reference exits that stream's consume loop, kinesumer.go:
+    667-675, 685-688) instead of crashing; committed offsets and
+    already-delivered records are untouched."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 2, 10)) as srv:
+        r = KinesumerWireStreamReader(
+            None, {"endpoint": srv.url, "stream": "wire", "scanlimit": 100}
+        )
+        before = r.latestOffset()
+        wire_client(srv.url).delete_stream(StreamName="wire")
+        after = r.latestOffset()
+        again = r.latestOffset()  # sticky: no further wire calls raise
+        assert before == after == again
+        assert r._stream_dead
+        assert srv.api.riue_raised == 1  # short-circuits after the first
