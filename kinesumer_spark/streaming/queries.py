@@ -1624,6 +1624,115 @@ def stream_kinesis_wire_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "stream_kinesis_efo_reshard",
+    oracle=_WIRE_RESHARD_ORACLE,
+    tags=("streaming", "source", "wire", "efo", "reshard"),
+)
+def stream_kinesis_efo_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFO push × resharding × subscription renewal composed: the same
+    post-split topology (CLOSED parent with EndingSequenceNumber, two
+    open children carrying ParentShardId) consumed in EFO mode — the
+    executor SubscribeToShard-drains a CLOSED shard and the
+    lineage-gated children over push event streams — while the
+    endpoint ends every subscription after 2 events of 4 records, so
+    gated drains ALSO cross renewal boundaries. The planner is shared
+    with the polling path (pacing and the reshard admission gate are
+    admission control, not data path — the reference's O2 push mode
+    reuses its O1 coordination the same way), so
+    ``admitted_after_parent`` must hold over push delivery exactly as
+    it does over polling: every child record lands strictly after the
+    parent's last batch. Same oracle as the polling reshard row —
+    byte-identical delivery across the two data paths.
+
+    Scale: one SubscribeToShard (plus renewals) per shard per
+    microbatch partition; gating stays O(#shards) planner state."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_efo_consumer,
+        register_wire_source,
+        resharded_stream,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_efo_reshard_")
+    try:
+        with FakeKinesisServer(
+            resharded_stream("wire", _WIRE_RESHARD_PER)
+        ) as srv:
+            srv.api.efo_event_batch = 4
+            srv.api.efo_max_events_per_sub = 2  # renewal every 8 records
+            client = wire_client(srv.url)
+            arn = register_efo_consumer(client, "wire", "kinesumer-spark")
+            try:
+                df = (
+                    spark.readStream.format("kinesumer_wire")
+                    .option("endpoint", srv.url)
+                    .option("stream", "wire")
+                    .option("scanlimit", 7)  # parent drains over 3 rounds
+                    .option("lineagegate", "true")
+                    .option("mode", "efo")
+                    .option("consumerarn", arn)
+                    .load()
+                )
+
+                def capture(batch_df: DataFrame, batch_id: int) -> None:
+                    batch_df.withColumn(
+                        "batch_id", F.lit(int(batch_id))
+                    ).write.mode("append").parquet(work)
+
+                q = df.writeStream.foreachBatch(capture).start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+            finally:
+                client.deregister_stream_consumer(ConsumerARN=arn)
+            if srv.api.efo_subscriptions < 2 * 3:
+                raise AssertionError(
+                    "subscription caps never forced a renewal: "
+                    f"{srv.api.efo_subscriptions} subscriptions"
+                )
+        out = spark.read.parquet(work)
+        parent_last = out.filter(F.col("shard_id") == _PARENT_SHARD).agg(
+            F.max("batch_id").alias("parent_last_batch")
+        )
+        res = (
+            out.groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("sequence_number").alias("n_distinct"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+                F.min("batch_id").alias("_first_batch"),
+            )
+            .crossJoin(F.broadcast(parent_last))
+            .select(
+                "stream",
+                "shard_id",
+                "n",
+                "n_distinct",
+                "min_seq",
+                "max_seq",
+                "sum_k",
+                (
+                    (F.col("shard_id") == _PARENT_SHARD)
+                    | (F.col("_first_batch") > F.col("parent_last_batch"))
+                ).alias("admitted_after_parent"),
+            )
+            .orderBy("shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # -- LIVE resharding mid-consumption: SplitShard + discovery + the gate -----
 
 _WIRE_SPLIT_ORACLE = """
