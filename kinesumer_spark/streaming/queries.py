@@ -2248,6 +2248,83 @@ def stream_kinesis_wire_iterator_expiry(
 
 
 @register(
+    "stream_kinesis_wire_throttled",
+    oracle=_WIRE_EXPIRY_ORACLE,
+    tags=("streaming", "source", "wire", "fault"),
+)
+def stream_kinesis_wire_throttled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Throttling fault injection over the wire: the endpoint raises
+    ProvisionedThroughputExceededException on every 4th GetRecords,
+    with pages capped at 5 records so throttles strike MID-partition
+    too. Unlike iterator expiry (consumer-owned recovery) this error
+    is RETRYABLE at the SDK layer — botocore's standard-mode retry
+    policy absorbs it with backoff, exactly how the reference's AWS
+    SDK absorbs it under the paced scan loop (kinesumer.go:678-683
+    surfaces it to the error channel; the SDK retried first). The two
+    rows together pin the recovery-ownership duality: SDK-retryable
+    faults never reach consumer code, non-retryable ones must. Oracle
+    = the unfaulted feed; delivery byte-identical, exactly-once.
+
+    Scale: throttle cost is bounded by the SDK's retry budget per
+    call; pacing (scanLimit) is the real defense and lives in the
+    planner."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_throttle_")
+    try:
+        with FakeKinesisServer(
+            simple_stream("wire", 3, _WIRE_RESHARD_PER)
+        ) as srv:
+            srv.api.throttle_every = 4
+            srv.api.max_page = 5
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(work)
+
+            q = (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .option("scanlimit", 7)
+                .load()
+                .writeStream.foreachBatch(capture)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+            if srv.api._calls // 4 == 0:  # injection must exercise
+                raise AssertionError("no throttle faults fired")
+        res = (
+            spark.read.parquet(work)
+            .groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("sequence_number").alias("n_distinct"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "stream_kinesis_efo_renewal",
     oracle=_WIRE_EXPIRY_ORACLE,
     tags=("streaming", "source", "wire", "efo", "fault"),
