@@ -468,3 +468,133 @@ def test_dynamo_registry_matches_model(ops):
             c for c, t in model.items() if t > clock[0] - OUTDATED_GAP
         )
         assert alive == want, (kind, alive, want)
+
+
+# -- Wire fault recovery: delivery invariant under ANY fault cadence --------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n_records=st.integers(min_value=1, max_value=60),
+    max_page=st.integers(min_value=1, max_value=11),
+    expire_every=st.integers(min_value=2, max_value=6),
+)
+def test_wire_expiry_recovery_delivery_invariant(
+    n_records, max_page, expire_every
+):
+    """For ANY feed size, server page cap, and expiry cadence, the
+    polling read path delivers the full range exactly once, in order —
+    recovery placement must never be able to change delivery."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        _WireSlice,
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        simple_stream,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, n_records)) as srv:
+        srv.api.max_page = max_page
+        srv.api.expire_every = expire_every
+        r = KinesumerWireStreamReader(
+            None, {"endpoint": srv.url, "stream": "wire"}
+        )
+        rows = list(
+            r.read(
+                _WireSlice(
+                    "shardId-000000000000",
+                    None,
+                    str(n_records - 1).zfill(21),
+                )
+            )
+        )
+    assert [int(t[2]) for t in rows] == list(range(n_records))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n_records=st.integers(min_value=1, max_value=60),
+    event_batch=st.integers(min_value=1, max_value=9),
+    max_events=st.integers(min_value=1, max_value=4),
+)
+def test_wire_efo_renewal_delivery_invariant(
+    n_records, event_batch, max_events
+):
+    """For ANY feed size, event batching, and subscription cap, the
+    EFO push path delivers the full range exactly once, in order —
+    however many renewal boundaries the lease end forces."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        _WireSlice,
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        register_efo_consumer,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, n_records)) as srv:
+        srv.api.efo_event_batch = event_batch
+        srv.api.efo_max_events_per_sub = max_events
+        arn = register_efo_consumer(wire_client(srv.url), "wire", "t-prop")
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "mode": "efo",
+                "consumerarn": arn,
+            },
+        )
+        rows = list(
+            r.read(
+                _WireSlice(
+                    "shardId-000000000000",
+                    None,
+                    str(n_records - 1).zfill(21),
+                )
+            )
+        )
+    assert [int(t[2]) for t in rows] == list(range(n_records))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_records=st.integers(min_value=1, max_value=50),
+    batch_size=st.integers(min_value=1, max_value=17),
+    fail_every=st.integers(min_value=2, max_value=5),
+    n_shards=st.sampled_from([1, 2, 4]),
+)
+def test_wire_putrecords_retry_delivery_invariant(
+    n_records, batch_size, fail_every, n_shards
+):
+    """For ANY row count, writer batch size, shard count, and
+    per-entry throttle cadence, the PutRecords writer places every
+    record exactly once — the failed-subset resubmission can never
+    lose or duplicate an entry."""
+    import json as _json
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWirePutWriter,
+        drain_via_wire,
+        open_stream,
+    )
+
+    rows = [
+        {"partition_key": f"pk-{i}", "data": _json.dumps({"k": i})}
+        for i in range(n_records)
+    ]
+    with FakeKinesisServer(open_stream("wire", n_shards)) as srv:
+        srv.api.put_fail_every = fail_every
+        w = KinesumerWirePutWriter(
+            None,
+            {
+                "endpoint": srv.url,
+                "stream": "wire",
+                "batchsize": batch_size,
+                "maxattempts": 30,
+            },
+        )
+        msg = w.write(iter(rows))
+        assert msg.n_ok == n_records
+        drained = drain_via_wire(srv.url, "wire")
+    assert sorted(int(t[3]) for t in drained) == list(range(n_records))
