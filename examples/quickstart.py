@@ -132,6 +132,61 @@ def main() -> None:
         f"shards across {len(man['files'])} put batches (atomic manifest)"
     )
 
+    # 5. wire: the same consumer/producer over the real protocol -------
+    # Against AWS, only the endpoint option changes; here a localhost
+    # endpoint speaks the public Kinesis JSON protocol and injects the
+    # faults a production consumer sees (throttles, iterator expiry) —
+    # delivery is unchanged (see the stream_kinesis_wire_* queries for
+    # the oracle-checked versions of everything below).
+    import shutil
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        open_stream,
+        register_wire_source,
+        simple_stream,
+    )
+
+    register_wire_source(spark)
+    topo = simple_stream("wire", 2, 30)
+    topo.update(open_stream("produced", 2))
+    wire_work = tempfile.mkdtemp(prefix="qs_wire_")
+    with FakeKinesisServer(topo) as srv:
+        srv.api.throttle_every = 5  # botocore's retry absorbs these
+        srv.api.expire_every = 7  # the consumer re-acquires these
+
+        # produce: executors batch PutRecords (≤500/call) and retry
+        # only failed entries — the AWS partial-failure contract
+        spark.range(200).selectExpr(
+            "cast(id % 41 AS string) AS partition_key",
+            "to_json(struct(id AS k)) AS data",
+        ).write.format("kinesumer_wire").option("endpoint", srv.url).option(
+            "stream", "produced"
+        ).mode("append").save()
+
+        # consume: per-shard offset map, paced scans, exactly-once
+        def capture(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(wire_work)
+
+        q = (
+            spark.readStream.format("kinesumer_wire")
+            .option("endpoint", srv.url)
+            .option("stream", "wire")
+            .option("scanlimit", 10)
+            .load()
+            .writeStream.foreachBatch(capture)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    n_wire = spark.read.parquet(wire_work).count()
+    print(
+        f"\nwire: consumed {n_wire} records over HTTP under injected "
+        "throttle+expiry faults; produced 200 via PutRecords partial-retry"
+    )
+    shutil.rmtree(wire_work, ignore_errors=True)
+
     spark.stop()
 
 
