@@ -969,13 +969,21 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
             return dict(self._cursor)
         from botocore.exceptions import ClientError
 
+        before = dict(self._cursor)
         try:
             return self._probe_tips()
         except ClientError as e:
             if e.response["Error"]["Code"] != "ResourceInUseException":
                 raise
             self._stream_dead = True
-            return dict(self._cursor)
+            # deletion can land MID-probe-round: shards probed before
+            # the fault already advanced the cursor, but committing
+            # those ranges would schedule executor reads against a
+            # data plane that is gone. Freeze at the PRE-round
+            # snapshot — advancement was driver-only state, so nothing
+            # delivered is lost and nothing undeliverable is promised.
+            self._cursor = before
+            return dict(before)
 
     def _probe_tips(self) -> dict:
         client = wire_client(self.endpoint)

@@ -1942,3 +1942,53 @@ def test_kinesis_wire_stream_deletion_freezes_planner():
         assert before == after == again
         assert r._stream_dead
         assert srv.api.riue_raised == 1  # short-circuits after the first
+
+
+def test_kinesis_wire_mid_round_deletion_restores_cursor():
+    """Deletion landing MID-probe-round (after one shard's tip probe
+    advanced, before the next shard's) must freeze at the PRE-round
+    snapshot: a partially-advanced round would commit ranges whose
+    data plane is gone, scheduling executor reads that can only fail.
+    Nothing delivered is lost — the advancement was driver-only."""
+    import json as _json
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 2, 10)) as srv:
+        r = KinesumerWireStreamReader(
+            None, {"endpoint": srv.url, "stream": "wire", "scanlimit": 100}
+        )
+        settled = r.latestOffset()  # both shards drained
+        # new records on both shards, then delete after the FIRST
+        # shard's probe in the next round (the server is in-process,
+        # so wrapping the op hits mid-round deterministically)
+        wire_client(srv.url).put_records(
+            StreamName="wire",
+            Records=[
+                {
+                    "Data": _json.dumps({"k": i}).encode(),
+                    "PartitionKey": f"pk-{i}",
+                }
+                for i in range(10)
+            ],
+        )
+        real = srv.api.op_GetRecords
+        calls = []
+
+        def wrapper(body):
+            out = real(body)
+            if not calls:  # after shard 1's probe, before shard 2's
+                calls.append(1)
+                srv.api.stream_status["wire"] = "DELETING"
+            return out
+
+        srv.api.op_GetRecords = wrapper
+        frozen = r.latestOffset()
+        assert frozen == settled  # pre-round snapshot, not partial
+        assert r._stream_dead
+        assert r.latestOffset() == settled  # sticky
