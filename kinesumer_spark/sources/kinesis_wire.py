@@ -1078,12 +1078,39 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         return dict(self._cursor)
 
     def partitions(self, start: dict, end: dict):
+        # The WAL `start` is the AUTHORITATIVE delivery floor: Spark
+        # only hands a position here after the range ending at it has
+        # been (or is guaranteed to be re-)delivered. On restart a
+        # fresh reader's probe cursor rebuilds from TRIM_HORIZON, so
+        # its first offsets-log entry can land BEHIND the WAL — and a
+        # later batch planned FROM that stale entry would replay
+        # committed records. Two guards make restart exactly-once:
+        # fast-forward the probe cursor to the floor (heals subsequent
+        # latestOffset returns), and clamp every slice start to the
+        # floor (neutralizes the one stale entry already written).
+        # Neither can skip data — the floor never exceeds what the WAL
+        # has promised delivered. (Cost: one wasted probe round per
+        # restart; the dynamoendpoint option seeds the cursor from
+        # external checkpoints and avoids even that.)
+        floor = getattr(self, "_floor", {})
+        for sid, s in start.items():
+            if s not in ("", None) and s > floor.get(sid, ""):
+                floor[sid] = s
+        self._floor = floor
+        if hasattr(self, "_cursor"):
+            for sid, s in floor.items():
+                cur = self._cursor.get(sid)
+                if cur is not None and cur < s:
+                    self._cursor[sid] = s
         out = []
         for shard_id, end_seq in end.items():
             if end_seq in ("", None):
                 continue
-            start_seq = start.get(shard_id, "")
-            if start_seq == end_seq:
+            start_seq = start.get(shard_id, "") or ""
+            f = floor.get(shard_id, "")
+            if f > start_seq:
+                start_seq = f
+            if end_seq <= start_seq:  # stale probe at/behind the floor
                 continue
             out.append(
                 _WireSlice(shard_id, start_seq or None, end_seq)

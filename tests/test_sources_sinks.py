@@ -1992,3 +1992,70 @@ def test_kinesis_wire_mid_round_deletion_restores_cursor():
         assert frozen == settled  # pre-round snapshot, not partial
         assert r._stream_dead
         assert r.latestOffset() == settled  # sticky
+
+
+def test_kinesis_wire_wal_restart_resumes_without_replay(spark, tmp_path):
+    """A NEW query on the SAME checkpointLocation resumes the wire
+    source from the WAL's committed per-shard offsets: records
+    produced between the two runs deliver exactly once — the reader's
+    offset dict round-trips through Spark's WAL (O11 over the wire,
+    Spark-native side of the external-store restore row). The sink is
+    idempotent by batchId (per-batch overwrite), the documented
+    foreachBatch contract: a stop() racing the commit-log write makes
+    the last batch at-least-once, and a batch re-run recomputes the
+    SAME WAL-logged range, so the overwrite restores exactly-once —
+    the same discipline the Engine's commit ledger implements."""
+    import json as _json
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        def capture(batch_df, batch_id):
+            # idempotent by batchId: a replayed batch overwrites its
+            # own slot with the identical WAL-logged range
+            batch_df.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+        q = (
+            spark.readStream.format("kinesumer_wire")
+            .option("endpoint", srv.url)
+            .option("stream", "wire")
+            .option("scanlimit", 6)
+            .load()
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    with FakeKinesisServer(simple_stream("wire", 2, 10)) as srv:
+        run_once()
+        wire_client(srv.url).put_records(
+            StreamName="wire",
+            Records=[
+                {
+                    "Data": _json.dumps({"k": 100 + i}).encode(),
+                    "PartitionKey": f"pk-{i}",
+                }
+                for i in range(10)
+            ],
+        )
+        run_once()  # fresh query object, same WAL
+
+    got = sorted(
+        int(r.sequence_number)
+        for r in spark.read.parquet(f"{out}/b*").collect()
+    )
+    assert got == list(range(30))  # 20 prefill + 10 late, exactly once
