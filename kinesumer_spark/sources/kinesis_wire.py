@@ -957,6 +957,12 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # split safe.
         if not hasattr(self, "_cursor"):
             self._cursor = self.initialOffset()
+            # WAL-restart heal: seed from the high partitions() learned
+            # (Spark probes the restored offset before the first plan)
+            for sid, s in getattr(self, "_wal_high", {}).items():
+                cur = self._cursor.get(sid)
+                if cur is not None and cur < s:
+                    self._cursor[sid] = s
         # A stream that went non-ACTIVE (ResourceInUseException — e.g.
         # DELETING under the consumer) is FROZEN, not fatal: the
         # reference exits that stream's consume loop and the client
@@ -1078,27 +1084,27 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         return dict(self._cursor)
 
     def partitions(self, start: dict, end: dict):
-        # The WAL `start` is the AUTHORITATIVE delivery floor: Spark
-        # only hands a position here after the range ending at it has
-        # been (or is guaranteed to be re-)delivered. On restart a
-        # fresh reader's probe cursor rebuilds from TRIM_HORIZON, so
-        # its first offsets-log entry can land BEHIND the WAL — and a
-        # later batch planned FROM that stale entry would replay
-        # committed records. Two guards make restart exactly-once:
-        # fast-forward the probe cursor to the floor (heals subsequent
-        # latestOffset returns), and clamp every slice start to the
-        # floor (neutralizes the one stale entry already written).
-        # Neither can skip data — the floor never exceeds what the WAL
-        # has promised delivered. (Cost: one wasted probe round per
+        # Track the WAL HIGH — the max position Spark has ever handed
+        # us, starts and ends alike (on restart the FIRST call is a
+        # probe with the restored offset as both) — and heal the probe
+        # cursor with it: a fresh reader rebuilds its cursor from
+        # TRIM_HORIZON, and emitting an offsets-log entry BEHIND the
+        # WAL would make the batch planned from that stale entry
+        # REPLAY committed records. The high is only a cursor seed,
+        # never a slice clamp: a replayed uncommitted batch arrives as
+        # (start, end) below the high and must be delivered verbatim —
+        # clamping it would LOSE the batch (its first run never
+        # committed). Cost of the heal: one wasted probe round per
         # restart; the dynamoendpoint option seeds the cursor from
-        # external checkpoints and avoids even that.)
-        floor = getattr(self, "_floor", {})
-        for sid, s in start.items():
-            if s not in ("", None) and s > floor.get(sid, ""):
-                floor[sid] = s
-        self._floor = floor
+        # external checkpoints and avoids even that.
+        high = getattr(self, "_wal_high", {})
+        for src in (start, end):
+            for sid, s in src.items():
+                if s not in ("", None) and s > high.get(sid, ""):
+                    high[sid] = s
+        self._wal_high = high
         if hasattr(self, "_cursor"):
-            for sid, s in floor.items():
+            for sid, s in high.items():
                 cur = self._cursor.get(sid)
                 if cur is not None and cur < s:
                     self._cursor[sid] = s
@@ -1107,10 +1113,7 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
             if end_seq in ("", None):
                 continue
             start_seq = start.get(shard_id, "") or ""
-            f = floor.get(shard_id, "")
-            if f > start_seq:
-                start_seq = f
-            if end_seq <= start_seq:  # stale probe at/behind the floor
+            if end_seq <= start_seq:  # vacuous or stale-probe range
                 continue
             out.append(
                 _WireSlice(shard_id, start_seq or None, end_seq)

@@ -125,12 +125,16 @@ class KinesumerSimStreamReader(DataSourceStreamReader):
         # silently drop the tail of the committed range): each call
         # advances every shard by ≤ scanLimit toward the simulated
         # stream end, the GetRecords-limit pacing of O1. The cursor is
-        # driver-side reader state; after a WAL restart Spark replans
-        # from its own recovered offsets, and the cursor re-advances
-        # from zero — empty [start ≥ end) batches until it catches up,
-        # then normal pacing (documented sim-source simplification).
+        # driver-side reader state; on a WAL restart it is SEEDED from
+        # the WAL high learned in partitions() (Spark probes the
+        # restored offset as partitions(last, last) before the first
+        # plan), so the offsets log never rewinds — an emission behind
+        # the WAL would make the NEXT batch replay committed records.
         if not hasattr(self, "_cursor"):
             self._cursor = {str(s): 0 for s in range(self.n_shards)}
+            for k, v in getattr(self, "_wal_high", {}).items():
+                if self._cursor.get(k, 0) < v:
+                    self._cursor[k] = v
         self._cursor = {
             s: min(v + self.scan_limit, self.total)
             for s, v in self._cursor.items()
@@ -138,6 +142,24 @@ class KinesumerSimStreamReader(DataSourceStreamReader):
         return dict(self._cursor)
 
     def partitions(self, start: dict, end: dict):
+        # Track the WAL HIGH — the max position Spark has ever handed
+        # us, starts and ends alike (on restart the FIRST call is a
+        # probe with the restored offset as both) — and heal the probe
+        # cursor with it. The high is only a cursor seed, never a
+        # slice clamp: a replayed uncommitted batch arrives as
+        # (start, end) BELOW the high and must be delivered verbatim
+        # (clamping it would LOSE the batch — its first run never
+        # committed).
+        high = getattr(self, "_wal_high", {})
+        for src in (start, end):
+            for k, v in src.items():
+                if int(v) > high.get(k, 0):
+                    high[k] = int(v)
+        self._wal_high = high
+        if hasattr(self, "_cursor"):
+            for k, v in high.items():
+                if self._cursor.get(k, 0) < v:
+                    self._cursor[k] = v
         out = []
         for s in range(self.n_shards):
             lo = int(start[str(s)])

@@ -2059,3 +2059,49 @@ def test_kinesis_wire_wal_restart_resumes_without_replay(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/b*").collect()
     )
     assert got == list(range(30))  # 20 prefill + 10 late, exactly once
+
+
+def test_python_source_wal_restart_is_exactly_once(spark, tmp_path):
+    """A fully-drained sim stream restarted on the same WAL must
+    deliver NOTHING new: the fresh reader's cursor rebuilds from zero
+    and its early offsets-log entries land behind the WAL, but the
+    floor learned from partitions() clamps every slice — without it,
+    the post-restart catch-up batches replayed the tail of run 1."""
+    from kinesumer_spark.sources.python_source import (
+        register_sim_stream_source,
+    )
+
+    register_sim_stream_source(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_rows = []
+
+    def run_once():
+        rows = []
+
+        def capture(batch_df, batch_id):
+            rows.extend(
+                batch_df.select("shard_id", "sequence_number").collect()
+            )
+
+        q = (
+            spark.readStream.format("kinesumer_sim_stream")
+            .option("numShards", "2")
+            .option("totalPerShard", "30")
+            .option("scanLimit", "10")
+            .load()
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        run_rows.append(rows)
+
+    run_once()
+    run_once()  # fresh query object, same WAL — the stream is drained
+    assert len(run_rows[0]) == 60
+    assert run_rows[1] == []  # no replay from stale catch-up offsets
