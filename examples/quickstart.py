@@ -154,6 +154,7 @@ def main() -> None:
     with FakeKinesisServer(topo) as srv:
         srv.api.throttle_every = 5  # botocore's retry absorbs these
         srv.api.expire_every = 7  # the consumer re-acquires these
+        srv.api.put_fail_every = 7  # the producer resubmits these
 
         # produce: executors batch PutRecords (≤500/call) and retry
         # only failed entries — the AWS partial-failure contract

@@ -585,6 +585,7 @@ class _KinesisApi:
                 "ResourceInUseException", f"consumer {arn} not ACTIVE"
             )
         stream = self._stream_of_arn(arn)
+        self._require_active(stream)  # EFO data plane honors DELETING too
         _pos, sh = self._shard(stream, body["ShardId"])
         pos_type = body["StartingPosition"]["Type"]
         if pos_type == "TRIM_HORIZON":
@@ -928,10 +929,21 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         return [s for s in shards if s["ShardId"] in self.shard_filter]
 
     def initialOffset(self) -> dict:
+        from botocore.exceptions import ClientError
+
         client = wire_client(self.endpoint)
-        shards = self._visible(
-            client.list_shards(StreamName=self.stream)["Shards"]
-        )
+        try:
+            shards = self._visible(
+                client.list_shards(StreamName=self.stream)["Shards"]
+            )
+        except ClientError as e:
+            if e.response["Error"]["Code"] != "ResourceInUseException":
+                raise
+            # stream already non-ACTIVE at query start: freeze from
+            # birth (empty shard map, no partitions ever) — a union's
+            # sibling sources still flow
+            self._stream_dead = True
+            return {}
         committed: dict[str, str] = {}
         if self.dynamo_endpoint:
             from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
@@ -947,6 +959,34 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # across consumer restarts via the external store)
         return {s["ShardId"]: committed.get(s["ShardId"], "") for s in shards}
 
+    def _learn_wal_position(self, *offset_dicts: dict) -> None:
+        """Track the strongest position the WAL has ever shown us: the
+        max sequence per shard across every partitions() argument, plus
+        the closed-and-drained sentinel (None) — a shard the WAL says
+        is drained must never be re-probed from TRIM_HORIZON."""
+        high = getattr(self, "_wal_high", {})
+        closed = getattr(self, "_wal_closed", set())
+        for src in offset_dicts:
+            for sid, s in src.items():
+                if s is None:
+                    closed.add(sid)
+                elif s != "" and s > high.get(sid, ""):
+                    high[sid] = s
+        self._wal_high = high
+        self._wal_closed = closed
+
+    def _heal_cursor_from_wal(self) -> None:
+        """Seed/advance the probe cursor from the WAL position: a
+        rebuilt cursor that probes from behind the WAL would emit an
+        offsets-log entry whose follow-up batch replays committed
+        records; a WAL-drained shard (None) stays drained."""
+        for sid in getattr(self, "_wal_closed", set()):
+            self._cursor[sid] = None
+        for sid, s in getattr(self, "_wal_high", {}).items():
+            cur = self._cursor.get(sid)
+            if cur is not None and cur < s:
+                self._cursor[sid] = s
+
     def latestOffset(self) -> dict:
         # the tip probe IS a GetRecords scan (there is no "what's the
         # tip" API in Kinesis — consumers discover it by reading): each
@@ -955,14 +995,7 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # executors for the committed range — Kinesis reads are
         # replayable by design, which is what makes the planner/executor
         # split safe.
-        if not hasattr(self, "_cursor"):
-            self._cursor = self.initialOffset()
-            # WAL-restart heal: seed from the high partitions() learned
-            # (Spark probes the restored offset before the first plan)
-            for sid, s in getattr(self, "_wal_high", {}).items():
-                cur = self._cursor.get(sid)
-                if cur is not None and cur < s:
-                    self._cursor[sid] = s
+        #
         # A stream that went non-ACTIVE (ResourceInUseException — e.g.
         # DELETING under the consumer) is FROZEN, not fatal: the
         # reference exits that stream's consume loop and the client
@@ -970,13 +1003,21 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # Here the planner stops advancing its offsets — no new
         # partitions — so sibling sources in a unioned query keep
         # flowing; records already committed stay delivered. Sticky by
-        # design, like the reference's loop exit.
+        # design, like the reference's loop exit. The guard covers the
+        # FIRST probe too (initialOffset's ListShards can be the call
+        # that discovers the deletion).
         if getattr(self, "_stream_dead", False):
-            return dict(self._cursor)
+            return dict(getattr(self, "_cursor", {}))
         from botocore.exceptions import ClientError
 
-        before = dict(self._cursor)
+        before = None
         try:
+            if not hasattr(self, "_cursor"):
+                self._cursor = self.initialOffset()
+                # WAL-restart heal (Spark probes the restored offset
+                # through partitions() before the first plan)
+                self._heal_cursor_from_wal()
+            before = dict(self._cursor)
             return self._probe_tips()
         except ClientError as e:
             if e.response["Error"]["Code"] != "ResourceInUseException":
@@ -988,8 +1029,8 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
             # data plane that is gone. Freeze at the PRE-round
             # snapshot — advancement was driver-only state, so nothing
             # delivered is lost and nothing undeliverable is promised.
-            self._cursor = before
-            return dict(before)
+            self._cursor = before if before is not None else {}
+            return dict(self._cursor)
 
     def _probe_tips(self) -> dict:
         client = wire_client(self.endpoint)
@@ -1084,30 +1125,23 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         return dict(self._cursor)
 
     def partitions(self, start: dict, end: dict):
-        # Track the WAL HIGH — the max position Spark has ever handed
-        # us, starts and ends alike (on restart the FIRST call is a
-        # probe with the restored offset as both) — and heal the probe
-        # cursor with it: a fresh reader rebuilds its cursor from
-        # TRIM_HORIZON, and emitting an offsets-log entry BEHIND the
-        # WAL would make the batch planned from that stale entry
-        # REPLAY committed records. The high is only a cursor seed,
+        # Track the WAL position — max sequence AND the drained
+        # sentinel, starts and ends alike (on restart the FIRST call
+        # is a probe with the restored offset as both) — and heal the
+        # probe cursor with it: a fresh reader rebuilds its cursor
+        # from TRIM_HORIZON, and emitting an offsets-log entry BEHIND
+        # the WAL would make the batch planned from that stale entry
+        # REPLAY committed records (a drained-closed shard would
+        # replay WHOLE). The learned position is only a cursor seed,
         # never a slice clamp: a replayed uncommitted batch arrives as
         # (start, end) below the high and must be delivered verbatim —
         # clamping it would LOSE the batch (its first run never
         # committed). Cost of the heal: one wasted probe round per
         # restart; the dynamoendpoint option seeds the cursor from
         # external checkpoints and avoids even that.
-        high = getattr(self, "_wal_high", {})
-        for src in (start, end):
-            for sid, s in src.items():
-                if s not in ("", None) and s > high.get(sid, ""):
-                    high[sid] = s
-        self._wal_high = high
+        self._learn_wal_position(start, end)
         if hasattr(self, "_cursor"):
-            for sid, s in high.items():
-                cur = self._cursor.get(sid)
-                if cur is not None and cur < s:
-                    self._cursor[sid] = s
+            self._heal_cursor_from_wal()
         out = []
         for shard_id, end_seq in end.items():
             if end_seq in ("", None):
@@ -1298,7 +1332,8 @@ class KinesumerWirePutWriter(DataSourceWriter):
                 if "ErrorCode" in r
             ]
             retried += len(pending)
-            time.sleep(0.01 * (2**attempt))  # 10ms..1.3s over 8 tries
+            if attempt < self.max_attempts - 1:  # no sleep before raise
+                time.sleep(0.01 * (2**attempt))  # 10ms..1.3s over 8 tries
         raise RuntimeError(
             f"{len(pending)} records still throttled after "
             f"{self.max_attempts} PutRecords attempts"

@@ -132,14 +132,17 @@ class KinesumerSimStreamReader(DataSourceStreamReader):
         # the WAL would make the NEXT batch replay committed records.
         if not hasattr(self, "_cursor"):
             self._cursor = {str(s): 0 for s in range(self.n_shards)}
-            for k, v in getattr(self, "_wal_high", {}).items():
-                if self._cursor.get(k, 0) < v:
-                    self._cursor[k] = v
+            self._heal_cursor_from_wal()
         self._cursor = {
             s: min(v + self.scan_limit, self.total)
             for s, v in self._cursor.items()
         }
         return dict(self._cursor)
+
+    def _heal_cursor_from_wal(self) -> None:
+        for k, v in getattr(self, "_wal_high", {}).items():
+            if self._cursor.get(k, 0) < v:
+                self._cursor[k] = v
 
     def partitions(self, start: dict, end: dict):
         # Track the WAL HIGH — the max position Spark has ever handed
@@ -149,7 +152,9 @@ class KinesumerSimStreamReader(DataSourceStreamReader):
         # slice clamp: a replayed uncommitted batch arrives as
         # (start, end) BELOW the high and must be delivered verbatim
         # (clamping it would LOSE the batch — its first run never
-        # committed).
+        # committed). Same contract as the wire reader's
+        # _learn_wal_position/_heal_cursor_from_wal (kinesis_wire.py),
+        # minus the closed-shard sentinel this finite sim lacks.
         high = getattr(self, "_wal_high", {})
         for src in (start, end):
             for k, v in src.items():
@@ -157,9 +162,7 @@ class KinesumerSimStreamReader(DataSourceStreamReader):
                     high[k] = int(v)
         self._wal_high = high
         if hasattr(self, "_cursor"):
-            for k, v in high.items():
-                if self._cursor.get(k, 0) < v:
-                    self._cursor[k] = v
+            self._heal_cursor_from_wal()
         out = []
         for s in range(self.n_shards):
             lo = int(start[str(s)])

@@ -1665,15 +1665,20 @@ def stream_kinesis_efo_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
             resharded_stream("wire", _WIRE_RESHARD_PER)
         ) as srv:
             srv.api.efo_event_batch = 4
-            srv.api.efo_max_events_per_sub = 2  # renewal every 8 records
+            srv.api.efo_max_events_per_sub = 2  # each subscription: ≤8
             client = wire_client(srv.url)
             arn = register_efo_consumer(client, "wire", "kinesumer-spark")
             try:
                 df = (
                     spark.readStream.format("kinesumer_wire")
                     .option("endpoint", srv.url)
+                    # 12 > the 8-record subscription capacity, so the
+                    # first partition of every 20-record shard (12+8)
+                    # CROSSES a renewal boundary mid-partition, while
+                    # the parent still drains over 2 rounds — both the
+                    # gate and the renewal genuinely exercise
                     .option("stream", "wire")
-                    .option("scanlimit", 7)  # parent drains over 3 rounds
+                    .option("scanlimit", 12)
                     .option("lineagegate", "true")
                     .option("mode", "efo")
                     .option("consumerarn", arn)
@@ -1693,10 +1698,14 @@ def stream_kinesis_efo_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     q.awaitTermination()
             finally:
                 client.deregister_stream_consumer(ConsumerARN=arn)
-            if srv.api.efo_subscriptions < 2 * 3:
+            # 3 shards × 2 partitions (12+8) = 6 subscriptions WITHOUT
+            # renewal; each 12-record partition forces exactly one
+            # renewal, so any count ≤ 6 means the renewal path never
+            # ran and the composition is vacuous
+            if srv.api.efo_subscriptions <= 6:
                 raise AssertionError(
-                    "subscription caps never forced a renewal: "
-                    f"{srv.api.efo_subscriptions} subscriptions"
+                    "subscription caps never forced a mid-partition "
+                    f"renewal: {srv.api.efo_subscriptions} subscriptions"
                 )
         out = spark.read.parquet(work)
         parent_last = out.filter(F.col("shard_id") == _PARENT_SHARD).agg(

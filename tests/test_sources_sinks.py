@@ -2105,3 +2105,95 @@ def test_python_source_wal_restart_is_exactly_once(spark, tmp_path):
     run_once()  # fresh query object, same WAL — the stream is drained
     assert len(run_rows[0]) == 60
     assert run_rows[1] == []  # no replay from stale catch-up offsets
+
+
+def test_kinesis_wire_wal_restart_closed_shard_not_replayed(spark, tmp_path):
+    """Restart over a RESHARDED stream: the drained closed parent's
+    WAL offset is the None sentinel, and the heal must honor it — a
+    rebuilt cursor that re-probes the parent from TRIM_HORIZON would
+    replay the entire drained shard after restart."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        resharded_stream,
+    )
+
+    register_wire_source(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once(srv):
+        def capture(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+        q = (
+            spark.readStream.format("kinesumer_wire")
+            .option("endpoint", srv.url)
+            .option("stream", "wire")
+            .option("scanlimit", 8)
+            .load()
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    with FakeKinesisServer(resharded_stream("wire", 20)) as srv:
+        run_once(srv)  # parent 0-19 (then CLOSED+drained), children 20-59
+        run_once(srv)  # fresh query, same WAL: nothing must replay
+    got = sorted(
+        int(r.sequence_number)
+        for r in spark.read.parquet(f"{out}/b*").collect()
+    )
+    assert got == list(range(60))  # exactly once, closed parent included
+
+
+def test_kinesis_wire_deletion_before_first_probe_freezes(spark):
+    """A stream already DELETING when the query starts (or deleted
+    before the source's first probe) freezes the source from birth —
+    the unioned sibling still delivers; the query never crashes."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    topo = simple_stream("alive", 1, 10)
+    topo.update(simple_stream("dead", 1, 10))
+    rows = []
+
+    def capture(batch_df, batch_id):
+        rows.extend(batch_df.select("stream", "sequence_number").collect())
+
+    with FakeKinesisServer(topo) as srv:
+        wire_client(srv.url).delete_stream(StreamName="dead")
+
+        def source(stream):
+            return (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", stream)
+                .option("scanlimit", 100)
+                .load()
+            )
+
+        q = (
+            source("alive")
+            .unionByName(source("dead"))
+            .writeStream.foreachBatch(capture)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        assert srv.api.riue_raised >= 1
+    assert sorted(int(r.sequence_number) for r in rows) == list(range(10))
+    assert {r.stream for r in rows} == {"alive"}
