@@ -171,6 +171,14 @@ class _DynamoApi:
 
     def __init__(self, tables: dict[str, _Table]) -> None:
         self.tables = tables
+        # every Nth BatchWriteItem REQUEST (counted across calls) is
+        # returned in UnprocessedItems instead of applied (0 = off) —
+        # the DynamoDB partial-failure contract under throttling: the
+        # CALL succeeds, botocore does NOT resubmit, the caller must.
+        # (The reference's guregu/dynamo Batch().Write() resubmits
+        # internally; statestore.go:260-281 relies on that.)
+        self.unprocessed_every = 0
+        self._bw_requests = 0
 
     def _table(self, body: dict, key: str = "TableName") -> _Table:
         name = body[key]
@@ -324,10 +332,18 @@ class _DynamoApi:
         return {"Responses": responses, "UnprocessedKeys": {}}
 
     def op_BatchWriteItem(self, body: dict) -> dict:
+        unprocessed: dict[str, list] = {}
         for name, reqs in body["RequestItems"].items():
             t = self._table({"TableName": name})
             with t.lock:
                 for req in reqs:
+                    self._bw_requests += 1
+                    if (
+                        self.unprocessed_every
+                        and self._bw_requests % self.unprocessed_every == 0
+                    ):
+                        unprocessed.setdefault(name, []).append(req)
+                        continue
                     if "PutRequest" in req:
                         item = req["PutRequest"]["Item"]
                         t.items[t._key_of(item)] = dict(item)
@@ -339,7 +355,7 @@ class _DynamoApi:
                         raise _DynError(
                             "ValidationException", "unknown write request"
                         )
-        return {"UnprocessedItems": {}}
+        return {"UnprocessedItems": unprocessed}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -579,8 +595,8 @@ class DynamoStateStore:
         stale = out["Items"]
         if not stale:
             return []
-        self.client.batch_write_item(
-            RequestItems={
+        self._batch_write(
+            {
                 self.table: [
                     {
                         "DeleteRequest": {
@@ -592,6 +608,31 @@ class DynamoStateStore:
             }
         )
         return [i["sk"]["S"] for i in stale]
+
+    def _batch_write(self, request_items: dict) -> None:
+        """BatchWriteItem with the UnprocessedItems resubmission loop
+        the DynamoDB contract requires: under throttling the call
+        SUCCEEDS with the unapplied subset in UnprocessedItems, and
+        botocore does not resubmit it — silently dropping it here
+        would lose committed checkpoints and replay records on the
+        next restart. The reference gets this from its dynamo
+        library's internal retry (guregu/dynamo Batch().Write(),
+        statestore.go:260-281); this port does it explicitly, bounded
+        so a persistently-throttled table raises instead of spinning."""
+        import time
+
+        pending = request_items
+        for attempt in range(10):
+            out = self.client.batch_write_item(RequestItems=pending)
+            pending = out.get("UnprocessedItems") or {}
+            if not pending:
+                return
+            if attempt < 9:
+                time.sleep(0.01 * (2**attempt))
+        raise RuntimeError(
+            f"{sum(len(v) for v in pending.values())} write requests "
+            "still unprocessed after 10 BatchWriteItem attempts"
+        )
 
     # -- checkpoints (statestore.go:224-281) ----------------------------
     def list_check_points(
@@ -619,9 +660,11 @@ class DynamoStateStore:
 
     def update_check_points(self, checkpoints: list[dict]) -> None:
         """checkpoints: [{stream, shard_id, sequence_number}] — the
-        reference's ShardCheckPoint batch-put (statestore.go:260-281)."""
-        self.client.batch_write_item(
-            RequestItems={
+        reference's ShardCheckPoint batch-put (statestore.go:260-281),
+        with the UnprocessedItems resubmission the contract requires
+        (see _batch_write)."""
+        self._batch_write(
+            {
                 self.table: [
                     {
                         "PutRequest": {

@@ -2988,6 +2988,83 @@ ORDER BY phase, client_id, shard_id
 """
 
 
+_DYNAMO_UNPROC_ORACLE = """
+SELECT CASE WHEN d = 0 THEN 'events' ELSE 'audit' END AS stream,
+       'shardId-' || lpad(CAST(s AS VARCHAR), 12, '0') AS shard_id,
+       lpad(CAST(20 * s + 7 + d AS VARCHAR), 21, '0') AS checkpoint
+FROM range(0, 6) t(s)
+CROSS JOIN range(0, 2) u(d)
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "coordination_dynamo_unprocessed",
+    oracle=_DYNAMO_UNPROC_ORACLE,
+    tags=("coordination", "wire", "fault", "checkpoint"),
+)
+def coordination_dynamo_unprocessed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint commit under DynamoDB's partial-failure contract:
+    the endpoint bounces every 3rd BatchWriteItem request back in
+    UnprocessedItems — the call SUCCEEDS, botocore does not resubmit,
+    and silently dropping the subset would lose committed checkpoints
+    (the next restart would replay those shards). The store's bounded
+    resubmission loop (the behavior the reference inherits from its
+    dynamo library's internal retry, statestore.go:260-281) re-puts
+    exactly the bounced subset: two streams' checkpoint batches (12
+    requests + resubmissions) and a faulted prune delete all land
+    exactly once, verified by reading the table back through
+    BatchGetItem. The fault counter is asserted, so the resubmission
+    path provably executed.
+
+    Scale: resubmission cost is the bounced subset only (≤ one batch),
+    bounded at 10 attempts with backoff → a persistently-throttled
+    table raises to the driver instead of spinning; coordination
+    traffic stays O(#shards + #clients) tiny items per microbatch."""
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+
+    with FakeDynamoServer() as srv:
+        srv.api.unprocessed_every = 3
+        t = [100.0]
+        store = DynamoStateStore(srv.url, "analytics", clock=lambda: t[0])
+        store.register_client("c-a")
+        store.register_client("c-b")
+        cps = [
+            {
+                "stream": stream,
+                "shard_id": f"shardId-{s:012d}",
+                "sequence_number": str(20 * s + 7 + d).zfill(21),
+            }
+            for d, stream in ((0, "events"), (1, "audit"))
+            for s in range(6)
+        ]
+        store.update_check_points(cps)
+        if srv.api._bw_requests <= len(cps):  # injection must exercise
+            raise AssertionError("no write request was ever bounced")
+        # staleness prune's DeleteRequests ride the same faulted op
+        t[0] = 100.0 + 3600.0
+        store.register_client("c-a")  # fresh heartbeat survives
+        pruned = store.prune_clients()
+        if pruned != ["c-b"]:
+            raise AssertionError(f"prune under faults broke: {pruned}")
+        rows = []
+        for d, stream in ((0, "events"), (1, "audit")):
+            got = store.list_check_points(
+                stream, [f"shardId-{s:012d}" for s in range(6)]
+            )
+            rows.extend(
+                (stream, sid, seq) for sid, seq in sorted(got.items())
+            )
+    return spark.createDataFrame(
+        rows, "stream string, shard_id string, checkpoint string"
+    ).orderBy("stream", "shard_id")
+
+
 @register(
     "coordination_multiclient_handoff",
     oracle=_WIRE_HANDOFF_ORACLE,

@@ -2197,3 +2197,55 @@ def test_kinesis_wire_deletion_before_first_probe_freezes(spark):
         assert srv.api.riue_raised >= 1
     assert sorted(int(r.sequence_number) for r in rows) == list(range(10))
     assert {r.stream for r in rows} == {"alive"}
+
+
+def test_dynamo_wire_unprocessed_items_resubmitted():
+    """BatchWriteItem's partial-failure contract: under throttling the
+    call SUCCEEDS with the unapplied subset in UnprocessedItems and
+    botocore does NOT resubmit — the store must (the reference's
+    dynamo library does this internally, statestore.go:260-281).
+    Dropping the subset would lose committed checkpoints and replay
+    records on the next restart."""
+    from kinesumer_spark.sources.dynamo_wire import FakeDynamoServer
+
+    with FakeDynamoServer() as srv:
+        srv.api.unprocessed_every = 3  # every 3rd write request bounces
+        st = _dyn_store(srv.url, lambda: 100.0)
+        cps = [
+            {
+                "stream": "events",
+                "shard_id": f"shardId-{s:012d}",
+                "sequence_number": str(10 * s + 7).zfill(21),
+            }
+            for s in range(12)
+        ]
+        st.update_check_points(cps)
+        assert srv.api._bw_requests > 12  # resubmissions actually ran
+        got = st.list_check_points(
+            "events", [cp["shard_id"] for cp in cps]
+        )
+    assert got == {
+        cp["shard_id"]: cp["sequence_number"] for cp in cps
+    }  # every checkpoint landed exactly once despite the bounces
+
+
+def test_dynamo_wire_unprocessed_items_bound():
+    """A table that bounces EVERY write forever must fail the commit
+    after the resubmission bound, not spin."""
+    import pytest
+
+    from kinesumer_spark.sources.dynamo_wire import FakeDynamoServer
+
+    with FakeDynamoServer() as srv:
+        srv.api.unprocessed_every = 1
+        st = _dyn_store(srv.url, lambda: 100.0)
+        with pytest.raises(RuntimeError, match="still unprocessed"):
+            st.update_check_points(
+                [
+                    {
+                        "stream": "events",
+                        "shard_id": "shardId-000000000000",
+                        "sequence_number": "1".zfill(21),
+                    }
+                ]
+            )
