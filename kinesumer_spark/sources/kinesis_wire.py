@@ -198,6 +198,11 @@ class _KinesisApi:
         # consume loop (kinesumer.go:667-675, 685-688)
         self.stream_status = {name: "ACTIVE" for name in streams}
         self.riue_raised = 0
+        # cap ListShards page size server-side (0 = honor MaxResults
+        # only): forces NextToken pagination so wide topologies are
+        # exercisable — the loop the reference runs at
+        # kinesumer.go:323-342
+        self.list_shards_page = 0
         self.lock = threading.Lock()
         # EFO consumer registry (O19): ConsumerARN -> doc. Registration
         # surfaces CREATING first; DescribeStreamConsumer flips it to
@@ -256,13 +261,28 @@ class _KinesisApi:
         return {}
 
     def op_ListShards(self, body: dict) -> dict:
-        stream = body["StreamName"]
+        # the real API contract: StreamName XOR NextToken — a token
+        # encodes the stream and the resume position opaquely
+        if "NextToken" in body:
+            if "StreamName" in body:
+                raise _ApiError(
+                    "InvalidArgumentException",
+                    "NextToken and StreamName cannot be provided together",
+                )
+            tok = json.loads(base64.b64decode(body["NextToken"]))
+            stream, first = tok["s"], tok["i"]
+        else:
+            stream, first = body["StreamName"], 0
         self._require_active(stream)
         shards = self.streams.get(stream)
         if shards is None:
             raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        page = int(body.get("MaxResults", 1000))
+        if self.list_shards_page:
+            page = min(page, self.list_shards_page)
+        window = shards[first : first + page]
         out = []
-        for sh in shards:
+        for sh in window:
             rng: dict = {
                 "StartingSequenceNumber": (
                     sh.records[0]["SequenceNumber"]
@@ -285,7 +305,12 @@ class _KinesisApi:
             if sh.adjacent_parent:
                 doc["AdjacentParentShardId"] = sh.adjacent_parent
             out.append(doc)
-        return {"Shards": out}
+        resp: dict = {"Shards": out}
+        if first + page < len(shards):
+            resp["NextToken"] = base64.b64encode(
+                json.dumps({"s": stream, "i": first + page}).encode()
+            ).decode()
+        return resp
 
     def op_GetShardIterator(self, body: dict) -> dict:
         stream = body["StreamName"]
@@ -795,6 +820,20 @@ def register_efo_consumer(client, stream: str, name: str) -> str:
     raise TimeoutError(f"consumer {arn} never became ACTIVE")
 
 
+def list_all_shards(client, stream: str) -> list[dict]:
+    """The reference's paginated shard listing (kinesumer.go:305-344):
+    ListShards pages via NextToken — the API contract forbids passing
+    StreamName with a token — until the topology is fully enumerated.
+    A 1000-shard stream is several pages; stopping at page one would
+    silently consume a prefix of the topology."""
+    out = client.list_shards(StreamName=stream)
+    shards = list(out["Shards"])
+    while "NextToken" in out:
+        out = client.list_shards(NextToken=out["NextToken"])
+        shards.extend(out["Shards"])
+    return shards
+
+
 def drain_via_efo(
     endpoint: str, stream: str, consumer_name: str = "drain"
 ) -> list[tuple]:
@@ -808,7 +847,7 @@ def drain_via_efo(
     arn = register_efo_consumer(client, stream, consumer_name)
     rows = []
     try:
-        for s in client.list_shards(StreamName=stream)["Shards"]:
+        for s in list_all_shards(client, stream):
             position = {"Type": "TRIM_HORIZON"}
             for _round in range(2):  # initial subscription + renewal
                 resp = client.subscribe_to_shard(
@@ -846,7 +885,7 @@ def lineage_from_list_shards(client, stream: str) -> dict:
     (engine.py Engine._lineage). Only CLOSED parents gate: an open
     parent has no EndingSequenceNumber yet, so its children cannot be
     admitted before it anyway (they hold no data until the split)."""
-    shards = client.list_shards(StreamName=stream)["Shards"]
+    shards = list_all_shards(client, stream)
     ending = {
         s["ShardId"]: s["SequenceNumberRange"].get("EndingSequenceNumber")
         for s in shards
@@ -933,9 +972,7 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
 
         client = wire_client(self.endpoint)
         try:
-            shards = self._visible(
-                client.list_shards(StreamName=self.stream)["Shards"]
-            )
+            shards = self._visible(list_all_shards(client, self.stream))
         except ClientError as e:
             if e.response["Error"]["Code"] != "ResourceInUseException":
                 raise
@@ -1040,9 +1077,7 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # and the lineage table rebuilds so a freshly-closed parent
         # starts gating its children the same round. One ListShards per
         # microbatch — O(#shards) driver work, no executor cost.
-        shards = self._visible(
-            client.list_shards(StreamName=self.stream)["Shards"]
-        )
+        shards = self._visible(list_all_shards(client, self.stream))
         for s in shards:
             self._cursor.setdefault(s["ShardId"], "")
         if self.lineage_gate:
@@ -1397,7 +1432,7 @@ def drain_via_wire(
     Spark source against a direct protocol walk."""
     client = wire_client(endpoint)
     rows = []
-    for s in client.list_shards(StreamName=stream)["Shards"]:
+    for s in list_all_shards(client, stream):
         it = client.get_shard_iterator(
             StreamName=stream,
             ShardId=s["ShardId"],

@@ -2256,6 +2256,94 @@ def stream_kinesis_wire_iterator_expiry(
         shutil.rmtree(work, ignore_errors=True)
 
 
+_WIRE_PAGED_ORACLE = f"""
+SELECT 'wire' AS stream,
+       'shardId-' || lpad(CAST(i // {_WIRE_RESHARD_PER} AS VARCHAR), 12, '0')
+         AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_distinct,
+       lpad(CAST(MIN(i) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(i) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM((i * 31 + i // {_WIRE_RESHARD_PER}) % 1000) AS BIGINT)
+         AS sum_k
+FROM range(0, {5 * _WIRE_RESHARD_PER}) t(i)
+GROUP BY 2
+ORDER BY 2
+"""
+
+
+@register(
+    "stream_kinesis_wire_paged_topology",
+    oracle=_WIRE_PAGED_ORACLE,
+    tags=("streaming", "source", "wire"),
+)
+def stream_kinesis_wire_paged_topology(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shard discovery across ListShards PAGES: the endpoint caps
+    every ListShards response at 2 shards + NextToken (the API
+    contract forbids StreamName alongside the token), so enumerating
+    the 5-shard topology takes 3 pages per planning round — the
+    pagination loop the reference runs at kinesumer.go:305-344. An
+    unpaginated consumer would silently consume only the first page's
+    shards; the oracle covers ALL five, so completeness of discovery
+    is hash-proven, not asserted. At AWS scale this is the difference
+    between consuming a 1000-shard stream and a 1000-record prefix
+    of its first page.
+
+    Scale: discovery is O(#shards / page) control calls per planning
+    round, driver-side only; executor work is unchanged."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_wire_paged_")
+    try:
+        with FakeKinesisServer(
+            simple_stream("wire", 5, _WIRE_RESHARD_PER)
+        ) as srv:
+            srv.api.list_shards_page = 2
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(work)
+
+            q = (
+                spark.readStream.format("kinesumer_wire")
+                .option("endpoint", srv.url)
+                .option("stream", "wire")
+                .option("scanlimit", 9)
+                .load()
+                .writeStream.foreachBatch(capture)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        res = (
+            spark.read.parquet(work)
+            .groupBy("stream", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("sequence_number").alias("n_distinct"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "stream_kinesis_wire_throttled",
     oracle=_WIRE_EXPIRY_ORACLE,

@@ -2249,3 +2249,68 @@ def test_dynamo_wire_unprocessed_items_bound():
                     }
                 ]
             )
+
+
+def test_kinesis_wire_list_shards_pagination():
+    """ListShards pages via NextToken (the reference's loop,
+    kinesumer.go:305-344): the token excludes StreamName (API
+    contract), pages compose to the full topology, and a consumer
+    that stopped at page one would see only a prefix."""
+    import pytest
+    from botocore.exceptions import ClientError
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        list_all_shards,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 5, 4)) as srv:
+        c = wire_client(srv.url)
+        out = c.list_shards(StreamName="wire", MaxResults=2)
+        assert len(out["Shards"]) == 2 and "NextToken" in out
+        with pytest.raises(ClientError) as ei:
+            c.list_shards(StreamName="wire", NextToken=out["NextToken"])
+        assert ei.value.response["Error"]["Code"] == "InvalidArgumentException"
+        # server-side page cap forces pagination on default calls too
+        srv.api.list_shards_page = 2
+        assert len(c.list_shards(StreamName="wire")["Shards"]) == 2
+        got = [s["ShardId"] for s in list_all_shards(c, "wire")]
+    assert got == [f"shardId-{i:012d}" for i in range(5)]
+
+
+def test_kinesis_wire_consume_spans_listshards_pages(spark):
+    """The streaming source's per-round topology listing paginates:
+    with the server capping ListShards at 2 shards per page, a
+    5-shard stream still delivers every record exactly once — an
+    unpaginated consumer would silently drain only the first page."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        simple_stream,
+    )
+
+    register_wire_source(spark)
+    with FakeKinesisServer(simple_stream("wire", 5, 6)) as srv:
+        srv.api.list_shards_page = 2
+        rows = []
+
+        def capture(batch_df, batch_id):
+            rows.extend(batch_df.select("sequence_number").collect())
+
+        q = (
+            spark.readStream.format("kinesumer_wire")
+            .option("endpoint", srv.url)
+            .option("stream", "wire")
+            .option("scanlimit", 100)
+            .load()
+            .writeStream.foreachBatch(capture)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    assert sorted(int(r.sequence_number) for r in rows) == list(range(30))
