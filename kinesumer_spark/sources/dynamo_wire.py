@@ -55,6 +55,10 @@ __all__ = [
 # The reference's staleness horizon for client heartbeats
 # (syncleader.go:12: outdatedGap = 10 * time.Second).
 OUTDATED_GAP = 10.0
+# Real-service request caps (DynamoDB API reference): exceeding either is a
+# ValidationException against AWS, so the client must chunk.
+MAX_BATCH_WRITE = 25  # write requests per BatchWriteItem
+MAX_BATCH_GET = 100  # keys per BatchGetItem
 
 
 # ---------------------------------------------------------------------------
@@ -179,6 +183,12 @@ class _DynamoApi:
         # internally; statestore.go:260-281 relies on that.)
         self.unprocessed_every = 0
         self._bw_requests = 0
+        # same partial-return contract for reads: every Nth BatchGetItem
+        # KEY (counted across calls) comes back in UnprocessedKeys
+        # instead of Responses (0 = off) — real DynamoDB does this under
+        # size/throughput pressure and botocore does not re-fetch
+        self.unprocessed_get_every = 0
+        self._bg_keys = 0
 
     def _table(self, body: dict, key: str = "TableName") -> _Table:
         name = body[key]
@@ -319,19 +329,43 @@ class _DynamoApi:
         return {"Items": hits, "Count": len(hits)}
 
     def op_BatchGetItem(self, body: dict) -> dict:
+        # real-service cap: >100 keys in one call is rejected outright
+        if sum(len(r["Keys"]) for r in body["RequestItems"].values()) > MAX_BATCH_GET:
+            raise _DynError(
+                "ValidationException",
+                f"Too many items requested for the BatchGetItem call "
+                f"(max {MAX_BATCH_GET})",
+            )
         responses: dict[str, list] = {}
+        unprocessed_keys: dict[str, dict] = {}
         for name, req in body["RequestItems"].items():
             t = self._table({"TableName": name})
             got = []
             with t.lock:
                 for key in req["Keys"]:
+                    self._bg_keys += 1
+                    if (
+                        self.unprocessed_get_every
+                        and self._bg_keys % self.unprocessed_get_every == 0
+                    ):
+                        unprocessed_keys.setdefault(name, {"Keys": []})[
+                            "Keys"
+                        ].append(key)
+                        continue
                     item = t.items.get(t._key_of(key))
                     if item is not None:
                         got.append(dict(item))
             responses[name] = got
-        return {"Responses": responses, "UnprocessedKeys": {}}
+        return {"Responses": responses, "UnprocessedKeys": unprocessed_keys}
 
     def op_BatchWriteItem(self, body: dict) -> dict:
+        # real-service cap: >25 write requests in one call is rejected
+        if sum(len(r) for r in body["RequestItems"].values()) > MAX_BATCH_WRITE:
+            raise _DynError(
+                "ValidationException",
+                f"Too many items requested for the BatchWriteItem call "
+                f"(max {MAX_BATCH_WRITE})",
+            )
         unprocessed: dict[str, list] = {}
         for name, reqs in body["RequestItems"].items():
             t = self._table({"TableName": name})
@@ -610,53 +644,74 @@ class DynamoStateStore:
         return [i["sk"]["S"] for i in stale]
 
     def _batch_write(self, request_items: dict) -> None:
-        """BatchWriteItem with the UnprocessedItems resubmission loop
-        the DynamoDB contract requires: under throttling the call
-        SUCCEEDS with the unapplied subset in UnprocessedItems, and
-        botocore does not resubmit it — silently dropping it here
-        would lose committed checkpoints and replay records on the
-        next restart. The reference gets this from its dynamo
-        library's internal retry (guregu/dynamo Batch().Write(),
-        statestore.go:260-281); this port does it explicitly, bounded
-        so a persistently-throttled table raises instead of spinning."""
+        """BatchWriteItem with the two loops the real DynamoDB contract
+        requires. (a) Chunking: BatchWriteItem rejects >25 write
+        requests per call outright (ValidationException), so a
+        wide-stream checkpoint commit — one PutRequest per shard — must
+        be split; guregu/dynamo's Batch().Write() chunks to 25
+        internally for the reference (statestore.go:260-281), boto3
+        does not. (b) UnprocessedItems resubmission: under throttling
+        the call SUCCEEDS with the unapplied subset in
+        UnprocessedItems, and botocore does not resubmit it — silently
+        dropping it would lose committed checkpoints and replay records
+        on the next restart. Both loops bounded so a persistently-
+        throttled table raises instead of spinning."""
         import time
 
-        pending = request_items
-        for attempt in range(10):
-            out = self.client.batch_write_item(RequestItems=pending)
-            pending = out.get("UnprocessedItems") or {}
-            if not pending:
-                return
-            if attempt < 9:
-                time.sleep(0.01 * (2**attempt))
-        raise RuntimeError(
-            f"{sum(len(v) for v in pending.values())} write requests "
-            "still unprocessed after 10 BatchWriteItem attempts"
-        )
+        for table, requests in request_items.items():
+            for i in range(0, len(requests), MAX_BATCH_WRITE):
+                pending = {table: requests[i : i + MAX_BATCH_WRITE]}
+                for attempt in range(10):
+                    out = self.client.batch_write_item(RequestItems=pending)
+                    pending = out.get("UnprocessedItems") or {}
+                    if not pending:
+                        break
+                    if attempt < 9:
+                        time.sleep(0.01 * (2**attempt))
+                else:
+                    raise RuntimeError(
+                        f"{sum(len(v) for v in pending.values())} write "
+                        "requests still unprocessed after 10 "
+                        "BatchWriteItem attempts"
+                    )
 
     # -- checkpoints (statestore.go:224-281) ----------------------------
     def list_check_points(
         self, stream: str, shard_ids: list[str]
     ) -> dict[str, str]:
+        """BatchGetItem caps at 100 keys per call and may return ANY
+        subset of the rest in UnprocessedKeys (size pressure, not just
+        throttling) — a dropped key here is a checkpoint the restart
+        path never sees, so that shard restarts from TRIM_HORIZON and
+        replays records. Chunk to 100 and loop UnprocessedKeys the same
+        bounded way _batch_write loops UnprocessedItems (guregu/dynamo
+        does both internally for the reference, statestore.go:224-257)."""
         if not shard_ids:
             raise ValueError("empty shard ids given")  # ErrEmptyShardIDs
-        out = self.client.batch_get_item(
-            RequestItems={
-                self.table: {
-                    "Keys": [
-                        {
-                            "pk": _s(self._check_point_key(stream)),
-                            "sk": _s(sid),
-                        }
-                        for sid in shard_ids
-                    ]
-                }
-            }
-        )
-        return {
-            i["sk"]["S"]: i["sequence_number"]["S"]
-            for i in out["Responses"].get(self.table, [])
-        }
+        import time
+
+        found: dict[str, str] = {}
+        keys = [
+            {"pk": _s(self._check_point_key(stream)), "sk": _s(sid)}
+            for sid in shard_ids
+        ]
+        for i in range(0, len(keys), MAX_BATCH_GET):
+            pending = {self.table: {"Keys": keys[i : i + MAX_BATCH_GET]}}
+            for attempt in range(10):
+                out = self.client.batch_get_item(RequestItems=pending)
+                for item in out["Responses"].get(self.table, []):
+                    found[item["sk"]["S"]] = item["sequence_number"]["S"]
+                pending = out.get("UnprocessedKeys") or {}
+                if not pending:
+                    break
+                if attempt < 9:
+                    time.sleep(0.01 * (2**attempt))
+            else:
+                raise RuntimeError(
+                    f"{sum(len(v['Keys']) for v in pending.values())} "
+                    "keys still unprocessed after 10 BatchGetItem attempts"
+                )
+        return found
 
     def update_check_points(self, checkpoints: list[dict]) -> None:
         """checkpoints: [{stream, shard_id, sequence_number}] — the

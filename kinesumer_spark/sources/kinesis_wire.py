@@ -938,7 +938,14 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # kinesumer.go:314): a child shard's records are not admitted
         # until its CLOSED parent is fully drained, so per-key order
         # survives a split/merge boundary. Planner-side only — O(#shards)
-        # driver state, zero executor cost.
+        # driver state, zero executor cost. Multi-client contract: when
+        # the `shards` ownership filter can place a closed parent on a
+        # DIFFERENT client, the drain signal must be externally visible
+        # — set dynamoendpoint so the gate reads the parent's committed
+        # checkpoint (== EndingSequenceNumber, or the KCL-style
+        # SHARD_END sentinel) from the shared state store; without a
+        # store, lineagegate requires parent and child in the same
+        # assignment slice (see _parent_drained).
         self.lineage_gate = (
             str(options.get("lineagegate", "false")).lower() == "true"
         )
@@ -982,7 +989,11 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
             self._stream_dead = True
             return {}
         committed: dict[str, str] = {}
-        if self.dynamo_endpoint:
+        # a stale `shards` assignment can match zero shards after a
+        # reshard shrinks the topology — start idle (the next assignment
+        # refresh restarts the query with a live slice) rather than
+        # letting the state store's ErrEmptyShardIDs fail the start
+        if self.dynamo_endpoint and shards:
             from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
 
             store = DynamoStateStore(
@@ -1069,6 +1080,57 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
             self._cursor = before if before is not None else {}
             return dict(self._cursor)
 
+    def _parent_drained(self, parent_id: str) -> bool:
+        """Is a CLOSED parent shard fully consumed, so its children may
+        be admitted?
+
+        Three cases:
+        - parent in OUR cursor map: drained iff our cursor holds the
+          closed-and-drained sentinel (None) — the single-client path.
+        - parent owned by ANOTHER client (ownership filter excludes it)
+          and a DynamoDB state store is configured: drained iff that
+          store's committed checkpoint for the parent reached its
+          EndingSequenceNumber (length-then-lex, real seqnums exceed
+          decimal(38,0)) or is the KCL-style ``SHARD_END`` sentinel —
+          the externally-visible drain signal (r9 advisory).
+        - foreign parent with NO state store: there is no cross-client
+          drain signal at all, so lineagegate cannot order across the
+          boundary — documented contract: lineagegate without
+          dynamoendpoint requires parent and child in the same
+          assignment slice; the child is admitted immediately.
+
+        Drain is sticky (a drained shard never un-drains), so positive
+        foreign lookups are cached — steady-state cost is zero; a
+        not-yet-drained foreign parent costs one 1-key BatchGetItem per
+        planning round, bounded by the number of in-flight reshards."""
+        if parent_id in self._cursor:
+            return self._cursor.get(parent_id) is None
+        if not self.dynamo_endpoint:
+            return True
+        drained = getattr(self, "_foreign_drained", set())
+        self._foreign_drained = drained
+        if parent_id in drained:
+            return True
+        from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
+
+        store = DynamoStateStore(
+            self.dynamo_endpoint, self.app, table=self.state_table
+        )
+        committed = store.list_check_points(self.stream, [parent_id]).get(
+            parent_id
+        )
+        ending = getattr(self, "_ending", {}).get(parent_id)
+        ok = committed is not None and (
+            committed == "SHARD_END"
+            or (
+                ending is not None
+                and (len(committed), committed) >= (len(ending), ending)
+            )
+        )
+        if ok:
+            drained.add(parent_id)
+        return ok
+
     def _probe_tips(self) -> dict:
         client = wire_client(self.endpoint)
         # Every planning round re-lists the topology — the reference's
@@ -1077,30 +1139,38 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # and the lineage table rebuilds so a freshly-closed parent
         # starts gating its children the same round. One ListShards per
         # microbatch — O(#shards) driver work, no executor cost.
-        shards = self._visible(list_all_shards(client, self.stream))
+        all_shards = list_all_shards(client, self.stream)
+        shards = self._visible(all_shards)
         for s in shards:
             self._cursor.setdefault(s["ShardId"], "")
         if self.lineage_gate:
             # Only CLOSED parents gate (EndingSequenceNumber present):
             # an open parent has no post-split children data to order
             # against, and blocking on it would deadlock the stream.
-            ending = {
+            #
+            # Lineage maps come from the UNFILTERED topology: with a
+            # `shards` ownership filter, a child's closed parent can be
+            # assigned to ANOTHER client — building the maps from only
+            # our slice made such a parent invisible and silently
+            # dropped the split/merge ordering guarantee in multi-client
+            # mode (r9 advisory).
+            self._ending = {
                 s["ShardId"]: s["SequenceNumberRange"].get(
                     "EndingSequenceNumber"
                 )
-                for s in shards
+                for s in all_shards
             }
             # A merge child carries TWO parents (ParentShardId +
             # AdjacentParentShardId) and must wait for BOTH to drain.
             self._parents = {}
-            for s in shards:
+            for s in all_shards:
                 gating = [
                     p
                     for p in (
                         s.get("ParentShardId"),
                         s.get("AdjacentParentShardId"),
                     )
-                    if p and ending.get(p) is not None
+                    if p and self._ending.get(p) is not None
                 ]
                 if gating:
                     self._parents[s["ShardId"]] = gating
@@ -1117,7 +1187,7 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
                 # admitting its first records in the NEXT microbatch —
                 # strictly after every parent row
                 if any(
-                    self._cursor.get(p) is not None
+                    not self._parent_drained(p)
                     for p in self._parents.get(shard_id, ())
                 ):
                     continue

@@ -261,11 +261,24 @@ class _PutRecordsWriterBase:
         self.n_shards = int(options.get("numshards", 5))
         self.key_col = options.get("keycolumn", "partition_key")
         self.cols = schema.fieldNames()
+        # job-unique token: created once on the driver, inherited by
+        # every executor via serialization — stamps this job's staged
+        # files so the janitor can tell its own debris from a CONCURRENT
+        # append job's in-flight files (r9 advisory: the unscoped sweep
+        # could delete a second append's staged files or tmp manifest
+        # mid-publish, failing its os.replace)
+        self.job_token = uuid.uuid4().hex[:12]
+        # foreign debris (crashed jobs that never published) is swept
+        # only once it is older than this TTL — long enough that no
+        # live job's staging window plausibly spans it
+        self.staging_ttl = float(options.get("stagingttl", 900))
 
     # -- executor side ------------------------------------------------------
     def write(self, iterator) -> _PutBatch:
         os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
-        name = os.path.join("_staging", f"task-{uuid.uuid4().hex}.jsonl")
+        name = os.path.join(
+            "_staging", f"task-{self.job_token}-{uuid.uuid4().hex}.jsonl"
+        )
         n = 0
         by_shard: dict[str, int] = {}
         full = os.path.join(self.path, name)
@@ -341,22 +354,35 @@ class _PutRecordsWriterBase:
         # never reached a commit message (Spark hands abort() None for
         # cancelled tasks) — they are invisible to readers (only
         # manifest-listed data/ files count) and swept here on the next
-        # successful publish. Single-writer-per-path contract, like the
-        # fixed manifest name itself.
+        # successful publish. Scope (r9 advisory): THIS job's staged
+        # files (token-prefixed) are always swept — once we publish, any
+        # leftover own-token file is a failed/cancelled task of ours —
+        # but a CONCURRENT append job's in-flight files must survive, so
+        # foreign staged files and stale .manifest-*.tmp are swept only
+        # when older than staging_ttl (crashed-job debris, not live
+        # staging).
+        import time as _time
+
+        own = f"task-{self.job_token}-"
+        cutoff = _time.time() - self.staging_ttl
         staging = os.path.join(self.path, "_staging")
         if os.path.isdir(staging):
             for e in os.scandir(staging):
-                if e.is_file():
+                if e.is_file() and (
+                    e.name.startswith(own) or e.stat().st_mtime < cutoff
+                ):
                     os.remove(e.path)
         # a publish that crashed between fsync and rename leaves a stale
         # .manifest-*.json.tmp — never reader-visible (dot-prefixed,
-        # excluded by _list_manifests) but accumulating; swept here like
-        # the staging orphans (own tmp was already renamed away above)
+        # excluded by _list_manifests) but accumulating; TTL-swept here
+        # (own tmp was already renamed away above; a young foreign tmp
+        # may be another append job's publish in flight)
         for e in os.scandir(self.path):
             if (
                 e.is_file()
                 and e.name.startswith(".manifest-")
                 and e.name.endswith(".tmp")
+                and e.stat().st_mtime < cutoff
             ):
                 os.remove(e.path)
 

@@ -661,9 +661,17 @@ def test_python_sink_abort_leaves_nothing_visible(spark, tmp_path):
     assert not os.path.isdir(os.path.join(d, "data")) or not os.listdir(
         os.path.join(d, "data")
     )
-    # the next successful publish sweeps the orphans (janitor contract)
+    # the next successful publish sweeps the orphans (janitor contract).
+    # r9 advisory: the dead job's orphans are FOREIGN to the next job
+    # (different job token) and young files could be a concurrent
+    # append's live staging — only TTL-expired foreign debris is swept,
+    # so age them past the cutoff first.
     import json
 
+    staging = os.path.join(d, "_staging")
+    if os.path.isdir(staging):
+        for e in os.scandir(staging):
+            os.utime(e.path, (0, 0))
     spark.range(10).selectExpr(
         "cast(id as string) AS partition_key", "'v' AS v"
     ).write.format("kinesumer_sim_sink").option("path", d).mode(
@@ -831,6 +839,10 @@ def test_python_sink_publish_sweeps_stale_tmp_manifests(spark, tmp_path):
     stale = os.path.join(d, ".manifest-batch-deadbeef.json.tmp")
     with open(stale, "w") as f:
         f.write('{"files": ["never-published.jsonl"]}')
+    # r9 advisory: a YOUNG foreign tmp may be another append job's
+    # publish in flight — only debris older than the staging TTL is
+    # swept, so age the file past the cutoff
+    os.utime(stale, (0, 0))
 
     assert _list_manifests(d) == []  # invisible to readers
     spark.range(5).selectExpr(
@@ -838,6 +850,57 @@ def test_python_sink_publish_sweeps_stale_tmp_manifests(spark, tmp_path):
     ).write.format("kinesumer_sim_sink").option("path", d).mode("append").save()
     assert len(_list_manifests(d)) == 1
     assert not os.path.exists(stale)  # swept by the janitor
+
+
+def test_python_sink_janitor_spares_concurrent_append(spark, tmp_path):
+    """r9 advisory: the janitor must not sweep a CONCURRENT append
+    job's in-flight staged files or tmp manifest — only its OWN staged
+    debris (job-token prefix) and TTL-expired foreign debris."""
+    import json
+    import os
+
+    from kinesumer_spark.sources.python_source import (
+        KinesumerPutRecordsWriter,
+        _PutBatch,
+    )
+    from pyspark.sql.types import StructType
+
+    d = str(tmp_path / "sink")
+    os.makedirs(os.path.join(d, "_staging"))
+    schema = StructType.fromDDL("partition_key string")
+    w = KinesumerPutRecordsWriter(schema, {"path": d}, overwrite=False)
+
+    # another append job's in-flight staging (fresh mtime) + its
+    # mid-publish tmp manifest
+    other_staged = os.path.join(d, "_staging", "task-feedfacecafe-live.jsonl")
+    with open(other_staged, "w") as f:
+        f.write(json.dumps({"partition_key": "x"}) + "\n")
+    other_tmp = os.path.join(d, ".manifest-batch-feedfacecafe.json.tmp")
+    with open(other_tmp, "w") as f:
+        f.write('{"files": []}')
+
+    # our own orphan (a cancelled task of THIS job: token-prefixed)
+    own_orphan = os.path.join(
+        d, "_staging", f"task-{w.job_token}-cancelled.jsonl"
+    )
+    with open(own_orphan, "w") as f:
+        f.write(json.dumps({"partition_key": "y"}) + "\n")
+
+    # TTL-expired foreign debris from a crashed job
+    dead = os.path.join(d, "_staging", "task-deadjob-old.jsonl")
+    with open(dead, "w") as f:
+        f.write("{}\n")
+    os.utime(dead, (0, 0))
+
+    name = os.path.join("_staging", f"task-{w.job_token}-committed.jsonl")
+    with open(os.path.join(d, name), "w") as f:
+        f.write(json.dumps({"partition_key": "z", "_shard": "shardId-0"}) + "\n")
+    w.commit([_PutBatch(staged=name, n_rows=1, by_shard={"shardId-0": 1})])
+
+    assert os.path.exists(other_staged)  # concurrent job untouched
+    assert os.path.exists(other_tmp)
+    assert not os.path.exists(own_orphan)  # own debris swept
+    assert not os.path.exists(dead)  # expired foreign debris swept
 
 
 # -- Kinesis wire-protocol path (sources/kinesis_wire.py) --------------------
@@ -1674,6 +1737,163 @@ def test_kinesis_wire_reader_seeds_offsets_from_dynamo():
         # advance lands at 11 + scanLimit on the seeded shard
         nxt = r.latestOffset()
         assert int(nxt["shardId-000000000000"]) > 11
+
+
+def test_dynamo_wire_batch_caps_chunked_and_unprocessed_keys():
+    """r9 advisory: real DynamoDB caps BatchWriteItem at 25 write
+    requests and BatchGetItem at 100 keys (the fake now rejects beyond
+    the caps like AWS), and either call may return an unprocessed
+    subset that botocore does NOT resubmit. A 130-shard commit and
+    lookup must chunk, loop the unprocessed subsets, and lose
+    nothing."""
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+
+    shard_ids = [f"shardId-{i:012d}" for i in range(130)]
+    with FakeDynamoServer() as srv:
+        st = DynamoStateStore(srv.url, "analytics")
+        srv.api.unprocessed_every = 7  # bounce every 7th write request
+        srv.api.unprocessed_get_every = 5  # and every 5th read key
+        st.update_check_points(
+            [
+                {
+                    "stream": "events",
+                    "shard_id": sid,
+                    "sequence_number": str(3 * i + 1).zfill(21),
+                }
+                for i, sid in enumerate(shard_ids)
+            ]
+        )
+        got = st.list_check_points("events", shard_ids)
+    assert got == {
+        sid: str(3 * i + 1).zfill(21) for i, sid in enumerate(shard_ids)
+    }
+
+
+def test_kinesis_wire_foreign_parent_gates_via_statestore():
+    """r9 advisory: with lineagegate + an ownership filter that assigns
+    a child's CLOSED parent to a DIFFERENT client, the drain signal
+    must come from the shared DynamoDB state store — the child is
+    admitted only once the store shows the parent's checkpoint at its
+    EndingSequenceNumber (or the KCL-style SHARD_END sentinel)."""
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        resharded_stream,
+    )
+
+    kids = ("shardId-000000000001", "shardId-000000000002")
+    with FakeKinesisServer(resharded_stream("wire", 20)) as ksrv, (
+        FakeDynamoServer()
+    ) as dsrv:
+        store = DynamoStateStore(dsrv.url, "analytics")
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": ksrv.url,
+                "stream": "wire",
+                "scanlimit": "50",
+                "lineagegate": "true",
+                "dynamoendpoint": dsrv.url,
+                "app": "analytics",
+                "shards": ",".join(kids),  # parent owned elsewhere
+            },
+        )
+        # no checkpoint for the parent yet -> children stay blocked
+        for _ in range(3):
+            off = r.latestOffset()
+            assert all(off[k] == "" for k in kids), off
+        # a checkpoint BELOW the parent's EndingSequenceNumber (last
+        # record is seq 19) is still mid-drain -> still blocked
+        store.update_check_points(
+            [
+                {
+                    "stream": "wire",
+                    "shard_id": "shardId-000000000000",
+                    "sequence_number": str(10).zfill(21),
+                }
+            ]
+        )
+        off = r.latestOffset()
+        assert all(off[k] == "" for k in kids), off
+        # checkpoint reaches the ending sequence -> drained -> admitted
+        store.update_check_points(
+            [
+                {
+                    "stream": "wire",
+                    "shard_id": "shardId-000000000000",
+                    "sequence_number": str(19).zfill(21),
+                }
+            ]
+        )
+        hist = _drive_planner(r)
+        assert all(hist[-1][k] != "" for k in kids), hist[-1]
+        assert hist[-1][kids[0]] == str(39).zfill(21)
+        assert hist[-1][kids[1]] == str(59).zfill(21)
+
+    # the SHARD_END sentinel (what a KCL-style committer records for a
+    # fully-consumed shard) also opens the gate
+    with FakeKinesisServer(resharded_stream("wire", 20)) as ksrv, (
+        FakeDynamoServer()
+    ) as dsrv:
+        DynamoStateStore(dsrv.url, "analytics").update_check_points(
+            [
+                {
+                    "stream": "wire",
+                    "shard_id": "shardId-000000000000",
+                    "sequence_number": "SHARD_END",
+                }
+            ]
+        )
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": ksrv.url,
+                "stream": "wire",
+                "scanlimit": "50",
+                "lineagegate": "true",
+                "dynamoendpoint": dsrv.url,
+                "app": "analytics",
+                "shards": ",".join(kids),
+            },
+        )
+        off = r.latestOffset()
+        assert all(off[k] != "" for k in kids), off
+
+
+def test_kinesis_wire_empty_filtered_slice_starts_idle():
+    """r9 advisory: a stale ``shards`` assignment that matches zero
+    shards after a reshard shrank the topology must start IDLE (empty
+    offset map), not fail the query start with ErrEmptyShardIDs from
+    the checkpoint lookup."""
+    from kinesumer_spark.sources.dynamo_wire import FakeDynamoServer
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        simple_stream,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 2, 5)) as ksrv, (
+        FakeDynamoServer()
+    ) as dsrv:
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": ksrv.url,
+                "stream": "wire",
+                "dynamoendpoint": dsrv.url,
+                "app": "analytics",
+                "shards": "shardId-000000000909",  # stale: gone
+            },
+        )
+        assert r.initialOffset() == {}
+        assert r.latestOffset() == {}
 
 
 def test_kinesis_wire_reader_shard_ownership_filter():
