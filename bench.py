@@ -199,28 +199,44 @@ def main() -> None:
             errors["stream_envelope_rows_per_sec"] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
-                "queries_cold": per_query_cold,
-                "cold_total": cold_total,
-                "queries_extended": per_query_ext,
-                "extended_total": extended_total,
-                **({"errors_extended": errors_ext} if errors_ext else {}),
-                "wall_incl_warm": wall,
-                "stream_envelope_rows_per_sec": stream_rows_per_sec,
-                # partial=True marks total as NOT comparable round-over-
-                # round (a failed query's seconds are missing from it)
-                **({"errors": errors, "partial": True} if errors else {}),
-            }
+    # The final stdout line must stay SHORT: the bench driver keeps only
+    # the last 2000 characters of output and json-parses the final line
+    # — nine rounds of BENCH_r{N}.json carried "parsed": null because
+    # the all-inclusive line overflowed that capture. Headline keys stay
+    # here; the per-query cold/extended breakdowns move to stderr and a
+    # sidecar file next to this script (bench_detail.json), which the
+    # per-round SCALE.md notes read.
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "cold_total": cold_total,
+        "extended_total": extended_total,
+        "wall_incl_warm": wall,
+        "stream_envelope_rows_per_sec": stream_rows_per_sec,
+        # partial=True marks total as NOT comparable round-over-
+        # round (a failed query's seconds are missing from it)
+        **({"errors": errors, "partial": True} if errors else {}),
+    }
+    detail = {
+        **headline,
+        "queries_cold": per_query_cold,
+        "queries_extended": per_query_ext,
+        **({"errors_extended": errors_ext} if errors_ext else {}),
+    }
+    print("DETAIL " + json.dumps(detail), file=sys.stderr)
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
         )
-    )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stderr already carries the detail
+    print(json.dumps(headline))
     spark.stop()
 
 
