@@ -3310,6 +3310,171 @@ def coordination_multiclient_handoff(
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- Multi-client reshard ordering: lineage gate over the shared store ----
+
+_WIRE_MC_LINEAGE_ORACLE = f"""
+WITH feed AS (
+  -- the UNFAULTED post-split feed: closed parent (pos 0) + two open
+  -- children (pos 1,2), seq = pos*{_WIRE_RESHARD_PER} + i,
+  -- k = (seq*31 + pos) % 1000 — the fake's deterministic prefill
+  SELECT i // {_WIRE_RESHARD_PER} AS pos, i AS seq,
+         (i * 31 + i // {_WIRE_RESHARD_PER}) % 1000 AS k
+  FROM range(0, {3 * _WIRE_RESHARD_PER}) t(i)
+)
+SELECT
+  -- phase 1 (c-b, children, gate shut) delivers NOTHING — its absence
+  -- from this result IS the assertion; phase 2 = c-a drains the
+  -- parent; phase 3 = c-b admitted once the store shows the parent's
+  -- checkpoint at its EndingSequenceNumber
+  CAST(CASE WHEN pos = 0 THEN 2 ELSE 3 END AS BIGINT) AS phase,
+  CASE WHEN pos = 0 THEN 'c-a' ELSE 'c-b' END AS client_id,
+  'shardId-' || lpad(CAST(pos AS VARCHAR), 12, '0') AS shard_id,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  lpad(CAST(MIN(seq) AS VARCHAR), 21, '0') AS min_seq,
+  lpad(CAST(MAX(seq) AS VARCHAR), 21, '0') AS max_seq,
+  CAST(SUM(k) AS BIGINT) AS sum_k
+FROM feed
+GROUP BY 1, 2, 3
+ORDER BY phase, client_id, shard_id
+"""
+
+
+@register(
+    "coordination_multiclient_lineage",
+    oracle=_WIRE_MC_LINEAGE_ORACLE,
+    tags=("streaming", "wire", "coordination"),
+)
+def coordination_multiclient_lineage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split/merge ordering ACROSS the client boundary: a post-split
+    topology where the CLOSED parent shard is assigned to client c-a
+    and both children to client c-b (the `shards` ownership filter,
+    O5), with lineagegate=true and the shared DynamoDB state store as
+    the cross-client drain signal (r9 advisory fix — with the maps
+    built from a client's own slice, a foreign parent was invisible
+    and the per-key ordering guarantee silently dropped).
+
+    Phase 1: c-b starts FIRST. Its planner sees the children's closed
+    parent in the unfiltered topology, finds no committed checkpoint
+    for it in the store, and admits nothing — the phase contributes
+    ZERO rows, which the oracle encodes by omission (a gate that
+    failed to block would add phase-1 rows and hash-mismatch).
+    Phase 2: c-a drains the parent and batch-commits its per-shard max
+    sequence — which for a drained closed shard IS its
+    EndingSequenceNumber — to the shared store (kinesumer.go:731).
+    Phase 3: c-b restarts (fresh Spark checkpoint): the gate reads the
+    parent's committed checkpoint == EndingSequenceNumber from the
+    store, opens, and the children deliver exactly their prefill —
+    strictly after every parent record was consumed AND committed.
+
+    Scale: the gate costs one 1-key BatchGetItem per planning round
+    per in-flight foreign reshard (positives cached — drain is
+    sticky); payload bytes only ever move executor-side for the
+    owning client. Reference: kinesumer.go:314 (the open TODO this
+    gate implements), syncclient.go:114-117 (range assignment)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_wire_source,
+        resharded_stream,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_mc_lineage_")
+    parent = "shardId-000000000000"
+    kids = ("shardId-000000000001", "shardId-000000000002")
+    try:
+        with FakeKinesisServer(
+            resharded_stream("wire", _WIRE_RESHARD_PER)
+        ) as ksrv, FakeDynamoServer() as dsrv:
+            store = DynamoStateStore(dsrv.url, "analytics")
+
+            def run_client(
+                phase: int, client_id: str, owned: tuple, gated: bool
+            ) -> int:
+                delivered = [0]
+
+                def capture(batch_df: DataFrame, batch_id: int) -> None:
+                    rows = batch_df.count()
+                    if rows == 0:
+                        return
+                    delivered[0] += rows
+                    batch_df.withColumn(
+                        "phase", F.lit(phase).cast("bigint")
+                    ).withColumn(
+                        "client_id", F.lit(client_id)
+                    ).write.mode("append").parquet(work)
+                    marks = (
+                        batch_df.groupBy("shard_id")
+                        .agg(F.max("sequence_number").alias("seq"))
+                        .collect()
+                    )
+                    store.update_check_points(
+                        [
+                            {
+                                "stream": "wire",
+                                "shard_id": m["shard_id"],
+                                "sequence_number": m["seq"],
+                            }
+                            for m in marks
+                        ]
+                    )
+
+                reader = (
+                    spark.readStream.format("kinesumer_wire")
+                    .option("endpoint", ksrv.url)
+                    .option("stream", "wire")
+                    .option("scanlimit", 7)
+                    .option("shards", ",".join(owned))
+                    .option("dynamoendpoint", dsrv.url)
+                    .option("app", "analytics")
+                )
+                if gated:
+                    reader = reader.option("lineagegate", "true")
+                q = reader.load().writeStream.foreachBatch(capture).start()
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+                return delivered[0]
+
+            # phase 1: children's owner starts first — gate must hold
+            if run_client(1, "c-b", kids, gated=True) != 0:
+                raise AssertionError(
+                    "lineage gate admitted children before the foreign "
+                    "parent drained"
+                )
+            # phase 2: the parent's owner drains and commits the drain
+            n_parent = run_client(2, "c-a", (parent,), gated=False)
+            if n_parent != _WIRE_RESHARD_PER:
+                raise AssertionError(f"parent delivered {n_parent}")
+            # phase 3: fresh c-b query — the store now proves the drain
+            run_client(3, "c-b", kids, gated=True)
+        res = (
+            spark.read.parquet(work)
+            .groupBy("phase", "client_id", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("phase", "client_id", "shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _STREAM_STREAM_FULL_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts
