@@ -382,3 +382,118 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_TMIX_D = 1_000_000  # integer Bernoulli denominator for the mix draw
+
+_TMIX_ORACLE = f"""
+WITH n AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt,
+         SUM(sqrt(CAST(n_docs AS DOUBLE)))
+           OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum_wt,
+         SUM(n_docs) OVER () AS total_docs
+  FROM n
+), plan AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(total_docs * wt / MAX(cum_wt) OVER ()) AS BIGINT)
+           AS target_docs
+  FROM w
+), thr AS (
+  SELECT lang, n_docs, target_docs,
+         LEAST({_TMIX_D}, target_docs * {_TMIX_D} // n_docs) AS threshold
+  FROM plan
+), drawn AS (
+  SELECT d.lang, d.doc_id, t.n_docs, t.target_docs, t.threshold,
+         {_sha32_duck("'tmix:' || doc_id")} % {_TMIX_D} < t.threshold AS keep
+  FROM documents d JOIN thr t USING (lang)
+)
+SELECT lang,
+       CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(target_docs) AS BIGINT) AS target_docs,
+       CAST(MAX(threshold) AS BIGINT) AS threshold,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+         AS id_checksum
+FROM drawn
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "sample_temperature_draw", oracle=_TMIX_ORACLE, tags=("training", "sample")
+)
+def sample_temperature_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the temperature mix: resample_temperature PLANS per-lang
+    target counts (α = 0.5, targets ∝ n_lang^α — the multilingual
+    pretraining-mix standard); this operator carries the plan through
+    to an exact per-document draw. Each language's keep probability is
+    its planned rate as an integer threshold,
+
+        threshold = min(D, target_docs · D  div  n_docs),  D = 10⁶
+        keep(d)   = sha32('tmix:' || doc_id) mod D  <  threshold
+
+    so the draw is a pure-integer Bernoulli — no float ever enters the
+    keep decision, and both engines agree bit-for-bit. A language whose
+    target EXCEEDS its count (upsampled low-resource tail) clamps to
+    keep-all here; the repetition factor beyond 1.0 is a downstream
+    pack/repeat concern (pack_sequences), not a keep/drop draw.
+
+    The plan arithmetic reuses resample_temperature's portability
+    discipline: IEEE-exact sqrt weights and an ORDERED running sum so
+    float additions associate identically in both engines; everything
+    after the FLOOR is int64.
+
+    Scale: the plan table is |langs| rows — broadcast back onto the
+    corpus (no shuffle of document rows); the draw is a map-side hash +
+    compare; one final |langs|-row aggregate. At 100 TB this is one
+    corpus scan, same shape as sample_quality_weighted; per-row keep
+    decisions are reproducible from doc_id alone, so shard retries and
+    resumption need no state."""
+    d = _t(spark, sf_dir)
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_docs").cast("double")).alias("wt"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double")))
+        .over(W.orderBy("lang").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_wt"),
+        F.sum("n_docs")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("total_docs"),
+    )
+    thr = w.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(FLOOR(total_docs * wt / (MAX(cum_wt) OVER ())) AS BIGINT)"
+        ).alias("target_docs"),
+    ).selectExpr(
+        "lang",
+        "n_docs",
+        "target_docs",
+        f"LEAST({_TMIX_D}, target_docs * {_TMIX_D} DIV n_docs) AS threshold",
+    )
+    salted = "concat('tmix:', cast(doc_id AS string))"
+    keep = F.expr(f"{_sha32(salted)} % {_TMIX_D} < threshold")
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(thr), "lang")
+        .select("lang", "doc_id", "n_docs", "target_docs", "threshold", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("target_docs").cast("bigint").alias("target_docs"),
+            F.max("threshold").cast("bigint").alias("threshold"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
