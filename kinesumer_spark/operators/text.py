@@ -1568,3 +1568,124 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- DSIR-style hashed-ngram importance weighting ---------------------------
+
+_DSIR_B = 4096  # hashed feature buckets
+_DSIR_S = 1_000_000_000  # integer probability scale
+_DSIR_TOP = 200
+
+
+def _dsir_sha32(col: str) -> str:
+    """Spark SQL: first 4 bytes of sha256 as int64 (the repo-standard
+    portable hash — see operators/dedup.py:_sha32)."""
+    return (
+        f"cast(conv(substring(sha2(cast({col} as binary), 256), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(sha256(unnest(regexp_split_to_array(text, ' '))), 1, 8))::BIGINT
+           % {_DSIR_B} AS bucket
+  FROM documents
+), model AS (
+  SELECT bucket,
+         COUNT(*) AS c_r,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+  FROM tok GROUP BY bucket
+), tot AS (
+  SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM model
+), m AS (
+  SELECT bucket,
+         (c_t + 1) * {_DSIR_S} // (t_t + {_DSIR_B}) AS m_t,
+         (c_r + 1) * {_DSIR_S} // (t_r + {_DSIR_B}) AS m_r
+  FROM model CROSS JOIN tot
+)
+SELECT tok.doc_id,
+       MAX(tok.lang) AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(m.m_t - m.m_r) AS BIGINT) AS dsir_score
+FROM tok JOIN m USING (bucket)
+GROUP BY tok.doc_id
+ORDER BY dsir_score DESC, tok.doc_id
+LIMIT {_DSIR_TOP}
+"""
+
+
+@register("text_dsir_importance", oracle=_DSIR_ORACLE, tags=("text", "training"))
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more probable its hashed-unigram features are under a
+    TARGET distribution (here the English slice — the stand-in for a
+    high-quality target domain) than under the RAW corpus, and surface
+    the top-{_DSIR_TOP} most target-like documents for selection.
+
+    Words hash into {_DSIR_B} buckets (DSIR's hashed-ngram trick: the
+    model is a fixed-size count table no matter the vocabulary).
+    Both distributions are Laplace-smoothed integer "probabilities"
+    scaled by 10⁹:  m[b] = (c[b]+1)·S div (T+B);  a document's score is
+    Σ_tokens (m_target − m_raw) — the LINEAR-space importance margin
+    rather than the paper's Σ log-ratio, because transcendental logs
+    are not bit-portable across engines (glibc vs JVM ulps — see
+    text_bm25), while this variant is pure int64 and ranks by the same
+    "target-like vs raw-like" signal. Selection from the returned
+    ranking (top-k or a threshold) IS importance resampling on the
+    margin statistic.
+
+    Plan/scale: pass 1 fits the model — explode → partial map-side
+    count into ≤{_DSIR_B} buckets → ONE tiny shuffle ({_DSIR_B} keys
+    after map-side combine); the model + totals broadcast (≤{_DSIR_B}
+    rows — never corpus-bounded). Pass 2 scores — a second corpus scan
+    explodes tokens, broadcast-joins the model map-side (no token
+    shuffle by bucket: {_DSIR_B} keys would under-partition a 100 TB
+    token stream), and aggregates per doc_id (one shuffle, full key
+    cardinality). Top-k is TakeOrderedAndProject. Two corpus scans is
+    the textbook fit-then-score shape: at 100 TB, re-scanning parquet
+    beats materializing the exploded token table."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("word"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"{_dsir_sha32('word')} % {_DSIR_B}").alias("bucket"),
+    )
+    # Materialize the ≤_DSIR_B-row model once (lazy localCheckpoint):
+    # both the totals branch and the smoothing branch reference it, and
+    # Catalyst does not reuse a subtree across branches — unchecked, the
+    # one-row totals aggregate re-scanned and re-exploded the whole
+    # corpus (plan-audited: 3 parquet scans → 2).
+    model = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = model.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
+    )
+    m = model.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        f"(c_t + 1) * {_DSIR_S} DIV (t_t + {_DSIR_B}) AS m_t",
+        f"(c_r + 1) * {_DSIR_S} DIV (t_r + {_DSIR_B}) AS m_r",
+    )
+    return (
+        tok.join(F.broadcast(m), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("m_t") - F.col("m_r")).cast("bigint").alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(_DSIR_TOP)
+    )
