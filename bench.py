@@ -99,6 +99,9 @@ EXTENDED = [
     "similarity_mmr_diversify",
     "sample_quality_weighted",
     "timeseries_gapfill_interpolate",
+    # r10 additions
+    "sample_temperature_draw",
+    "text_dsir_importance",
 ]
 
 
