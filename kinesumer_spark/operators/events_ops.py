@@ -376,6 +376,97 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Nearest as-of with tolerance: pandas.merge_asof(direction='nearest',
+# tolerance=...) semantics — the remaining member of the as-of family
+# (backward: events_asof_join, forward: events_asof_join_forward,
+# cogrouped merge: events_asof_join_merge).
+_ASOF_NEAREST_TOL_US = 3_600_000_000  # ±1 h
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), ranked AS (
+  SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts,
+         p.purchase_event_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                    p.ts, p.purchase_event_id) AS rn
+  FROM clicks c JOIN purchases p
+    ON p.user_id = c.user_id
+   AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= {_ASOF_NEAREST_TOL_US}
+)
+SELECT event_id, user_id,
+       strftime(c_ts, '{_TS_FMT_DUCK}') AS click_ts,
+       strftime(p_ts, '{_TS_FMT_DUCK}') AS nearest_purchase_ts,
+       purchase_event_id,
+       CAST(gap_us AS BIGINT) AS gap_us
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+@register(
+    "events_asof_join_nearest",
+    oracle=_ASOF_NEAREST_ORACLE,
+    tags=("events", "asof"),
+)
+def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join WITH tolerance — pandas.merge_asof
+    (direction='nearest', tolerance=1h) semantics: each click pairs
+    with the same user's purchase minimizing |Δt|, looking BOTH ways,
+    and only within ±1 h (clicks with nothing that close drop out).
+    Ties (equidistant before/after) break deterministically toward the
+    earlier purchase then the id, so both engines pick the same row.
+
+    Completes the as-of family: backward (events_asof_join), forward
+    (events_asof_join_forward), cogrouped pandas merge
+    (events_asof_join_merge), nearest-with-tolerance (here).
+
+    Scale: the tolerance predicate is the scale lever the unbounded
+    directions lack — the equi-join fan-out per key is capped by event
+    density within the ±1 h band, not by per-user history length, so
+    the pre-rank row count stays linear in events at any corpus size.
+    One shuffle on user_id, one window keyed by the (already
+    co-located) click id; the same banded-range composition Spark's
+    own range-join hints target. Reference: the reference streams
+    envelopes to consuming apps that do exactly this point-in-time
+    stitching (README.md:67-70)."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("c_ts")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    w = W.partitionBy("event_id").orderBy(
+        F.abs(F.col("gap_us")), "p_ts", "purchase_event_id"
+    )
+    return (
+        c.join(p, "user_id")
+        .withColumn("gap_us", gap)
+        .filter(F.abs(F.col("gap_us")) <= _ASOF_NEAREST_TOL_US)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("c_ts", _TS_FMT).alias("click_ts"),
+            F.date_format("p_ts", _TS_FMT).alias("nearest_purchase_ts"),
+            "purchase_event_id",
+            F.col("gap_us").cast("bigint").alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # Max concurrent sessions: interval sweep (+1 at start, −1 past end)
 # over the sessionized intervals. Half-open boundaries: at equal time a
 # departure processes BEFORE an arrival (delta ascending), so touching

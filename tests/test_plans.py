@@ -564,3 +564,39 @@ def test_sink_roundtrip_readback_plan(spark):
     for unused in ("event_id",):  # written but never read back
         assert unused not in schemas[0], schemas[0]
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_temperature_draw_plan_broadcasts_and_stays_jvm(spark):
+    """sample_temperature_draw: the |langs|-row plan table must attach
+    via BroadcastHashJoin (never a corpus shuffle-join), the draw is a
+    map-side hash + integer compare, and nothing touches Python."""
+    plan = plan_string(_df(spark, "sample_temperature_draw"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dsir_scoring_pass_is_broadcast_and_topk(spark):
+    """text_dsir_importance: the bucket model must broadcast back onto
+    the token stream (a shuffle by 4096 bucket keys would
+    under-partition a 100 TB corpus), the ranking must be distributed
+    top-k (TakeOrderedAndProject), and the hot path JVM-only. The
+    model subtree is localCheckpoint-truncated, so the executed top
+    plan holds exactly ONE corpus scan (the scoring pass)."""
+    df = _df(spark, "text_dsir_importance")
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert len(read_schemas(df)) == 1, plan
+
+
+def test_asof_nearest_is_banded_equi_join(spark):
+    """events_asof_join_nearest: the ±tolerance band rides an EQUI join
+    on user_id (fan-out capped by in-band density) — never a cartesian
+    or broadcast-nested-loop — and the pick is one window over the
+    already co-located key, JVM-side throughout."""
+    plan = plan_string(_df(spark, "events_asof_join_nearest"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
