@@ -376,3 +376,245 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "disposition")
     )
+
+
+# -- Selection-side pipeline: gate → DSIR target selection → mixture draw ----
+
+_PMIX_B = 4096  # DSIR hash buckets (text_dsir_importance's model size)
+_PMIX_S = 1_000_000_000  # integer probability scale
+_PMIX_D = 1_000_000  # mix-draw Bernoulli denominator
+_PMIX_TARGET_CHARS = 300  # target-domain proxy: above-median-length docs
+_PMIX_KEEP = 200  # DSIR selection budget (top-K by importance margin)
+
+_PMIX_SHA32_DUCK = "('0x' || substr(sha256({col}), 1, 8))::BIGINT"
+
+_PMIX_ORACLE = f"""
+WITH g AS (
+  SELECT d.doc_id, d.lang, d.text, d.n_chars,
+         len(regexp_split_to_array(d.text, ' ')) AS n_words,
+         len(replace(d.text, ' ', ''))
+           / CAST(len(regexp_split_to_array(d.text, ' ')) AS DOUBLE)
+           AS mean_word_len,
+         len(list_filter({_sql_array(_STOPLISTS["en"])},
+             s -> list_contains(regexp_split_to_array(d.text, ' '), s)))
+           AS n_stop_distinct,
+         len(list_filter(regexp_split_to_array(d.text, ' '),
+             w -> regexp_matches(w, '^[a-z]+$')))
+           / CAST(len(regexp_split_to_array(d.text, ' ')) AS DOUBLE)
+           AS alpha_frac
+  FROM documents d
+), gated AS (
+  SELECT doc_id, lang, text, n_chars FROM g
+  WHERE n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI}
+    AND mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+    AND n_stop_distinct >= {_GOPHER_MIN_STOP}
+    AND alpha_frac >= {_GOPHER_MIN_ALPHA}
+), tok AS (
+  SELECT doc_id, lang, n_chars >= {_PMIX_TARGET_CHARS} AS is_target,
+         {_PMIX_SHA32_DUCK.format(col="unnest(regexp_split_to_array(text, ' '))")}
+           % {_PMIX_B} AS bucket
+  FROM gated
+), model AS (
+  SELECT bucket, COUNT(*) AS c_r,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
+  FROM tok GROUP BY bucket
+), mtot AS (
+  SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM model
+), m AS (
+  SELECT bucket,
+         (c_t + 1) * {_PMIX_S} // (t_t + {_PMIX_B}) AS m_t,
+         (c_r + 1) * {_PMIX_S} // (t_r + {_PMIX_B}) AS m_r
+  FROM model CROSS JOIN mtot
+), scored AS (
+  SELECT tok.doc_id, MAX(tok.lang) AS lang,
+         SUM(m.m_t - m.m_r) AS dsir_score
+  FROM tok JOIN m USING (bucket) GROUP BY tok.doc_id
+), selected AS (
+  SELECT doc_id, lang FROM scored
+  ORDER BY dsir_score DESC, doc_id LIMIT {_PMIX_KEEP}
+), n AS (
+  SELECT lang, COUNT(*) AS n_selected FROM selected GROUP BY lang
+), w AS (
+  SELECT lang, n_selected, sqrt(CAST(n_selected AS DOUBLE)) AS wt,
+         SUM(sqrt(CAST(n_selected AS DOUBLE)))
+           OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum_wt,
+         SUM(n_selected) OVER () AS total_sel
+  FROM n
+), plan AS (
+  SELECT lang, n_selected,
+         CAST(FLOOR(total_sel * wt / MAX(cum_wt) OVER ()) AS BIGINT)
+           AS target_docs
+  FROM w
+), thr AS (
+  SELECT lang, n_selected, target_docs,
+         LEAST({_PMIX_D}, target_docs * {_PMIX_D} // n_selected) AS threshold
+  FROM plan
+), drawn AS (
+  SELECT s.lang, s.doc_id, t.n_selected, t.target_docs, t.threshold,
+         {_PMIX_SHA32_DUCK.format(col="'pmix:' || doc_id")} % {_PMIX_D}
+           < t.threshold AS keep
+  FROM selected s JOIN thr t USING (lang)
+), gate_n AS (
+  SELECT lang, COUNT(*) AS n_gated FROM gated GROUP BY lang
+)
+SELECT d.lang,
+       CAST(MAX(gn.n_gated) AS BIGINT) AS n_gated,
+       CAST(MAX(d.n_selected) AS BIGINT) AS n_selected,
+       CAST(MAX(d.target_docs) AS BIGINT) AS target_docs,
+       CAST(MAX(d.threshold) AS BIGINT) AS threshold,
+       CAST(SUM(CASE WHEN d.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN d.keep THEN d.doc_id ELSE 0 END) AS BIGINT)
+         AS id_checksum
+FROM drawn d JOIN gate_n gn USING (lang)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@register(
+    "pipeline_dsir_mixture",
+    oracle=_PMIX_ORACLE,
+    tags=("pipeline", "text", "training", "sample"),
+)
+def pipeline_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-side pretraining pipeline, composed (the counterpart
+    of the cleaning-side pipeline_pretraining_curation_neardup):
+
+        documents
+          → Gopher quality gate      (text_gopher_rules' keep rules)
+          → DSIR target selection    (text_dsir_importance's
+                                      hashed-unigram importance margin,
+                                      fitted ON THE GATED corpus with
+                                      above-median-length docs as the
+                                      target-domain proxy; the top-200
+                                      docs by importance margin survive
+                                      — a RANKED budget, not a zero
+                                      threshold: Laplace smoothing
+                                      shrinks the smaller target table
+                                      toward uniform harder than the
+                                      raw table, so raw margins sit
+                                      below zero corpus-wide and the
+                                      selection knob is the budget)
+          → temperature mixture draw (sample_temperature_draw's pure-
+                                      int64 alpha=0.5 Bernoulli, rates
+                                      planned from the SELECTED per-lang
+                                      counts — mixture statistics must
+                                      follow the surviving distribution,
+                                      the standing pipeline lesson)
+          → per-lang mixture ledger  (gated/selected/target/threshold/
+                                      kept counts + kept-id checksum)
+
+    Every stage is its standalone registration's exact semantics and
+    the DuckDB oracle replays the entire chain, so a semantic drift in
+    any stage reddens this driver row even if the standalone query
+    still passes on its own slice of the data.
+
+    Scale: gate and DSIR scoring are the shapes documented on their
+    standalone registrations (map-side gate; ≤{_PMIX_B}-row model that
+    broadcasts, token stream never shuffled by bucket); the mix plan
+    is |langs| rows broadcast back; both draws are map-side hash
+    compares. Nothing in the chain is corpus-all-pairs and the only
+    full-cardinality shuffle keys are doc_id and lang."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    kept_ids = text_gopher_rules(spark, sf_dir).filter("keep").select("doc_id")
+    # gated corpus read twice (model fit + scoring) and once for the
+    # per-lang gate counts — materialize the slim projection once
+    gated = docs.join(kept_ids, "doc_id").localCheckpoint(eager=False)
+
+    sha32 = (
+        "cast(conv(substring(sha2(cast({col} as binary), 256), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    tok = gated.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") >= _PMIX_TARGET_CHARS).alias("is_target"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).select(
+        "doc_id",
+        "lang",
+        "is_target",
+        F.expr(sha32.format(col="word") + f" % {_PMIX_B}").alias("bucket"),
+    )
+    model = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mtot = model.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
+    m = model.crossJoin(F.broadcast(mtot)).selectExpr(
+        "bucket",
+        f"(c_t + 1) * {_PMIX_S} DIV (t_t + {_PMIX_B}) AS m_t",
+        f"(c_r + 1) * {_PMIX_S} DIV (t_r + {_PMIX_B}) AS m_r",
+    )
+    scored = (
+        tok.join(F.broadcast(m), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.sum(F.col("m_t") - F.col("m_r")).alias("dsir_score"),
+        )
+    )
+    selected = (
+        scored.orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(_PMIX_KEEP)
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=False)
+    )
+
+    n = selected.groupBy("lang").agg(F.count(F.lit(1)).alias("n_selected"))
+    w = n.select(
+        "lang",
+        "n_selected",
+        F.sqrt(F.col("n_selected").cast("double")).alias("wt"),
+        F.sum(F.sqrt(F.col("n_selected").cast("double")))
+        .over(W.orderBy("lang").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_wt"),
+        F.sum("n_selected")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("total_sel"),
+    )
+    thr = w.select(
+        "lang",
+        "n_selected",
+        F.expr(
+            "CAST(FLOOR(total_sel * wt / (MAX(cum_wt) OVER ())) AS BIGINT)"
+        ).alias("target_docs"),
+    ).selectExpr(
+        "lang",
+        "n_selected",
+        "target_docs",
+        f"LEAST({_PMIX_D}, target_docs * {_PMIX_D} DIV n_selected)"
+        " AS threshold",
+    )
+    salted = "concat('pmix:', cast(doc_id AS string))"
+    drawn = (
+        selected.join(F.broadcast(thr), "lang")
+        .withColumn(
+            "keep",
+            F.expr(sha32.format(col=salted) + f" % {_PMIX_D} < threshold"),
+        )
+    )
+    gate_n = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_gated"))
+    return (
+        drawn.join(F.broadcast(gate_n), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_gated").cast("bigint").alias("n_gated"),
+            F.max("n_selected").cast("bigint").alias("n_selected"),
+            F.max("target_docs").cast("bigint").alias("target_docs"),
+            F.max("threshold").cast("bigint").alias("threshold"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
