@@ -221,13 +221,31 @@ def main() -> None:
         "wall_incl_warm": wall,
         "stream_envelope_rows_per_sec": stream_rows_per_sec,
         # partial=True marks total as NOT comparable round-over-
-        # round (a failed query's seconds are missing from it)
-        **({"errors": errors, "partial": True} if errors else {}),
+        # round (a failed query's seconds are missing from it).
+        # Error text is clipped hard here so a multi-failure cascade —
+        # exactly when the signal matters — still fits the driver's
+        # 2000-char capture; full messages live in the detail channel.
+        **(
+            {
+                "errors": {k: v[:100] for k, v in errors.items()},
+                "partial": True,
+            }
+            if errors
+            else {}
+        ),
+        # extended failures must stay visible in the parsed line, or a
+        # regression-to-failure reads as a shrinking extended_total
+        **(
+            {"partial_extended": True, "n_errors_extended": len(errors_ext)}
+            if errors_ext
+            else {}
+        ),
     }
     detail = {
         **headline,
         "queries_cold": per_query_cold,
         "queries_extended": per_query_ext,
+        **({"errors": errors} if errors else {}),
         **({"errors_extended": errors_ext} if errors_ext else {}),
     }
     print("DETAIL " + json.dumps(detail), file=sys.stderr)

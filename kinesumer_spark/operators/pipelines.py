@@ -45,8 +45,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesumer_spark.catalog import read_table
-from kinesumer_spark.operators.dedup import _minhash_cte, minhash_pairs_df
+from kinesumer_spark.operators.dedup import (
+    _minhash_cte,
+    _sha32,
+    _sha32_duck,
+    minhash_pairs_df,
+)
 from kinesumer_spark.operators.text import (
+    _DSIR_B,
+    dsir_model_cte,
+    dsir_model_df,
     _GOPHER_MIN_ALPHA,
     _GOPHER_MIN_STOP,
     _GOPHER_MWL_HI,
@@ -56,6 +64,10 @@ from kinesumer_spark.operators.text import (
     _sql_array,
     _STOPLISTS,
     text_gopher_rules,
+)
+from kinesumer_spark.operators.training_prep import (
+    temperature_plan_cte,
+    temperature_plan_df,
 )
 from kinesumer_spark.registry import register
 
@@ -380,13 +392,9 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Selection-side pipeline: gate → DSIR target selection → mixture draw ----
 
-_PMIX_B = 4096  # DSIR hash buckets (text_dsir_importance's model size)
-_PMIX_S = 1_000_000_000  # integer probability scale
 _PMIX_D = 1_000_000  # mix-draw Bernoulli denominator
 _PMIX_TARGET_CHARS = 300  # target-domain proxy: above-median-length docs
 _PMIX_KEEP = 200  # DSIR selection budget (top-K by importance margin)
-
-_PMIX_SHA32_DUCK = "('0x' || substr(sha256({col}), 1, 8))::BIGINT"
 
 _PMIX_ORACLE = f"""
 WITH g AS (
@@ -411,47 +419,19 @@ WITH g AS (
     AND alpha_frac >= {_GOPHER_MIN_ALPHA}
 ), tok AS (
   SELECT doc_id, lang, n_chars >= {_PMIX_TARGET_CHARS} AS is_target,
-         {_PMIX_SHA32_DUCK.format(col="unnest(regexp_split_to_array(text, ' '))")}
-           % {_PMIX_B} AS bucket
+         {_sha32_duck("unnest(regexp_split_to_array(text, ' '))")}
+           % {_DSIR_B} AS bucket
   FROM gated
-), model AS (
-  SELECT bucket, COUNT(*) AS c_r,
-         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
-  FROM tok GROUP BY bucket
-), mtot AS (
-  SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM model
-), m AS (
-  SELECT bucket,
-         (c_t + 1) * {_PMIX_S} // (t_t + {_PMIX_B}) AS m_t,
-         (c_r + 1) * {_PMIX_S} // (t_r + {_PMIX_B}) AS m_r
-  FROM model CROSS JOIN mtot
-), scored AS (
+), {dsir_model_cte("tok", "is_target")}, scored AS (
   SELECT tok.doc_id, MAX(tok.lang) AS lang,
          SUM(m.m_t - m.m_r) AS dsir_score
   FROM tok JOIN m USING (bucket) GROUP BY tok.doc_id
 ), selected AS (
   SELECT doc_id, lang FROM scored
   ORDER BY dsir_score DESC, doc_id LIMIT {_PMIX_KEEP}
-), n AS (
-  SELECT lang, COUNT(*) AS n_selected FROM selected GROUP BY lang
-), w AS (
-  SELECT lang, n_selected, sqrt(CAST(n_selected AS DOUBLE)) AS wt,
-         SUM(sqrt(CAST(n_selected AS DOUBLE)))
-           OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum_wt,
-         SUM(n_selected) OVER () AS total_sel
-  FROM n
-), plan AS (
-  SELECT lang, n_selected,
-         CAST(FLOOR(total_sel * wt / MAX(cum_wt) OVER ()) AS BIGINT)
-           AS target_docs
-  FROM w
-), thr AS (
-  SELECT lang, n_selected, target_docs,
-         LEAST({_PMIX_D}, target_docs * {_PMIX_D} // n_selected) AS threshold
-  FROM plan
-), drawn AS (
+), {temperature_plan_cte("selected", "lang", "n_selected", _PMIX_D)}, drawn AS (
   SELECT s.lang, s.doc_id, t.n_selected, t.target_docs, t.threshold,
-         {_PMIX_SHA32_DUCK.format(col="'pmix:' || doc_id")} % {_PMIX_D}
+         {_sha32_duck("'pmix:' || doc_id")} % {_PMIX_D}
            < t.threshold AS keep
   FROM selected s JOIN thr t USING (lang)
 ), gate_n AS (
@@ -523,10 +503,6 @@ def pipeline_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-lang gate counts — materialize the slim projection once
     gated = docs.join(kept_ids, "doc_id").localCheckpoint(eager=False)
 
-    sha32 = (
-        "cast(conv(substring(sha2(cast({col} as binary), 256), 1, 8), 16, 10)"
-        " as bigint)"
-    )
     tok = gated.select(
         "doc_id",
         "lang",
@@ -536,22 +512,9 @@ def pipeline_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "is_target",
-        F.expr(sha32.format(col="word") + f" % {_PMIX_B}").alias("bucket"),
+        F.expr(f"{_sha32('word')} % {_DSIR_B}").alias("bucket"),
     )
-    model = (
-        tok.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("c_r"),
-            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    mtot = model.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
-    m = model.crossJoin(F.broadcast(mtot)).selectExpr(
-        "bucket",
-        f"(c_t + 1) * {_PMIX_S} DIV (t_t + {_PMIX_B}) AS m_t",
-        f"(c_r + 1) * {_PMIX_S} DIV (t_r + {_PMIX_B}) AS m_r",
-    )
+    m = dsir_model_df(tok, F.col("is_target"))
     scored = (
         tok.join(F.broadcast(m), "bucket")
         .groupBy("doc_id")
@@ -567,37 +530,13 @@ def pipeline_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    n = selected.groupBy("lang").agg(F.count(F.lit(1)).alias("n_selected"))
-    w = n.select(
-        "lang",
-        "n_selected",
-        F.sqrt(F.col("n_selected").cast("double")).alias("wt"),
-        F.sum(F.sqrt(F.col("n_selected").cast("double")))
-        .over(W.orderBy("lang").rowsBetween(W.unboundedPreceding, 0))
-        .alias("cum_wt"),
-        F.sum("n_selected")
-        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("total_sel"),
-    )
-    thr = w.select(
-        "lang",
-        "n_selected",
-        F.expr(
-            "CAST(FLOOR(total_sel * wt / (MAX(cum_wt) OVER ())) AS BIGINT)"
-        ).alias("target_docs"),
-    ).selectExpr(
-        "lang",
-        "n_selected",
-        "target_docs",
-        f"LEAST({_PMIX_D}, target_docs * {_PMIX_D} DIV n_selected)"
-        " AS threshold",
-    )
+    thr = temperature_plan_df(selected, "lang", "n_selected", _PMIX_D)
     salted = "concat('pmix:', cast(doc_id AS string))"
     drawn = (
         selected.join(F.broadcast(thr), "lang")
         .withColumn(
             "keep",
-            F.expr(sha32.format(col=salted) + f" % {_PMIX_D} < threshold"),
+            F.expr(f"{_sha32(salted)} % {_PMIX_D} < threshold"),
         )
     )
     gate_n = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_gated"))

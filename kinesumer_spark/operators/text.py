@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesumer_spark.catalog import read_table
+from kinesumer_spark.operators.dedup import _sha32, _sha32_duck
 from kinesumer_spark.registry import register
 
 
@@ -1577,34 +1578,55 @@ _DSIR_S = 1_000_000_000  # integer probability scale
 _DSIR_TOP = 200
 
 
-def _dsir_sha32(col: str) -> str:
-    """Spark SQL: first 4 bytes of sha256 as int64 (the repo-standard
-    portable hash — see operators/dedup.py:_sha32)."""
-    return (
-        f"cast(conv(substring(sha2(cast({col} as binary), 256), 1, 8), 16, 10)"
-        " as bigint)"
+def dsir_model_cte(tok: str, target_pred: str) -> str:
+    """DuckDB CTE fragment fitting the DSIR bucket model over a token
+    CTE ``tok`` (columns: bucket + whatever ``target_pred`` reads).
+    Emits CTEs ``dmodel``/``dtot``/``m`` — ``m(bucket, m_t, m_r)`` is
+    the Laplace-smoothed integer probability table. ONE definition
+    shared by the standalone oracle and the pipeline oracle so the two
+    can never drift (r10 review)."""
+    return f"""dmodel AS (
+  SELECT bucket, COUNT(*) AS c_r,
+         SUM(CASE WHEN {target_pred} THEN 1 ELSE 0 END) AS c_t
+  FROM {tok} GROUP BY bucket
+), dtot AS (
+  SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM dmodel
+), m AS (
+  SELECT bucket,
+         (c_t + 1) * {_DSIR_S} // (t_t + {_DSIR_B}) AS m_t,
+         (c_r + 1) * {_DSIR_S} // (t_r + {_DSIR_B}) AS m_r
+  FROM dmodel CROSS JOIN dtot
+)"""
+
+
+def dsir_model_df(tok: DataFrame, target: Column) -> DataFrame:
+    """Spark twin of ``dsir_model_cte``: fit the ≤_DSIR_B-row model
+    over a (bucket, …) token DataFrame and return (bucket, m_t, m_r).
+    localCheckpoint truncates the fit lineage so consumers never
+    re-scan the corpus for the totals branch (plan-audited)."""
+    model = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(F.when(target, 1).otherwise(0)).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = model.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
+    return model.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        f"(c_t + 1) * {_DSIR_S} DIV (t_t + {_DSIR_B}) AS m_t",
+        f"(c_r + 1) * {_DSIR_S} DIV (t_r + {_DSIR_B}) AS m_r",
     )
 
 
 _DSIR_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, lang,
-         ('0x' || substr(sha256(unnest(regexp_split_to_array(text, ' '))), 1, 8))::BIGINT
+         {_sha32_duck("unnest(regexp_split_to_array(text, ' '))")}
            % {_DSIR_B} AS bucket
   FROM documents
-), model AS (
-  SELECT bucket,
-         COUNT(*) AS c_r,
-         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
-  FROM tok GROUP BY bucket
-), tot AS (
-  SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM model
-), m AS (
-  SELECT bucket,
-         (c_t + 1) * {_DSIR_S} // (t_t + {_DSIR_B}) AS m_t,
-         (c_r + 1) * {_DSIR_S} // (t_r + {_DSIR_B}) AS m_r
-  FROM model CROSS JOIN tot
-)
+), {dsir_model_cte("tok", "lang = 'en'")}
 SELECT tok.doc_id,
        MAX(tok.lang) AS lang,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -1655,29 +1677,9 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "lang",
-        F.expr(f"{_dsir_sha32('word')} % {_DSIR_B}").alias("bucket"),
+        F.expr(f"{_sha32('word')} % {_DSIR_B}").alias("bucket"),
     )
-    # Materialize the ≤_DSIR_B-row model once (lazy localCheckpoint):
-    # both the totals branch and the smoothing branch reference it, and
-    # Catalyst does not reuse a subtree across branches — unchecked, the
-    # one-row totals aggregate re-scanned and re-exploded the whole
-    # corpus (plan-audited: 3 parquet scans → 2).
-    model = (
-        tok.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("c_r"),
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    tot = model.agg(
-        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
-    )
-    m = model.crossJoin(F.broadcast(tot)).selectExpr(
-        "bucket",
-        f"(c_t + 1) * {_DSIR_S} DIV (t_t + {_DSIR_B}) AS m_t",
-        f"(c_r + 1) * {_DSIR_S} DIV (t_r + {_DSIR_B}) AS m_r",
-    )
+    m = dsir_model_df(tok, F.col("lang") == "en")
     return (
         tok.join(F.broadcast(m), "bucket")
         .groupBy("doc_id")

@@ -384,27 +384,71 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_plan_cte(src: str, key: str, count_alias: str, d: int) -> str:
+    """DuckDB CTE fragment: the alpha=0.5 temperature plan + integer
+    draw threshold over ``src`` rows grouped by ``key``. Emits CTEs
+    ``tn``/``tw``/``tplan``/``thr`` — ``thr({key}, {count_alias},
+    target_docs, threshold)``. ONE definition shared by the standalone
+    sample_temperature_draw oracle and the pipeline oracle so the plan
+    arithmetic can never drift between them (r10 review). Portability
+    discipline per resample_temperature: IEEE-exact sqrt weights, an
+    ORDERED running sum for the total, int64 after the FLOOR."""
+    return f"""tn AS (
+  SELECT {key} AS k, COUNT(*) AS n FROM {src} GROUP BY {key}
+), tw AS (
+  SELECT k, n, sqrt(CAST(n AS DOUBLE)) AS wt,
+         SUM(sqrt(CAST(n AS DOUBLE)))
+           OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum_wt,
+         SUM(n) OVER () AS total_n
+  FROM tn
+), tplan AS (
+  SELECT k, n,
+         CAST(FLOOR(total_n * wt / MAX(cum_wt) OVER ()) AS BIGINT)
+           AS target_docs
+  FROM tw
+), thr AS (
+  SELECT k AS {key}, n AS {count_alias}, target_docs,
+         LEAST({d}, target_docs * {d} // n) AS threshold
+  FROM tplan
+)"""
+
+
+def temperature_plan_df(
+    rows: DataFrame, key: str, count_alias: str, d: int
+) -> DataFrame:
+    """Spark twin of ``temperature_plan_cte``: group ``rows`` by
+    ``key`` and return (key, count_alias, target_docs, threshold) —
+    a |keys|-row plan table meant to be broadcast back."""
+    n = rows.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    w = n.select(
+        key,
+        "n",
+        F.sqrt(F.col("n").cast("double")).alias("wt"),
+        F.sum(F.sqrt(F.col("n").cast("double")))
+        .over(W.orderBy(key).rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_wt"),
+        F.sum("n")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("total_n"),
+    )
+    return w.select(
+        key,
+        "n",
+        F.expr(
+            "CAST(FLOOR(total_n * wt / (MAX(cum_wt) OVER ())) AS BIGINT)"
+        ).alias("target_docs"),
+    ).selectExpr(
+        key,
+        f"n AS {count_alias}",
+        "target_docs",
+        f"LEAST({d}, target_docs * {d} DIV n) AS threshold",
+    )
+
+
 _TMIX_D = 1_000_000  # integer Bernoulli denominator for the mix draw
 
 _TMIX_ORACLE = f"""
-WITH n AS (
-  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
-), w AS (
-  SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt,
-         SUM(sqrt(CAST(n_docs AS DOUBLE)))
-           OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum_wt,
-         SUM(n_docs) OVER () AS total_docs
-  FROM n
-), plan AS (
-  SELECT lang, n_docs,
-         CAST(FLOOR(total_docs * wt / MAX(cum_wt) OVER ()) AS BIGINT)
-           AS target_docs
-  FROM w
-), thr AS (
-  SELECT lang, n_docs, target_docs,
-         LEAST({_TMIX_D}, target_docs * {_TMIX_D} // n_docs) AS threshold
-  FROM plan
-), drawn AS (
+WITH {temperature_plan_cte("documents", "lang", "n_docs", _TMIX_D)}, drawn AS (
   SELECT d.lang, d.doc_id, t.n_docs, t.target_docs, t.threshold,
          {_sha32_duck("'tmix:' || doc_id")} % {_TMIX_D} < t.threshold AS keep
   FROM documents d JOIN thr t USING (lang)
@@ -453,30 +497,7 @@ def sample_temperature_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions are reproducible from doc_id alone, so shard retries and
     resumption need no state."""
     d = _t(spark, sf_dir)
-    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = n.select(
-        "lang",
-        "n_docs",
-        F.sqrt(F.col("n_docs").cast("double")).alias("wt"),
-        F.sum(F.sqrt(F.col("n_docs").cast("double")))
-        .over(W.orderBy("lang").rowsBetween(W.unboundedPreceding, 0))
-        .alias("cum_wt"),
-        F.sum("n_docs")
-        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("total_docs"),
-    )
-    thr = w.select(
-        "lang",
-        "n_docs",
-        F.expr(
-            "CAST(FLOOR(total_docs * wt / (MAX(cum_wt) OVER ())) AS BIGINT)"
-        ).alias("target_docs"),
-    ).selectExpr(
-        "lang",
-        "n_docs",
-        "target_docs",
-        f"LEAST({_TMIX_D}, target_docs * {_TMIX_D} DIV n_docs) AS threshold",
-    )
+    thr = temperature_plan_df(d, "lang", "n_docs", _TMIX_D)
     salted = "concat('tmix:', cast(doc_id AS string))"
     keep = F.expr(f"{_sha32(salted)} % {_TMIX_D} < threshold")
     return (

@@ -994,18 +994,23 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         # refresh restarts the query with a live slice) rather than
         # letting the state store's ErrEmptyShardIDs fail the start
         if self.dynamo_endpoint and shards:
-            from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
-
-            store = DynamoStateStore(
-                self.dynamo_endpoint, self.app, table=self.state_table
-            )
-            committed = store.list_check_points(
+            committed = self._state_store().list_check_points(
                 self.stream, [s["ShardId"] for s in shards]
             )
         # "" = nothing consumed yet (TRIM_HORIZON on first read); a
         # committed sequence number resumes AFTER it (exactly-once
-        # across consumer restarts via the external store)
-        return {s["ShardId"]: committed.get(s["ShardId"], "") for s in shards}
+        # across consumer restarts via the external store); the
+        # SHARD_END sentinel (written by commit() when a closed shard
+        # fully drained) restores as the drained cursor (None) — it is
+        # not a sequence number and must never feed a shard iterator
+        return {
+            s["ShardId"]: (
+                None
+                if committed.get(s["ShardId"]) == "SHARD_END"
+                else committed.get(s["ShardId"], "")
+            )
+            for s in shards
+        }
 
     def _learn_wal_position(self, *offset_dicts: dict) -> None:
         """Track the strongest position the WAL has ever shown us: the
@@ -1080,6 +1085,21 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
             self._cursor = before if before is not None else {}
             return dict(self._cursor)
 
+    def _state_store(self):
+        """Planner-side DynamoStateStore, constructed ONCE per reader:
+        construction is not free (boto3 client + the reference's
+        DescribeTable reachability ping, statestore.go:61-63), and the
+        gate/commit paths run every planning round."""
+        store = getattr(self, "_store", None)
+        if store is None:
+            from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
+
+            store = DynamoStateStore(
+                self.dynamo_endpoint, self.app, table=self.state_table
+            )
+            self._store = store
+        return store
+
     def _parent_drained(self, parent_id: str) -> bool:
         """Is a CLOSED parent shard fully consumed, so its children may
         be admitted?
@@ -1089,10 +1109,15 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
           closed-and-drained sentinel (None) — the single-client path.
         - parent owned by ANOTHER client (ownership filter excludes it)
           and a DynamoDB state store is configured: drained iff that
-          store's committed checkpoint for the parent reached its
-          EndingSequenceNumber (length-then-lex, real seqnums exceed
-          decimal(38,0)) or is the KCL-style ``SHARD_END`` sentinel —
-          the externally-visible drain signal (r9 advisory).
+          store's committed checkpoint for the parent is the KCL-style
+          ``SHARD_END`` sentinel — which the owning reader's commit()
+          writes itself once the drained shard's records are durably
+          committed (one batch after drain; see commit()) — or reached
+          its EndingSequenceNumber (length-then-lex; satisfiable only
+          by app-level committers on feeds whose last record's sequence
+          IS the ending sequence — real Kinesis sequence numbers are
+          sparse in the shard range, so SHARD_END is the real-service
+          path, r10 review).
         - foreign parent with NO state store: there is no cross-client
           drain signal at all, so lineagegate cannot order across the
           boundary — documented contract: lineagegate without
@@ -1111,14 +1136,9 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
         self._foreign_drained = drained
         if parent_id in drained:
             return True
-        from kinesumer_spark.sources.dynamo_wire import DynamoStateStore
-
-        store = DynamoStateStore(
-            self.dynamo_endpoint, self.app, table=self.state_table
-        )
-        committed = store.list_check_points(self.stream, [parent_id]).get(
-            parent_id
-        )
+        committed = self._state_store().list_check_points(
+            self.stream, [parent_id]
+        ).get(parent_id)
         ending = getattr(self, "_ending", {}).get(parent_id)
         ok = committed is not None and (
             committed == "SHARD_END"
@@ -1379,8 +1399,39 @@ class KinesumerWireStreamReader(DataSourceStreamReader):
                 )
             position = {"Type": "AT_SEQUENCE_NUMBER", "SequenceNumber": cont}
 
-    def commit(self, end: dict) -> None:  # WAL owns the checkpoint
-        pass
+    def commit(self, end: dict) -> None:
+        """Spark's WAL owns the per-query checkpoint, so nothing is
+        written for ordinary progress. ONE external write remains: when
+        a closed shard is fully drained AND its records are durably
+        committed (this callback fires after the batch is), record the
+        KCL-style ``SHARD_END`` sentinel in the shared state store.
+        Against real Kinesis a drained parent's data checkpoints can
+        NEVER reach its EndingSequenceNumber (record sequence numbers
+        are sparse in the shard's sequence range; consumers detect
+        shard end via NextShardIterator == null, not seq comparison),
+        so without this write the cross-client lineage gate
+        (_parent_drained) would block a foreign child forever. Written
+        once per shard, idempotent under replay."""
+        if not self.dynamo_endpoint:
+            return
+        done = getattr(self, "_shard_end_written", set())
+        self._shard_end_written = done
+        drained = [
+            sid for sid, s in end.items() if s is None and sid not in done
+        ]
+        if not drained:
+            return
+        self._state_store().update_check_points(
+            [
+                {
+                    "stream": self.stream,
+                    "shard_id": sid,
+                    "sequence_number": "SHARD_END",
+                }
+                for sid in drained
+            ]
+        )
+        done.update(drained)
 
 
 class _WirePutResult(WriterCommitMessage):

@@ -365,13 +365,24 @@ class _PutRecordsWriterBase:
 
         own = f"task-{self.job_token}-"
         cutoff = _time.time() - self.staging_ttl
+
+        def _sweep(entry, own_file: bool) -> None:
+            # a CONCURRENT job can publish (os.replace away) or janitor
+            # a foreign entry between our scandir and the stat/remove —
+            # a vanished entry is someone else's successful cleanup,
+            # never a reason to fail a commit whose manifest is already
+            # visible (a retried "failed" job would duplicate rows)
+            try:
+                if own_file or entry.stat().st_mtime < cutoff:
+                    os.remove(entry.path)
+            except FileNotFoundError:
+                pass
+
         staging = os.path.join(self.path, "_staging")
         if os.path.isdir(staging):
             for e in os.scandir(staging):
-                if e.is_file() and (
-                    e.name.startswith(own) or e.stat().st_mtime < cutoff
-                ):
-                    os.remove(e.path)
+                if e.is_file():
+                    _sweep(e, e.name.startswith(own))
         # a publish that crashed between fsync and rename leaves a stale
         # .manifest-*.json.tmp — never reader-visible (dot-prefixed,
         # excluded by _list_manifests) but accumulating; TTL-swept here
@@ -382,9 +393,8 @@ class _PutRecordsWriterBase:
                 e.is_file()
                 and e.name.startswith(".manifest-")
                 and e.name.endswith(".tmp")
-                and e.stat().st_mtime < cutoff
             ):
-                os.remove(e.path)
+                _sweep(e, False)
 
     def _discard(self, messages) -> None:
         for m in messages:

@@ -1867,6 +1867,80 @@ def test_kinesis_wire_foreign_parent_gates_via_statestore():
         assert all(off[k] != "" for k in kids), off
 
 
+def test_kinesis_wire_commit_records_shard_end_sentinel(spark, tmp_path):
+    """r10 review: against real Kinesis a drained shard's data
+    checkpoints can never reach its EndingSequenceNumber (sequence
+    numbers are sparse in the shard's range), so the reader itself must
+    translate drain — cursor None, records durably committed — into a
+    KCL-style SHARD_END write to the shared store, or the cross-client
+    lineage gate could never open. Drive a REAL streaming query (Spark
+    calls commit()) and assert the sentinel lands, and that a fresh
+    reader restores it as the drained cursor, not a sequence number."""
+    from kinesumer_spark.sources.dynamo_wire import (
+        DynamoStateStore,
+        FakeDynamoServer,
+    )
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        KinesumerWireStreamReader,
+        register_wire_source,
+        resharded_stream,
+    )
+
+    from kinesumer_spark.sources.kinesis_wire import wire_client
+
+    register_wire_source(spark)
+    parent = "shardId-000000000000"
+    with FakeKinesisServer(resharded_stream("wire", 10)) as ksrv, (
+        FakeDynamoServer()
+    ) as dsrv:
+        q = (
+            spark.readStream.format("kinesumer_wire")
+            .option("endpoint", ksrv.url)
+            .option("stream", "wire")
+            .option("scanlimit", "50")
+            .option("dynamoendpoint", dsrv.url)
+            .option("app", "analytics")
+            .load()
+            .writeStream.format("memory")
+            .queryName("shard_end_probe")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # Spark commits a batch's offsets to the source when the NEXT
+            # batch is constructed — the sentinel for the batch that
+            # observed the drain lands one batch later. In a live stream
+            # batches keep coming; here a live record forces the next one.
+            wire_client(ksrv.url).put_records(
+                StreamName="wire",
+                Records=[{"Data": b'{"k": 999}', "PartitionKey": "late"}],
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        store = DynamoStateStore(dsrv.url, "analytics")
+        cps = store.list_check_points("wire", [parent])
+        assert cps.get(parent) == "SHARD_END", cps
+        # all 31 records (parent 10 + children 20 + the late put) delivered
+        assert spark.table("shard_end_probe").count() == 31
+        # a fresh consumer restores the sentinel as the drained cursor
+        r = KinesumerWireStreamReader(
+            None,
+            {
+                "endpoint": ksrv.url,
+                "stream": "wire",
+                "dynamoendpoint": dsrv.url,
+                "app": "analytics",
+            },
+        )
+        assert r.initialOffset()[parent] is None
+
+
 def test_kinesis_wire_empty_filtered_slice_starts_idle():
     """r9 advisory: a stale ``shards`` assignment that matches zero
     shards after a reshard shrank the topology must start IDLE (empty
