@@ -1322,3 +1322,197 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "shared", "n_smaller", "containment")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -- Content-defined chunking (CDC) ------------------------------------------
+#
+# The storage/dataset-dedup primitive (LBFS/rsync lineage): cut each
+# document at positions where the hash of the trailing w-byte window
+# hits a fixed residue, so chunk boundaries follow CONTENT, not offsets
+# — an insertion early in a document shifts every fixed-stride span but
+# leaves all later CDC chunks identical, which is what makes chunk
+# fingerprints reusable across document versions. Basic CDC (no
+# min/max chunk bounds) keeps every boundary decision an INDEPENDENT
+# per-position predicate, so the whole chunker is one higher-order
+# expression over the text column — no explode, no shuffle, no Python.
+# (Min/max-bounded variants make boundaries sequential-state-dependent;
+# that version belongs in mapInPandas and is not needed for
+# fingerprinting.) Expected chunk length = the modulus (64 bytes here,
+# window w = 8).
+
+_CDC_W = 8  # rolling window bytes
+_CDC_M = 64  # boundary modulus -> expected chunk length
+
+
+_CDC_ALLB_SPARK = """CASE WHEN size(cdc_bounds) > 0
+          AND element_at(cdc_bounds, -1) = length(text)
+     THEN cdc_bounds
+     ELSE concat(cdc_bounds, array(length(text))) END"""
+
+_CDC_CHUNKS_SPARK = """transform(cdc_allb,
+  (x, j) -> substring(text,
+                      CASE WHEN j = 0 THEN 0
+                           ELSE element_at(cdc_allb, j) END + 1,
+                      x - CASE WHEN j = 0 THEN 0
+                           ELSE element_at(cdc_allb, j) END))"""
+
+
+def _cdc_bounds_spark() -> str:
+    """Spark SQL expression: text -> ascending array<int> of cut
+    positions (position i cuts AFTER character i when the hash of the
+    trailing window hits the residue)."""
+    bound_hash = _sha32(f"substring(text, i - {_CDC_W - 1}, {_CDC_W})")
+    return f"""filter(
+      transform(
+        CASE WHEN length(text) >= {_CDC_W}
+             THEN sequence({_CDC_W}, length(text)) ELSE array() END,
+        i -> CASE WHEN {bound_hash} % {_CDC_M} = {_CDC_M - 1} THEN i END),
+      x -> x IS NOT NULL)"""
+
+
+_CDC_DUCK_CHUNKS = f"""
+b AS (
+  SELECT doc_id, text, length(text) AS len,
+         list_filter(
+           list_transform(range({_CDC_W}, length(text) + 1),
+             i -> CASE WHEN {_sha32_duck(f"substr(text, CAST(i AS INTEGER) - {_CDC_W - 1}, {_CDC_W})")}
+                            % {_CDC_M} = {_CDC_M - 1}
+                       THEN i END),
+           x -> x IS NOT NULL) AS bounds
+  FROM documents
+), ab AS (
+  SELECT doc_id, text, len,
+         CASE WHEN len(bounds) > 0 AND bounds[-1] = len THEN bounds
+              ELSE list_append(bounds, len) END AS allb
+  FROM b
+), ch AS (
+  SELECT doc_id, len,
+         list_transform(allb, (x, i) ->
+           substr(text,
+                  CAST(CASE WHEN i = 1 THEN 0 ELSE allb[i - 1] END AS INTEGER) + 1,
+                  CAST(x - CASE WHEN i = 1 THEN 0 ELSE allb[i - 1] END AS INTEGER)))
+           AS chunks
+  FROM ab
+)"""
+
+_CDC_ORACLE = f"""
+WITH {_CDC_DUCK_CHUNKS}
+SELECT doc_id,
+       CAST(len(chunks) AS BIGINT) AS n_chunks,
+       CAST(list_max(list_transform(chunks, c -> length(c))) AS BIGINT)
+         AS max_chunk_len,
+       CAST(list_sum(list_transform(chunks,
+              c -> {_sha32_duck("c")})) AS BIGINT) AS chunk_checksum,
+       CAST(len AS BIGINT) AS bytes_total
+FROM ch
+ORDER BY doc_id
+"""
+
+
+@register("dedup_cdc_chunking", oracle=_CDC_ORACLE, tags=("dedup", "text"))
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content-defined chunk fingerprints: cut positions
+    where sha32 of the trailing {_CDC_W}-byte window ≡ {_CDC_M - 1}
+    (mod {_CDC_M}), final boundary forced at end-of-text; emit the
+    chunk count, the largest chunk, the sum of chunk fingerprints (the
+    content-addressed identity the reuse query joins on), and the byte
+    total (= doc length — conservation is part of the contract).
+
+    Scale: the entire chunker is higher-order Catalyst expressions
+    (sequence → transform → filter → transform) evaluated per row in
+    the scan stage — zero shuffles, zero Python, no exploded copies of
+    the text; per-row cost is O(len·w) window hashes, embarrassingly
+    parallel. A production deployment swaps the sha window hash for a
+    gear/rolling hash inside the same lambda. Boundary decisions are
+    per-position independent (basic CDC), which is exactly what makes
+    this expressible without a sequential pass."""
+    d = _t(spark, sf_dir, "documents")
+    chunked = (
+        d.select(
+            "doc_id", "text", F.expr(_cdc_bounds_spark()).alias("cdc_bounds")
+        )
+        .withColumn("cdc_allb", F.expr(_CDC_ALLB_SPARK))
+        .select("doc_id", F.expr(_CDC_CHUNKS_SPARK).alias("chunks"))
+    )
+    return chunked.select(
+        "doc_id",
+        F.size("chunks").cast("bigint").alias("n_chunks"),
+        F.expr("array_max(transform(chunks, c -> length(c)))")
+        .cast("bigint")
+        .alias("max_chunk_len"),
+        F.expr(
+            f"aggregate(chunks, CAST(0 AS BIGINT), (acc, c) -> acc + {_sha32('c')})"
+        ).alias("chunk_checksum"),
+        F.expr("aggregate(chunks, CAST(0 AS BIGINT), (acc, c) -> acc + length(c))")
+        .alias("bytes_total"),
+    ).orderBy("doc_id")
+
+
+_CDC_REUSE_ORACLE = f"""
+WITH {_CDC_DUCK_CHUNKS}, ex AS (
+  SELECT doc_id, unnest(chunks) AS chunk FROM ch
+), fp AS (
+  SELECT {_sha32_duck("chunk")} AS h, length(chunk) AS clen FROM ex
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks_total,
+       CAST(COUNT(DISTINCT (h, clen)) AS BIGINT) AS n_chunks_distinct,
+       CAST(SUM(clen) AS BIGINT) AS bytes_total,
+       CAST((SELECT SUM(clen) FROM (SELECT DISTINCT h, clen FROM fp))
+         AS BIGINT) AS bytes_stored,
+       CAST(SUM(clen) - (SELECT SUM(clen)
+                         FROM (SELECT DISTINCT h, clen FROM fp))
+         AS BIGINT) AS bytes_saved
+FROM fp
+"""
+
+
+@register(
+    "dedup_cdc_chunk_reuse", oracle=_CDC_REUSE_ORACLE, tags=("dedup", "text")
+)
+def dedup_cdc_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level chunk-store accounting over the CDC fingerprints:
+    how many chunks a content-addressed store would hold (distinct
+    (fingerprint, length) pairs) vs. how many the corpus emits, and
+    the byte savings — the question CDC exists to answer, and the
+    cross-document counterpart of dedup_cdc_chunking's per-doc rows
+    (boundaries being content-defined is what lets two documents
+    sharing a paragraph produce bit-identical middle chunks).
+
+    Scale: chunking stays map-side (see dedup_cdc_chunking); only
+    16-byte (fingerprint, length) pairs shuffle — never chunk text —
+    and the distinct-pair aggregate is the same partial-combine shape
+    as dedup_exact. One corpus scan."""
+    d = _t(spark, sf_dir, "documents")
+    fp = (
+        d.select(
+            "doc_id", "text", F.expr(_cdc_bounds_spark()).alias("cdc_bounds")
+        )
+        .withColumn("cdc_allb", F.expr(_CDC_ALLB_SPARK))
+        .select(F.explode(F.expr(_CDC_CHUNKS_SPARK)).alias("chunk"))
+        .select(
+            F.expr(_sha32("chunk")).alias("h"),
+            F.length("chunk").alias("clen"),
+        )
+    )
+    tot = fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks_total"),
+        F.sum("clen").cast("bigint").alias("bytes_total"),
+    )
+    dis = (
+        fp.select("h", "clen")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks_distinct"),
+            F.sum("clen").cast("bigint").alias("bytes_stored"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(dis))
+        .select(
+            "n_chunks_total",
+            "n_chunks_distinct",
+            "bytes_total",
+            "bytes_stored",
+            (F.col("bytes_total") - F.col("bytes_stored")).alias("bytes_saved"),
+        )
+    )

@@ -600,3 +600,16 @@ def test_asof_nearest_is_banded_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_cdc_chunker_is_one_scan_no_python(spark):
+    """dedup_cdc_chunking: the whole chunker is higher-order Catalyst
+    expressions in the scan stage — ONE parquet scan, no Python, no
+    Generate (no exploded text copies), no join; the only exchange is
+    the final orderBy's range partitioning."""
+    df = _df(spark, "dedup_cdc_chunking")
+    plan = plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(read_schemas(df)) == 1, plan
