@@ -198,6 +198,7 @@ class _KinesisApi:
         # consume loop (kinesumer.go:667-675, 685-688)
         self.stream_status = {name: "ACTIVE" for name in streams}
         self.riue_raised = 0
+        self.consumer_riue = 0  # RegisterStreamConsumer name collisions raised
         # cap ListShards page size server-side (0 = honor MaxResults
         # only): forces NextToken pagination so wide topologies are
         # exercisable — the loop the reference runs at
@@ -259,6 +260,28 @@ class _KinesisApi:
             raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
         self.stream_status[stream] = "DELETING"
         return {}
+
+    def op_DescribeStream(self, body: dict) -> dict:
+        """The name→ARN resolution step of the reference's EFO init
+        (kinesumer.go:408-416: DescribeStream yields the StreamARN that
+        RegisterStreamConsumer and ListStreamConsumers require)."""
+        stream = body["StreamName"]
+        shards = self.streams.get(stream)
+        if shards is None:
+            raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
+        status = self.stream_status.get(stream, "ACTIVE")
+        return {
+            "StreamDescription": {
+                "StreamName": stream,
+                "StreamARN": self._stream_arn(stream),
+                "StreamStatus": status,
+                "Shards": [],  # topology rides ListShards (paginated)
+                "HasMoreShards": True,
+                "RetentionPeriodHours": 24,
+                "StreamCreationTimestamp": 1700000000.0,
+                "EnhancedMonitoring": [],
+            }
+        }
 
     def op_ListShards(self, body: dict) -> dict:
         # the real API contract: StreamName XOR NextToken — a token
@@ -539,6 +562,18 @@ class _KinesisApi:
             raise _ApiError("ResourceNotFoundException", f"no stream {stream}")
         name = body["ConsumerName"]
         arn = f"{self._stream_arn(stream)}/consumer/{name}:1700000001"
+        # real-service contract: registering a name that already exists
+        # on the stream is ResourceInUseException — the caller recovers
+        # by adopting the existing consumer via ListStreamConsumers
+        # (kinesumer.go:425-449). The old fake silently re-created the
+        # doc, resetting an ACTIVE consumer to CREATING (r10).
+        if arn in self.consumers:
+            with self.lock:
+                self.consumer_riue += 1
+            raise _ApiError(
+                "ResourceInUseException",
+                f"consumer {name} already exists on {stream}",
+            )
         with self.lock:
             doc = {
                 "ConsumerName": name,
@@ -805,12 +840,40 @@ def wire_client(endpoint: str):
 
 
 def register_efo_consumer(client, stream: str, name: str) -> str:
-    """RegisterStreamConsumer + the reference's poll-until-ACTIVE loop
-    (O19; kinesumer.go EFO init) — returns the ConsumerARN."""
-    arn = client.register_stream_consumer(
-        StreamARN=f"arn:aws:kinesis:us-east-1:000000000000:stream/{stream}",
-        ConsumerName=name,
-    )["Consumer"]["ConsumerARN"]
+    """The reference's FULL EFO registry init (O19,
+    kinesumer.go:372-470), returns the ConsumerARN:
+
+    1. DescribeStream resolves the stream name to its ARN (the registry
+       APIs take ARNs, not names — kinesumer.go:408-416).
+    2. RegisterStreamConsumer; an already-registered name raises
+       ResourceInUseException, recovered by ADOPTING the existing
+       consumer via ListStreamConsumers(MaxResults=20) + name match
+       (kinesumer.go:425-449) — the branch that makes a consumer-group
+       restart (or a second client of the same app) idempotent instead
+       of fatal.
+    3. Poll DescribeStreamConsumer until ACTIVE, bounded
+       (kinesumer.go:378-405; an adopted consumer is typically ACTIVE
+       on the first poll)."""
+    from botocore.exceptions import ClientError
+
+    stream_arn = client.describe_stream(StreamName=stream)[
+        "StreamDescription"
+    ]["StreamARN"]
+    try:
+        arn = client.register_stream_consumer(
+            StreamARN=stream_arn, ConsumerName=name
+        )["Consumer"]["ConsumerARN"]
+    except ClientError as e:
+        if e.response["Error"]["Code"] != "ResourceInUseException":
+            raise
+        consumers = client.list_stream_consumers(
+            StreamARN=stream_arn, MaxResults=20
+        )["Consumers"]
+        arn = next(
+            c["ConsumerARN"]
+            for c in consumers
+            if c["ConsumerName"] == name
+        )
     for _ in range(50):
         desc = client.describe_stream_consumer(ConsumerARN=arn)[
             "ConsumerDescription"

@@ -3310,6 +3310,140 @@ def coordination_multiclient_handoff(
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -- EFO registry shared across clients: the RIUE-adoption branch ---------
+
+_EFO_SHARED_ORACLE = f"""
+SELECT CASE WHEN i // {_WIRE_PER_SHARD} < 2 THEN 'c-a' ELSE 'c-b' END
+         AS client_id,
+       'shardId-' || lpad(CAST(i // {_WIRE_PER_SHARD} AS VARCHAR), 12, '0')
+         AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       lpad(CAST(MIN(i) AS VARCHAR), 21, '0') AS min_seq,
+       lpad(CAST(MAX(i) AS VARCHAR), 21, '0') AS max_seq,
+       CAST(SUM((i * 31 + i // {_WIRE_PER_SHARD}) % 1000) AS BIGINT) AS sum_k
+FROM range(0, {4 * _WIRE_PER_SHARD}) t(i)
+GROUP BY 1, 2
+ORDER BY client_id, shard_id
+"""
+
+
+@register(
+    "stream_kinesis_efo_shared_registry",
+    oracle=_EFO_SHARED_ORACLE,
+    tags=("streaming", "wire", "efo", "coordination"),
+)
+def stream_kinesis_efo_shared_registry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The O19 registry branch no prior round executed: TWO clients of
+    the same consumer group init EFO with the SAME consumer name (the
+    reference derives it from the app name, kinesumer.go:373-375), so
+    the second RegisterStreamConsumer hits ResourceInUseException and
+    must ADOPT the existing consumer via ListStreamConsumers + name
+    match (kinesumer.go:425-449 — the branch that makes group restarts
+    and multi-client init idempotent instead of fatal). The fake now
+    enforces the real RIUE contract (it used to silently re-create the
+    consumer, resetting ACTIVE → CREATING), and the query asserts the
+    collision actually fired and both clients hold the SAME ARN. Each
+    client then consumes its range-assigned slice over EFO push with
+    the shared ARN — per-consumer fan-out is shared group
+    infrastructure, exactly the reference's deployment shape — and the
+    union must deliver the full feed exactly once. Teardown runs the
+    reference's deregister (kinesumer.go:471-484): the first wins, the
+    second observes ResourceNotFound (one registry entry ever existed),
+    tolerated like the reference's logged-not-fatal deregister error.
+
+    Scale: registration is O(1) control-plane per stream per group;
+    the adoption path adds one ListStreamConsumers page. Nothing here
+    touches the data plane's cost model."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from botocore.exceptions import ClientError
+
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_efo_consumer,
+        register_wire_source,
+        simple_stream,
+        wire_client,
+    )
+
+    register_wire_source(spark)
+    work = tempfile.mkdtemp(prefix="ks_efo_shared_")
+    try:
+        with FakeKinesisServer(
+            simple_stream("wire", _WIRE_SHARDS, _WIRE_PER_SHARD)
+        ) as srv:
+            client = wire_client(srv.url)
+            arn_a = register_efo_consumer(client, "wire", "analytics")
+            arn_b = register_efo_consumer(client, "wire", "analytics")
+            if arn_a != arn_b:
+                raise AssertionError("adoption returned a different ARN")
+            if srv.api.consumer_riue < 1:
+                raise AssertionError(
+                    "the name collision never fired — the adoption "
+                    "branch went unexercised"
+                )
+
+            def run_client(client_id: str, owned: list) -> None:
+                def capture(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    batch_df.withColumn(
+                        "client_id", F.lit(client_id)
+                    ).write.mode("append").parquet(work)
+
+                q = (
+                    spark.readStream.format("kinesumer_wire")
+                    .option("endpoint", srv.url)
+                    .option("stream", "wire")
+                    .option("scanlimit", _WIRE_SCAN)
+                    .option("mode", "efo")
+                    .option("consumerarn", arn_a)
+                    .option("shards", ",".join(owned))
+                    .load()
+                    .writeStream.foreachBatch(capture)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    q.awaitTermination()
+
+            run_client("c-a", [f"shardId-{i:012d}" for i in (0, 1)])
+            run_client("c-b", [f"shardId-{i:012d}" for i in (2, 3)])
+
+            client.deregister_stream_consumer(ConsumerARN=arn_a)
+            try:
+                client.deregister_stream_consumer(ConsumerARN=arn_b)
+                raise AssertionError(
+                    "second deregister succeeded — two registry entries?"
+                )
+            except ClientError as e:
+                if (
+                    e.response["Error"]["Code"]
+                    != "ResourceNotFoundException"
+                ):
+                    raise
+        res = (
+            spark.read.parquet(work)
+            .groupBy("client_id", "shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("sequence_number").alias("min_seq"),
+                F.max("sequence_number").alias("max_seq"),
+                F.sum("payload_k").cast("bigint").alias("sum_k"),
+            )
+            .orderBy("client_id", "shard_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # -- Multi-client reshard ordering: lineage gate over the shared store ----
 
 _WIRE_MC_LINEAGE_ORACLE = f"""
