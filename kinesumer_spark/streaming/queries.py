@@ -490,6 +490,64 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_stateful_totals_rocksdb",
+    oracle=_STREAM_STATEFUL_ORACLE,
+    tags=("streaming", "stateful", "scale"),
+)
+def stream_stateful_totals_rocksdb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stream_stateful_totals under the RocksDB state store provider —
+    the 100 TB answer for streaming state: the default HDFS-backed
+    provider holds every key's state IN EXECUTOR HEAP, so a key space
+    that outgrows memory (billions of users, long watermarks, big
+    stream-stream join buffers) OOMs; RocksDBStateStoreProvider spills
+    state to local SSD with changelog checkpointing and is the
+    documented production choice for large-state queries. Same custom
+    stateful operator, same oracle — the driver row hash-proves the
+    state BACKEND swap changes nothing semantically, which is exactly
+    the property that makes the swap safe to flip in production.
+
+    The provider conf is read per-query at stream start; it is set for
+    this query and restored after, so sibling queries keep the session
+    default."""
+    from kinesumer_spark.streaming.stateful import running_user_totals
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("value"),
+        )
+        totals = running_user_totals(ev)
+        emitted = _run_to_table(
+            totals, "ks_stream_stateful_rocks", mode="update"
+        )
+        emitted = emitted.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (F.max_by("total_value", "n_events") / 1_000_000).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 # The streaming funnel must converge to the batch funnel's answer on a
 # finite stream, so it carries the batch form's oracle verbatim — a
 # hash-green row IS the batch/stream equivalence proof at driver level.
