@@ -660,3 +660,65 @@ def test_audio_envelope_fp_properties():
     spike = np.zeros((64, 1), dtype=np.int64)
     spike[24:32] = 500  # chunk 3 of 8 (indices 24..31)
     assert audio_envelope_fp(spike) == (1 << 3, 1)
+
+
+def test_cdc_spark_chunker_matches_python_reference(spark):
+    """The CDC higher-order expression (operators/dedup.py) against a
+    straightforward Python implementation of the same scheme, on edge
+    strings the fixture corpus can't contain: shorter than the window,
+    exactly window-sized, a text whose LAST position is a content
+    boundary (the forced-final-boundary dedup case), repeated
+    characters (every window hashes the same), and whitespace-only."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.operators.dedup import (
+        _CDC_ALLB_SPARK,
+        _CDC_CHUNKS_SPARK,
+        _cdc_bounds_spark,
+    )
+
+    def ref(text, w=8, m=64):
+        bounds = [
+            i
+            for i in range(w, len(text) + 1)
+            if int(
+                hashlib.sha256(text[i - w : i].encode()).hexdigest()[:8], 16
+            )
+            % m
+            == m - 1
+        ]
+        if not bounds or bounds[-1] != len(text):
+            bounds.append(len(text))
+        out, prev = [], 0
+        for b in bounds:
+            out.append(text[prev:b])
+            prev = b
+        return out
+
+    # find a string whose final position IS a content boundary, so the
+    # forced-final-boundary branch (no duplicate, no empty chunk) runs
+    tail_boundary = next(
+        s
+        for s in (f"boundary-probe-{i:06d}" for i in range(100000))
+        if int(hashlib.sha256(s[-8:].encode()).hexdigest()[:8], 16) % 64 == 63
+    )
+    cases = [
+        "",  # no positions at all
+        "short",  # below the window
+        "exactly8",  # one window
+        tail_boundary,
+        "x" * 200,  # identical windows everywhere
+        " " * 64,
+        "The quick brown fox jumps over the lazy dog. " * 8,
+    ]
+    df = (
+        spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "doc_id int, text string")
+        .select("doc_id", "text", F.expr(_cdc_bounds_spark()).alias("cdc_bounds"))
+        .withColumn("cdc_allb", F.expr(_CDC_ALLB_SPARK))
+        .select("doc_id", F.expr(_CDC_CHUNKS_SPARK).alias("chunks"))
+    )
+    got = {r["doc_id"]: r["chunks"] for r in df.collect()}
+    for i, s in enumerate(cases):
+        assert got[i] == ref(s), (i, s, got[i], ref(s))

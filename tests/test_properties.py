@@ -598,3 +598,132 @@ def test_wire_putrecords_retry_delivery_invariant(
         assert msg.n_ok == n_records
         drained = drain_via_wire(srv.url, "wire")
     assert sorted(int(t[3]) for t in drained) == list(range(n_records))
+
+
+# -- Content-defined chunking (operators/dedup.py CDC block) -----------------
+#
+# Pure-Python reference of the EXACT scheme the Spark HOF expression and
+# the DuckDB oracle implement: boundary AFTER position i (1-based) iff
+# sha32 of the trailing 8-byte window ≡ 63 (mod 64); final boundary
+# forced at end-of-text.
+
+
+def _cdc_ref(text: str, w: int = 8, m: int = 64) -> list[str]:
+    import hashlib
+
+    bounds = [
+        i
+        for i in range(w, len(text) + 1)
+        if int(hashlib.sha256(text[i - w : i].encode()).hexdigest()[:8], 16)
+        % m
+        == m - 1
+    ]
+    if not bounds or bounds[-1] != len(text):
+        bounds.append(len(text))
+    out, prev = [], 0
+    for b in bounds:
+        out.append(text[prev:b])
+        prev = b
+    return out
+
+
+_cdc_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=400,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=_cdc_text)
+def test_cdc_chunks_conserve_bytes(text):
+    """Chunks are a partition of the text: concatenation reproduces it
+    exactly, every chunk is non-empty (except the single chunk of an
+    empty text), and boundaries are strictly increasing — for ALL
+    strings, not just the fixture corpus."""
+    chunks = _cdc_ref(text)
+    assert "".join(chunks) == text
+    if text:
+        assert all(chunks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=40,
+        max_size=300,
+    ),
+    pos=st.integers(min_value=0, max_value=300),
+    ins=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_cdc_is_shift_resistant(text, pos, ins):
+    """THE property CDC exists for (and fixed-stride spans lack): an
+    insertion only disturbs chunks up to the first boundary at least a
+    window-length past the edit — every original chunk that starts at
+    or after that boundary reappears bit-identical in the edited text,
+    because trailing windows wholly right of the edit hash the same,
+    just shifted. This is why two document versions share most of
+    their chunk fingerprints."""
+    w = 8
+    pos = min(pos, len(text))
+    edited = text[:pos] + ins + text[pos:]
+    orig = _cdc_ref(text)
+    new_chunks = _cdc_ref(edited)
+    # original boundary positions i >= pos + w are preserved (shifted)
+    start, stable_tail = 0, []
+    for c in orig:
+        if start >= pos + w:
+            stable_tail.append(c)
+        start += len(c)
+    # the stable tail must appear, in order, at the end of the edited
+    # chunk list (the last chunk runs to end-of-text in both versions)
+    if stable_tail:
+        assert new_chunks[-len(stable_tail) :] == stable_tail
+
+
+# -- Temperature plan (operators/training_prep.temperature_plan_*) ----------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=10**7), min_size=1, max_size=12
+    )
+)
+def test_temperature_plan_invariants(counts):
+    """The alpha=0.5 plan math, checked against a pure-Python mirror for
+    all count shapes: thresholds live in [0, D]; a lang whose target
+    reaches its count clamps to keep-all (threshold == D); floor
+    rounding never over-allocates (sum of targets <= total); and the
+    sampling RATE is weakly decreasing in lang size (temperature < 1
+    downsamples the head and upsamples the tail — the defining
+    property of the mix)."""
+    import math
+
+    d = 1_000_000
+    total = sum(counts)
+    wts = [math.sqrt(c) for c in counts]
+    # ordered running sum, same association order as the SQL window
+    cum = 0.0
+    cums = []
+    for x in wts:
+        cum += x
+        cums.append(cum)
+    total_wt = max(cums)
+    targets = [math.floor(total * x / total_wt) for x in wts]
+    thresholds = [min(d, t * d // n) for t, n in zip(targets, counts)]
+    assert sum(targets) <= total
+    assert all(0 <= t <= d for t in thresholds)
+    for t, n, thr in zip(targets, counts, thresholds):
+        if t >= n:
+            assert thr == d
+    # weak monotonicity of rate vs size
+    by_n = sorted(zip(counts, thresholds))
+    for (n1, t1), (n2, t2) in zip(by_n, by_n[1:]):
+        if n1 < n2:
+            assert t1 >= t2, (n1, t1, n2, t2)
