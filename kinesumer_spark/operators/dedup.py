@@ -1403,7 +1403,7 @@ SELECT doc_id,
          AS max_chunk_len,
        CAST(list_sum(list_transform(chunks,
               c -> {_sha32_duck("c")})) AS BIGINT) AS chunk_checksum,
-       CAST(len AS BIGINT) AS bytes_total
+       CAST(len AS BIGINT) AS chars_total
 FROM ch
 ORDER BY doc_id
 """
@@ -1412,11 +1412,15 @@ ORDER BY doc_id
 @register("dedup_cdc_chunking", oracle=_CDC_ORACLE, tags=("dedup", "text"))
 def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document content-defined chunk fingerprints: cut positions
-    where sha32 of the trailing {_CDC_W}-byte window ≡ {_CDC_M - 1}
-    (mod {_CDC_M}), final boundary forced at end-of-text; emit the
+    where sha32 of the trailing 8-CHARACTER window ≡ 63 (mod 64 — see
+    _CDC_W/_CDC_M), final boundary forced at end-of-text; emit the
     chunk count, the largest chunk, the sum of chunk fingerprints (the
-    content-addressed identity the reuse query joins on), and the byte
-    total (= doc length — conservation is part of the contract).
+    content-addressed identity the reuse query joins on), and the
+    character total (= doc length — conservation is part of the
+    contract). Units are CHARACTERS, not bytes: both engines' length/
+    substring count code points, so on multibyte text the window is 8
+    characters of varying byte width; a byte-exact variant would hash
+    the UTF-8 binary instead.
 
     Scale: the entire chunker is higher-order Catalyst expressions
     (sequence → transform → filter → transform) evaluated per row in
@@ -1444,25 +1448,24 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"aggregate(chunks, CAST(0 AS BIGINT), (acc, c) -> acc + {_sha32('c')})"
         ).alias("chunk_checksum"),
         F.expr("aggregate(chunks, CAST(0 AS BIGINT), (acc, c) -> acc + length(c))")
-        .alias("bytes_total"),
+        .alias("chars_total"),
     ).orderBy("doc_id")
 
 
 _CDC_REUSE_ORACLE = f"""
 WITH {_CDC_DUCK_CHUNKS}, ex AS (
   SELECT doc_id, unnest(chunks) AS chunk FROM ch
-), fp AS (
-  SELECT {_sha32_duck("chunk")} AS h, length(chunk) AS clen FROM ex
+), g AS (
+  SELECT {_sha32_duck("chunk")} AS h, length(chunk) AS clen,
+         COUNT(*) AS cnt
+  FROM ex GROUP BY 1, 2
 )
-SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks_total,
-       CAST(COUNT(DISTINCT (h, clen)) AS BIGINT) AS n_chunks_distinct,
-       CAST(SUM(clen) AS BIGINT) AS bytes_total,
-       CAST((SELECT SUM(clen) FROM (SELECT DISTINCT h, clen FROM fp))
-         AS BIGINT) AS bytes_stored,
-       CAST(SUM(clen) - (SELECT SUM(clen)
-                         FROM (SELECT DISTINCT h, clen FROM fp))
-         AS BIGINT) AS bytes_saved
-FROM fp
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks_total,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks_distinct,
+       CAST(SUM(clen * cnt) AS BIGINT) AS chars_total,
+       CAST(SUM(clen) AS BIGINT) AS chars_stored,
+       CAST(SUM(clen * cnt) - SUM(clen) AS BIGINT) AS chars_saved
+FROM g
 """
 
 
@@ -1494,25 +1497,17 @@ def dedup_cdc_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("chunk").alias("clen"),
         )
     )
-    tot = fp.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks_total"),
-        F.sum("clen").cast("bigint").alias("bytes_total"),
-    )
-    dis = (
-        fp.select("h", "clen")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks_distinct"),
-            F.sum("clen").cast("bigint").alias("bytes_stored"),
-        )
-    )
-    return (
-        tot.crossJoin(F.broadcast(dis))
-        .select(
-            "n_chunks_total",
-            "n_chunks_distinct",
-            "bytes_total",
-            "bytes_stored",
-            (F.col("bytes_total") - F.col("bytes_stored")).alias("bytes_saved"),
-        )
+    # ONE grouped pass: the O(len·w) chunker runs once (a separate
+    # distinct-branch would re-scan and re-chunk the whole corpus —
+    # r10 review), then a single scalar aggregate over the ≤|distinct|
+    # group table yields both the total and the deduplicated view
+    g = fp.groupBy("h", "clen").agg(F.count(F.lit(1)).alias("cnt"))
+    return g.agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks_distinct"),
+        F.sum(F.col("clen") * F.col("cnt")).cast("bigint").alias("chars_total"),
+        F.sum("clen").cast("bigint").alias("chars_stored"),
+        (
+            F.sum(F.col("clen") * F.col("cnt")) - F.sum("clen")
+        ).cast("bigint").alias("chars_saved"),
     )

@@ -275,8 +275,11 @@ class _KinesisApi:
                 "StreamName": stream,
                 "StreamARN": self._stream_arn(stream),
                 "StreamStatus": status,
-                "Shards": [],  # topology rides ListShards (paginated)
-                "HasMoreShards": True,
+                # topology rides ListShards (paginated); an empty list
+                # with HasMoreShards=True would spin any legacy
+                # DescribeStream enumeration loop forever
+                "Shards": [],
+                "HasMoreShards": False,
                 "RetentionPeriodHours": 24,
                 "StreamCreationTimestamp": 1700000000.0,
                 "EnhancedMonitoring": [],
@@ -566,15 +569,17 @@ class _KinesisApi:
         # on the stream is ResourceInUseException — the caller recovers
         # by adopting the existing consumer via ListStreamConsumers
         # (kinesumer.go:425-449). The old fake silently re-created the
-        # doc, resetting an ACTIVE consumer to CREATING (r10).
-        if arn in self.consumers:
-            with self.lock:
-                self.consumer_riue += 1
-            raise _ApiError(
-                "ResourceInUseException",
-                f"consumer {name} already exists on {stream}",
-            )
+        # doc, resetting an ACTIVE consumer to CREATING (r10). The
+        # membership check and the insert share ONE lock hold so two
+        # concurrent same-name registrations can't both pass the check
+        # (ThreadingHTTPServer: every op can race).
         with self.lock:
+            if arn in self.consumers:
+                self.consumer_riue += 1
+                raise _ApiError(
+                    "ResourceInUseException",
+                    f"consumer {name} already exists on {stream}",
+                )
             doc = {
                 "ConsumerName": name,
                 "ConsumerARN": arn,
@@ -870,16 +875,36 @@ def register_efo_consumer(client, stream: str, name: str) -> str:
             StreamARN=stream_arn, MaxResults=20
         )["Consumers"]
         arn = next(
-            c["ConsumerARN"]
-            for c in consumers
-            if c["ConsumerName"] == name
+            (
+                c["ConsumerARN"]
+                for c in consumers
+                if c["ConsumerName"] == name
+            ),
+            None,
         )
-    for _ in range(50):
+        if arn is None:
+            # eventually-consistent listing, or the consumer was
+            # deregistered between our RIUE and the list — surface a
+            # retryable error with context instead of StopIteration
+            raise RuntimeError(
+                f"consumer {name} raised ResourceInUseException but is "
+                f"absent from ListStreamConsumers on {stream}; retry "
+                "registration"
+            ) from e
+    import time as _time
+
+    # real registrations take seconds to go CREATING → ACTIVE and
+    # DescribeStreamConsumer is throttled (20 TPS) — back off between
+    # polls (the reference sleeps 1 s flat, kinesumer.go:380-404); the
+    # fake flips ACTIVE on the second describe, so the local cost is
+    # one 0.1 s sleep
+    for attempt in range(50):
         desc = client.describe_stream_consumer(ConsumerARN=arn)[
             "ConsumerDescription"
         ]
         if desc["ConsumerStatus"] == "ACTIVE":
             return arn
+        _time.sleep(min(2.0, 0.1 * (2 ** min(attempt, 5))))
     raise TimeoutError(f"consumer {arn} never became ACTIVE")
 
 

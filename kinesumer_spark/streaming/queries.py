@@ -3370,16 +3370,21 @@ def coordination_multiclient_handoff(
 
 # -- EFO registry shared across clients: the RIUE-adoption branch ---------
 
+# the ownership split point, shared by the oracle and the query's
+# run_client slices so a _WIRE_SHARDS change can never silently shrink
+# the full-feed guarantee (r10 review)
+_EFO_SHARED_SPLIT = _WIRE_SHARDS // 2
+
 _EFO_SHARED_ORACLE = f"""
-SELECT CASE WHEN i // {_WIRE_PER_SHARD} < 2 THEN 'c-a' ELSE 'c-b' END
-         AS client_id,
+SELECT CASE WHEN i // {_WIRE_PER_SHARD} < {_EFO_SHARED_SPLIT}
+            THEN 'c-a' ELSE 'c-b' END AS client_id,
        'shardId-' || lpad(CAST(i // {_WIRE_PER_SHARD} AS VARCHAR), 12, '0')
          AS shard_id,
        CAST(COUNT(*) AS BIGINT) AS n,
        lpad(CAST(MIN(i) AS VARCHAR), 21, '0') AS min_seq,
        lpad(CAST(MAX(i) AS VARCHAR), 21, '0') AS max_seq,
        CAST(SUM((i * 31 + i // {_WIRE_PER_SHARD}) % 1000) AS BIGINT) AS sum_k
-FROM range(0, {4 * _WIRE_PER_SHARD}) t(i)
+FROM range(0, {_WIRE_SHARDS * _WIRE_PER_SHARD}) t(i)
 GROUP BY 1, 2
 ORDER BY client_id, shard_id
 """
@@ -3471,8 +3476,17 @@ def stream_kinesis_efo_shared_registry(
                     q.stop()
                     q.awaitTermination()
 
-            run_client("c-a", [f"shardId-{i:012d}" for i in (0, 1)])
-            run_client("c-b", [f"shardId-{i:012d}" for i in (2, 3)])
+            run_client(
+                "c-a",
+                [f"shardId-{i:012d}" for i in range(_EFO_SHARED_SPLIT)],
+            )
+            run_client(
+                "c-b",
+                [
+                    f"shardId-{i:012d}"
+                    for i in range(_EFO_SHARED_SPLIT, _WIRE_SHARDS)
+                ],
+            )
 
             client.deregister_stream_consumer(ConsumerARN=arn_a)
             try:

@@ -679,23 +679,7 @@ def test_cdc_spark_chunker_matches_python_reference(spark):
         _cdc_bounds_spark,
     )
 
-    def ref(text, w=8, m=64):
-        bounds = [
-            i
-            for i in range(w, len(text) + 1)
-            if int(
-                hashlib.sha256(text[i - w : i].encode()).hexdigest()[:8], 16
-            )
-            % m
-            == m - 1
-        ]
-        if not bounds or bounds[-1] != len(text):
-            bounds.append(len(text))
-        out, prev = [], 0
-        for b in bounds:
-            out.append(text[prev:b])
-            prev = b
-        return out
+    from .test_properties import _cdc_ref as ref
 
     # find a string whose final position IS a content boundary, so the
     # forced-final-boundary branch (no duplicate, no empty chunk) runs

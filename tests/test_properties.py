@@ -696,14 +696,21 @@ def test_cdc_is_shift_resistant(text, pos, ins):
     )
 )
 def test_temperature_plan_invariants(counts):
-    """The alpha=0.5 plan math, checked against a pure-Python mirror for
-    all count shapes: thresholds live in [0, D]; a lang whose target
-    reaches its count clamps to keep-all (threshold == D); floor
-    rounding never over-allocates (sum of targets <= total); and the
-    sampling RATE is weakly decreasing in lang size (temperature < 1
-    downsamples the head and upsamples the tail — the defining
-    property of the mix)."""
+    """The SHIPPED plan math (temperature_plan_cte, executed here in
+    DuckDB over a synthetic per-key table), checked against a
+    pure-Python mirror and the plan invariants for all count shapes:
+    thresholds live in [0, D]; a key whose target reaches its count
+    clamps to keep-all (threshold == D); floor rounding never
+    over-allocates (sum of targets <= total); and the sampling RATE is
+    weakly decreasing in key size (temperature < 1 downsamples the
+    head and upsamples the tail — the defining property of the mix).
+    Executing the real CTE (not just the mirror) means an edit to the
+    shipped SQL fails here (r10 review)."""
     import math
+
+    import duckdb
+
+    from kinesumer_spark.operators.training_prep import temperature_plan_cte
 
     d = 1_000_000
     total = sum(counts)
@@ -717,6 +724,34 @@ def test_temperature_plan_invariants(counts):
     total_wt = max(cums)
     targets = [math.floor(total * x / total_wt) for x in wts]
     thresholds = [min(d, t * d // n) for t, n in zip(targets, counts)]
+    # execute the SHIPPED CTE over an expanded per-key table and demand
+    # exact agreement with the mirror (keys k000, k001, ... sort in
+    # index order, matching the mirror's ordered running sum)
+    con = duckdb.connect()
+    values = ", ".join(
+        f"('k{i:03d}')"
+        for i, c in enumerate(counts)
+        for _ in range(min(c, 997))
+    )
+    eff = [min(c, 997) for c in counts]  # cap expansion; shape preserved
+    con.sql(f"CREATE TABLE src AS SELECT * FROM (VALUES {values}) t(lang)")
+    got = con.sql(
+        f"WITH {temperature_plan_cte('src', 'lang', 'n_docs', d)} "
+        "SELECT lang, n_docs, target_docs, threshold FROM thr ORDER BY lang"
+    ).fetchall()
+    etotal = sum(eff)
+    ewts = [math.sqrt(c) for c in eff]
+    ecum = 0.0
+    ecums = []
+    for x in ewts:
+        ecum += x
+        ecums.append(ecum)
+    etw = max(ecums)
+    for row, c, w_ in zip(got, eff, ewts):
+        et = math.floor(etotal * w_ / etw)
+        assert row[1] == c
+        assert row[2] == et, (row, et)
+        assert row[3] == min(d, et * d // c), (row, et, c)
     assert sum(targets) <= total
     assert all(0 <= t <= d for t in thresholds)
     for t, n, thr in zip(targets, counts, thresholds):
