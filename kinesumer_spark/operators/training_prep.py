@@ -518,3 +518,91 @@ def sample_temperature_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_TREP_ORACLE = f"""
+WITH {temperature_plan_cte("documents", "lang", "n_docs", _TMIX_D)}, drawn AS (
+  SELECT d.lang, d.doc_id, t.n_docs, t.target_docs,
+         (t.target_docs // t.n_docs)
+           + CASE WHEN {_sha32_duck("'trep:' || doc_id")} % {_TMIX_D}
+                       < (t.target_docs % t.n_docs) * {_TMIX_D} // t.n_docs
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN thr t USING (lang)
+), emitted AS (
+  SELECT lang, doc_id, n_docs, target_docs,
+         unnest(generate_series(1, CAST(n_copies AS INTEGER))) AS copy_no
+  FROM drawn WHERE n_copies > 0
+)
+SELECT lang,
+       CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(target_docs) AS BIGINT) AS target_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_emitted,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_source_docs,
+       CAST(SUM(doc_id * copy_no) AS BIGINT) AS emission_checksum
+FROM emitted
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "sample_temperature_repeat", oracle=_TREP_ORACLE, tags=("training", "sample")
+)
+def sample_temperature_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPSAMPLING half of the temperature mix — the case
+    sample_temperature_draw clamps (a keep/drop draw cannot emit a
+    document more than once): each document is REPEATED toward its
+    language's alpha=0.5 target,
+
+        copies(d) = floor(target/n)
+                  + [ sha32('trep:'||doc_id) mod D
+                        <  ((target mod n) · D) div n ]
+
+    an integer base repetition plus an exact Bernoulli for the
+    fractional remainder, so E[emitted] = target per language with a
+    per-document deterministic draw (the dominant language's target is
+    below its count, so its base is 0 and the remainder draw IS the
+    downsample — one formula covers both directions; together with the
+    draw operator this completes the mix: plan → keep/drop → repeat).
+    Emission rows carry copy_no so downstream packing interleaves
+    copies instead of clustering them; the checksum Σ doc_id·copy_no
+    pins the exact emission multiset, not just counts.
+
+    Scale: the plan broadcasts (shared temperature_plan_df helper);
+    copies materialize via explode(sequence(1, n)) — output rows ∝ the
+    TARGET corpus size, the irreducible cost of upsampling; no shuffle
+    touches the exploded rows until the final |langs|-key aggregate
+    (partial map-side combine)."""
+    d = _t(spark, sf_dir)
+    thr = temperature_plan_df(d, "lang", "n_docs", _TMIX_D)
+    salted = "concat('trep:', cast(doc_id AS string))"
+    drawn = d.select("doc_id", "lang").join(F.broadcast(thr), "lang").selectExpr(
+        "lang",
+        "doc_id",
+        "n_docs",
+        "target_docs",
+        f"""(target_docs DIV n_docs)
+            + IF({_sha32(salted)} % {_TMIX_D}
+                   < (target_docs % n_docs) * {_TMIX_D} DIV n_docs,
+                 1, 0) AS n_copies""",
+    )
+    emitted = drawn.filter("n_copies > 0").select(
+        "lang",
+        "doc_id",
+        "n_docs",
+        "target_docs",
+        F.explode(F.expr("sequence(1, n_copies)")).alias("copy_no"),
+    )
+    return (
+        emitted.groupBy("lang")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("target_docs").cast("bigint").alias("target_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_source_docs"),
+            F.sum(F.col("doc_id") * F.col("copy_no"))
+            .cast("bigint")
+            .alias("emission_checksum"),
+        )
+        .orderBy("lang")
+    )
