@@ -102,6 +102,16 @@ EXTENDED = [
     # r10 additions
     "sample_temperature_draw",
     "text_dsir_importance",
+    # r11: the remaining r10 batch operators (verdict #3 — SCALE.md
+    # prose does not persist the way BENCH files do; CDC chunking was
+    # the repo's most expensive operator with no external bench row)
+    "dedup_cdc_chunking",
+    "dedup_cdc_chunking_rolling",
+    "dedup_cdc_chunking_vectorized",
+    "dedup_cdc_chunk_reuse",
+    "events_asof_join_nearest",
+    "pipeline_dsir_mixture",
+    "sample_temperature_repeat",
 ]
 
 

@@ -1370,12 +1370,17 @@ def _cdc_bounds_spark() -> str:
       x -> x IS NOT NULL)"""
 
 
-_CDC_DUCK_CHUNKS = f"""
+def _cdc_duck_chunks(bound_hash: str) -> str:
+    """DuckDB CTE chain ``b → ab → ch``: per-position boundary predicate
+    (``bound_hash`` is an SQL expression over ``text`` and the 1-based
+    position ``i``) → forced final bound → chunk slices. Shared by the
+    sha and rolling variants so the slicing arithmetic cannot drift."""
+    return f"""
 b AS (
   SELECT doc_id, text, length(text) AS len,
          list_filter(
            list_transform(range({_CDC_W}, length(text) + 1),
-             i -> CASE WHEN {_sha32_duck(f"substr(text, CAST(i AS INTEGER) - {_CDC_W - 1}, {_CDC_W})")}
+             i -> CASE WHEN {bound_hash}
                             % {_CDC_M} = {_CDC_M - 1}
                        THEN i END),
            x -> x IS NOT NULL) AS bounds
@@ -1395,8 +1400,14 @@ b AS (
   FROM ab
 )"""
 
-_CDC_ORACLE = f"""
-WITH {_CDC_DUCK_CHUNKS}
+
+def _cdc_duck_summary(chunks_cte: str) -> str:
+    """DuckDB per-doc chunk summary over a ``ch`` CTE — the shared
+    output contract of both CDC chunkers (chunk identity stays sha32
+    in BOTH variants: rolling hashes pick BOUNDARIES; content identity
+    always uses the strong hash, as production CDC stores do)."""
+    return f"""
+WITH {chunks_cte}
 SELECT doc_id,
        CAST(len(chunks) AS BIGINT) AS n_chunks,
        CAST(list_max(list_transform(chunks, c -> length(c))) AS BIGINT)
@@ -1407,6 +1418,13 @@ SELECT doc_id,
 FROM ch
 ORDER BY doc_id
 """
+
+
+_CDC_DUCK_CHUNKS = _cdc_duck_chunks(
+    f"{_sha32_duck(f'substr(text, CAST(i AS INTEGER) - {_CDC_W - 1}, {_CDC_W})')}"
+)
+
+_CDC_ORACLE = _cdc_duck_summary(_CDC_DUCK_CHUNKS)
 
 
 @register("dedup_cdc_chunking", oracle=_CDC_ORACLE, tags=("dedup", "text"))
@@ -1438,6 +1456,12 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cdc_allb", F.expr(_CDC_ALLB_SPARK))
         .select("doc_id", F.expr(_CDC_CHUNKS_SPARK).alias("chunks"))
     )
+    return _cdc_summary_spark(chunked)
+
+
+def _cdc_summary_spark(chunked: DataFrame) -> DataFrame:
+    """Per-doc chunk summary over a (doc_id, chunks) frame — the shared
+    output contract of both CDC chunkers (see ``_cdc_duck_summary``)."""
     return chunked.select(
         "doc_id",
         F.size("chunks").cast("bigint").alias("n_chunks"),
@@ -1452,11 +1476,240 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---- rolling-hash CDC twin (the production boundary-cost model) -------
+#
+# The sha chunker above is the cross-engine-PORTABILITY anchor: sha256
+# is byte-identical everywhere, but costs ~a compression-function run
+# per position. Production CDC (LBFS, rsync, FastCDC) detects
+# boundaries with a cheap rolling/gear hash and reserves the strong
+# hash for CHUNK IDENTITY. This twin does exactly that: the boundary
+# predicate becomes an 8-term Horner polynomial over per-character
+# code points — pure int64 multiply-adds that whole-stage codegen
+# compiles to straight-line arithmetic — while chunk fingerprints stay
+# sha32 so the two variants' stores speak the same identity.
+#
+# Two deliberate design points:
+# - The text is decomposed ONCE per row into a code-point array
+#   (split + ascii). Per-position substring(text, i, 1) would re-scan
+#   the UTF8String from byte 0 on every call (O(n²) per doc);
+#   element_at on the array is O(1). The array is row-local scratch —
+#   it never shuffles.
+# - Per position the window hash is recomputed from its 8 characters
+#   (O(w) int ops) rather than carried incrementally (O(1)). A true
+#   rolling carry needs a sequential scan, which Spark SQL has no HOF
+#   for — aggregate() folds to ONE value, and an array-accumulator
+#   rebuild is O(n²) copy churn. Stateless-per-position is what keeps
+#   the operator embarrassingly parallel, and w = 8 integer
+#   multiply-mods is already ~2 orders of magnitude below the sha
+#   compression function (measured: see BENCH extended rows for the
+#   two variants side by side).
+#
+# Engine agreement: Spark ascii() and DuckDB unicode() both return the
+# full first code point (verified identical on é/中/𝄞 and on this
+# corpus, which is pure ASCII 32–121 at every SF); the Horner mod
+# Q = 2³¹−1 keeps every intermediate < 2⁵¹, inside exact int64 on both
+# engines (DuckDB would raise on overflow rather than wrap — the bound
+# is proven, not hoped).
+
+_CDC_RP = 1_000_003  # Horner base (odd, > any code point)
+_CDC_RQ = 2_147_483_647  # modulus 2³¹−1 (Mersenne prime)
+
+
+def _cdc_roll_hash_spark(i: str = "i") -> str:
+    """Spark SQL: Horner window hash of the ``_CDC_W`` code points
+    ending at 1-based position ``i`` of the ``cdc_cp`` array."""
+    h = f"element_at(cdc_cp, {i} - {_CDC_W - 1})"
+    for k in range(_CDC_W - 2, -1, -1):
+        c = (
+            f"element_at(cdc_cp, {i} - {k})"
+            if k
+            else f"element_at(cdc_cp, {i})"
+        )
+        h = f"(({h} * {_CDC_RP} + {c}) % {_CDC_RQ})"
+    return h
+
+
+def _cdc_roll_hash_duck(i: str = "i") -> str:
+    """DuckDB spelling of ``_cdc_roll_hash_spark`` (unicode ∘ substr
+    per character — O(n) scans are fine at oracle scale)."""
+
+    def c(off: int) -> str:
+        pos = f"CAST({i} - {off} AS INTEGER)" if off else f"CAST({i} AS INTEGER)"
+        # BIGINT at the leaf — DuckDB's unicode() is INT32 and the
+        # Horner multiply overflows it (same fix as the Spark side)
+        return f"CAST(unicode(substr(text, {pos}, 1)) AS BIGINT)"
+
+    h = c(_CDC_W - 1)
+    for k in range(_CDC_W - 2, -1, -1):
+        h = f"(({h} * {_CDC_RP} + {c(k)}) % {_CDC_RQ})"
+    return h
+
+
+def _cdc_roll_bounds_spark() -> str:
+    """Spark SQL: cut positions under the rolling-polynomial boundary
+    predicate (same residue contract as the sha variant)."""
+    return f"""filter(
+      transform(
+        CASE WHEN size(cdc_cp) >= {_CDC_W}
+             THEN sequence({_CDC_W}, size(cdc_cp)) ELSE array() END,
+        i -> CASE WHEN {_cdc_roll_hash_spark()} % {_CDC_M} = {_CDC_M - 1}
+                  THEN i END),
+      x -> x IS NOT NULL)"""
+
+
+_CDC_ROLL_ORACLE = _cdc_duck_summary(_cdc_duck_chunks(_cdc_roll_hash_duck()))
+
+
+@register(
+    "dedup_cdc_chunking_rolling",
+    oracle=_CDC_ROLL_ORACLE,
+    tags=("dedup", "text"),
+)
+def dedup_cdc_chunking_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cdc_chunking with the production boundary-hash cost model:
+    cut positions where an 8-character Horner polynomial over code
+    points (mod 2³¹−1) ≡ 63 (mod 64); chunk identity stays sha32.
+    Output contract identical to the sha twin (n_chunks, max chunk,
+    fingerprint checksum, conservation total) — only the boundary
+    PLACEMENT differs, because a different hash picks different cut
+    points on the same content.
+
+    Scale: same plan shape as the sha twin — one scan, zero shuffles,
+    zero Python, no exploded text copies (plan-pinned alongside it) —
+    with the per-position constant dropped from a sha256 compression
+    run to 8 int64 multiply-mods on an O(1)-indexed code-point array
+    (see the block comment above for why stateless-per-position beats
+    a sequential rolling carry in a distributed HOF setting)."""
+    d = _t(spark, sf_dir, "documents")
+    chunked = (
+        d.select(
+            "doc_id",
+            "text",
+            # CAST to BIGINT at decomposition: ascii() is INT and the
+            # Horner multiply would overflow 32-bit under ANSI mode
+            F.expr(
+                "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
+            ).alias("cdc_cp"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.expr(_cdc_roll_bounds_spark()).alias("cdc_bounds"),
+        )
+        .withColumn("cdc_allb", F.expr(_CDC_ALLB_SPARK))
+        .select("doc_id", F.expr(_CDC_CHUNKS_SPARK).alias("chunks"))
+    )
+    return _cdc_summary_spark(chunked)
+
+
+@register(
+    "dedup_cdc_chunking_vectorized",
+    oracle=_CDC_ROLL_ORACLE,
+    tags=("dedup", "text"),
+)
+def dedup_cdc_chunking_vectorized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The rolling-hash chunker in its production execution shape:
+    Arrow-batched mapInPandas computing the SAME 8-term Horner boundary
+    polynomial as dedup_cdc_chunking_rolling — bit-identical cut
+    positions, chunk identities, and output rows, hence the SAME DuckDB
+    oracle — with numpy doing the per-position work vectorized.
+
+    Why this exists alongside the pure-HOF twin: Spark evaluates
+    higher-order-function lambdas INTERPRETED (transform/filter/
+    aggregate never enter whole-stage codegen), so swapping sha256 for
+    8 int64 multiply-mods inside a transform only bought ~1.7× on the
+    boundary pass — the expression-interpreter constant dominates once
+    the hash is cheap (measured r11, SCALE.md). Real CDC chunkers
+    (LBFS, rsync, FastCDC) are imperative loops over bytes; the honest
+    Spark translation of that is a vectorized Arrow kernel, which is
+    exactly the sanctioned fallback for semantics the built-in
+    operators can't express EFFICIENTLY. The code-point decode is
+    utf-32-le reinterpretation (vectorized, exact for any text, not an
+    ASCII shortcut) and the window hash is W numpy passes over the
+    whole batch — no per-character Python.
+
+    Scale: one scan, zero shuffles before the final presentation sort;
+    Arrow batches stream through the kernel with O(batch) memory;
+    embarrassingly parallel across file splits; per-chunk identity
+    stays sha256-derived so a chunk store built by ANY of the three
+    variants interoperates. Plan-pinned: exactly one MapInPandas, no
+    Exchange below the sort, no row-at-a-time BatchEvalPython."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    out_schema = (
+        "doc_id bigint, n_chunks bigint, max_chunk_len bigint, "
+        "chunk_checksum bigint, chars_total bigint"
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        W, M, P, Q = _CDC_W, _CDC_M, _CDC_RP, _CDC_RQ
+        for pdf in batches:
+            ids, nch, mxl, cks, tot = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                n = len(text)
+                if n >= W:
+                    # exact code points, vectorized: utf-32-le bytes ARE
+                    # the code-point array (no ASCII assumption)
+                    cp = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    h = cp[: n - W + 1].copy()
+                    for k in range(1, W):
+                        h *= P
+                        h += cp[k : k + n - W + 1]
+                        h %= Q
+                    # h[j] = Horner hash of text[j:j+W]; window END is
+                    # 1-based position j+W — same contract as the SQL
+                    cuts = np.nonzero(h % M == M - 1)[0] + W
+                else:
+                    cuts = np.empty(0, dtype=np.int64)
+                if cuts.size == 0 or cuts[-1] != n:
+                    bounds = np.append(cuts, n)
+                else:
+                    bounds = cuts
+                starts = np.concatenate(([0], bounds[:-1]))
+                checksum = 0
+                max_len = 0
+                for s, e in zip(starts, bounds):
+                    chunk = text[s:e]
+                    if e - s > max_len:
+                        max_len = int(e - s)
+                    # identical value to the SQL _sha32: first 4 bytes
+                    # of sha256 over the UTF-8 encoding, unsigned
+                    checksum += int.from_bytes(
+                        hashlib.sha256(chunk.encode("utf-8")).digest()[:4],
+                        "big",
+                    )
+                ids.append(int(doc_id))
+                nch.append(int(bounds.size))
+                mxl.append(max_len)
+                cks.append(checksum)
+                tot.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_chunks": pd.Series(nch, dtype="int64"),
+                    "max_chunk_len": pd.Series(mxl, dtype="int64"),
+                    "chunk_checksum": pd.Series(cks, dtype="int64"),
+                    "chars_total": pd.Series(tot, dtype="int64"),
+                }
+            )
+
+    return d.mapInPandas(kernel, out_schema).orderBy("doc_id")
+
+
 _CDC_REUSE_ORACLE = f"""
 WITH {_CDC_DUCK_CHUNKS}, ex AS (
   SELECT doc_id, unnest(chunks) AS chunk FROM ch
 ), g AS (
-  SELECT {_sha32_duck("chunk")} AS h, length(chunk) AS clen,
+  SELECT substr(sha256(chunk), 1, 32) AS h, length(chunk) AS clen,
          COUNT(*) AS cnt
   FROM ex GROUP BY 1, 2
 )
@@ -1482,9 +1735,9 @@ def dedup_cdc_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a paragraph produce bit-identical middle chunks).
 
     Scale: chunking stays map-side (see dedup_cdc_chunking); only
-    16-byte (fingerprint, length) pairs shuffle — never chunk text —
-    and the distinct-pair aggregate is the same partial-combine shape
-    as dedup_exact. One corpus scan."""
+    (128-bit fingerprint, length) pairs — ~40 bytes — shuffle, never
+    chunk text, and the distinct-pair aggregate is the same
+    partial-combine shape as dedup_exact. One corpus scan."""
     d = _t(spark, sf_dir, "documents")
     fp = (
         d.select(
@@ -1493,7 +1746,16 @@ def dedup_cdc_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cdc_allb", F.expr(_CDC_ALLB_SPARK))
         .select(F.explode(F.expr(_CDC_CHUNKS_SPARK)).alias("chunk"))
         .select(
-            F.expr(_sha32("chunk")).alias("h"),
+            # 128-bit store identity (r10 advisory): the 32-bit sha
+            # prefix suffers birthday collisions at realistic corpus
+            # scales (≈50% at 2¹⁶ distinct chunks), conflating distinct
+            # chunks and overstating chars_saved; 128 bits is the
+            # standard content-addressed-store width. It is a grouping
+            # key only — no int64 arithmetic touches it — so the full
+            # hex prefix stays oracle-portable.
+            F.expr(
+                "substring(sha2(cast(chunk as binary), 256), 1, 32)"
+            ).alias("h"),
             F.length("chunk").alias("clen"),
         )
     )

@@ -490,7 +490,8 @@ def pipeline_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     still passes on its own slice of the data.
 
     Scale: gate and DSIR scoring are the shapes documented on their
-    standalone registrations (map-side gate; ≤{_PMIX_B}-row model that
+    standalone registrations (map-side gate; a model of at most
+    ``_DSIR_B`` = 4096 rows that
     broadcasts, token stream never shuffled by bucket); the mix plan
     is |langs| rows broadcast back; both draws are map-side hash
     compares. Nothing in the chain is corpus-all-pairs and the only

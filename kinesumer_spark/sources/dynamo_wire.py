@@ -175,6 +175,10 @@ class _DynamoApi:
 
     def __init__(self, tables: dict[str, _Table]) -> None:
         self.tables = tables
+        # API-level lock for API-WIDE counters (_bw_requests/_bg_keys):
+        # per-table locks don't serialize concurrent batch calls across
+        # tables under ThreadingHTTPServer (r10 advisory)
+        self.lock = threading.Lock()
         # every Nth BatchWriteItem REQUEST (counted across calls) is
         # returned in UnprocessedItems instead of applied (0 = off) —
         # the DynamoDB partial-failure contract under throttling: the
@@ -343,11 +347,17 @@ class _DynamoApi:
             got = []
             with t.lock:
                 for key in req["Keys"]:
-                    self._bg_keys += 1
-                    if (
-                        self.unprocessed_get_every
-                        and self._bg_keys % self.unprocessed_get_every == 0
-                    ):
+                    # API-wide counter: guard with the API-level lock —
+                    # ThreadingHTTPServer can interleave BatchGetItem
+                    # calls across tables, and t.lock is per-table
+                    with self.lock:
+                        self._bg_keys += 1
+                        drop = (
+                            self.unprocessed_get_every
+                            and self._bg_keys % self.unprocessed_get_every
+                            == 0
+                        )
+                    if drop:
                         unprocessed_keys.setdefault(name, {"Keys": []})[
                             "Keys"
                         ].append(key)
@@ -371,11 +381,15 @@ class _DynamoApi:
             t = self._table({"TableName": name})
             with t.lock:
                 for req in reqs:
-                    self._bw_requests += 1
-                    if (
-                        self.unprocessed_every
-                        and self._bw_requests % self.unprocessed_every == 0
-                    ):
+                    # same API-wide-counter discipline as BatchGetItem
+                    with self.lock:
+                        self._bw_requests += 1
+                        drop = (
+                            self.unprocessed_every
+                            and self._bw_requests % self.unprocessed_every
+                            == 0
+                        )
+                    if drop:
                         unprocessed.setdefault(name, []).append(req)
                         continue
                     if "PutRequest" in req:

@@ -616,14 +616,34 @@ class _KinesisApi:
         return {"ConsumerDescription": out}
 
     def op_ListStreamConsumers(self, body: dict) -> dict:
+        """Paginated like the real API: MaxResults (default 20) caps the
+        page and NextToken resumes after the last returned consumer.
+        StreamARN stays required on token pages (ListStreamConsumers has
+        no StreamName-xor-NextToken contract — that is ListShards)."""
         stream = self._stream_of_arn(body["StreamARN"])
-        return {
-            "Consumers": [
-                dict(d)
-                for a, d in self.consumers.items()
-                if self._stream_of_arn(a) == stream
-            ]
-        }
+        all_consumers = [
+            dict(d)
+            for a, d in sorted(self.consumers.items())
+            if self._stream_of_arn(a) == stream
+        ]
+        start = 0
+        token = body.get("NextToken")
+        if token:
+            # token = consumer name to resume strictly after
+            start = next(
+                (
+                    i + 1
+                    for i, d in enumerate(all_consumers)
+                    if d["ConsumerName"] == token
+                ),
+                len(all_consumers),
+            )
+        limit = int(body.get("MaxResults", 20))
+        page = all_consumers[start : start + limit]
+        out: dict = {"Consumers": page}
+        if start + limit < len(all_consumers):
+            out["NextToken"] = page[-1]["ConsumerName"]
+        return out
 
     def op_DeregisterStreamConsumer(self, body: dict) -> dict:
         arn = body["ConsumerARN"]
@@ -871,17 +891,33 @@ def register_efo_consumer(client, stream: str, name: str) -> str:
     except ClientError as e:
         if e.response["Error"]["Code"] != "ResourceInUseException":
             raise
-        consumers = client.list_stream_consumers(
-            StreamARN=stream_arn, MaxResults=20
-        )["Consumers"]
-        arn = next(
-            (
-                c["ConsumerARN"]
-                for c in consumers
-                if c["ConsumerName"] == name
-            ),
-            None,
-        )
+        # page through the full consumer listing — the service cap is
+        # currently 20 consumers/stream, but the adoption branch must
+        # not silently miss the target if that cap rises (or the fake
+        # is configured with more)
+        arn = None
+        kwargs: dict = {"StreamARN": stream_arn, "MaxResults": 20}
+        while arn is None:
+            page = client.list_stream_consumers(**kwargs)
+            arn = next(
+                (
+                    c["ConsumerARN"]
+                    for c in page["Consumers"]
+                    if c["ConsumerName"] == name
+                ),
+                None,
+            )
+            token = page.get("NextToken")
+            if arn is not None or not token:
+                break
+            # unlike ListShards (StreamName xor NextToken,
+            # kinesumer.go:305-344), ListStreamConsumers keeps
+            # StreamARN required on every page
+            kwargs = {
+                "StreamARN": stream_arn,
+                "NextToken": token,
+                "MaxResults": 20,
+            }
         if arn is None:
             # eventually-consistent listing, or the consumer was
             # deregistered between our RIUE and the list — surface a

@@ -372,10 +372,15 @@ class _PutRecordsWriterBase:
             # a vanished entry is someone else's successful cleanup,
             # never a reason to fail a commit whose manifest is already
             # visible (a retried "failed" job would duplicate rows)
+            # broadened to OSError (r10 advisory): the manifest is
+            # already published, so NO janitor failure may fail this
+            # commit — a PermissionError here on a retried "failed"
+            # append job would double-publish rows; the skipped entry
+            # is re-swept by the next publish
             try:
                 if own_file or entry.stat().st_mtime < cutoff:
                     os.remove(entry.path)
-            except FileNotFoundError:
+            except OSError:
                 pass
 
         staging = os.path.join(self.path, "_staging")

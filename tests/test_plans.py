@@ -613,3 +613,40 @@ def test_cdc_chunker_is_one_scan_no_python(spark):
     assert "Generate" not in plan, plan
     assert "Join" not in plan, plan
     assert len(read_schemas(df)) == 1, plan
+
+
+def test_cdc_rolling_chunker_same_plan_shape(spark):
+    """dedup_cdc_chunking_rolling: identical plan contract to the sha
+    twin — one scan, map-only, zero Python — with the boundary hash as
+    pure int64 HOF arithmetic (no sha2 call per position; the only
+    sha2 in the plan is the per-CHUNK identity checksum)."""
+    df = _df(spark, "dedup_cdc_chunking_rolling")
+    plan = plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(read_schemas(df)) == 1, plan
+
+
+def test_cdc_vectorized_chunker_is_one_arrow_kernel(spark):
+    """dedup_cdc_chunking_vectorized: exactly one Arrow-batched
+    MapInPandas over one scan — no row-at-a-time BatchEvalPython, no
+    join/generate, and no exchange below the presentation sort (the
+    kernel is map-side; only the orderBy range-partitions)."""
+    df = _df(spark, "dedup_cdc_chunking_vectorized")
+    plan = plan_string(df)
+    # the formatted plan names each node twice (tree + detail): count
+    # the detail headers, "(n) MapInPandas"
+    assert plan.count(") MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(read_schemas(df)) == 1, plan
+    # in the plan TREE, the only Exchange must sit ABOVE the kernel
+    # (it belongs to the presentation sort; the kernel itself is
+    # map-side over the scan)
+    tree = plan.split("(1) ", 1)[0]
+    tree_lines = [ln for ln in tree.splitlines() if "+-" in ln or "Scan" in ln]
+    exch = [i for i, ln in enumerate(tree_lines) if "Exchange" in ln]
+    kern = [i for i, ln in enumerate(tree_lines) if "MapInPandas" in ln]
+    assert len(exch) == 1 and len(kern) == 1 and exch[0] < kern[0], plan

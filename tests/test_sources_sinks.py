@@ -1202,6 +1202,41 @@ def test_kinesis_wire_efo_registry_lifecycle():
         )
 
 
+def test_kinesis_wire_efo_adoption_pages_past_first_listing_page():
+    """r10 advisory: the RIUE→adoption branch must page through
+    ListStreamConsumers (NextToken) rather than read one MaxResults=20
+    page — silently incomplete if the 20-consumers/stream service cap
+    ever rises. The fake now implements real pagination (name-sorted,
+    MaxResults-capped, NextToken resumes after the last name), so this
+    test registers 25 consumers with names that sort BEFORE the target
+    and proves adoption still finds it on the second page."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        register_efo_consumer,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, 3)) as srv:
+        c = wire_client(srv.url)
+        stream_arn = "arn:aws:kinesis:us-east-1:000000000000:stream/wire"
+        for i in range(25):
+            c.register_stream_consumer(
+                StreamARN=stream_arn, ConsumerName=f"app-{i:02d}"
+            )
+        # 'zz-target' sorts after all 25 fillers → page 2 of the listing
+        first = register_efo_consumer(wire_client(srv.url), "wire", "zz-target")
+        # second client, same name → RIUE → adoption must PAGE to find it
+        adopted = register_efo_consumer(
+            wire_client(srv.url), "wire", "zz-target"
+        )
+        assert adopted == first
+        assert srv.api.consumer_riue >= 1
+        # sanity: one listing page really is capped at 20
+        page = c.list_stream_consumers(StreamARN=stream_arn, MaxResults=20)
+        assert len(page["Consumers"]) == 20 and page.get("NextToken")
+
+
 def test_kinesis_wire_efo_push_equals_polling():
     """O1/O2 duality at protocol level: the EFO push drain (register →
     ACTIVE → SubscribeToShard events → resubscribe from the
