@@ -112,6 +112,9 @@ EXTENDED = [
     "events_asof_join_nearest",
     "pipeline_dsir_mixture",
     "sample_temperature_repeat",
+    # r11 additions
+    "text_dsir_importance_bigram",
+    "pipeline_training_mix",
 ]
 
 

@@ -66,6 +66,11 @@ from kinesumer_spark.operators.text import (
     text_gopher_rules,
 )
 from kinesumer_spark.operators.training_prep import (
+    _BLOCK,
+    _SEQ_LEN,
+    _TMIX_D,
+    temperature_copies_duck,
+    temperature_copies_spark,
     temperature_plan_cte,
     temperature_plan_df,
 )
@@ -558,3 +563,169 @@ def pipeline_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PTM_ORACLE = f"""
+WITH {temperature_plan_cte("documents", "lang", "n_docs", _TMIX_D)}, tok AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), drawn AS (
+  SELECT k.lang, k.doc_id, k.tokens, t.n_docs, t.target_docs,
+         {temperature_copies_duck("'trep:' || doc_id", _TMIX_D)} AS n_copies
+  FROM tok k JOIN thr t USING (lang)
+), emitted AS (
+  SELECT lang, doc_id, tokens, n_docs, target_docs,
+         unnest(generate_series(1, CAST(n_copies AS INTEGER))) AS copy_no
+  FROM drawn WHERE n_copies > 0
+), packed AS (
+  SELECT lang, doc_id, tokens, n_docs, target_docs, copy_no,
+         SUM(tokens) OVER (ORDER BY copy_no, doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start_off
+  FROM emitted
+)
+SELECT lang,
+       CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(target_docs) AS BIGINT) AS target_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_emitted,
+       CAST(SUM(tokens) AS BIGINT) AS emitted_tokens,
+       CAST(SUM(start_off // {_SEQ_LEN}
+                + (start_off + tokens - 1) // {_SEQ_LEN}) AS BIGINT)
+         AS chunk_checksum,
+       CAST((SUM(SUM(tokens)) OVER () + {_SEQ_LEN} - 1) // {_SEQ_LEN}
+            AS BIGINT) AS total_chunks
+FROM packed
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=_PTM_ORACLE,
+    tags=("pipeline", "training", "sample", "pack"),
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mixture carried through to PACKED training
+    sequences — the composition the sampling operators exist for:
+
+        documents
+          → temperature plan       (resample_temperature's alpha=0.5
+                                    arithmetic via the shared
+                                    temperature_plan_df — one
+                                    definition, Spark + oracle)
+          → mixture emission       (sample_temperature_repeat's exact
+                                    per-document draw via the shared
+                                    temperature_copies helper, SAME
+                                    'trep:' salt — the emission
+                                    multiset IS the standalone
+                                    operator's, bit for bit; the
+                                    keep/drop "draw" stage is the
+                                    base-0 case of the same formula,
+                                    and running a separate keep-draw
+                                    first would square the keep
+                                    probability — the arithmetic fork
+                                    the shared helper prevents)
+          → sequence packing       (pack_sequences' concat-and-chunk
+                                    layout over the emission stream in
+                                    (copy_no, doc_id) order, so the
+                                    copies of an upsampled document
+                                    land one full corpus pass apart —
+                                    interleaved, never clustered)
+          → per-lang mixture ledger
+
+    The ledger proves the end-to-end mixture: n_emitted vs target_docs
+    (the mix realized per language), emitted token mass, a checksum
+    over every emission's chunk span (Σ first_chunk + last_chunk —
+    any change in packing ORDER moves offsets and reddens the hash,
+    so copy interleaving is pinned, not just counted), and the global
+    packed-sequence count each language contributes to. One whole-chain
+    DuckDB oracle replays plan → draw → pack, so a semantic drift in
+    any stage reddens this driver row even while the standalone
+    queries stay green on their own slices.
+
+    Scale: the plan is |langs| rows broadcast; emission is
+    explode(sequence) with output ∝ the target corpus (irreducible);
+    packing reuses pack_sequences' two-pass distributed prefix sum —
+    per-(copy, block) totals, a window over the bounded block-summary
+    relation only, broadcast back — never a global single-partition
+    sort of the data. The only full-cardinality shuffle keys are
+    (copy_no, block) and lang.
+
+    Reference parity: the downstream training-data application the
+    reference feeds (README.md:67-70), composed end to end."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("tokens"),
+    )
+    thr = temperature_plan_df(d, "lang", "n_docs", _TMIX_D)
+    salted = "concat('trep:', cast(doc_id AS string))"
+    drawn = d.join(F.broadcast(thr), "lang").selectExpr(
+        "lang",
+        "doc_id",
+        "tokens",
+        "n_docs",
+        "target_docs",
+        f"{temperature_copies_spark(salted, _TMIX_D)} AS n_copies",
+    )
+    emitted = drawn.filter("n_copies > 0").select(
+        "lang",
+        "doc_id",
+        "tokens",
+        "n_docs",
+        "target_docs",
+        F.explode(F.expr("sequence(1, n_copies)")).alias("copy_no"),
+    )
+    # pack_sequences' two-pass prefix sum, keyed on the emission order
+    # (copy_no, doc_id): block totals → bounded block-prefix window →
+    # broadcast back → within-block cumsum (parallel)
+    emitted = emitted.withColumn("block", F.expr(f"doc_id div {_BLOCK}"))
+    block_tot = emitted.groupBy("copy_no", "block").agg(
+        F.sum("tokens").alias("block_tokens")
+    )
+    block_prefix = block_tot.withColumn(
+        "block_off",
+        F.coalesce(
+            F.sum("block_tokens").over(
+                W.orderBy("copy_no", "block").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("copy_no", "block", "block_off")
+    win = W.partitionBy("copy_no", "block").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    packed = (
+        emitted.join(F.broadcast(block_prefix), ["copy_no", "block"])
+        .withColumn(
+            "start_off",
+            F.col("block_off") + F.sum("tokens").over(win) - F.col("tokens"),
+        )
+        .selectExpr(
+            "lang",
+            "tokens",
+            "n_docs",
+            "target_docs",
+            f"start_off div {_SEQ_LEN} AS first_chunk",
+            f"(start_off + tokens - 1) div {_SEQ_LEN} AS last_chunk",
+        )
+    )
+    ledger = packed.groupBy("lang").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.max("target_docs").cast("bigint").alias("target_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+        F.sum("tokens").cast("bigint").alias("emitted_tokens"),
+        F.sum(F.col("first_chunk") + F.col("last_chunk"))
+        .cast("bigint")
+        .alias("chunk_checksum"),
+    )
+    return ledger.withColumn(
+        "total_chunks",
+        F.expr(
+            f"CAST((SUM(emitted_tokens) OVER () + {_SEQ_LEN} - 1)"
+            f" DIV {_SEQ_LEN} AS BIGINT)"
+        ),
+    ).orderBy("lang")

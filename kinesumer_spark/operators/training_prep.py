@@ -447,6 +447,31 @@ def temperature_plan_df(
 
 _TMIX_D = 1_000_000  # integer Bernoulli denominator for the mix draw
 
+
+def temperature_copies_spark(salt: str, d: int) -> str:
+    """Spark SQL: per-document emission count toward the temperature
+    target — integer base repetition plus an exact Bernoulli for the
+    fractional remainder (columns ``target_docs``/``n_docs`` in scope).
+    ONE definition shared by sample_temperature_repeat and the
+    training-mix pipeline so the emission arithmetic can never fork
+    (the r10 shared-helper discipline). The dominant language's base
+    is 0, so the remainder draw IS the keep/drop downsample — running
+    a separate keep-draw before this would SQUARE the keep
+    probability, which is exactly the drift this helper prevents."""
+    return f"""(target_docs DIV n_docs)
+            + IF({_sha32(salt)} % {d}
+                   < (target_docs % n_docs) * {d} DIV n_docs,
+                 1, 0)"""
+
+
+def temperature_copies_duck(salt: str, d: int, pre: str = "t.") -> str:
+    """DuckDB spelling of ``temperature_copies_spark`` (``pre`` is the
+    plan-table alias prefix for target_docs/n_docs)."""
+    return f"""({pre}target_docs // {pre}n_docs)
+           + CASE WHEN {_sha32_duck(salt)} % {d}
+                       < ({pre}target_docs % {pre}n_docs) * {d} // {pre}n_docs
+                  THEN 1 ELSE 0 END"""
+
 _TMIX_ORACLE = f"""
 WITH {temperature_plan_cte("documents", "lang", "n_docs", _TMIX_D)}, drawn AS (
   SELECT d.lang, d.doc_id, t.n_docs, t.target_docs, t.threshold,
@@ -523,10 +548,7 @@ def sample_temperature_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TREP_ORACLE = f"""
 WITH {temperature_plan_cte("documents", "lang", "n_docs", _TMIX_D)}, drawn AS (
   SELECT d.lang, d.doc_id, t.n_docs, t.target_docs,
-         (t.target_docs // t.n_docs)
-           + CASE WHEN {_sha32_duck("'trep:' || doc_id")} % {_TMIX_D}
-                       < (t.target_docs % t.n_docs) * {_TMIX_D} // t.n_docs
-                  THEN 1 ELSE 0 END AS n_copies
+         {temperature_copies_duck("'trep:' || doc_id", _TMIX_D)} AS n_copies
   FROM documents d JOIN thr t USING (lang)
 ), emitted AS (
   SELECT lang, doc_id, n_docs, target_docs,
@@ -581,10 +603,7 @@ def sample_temperature_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_docs",
         "target_docs",
-        f"""(target_docs DIV n_docs)
-            + IF({_sha32(salted)} % {_TMIX_D}
-                   < (target_docs % n_docs) * {_TMIX_D} DIV n_docs,
-                 1, 0) AS n_copies""",
+        f"{temperature_copies_spark(salted, _TMIX_D)} AS n_copies",
     )
     emitted = drawn.filter("n_copies > 0").select(
         "lang",

@@ -548,6 +548,160 @@ def stream_stateful_totals_rocksdb(
     )
 
 
+@register(
+    "stream_stateful_totals_rocksdb_restart",
+    oracle=_STREAM_STATEFUL_ORACLE,
+    tags=("streaming", "stateful", "scale", "checkpoint"),
+)
+def stream_stateful_totals_rocksdb_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The scale story stream_stateful_totals_rocksdb stands for,
+    actually exercised: RocksDB-backed streaming state SURVIVING a
+    query kill/restart. Phase 1 feeds half the events (even event_ids)
+    through the applyInPandasWithState totals under the RocksDB
+    provider WITH changelog checkpointing (the production conf: state
+    restore = last snapshot + changelog replay), then the query STOPS.
+    Phase 2 is a brand-new query object resuming from the SAME Spark
+    checkpoint over the same source directory, into which the odd half
+    has meanwhile landed — its per-user totals are correct ONLY if the
+    phase-1 RocksDB state was rebuilt from the checkpoint, so the
+    oracle (the batch GROUP BY over the FULL feed) hash-proves
+    exactly-once stateful accumulation across the restart. This is the
+    `stream_kinesis_wire_dynamo_restore` two-phase shape applied to
+    Spark's own state backend instead of the external store
+    (reference parity: a restarting kinesumer seeds from persisted
+    state, kinesumer.go:575 + syncclient.go:146 — here the persisted
+    state is the operator's, not the cursor's).
+
+    The final readout (max n_events per user, max_by total) is
+    REPLAY-TOLERANT by construction: if the restart re-runs an
+    uncommitted batch, duplicate update-mode emissions change neither
+    max nor max_by — the same idempotence a production sink needs
+    under at-least-once foreachBatch delivery.
+
+    Scale: state lives off-heap in RocksDB with changelog checkpoints
+    (O(delta) per batch, not O(state)); the restart path is exactly
+    how a 1000-executor job recovers task loss — per-partition stores
+    rebuild from the checkpoint; nothing here is local-mode-only."""
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.streaming.stateful import running_user_totals
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev = {k: spark.conf.get(k, None) for k in (provider_key, changelog_key)}
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(changelog_key, "true")
+    staging = tempfile.mkdtemp(prefix="ks_rocks_staging_")
+    out = tempfile.mkdtemp(prefix="ks_rocks_out_")
+    ckpt = tempfile.mkdtemp(prefix="ks_rocks_ckpt_")
+    try:
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("value"),
+        )
+        ev.filter(F.col("event_id") % 2 == 0).drop("event_id").write.parquet(
+            staging, mode="overwrite"
+        )
+
+        def run_phase(phase: int) -> None:
+            src = (
+                spark.readStream.schema("user_id bigint, value bigint")
+                .parquet(staging)
+            )
+            q = (
+                running_user_totals(src)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda bdf, bid: bdf.withColumn(
+                        "phase", F.lit(phase).cast("bigint")
+                    ).write.mode("append").parquet(out)
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+
+        run_phase(1)  # phase 1: even half, state accumulates in RocksDB
+        ev.filter(F.col("event_id") % 2 == 1).drop("event_id").write.parquet(
+            staging, mode="append"
+        )
+        run_phase(2)  # phase 2: NEW query, state restored from checkpoint
+        emitted = spark.read.parquet(out)
+        # RESTORATION TRIPWIRE — the oracle alone is satisfiable by a
+        # degenerate phase 2 that ignores the checkpoint and reprocesses
+        # the whole directory with fresh state. Strict per-user equality
+        # of phase-2 final counts with the FULL-feed counts excludes
+        # both failure modes at once: fresh state over new files only
+        # would undercount (odd-half only); restored state over
+        # re-listed old files would overcount (evens twice). One small
+        # collect — |users| is key cardinality, not input volume.
+        p2 = emitted.filter(F.col("phase") == 2).groupBy("user_id").agg(
+            F.max("n_events").alias("n2")
+        )
+        truth = ev.groupBy("user_id").count()
+        bad = p2.join(truth, "user_id").filter(
+            F.col("n2") != F.col("count")
+        )
+        n_bad = bad.count()
+        assert n_bad == 0, (
+            f"{n_bad} user(s) whose phase-2 state does not equal "
+            "restored-plus-new — checkpoint restore did not happen"
+        )
+        # …and the complementary mode — phase 2 ignoring the checkpoint
+        # and RE-LISTING the whole directory (a fresh full recompute
+        # also equals truth) — is excluded at the WAL level: across all
+        # committed source-log entries, no input file may appear twice.
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        seen_files: list[str] = []
+        for logf in _glob.glob(_os.path.join(ckpt, "sources", "0", "*")):
+            with open(logf) as fh:
+                for line in fh:
+                    if line.startswith("{"):
+                        seen_files.append(_json.loads(line)["path"])
+        assert len(seen_files) == len(set(seen_files)), (
+            "source WAL lists an input file twice — phase 2 reprocessed "
+            "phase-1 data instead of restoring state"
+        )
+        res = (
+            emitted.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                (F.max_by("total_value", "n_events") / 1_000_000).alias(
+                    "total_value"
+                ),
+            )
+            .orderBy("user_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for d in (staging, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 # The streaming funnel must converge to the batch funnel's answer on a
 # finite stream, so it carries the batch form's oracle verbatim — a
 # hash-green row IS the batch/stream equivalence proof at driver level.

@@ -577,18 +577,20 @@ def test_temperature_draw_plan_broadcasts_and_stays_jvm(spark):
 
 
 def test_dsir_scoring_pass_is_broadcast_and_topk(spark):
-    """text_dsir_importance: the bucket model must broadcast back onto
-    the token stream (a shuffle by 4096 bucket keys would
-    under-partition a 100 TB corpus), the ranking must be distributed
-    top-k (TakeOrderedAndProject), and the hot path JVM-only. The
-    model subtree is localCheckpoint-truncated, so the executed top
-    plan holds exactly ONE corpus scan (the scoring pass)."""
-    df = _df(spark, "text_dsir_importance")
-    plan = plan_string(df)
-    assert "BroadcastHashJoin" in plan, plan
-    assert "TakeOrderedAndProject" in plan, plan
-    assert "BatchEvalPython" not in plan, plan
-    assert len(read_schemas(df)) == 1, plan
+    """text_dsir_importance (+ the bigram-feature variant): the bucket
+    model must broadcast back onto the token stream (a shuffle by 4096
+    bucket keys would under-partition a 100 TB corpus), the ranking
+    must be distributed top-k (TakeOrderedAndProject), and the hot
+    path JVM-only. The model subtree is localCheckpoint-truncated, so
+    the executed top plan holds exactly ONE corpus scan (the scoring
+    pass)."""
+    for name in ("text_dsir_importance", "text_dsir_importance_bigram"):
+        df = _df(spark, name)
+        plan = plan_string(df)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert len(read_schemas(df)) == 1, (name, plan)
 
 
 def test_asof_nearest_is_banded_equi_join(spark):
