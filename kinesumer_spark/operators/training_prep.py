@@ -625,3 +625,141 @@ def sample_temperature_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PBG_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS tokens_raw,
+         doc_id // {_BLOCK} AS block
+  FROM documents
+), r AS (
+  SELECT doc_id, LEAST(tokens_raw, {_SEQ_LEN}) AS tokens,
+         tokens_raw > {_SEQ_LEN} AS truncated, block,
+         ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id) AS rn
+  FROM t
+), pk AS (
+  SELECT block, rn, doc_id, tokens, truncated,
+         CAST(0 AS BIGINT) AS bin_in_block,
+         CAST(0 AS BIGINT) AS bin_off,
+         tokens AS fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.block, r.rn, r.doc_id, r.tokens, r.truncated,
+         CASE WHEN pk.fill + r.tokens <= {_SEQ_LEN}
+              THEN pk.bin_in_block ELSE pk.bin_in_block + 1 END,
+         CASE WHEN pk.fill + r.tokens <= {_SEQ_LEN}
+              THEN pk.fill ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN pk.fill + r.tokens <= {_SEQ_LEN}
+              THEN pk.fill + r.tokens ELSE r.tokens END
+  FROM pk JOIN r ON r.block = pk.block AND r.rn = pk.rn + 1
+), bb AS (
+  SELECT block, MAX(bin_in_block) + 1 AS nb FROM pk GROUP BY block
+), base AS (
+  SELECT block,
+         COALESCE(SUM(nb) OVER (ORDER BY block
+                                ROWS UNBOUNDED PRECEDING) - nb, 0) AS bin_base
+  FROM bb
+)
+SELECT pk.doc_id, pk.tokens, pk.truncated,
+       CAST(base.bin_base + pk.bin_in_block AS BIGINT) AS bin_id,
+       CAST(pk.bin_off AS BIGINT) AS bin_off
+FROM pk JOIN base USING (block)
+ORDER BY pk.doc_id
+"""
+
+
+@register("pack_bins_greedy", oracle=_PBG_ORACLE, tags=("training", "pack"))
+def pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-STRADDLE sequence packing — the complement of pack_sequences'
+    concat-and-chunk layout: each document lands whole inside exactly
+    one {_SEQ_LEN}-token bin (documents longer than a bin truncate to
+    one full bin, flagged), bins are filled greedily in doc_id order
+    (next-fit: if the next document does not fit, the bin closes and a
+    new one opens). This is the packing used when training masks
+    cross-document attention — a document may never span two
+    sequences, and the price is padding waste, which this layout pins
+    per document (bin_id + bin_off reconstruct every pad gap).
+
+    Distribution choice: greedy packing is inherently SEQUENTIAL (the
+    state is the current bin's fill), so the corpus packs in
+    independent {_BLOCK}-document blocks — bins never span blocks,
+    making the pack embarrassingly parallel at the cost of at most one
+    underfilled bin per block boundary versus a global sequential
+    pass (bounded, documented waste — the same block-local trade
+    pack_sequences makes for its prefix sum). Next-fit rather than
+    best-fit-decreasing is deliberate: it is deterministic in reading
+    order with no size sort, so the layout is reproducible from
+    doc_id alone and streaming-appendable.
+
+    Scale: one scan; the only data shuffle keys (block) for the
+    per-block greedy (applyInPandas — the sequential loop touches
+    ≤{_BLOCK} tiny (doc_id, tokens) pairs per group, never text); the
+    global bin numbering reuses the bounded block-summary window +
+    broadcast-back discipline. The DuckDB oracle replays the greedy
+    exactly via a recursive CTE."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tokens_raw"),
+    )
+    d = d.select(
+        "doc_id",
+        F.least(F.col("tokens_raw"), F.lit(_SEQ_LEN)).alias("tokens"),
+        (F.col("tokens_raw") > _SEQ_LEN).alias("truncated"),
+        F.expr(f"doc_id div {_BLOCK}").alias("block"),
+    )
+
+    def pack_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        fill = _SEQ_LEN + 1  # force the first document to open bin 0
+        b = -1
+        bins, offs = [], []
+        for t in pdf["tokens"]:
+            if fill + t <= _SEQ_LEN:
+                offs.append(fill)
+                fill += t
+            else:
+                b += 1
+                offs.append(0)
+                fill = t
+            bins.append(b)
+        pdf["bin_in_block"] = pd.Series(bins, dtype="int64")
+        pdf["bin_off"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    # materialize the kernel output once: bin numbering reads it twice
+    # (per-doc rows + per-block bin counts), and without the truncation
+    # the grouped kernel — scan, shuffle and all — executes twice
+    # (plan-audited r11)
+    packed = d.groupBy("block").applyInPandas(
+        pack_block,
+        "doc_id bigint, tokens bigint, truncated boolean, block bigint, "
+        "bin_in_block bigint, bin_off bigint",
+    ).localCheckpoint(eager=False)
+    bins_per_block = packed.groupBy("block").agg(
+        (F.max("bin_in_block") + 1).alias("nb")
+    )
+    base = bins_per_block.withColumn(
+        "bin_base",
+        F.coalesce(
+            F.sum("nb").over(
+                W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("block", "bin_base")
+    return (
+        packed.join(F.broadcast(base), "block")
+        .select(
+            "doc_id",
+            "tokens",
+            "truncated",
+            (F.col("bin_base") + F.col("bin_in_block"))
+            .cast("bigint")
+            .alias("bin_id"),
+            "bin_off",
+        )
+        .orderBy("doc_id")
+    )

@@ -604,6 +604,23 @@ def test_asof_nearest_is_banded_equi_join(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_pack_bins_greedy_is_block_parallel(spark):
+    """pack_bins_greedy: the grouped Arrow kernel's output is
+    localCheckpoint-materialized, so the kernel (scan + block shuffle +
+    greedy) executes ONCE even though bin numbering reads it twice —
+    the executed top plan reads the checkpointed RDD in both branches
+    (zero fresh parquet scans) and joins the bounded block-summary
+    relation back as a BROADCAST, never a sort-merge of data-sized
+    relations; no Python remains above the checkpoint."""
+    df = _df(spark, "pack_bins_greedy")
+    plan = plan_string(df)
+    assert plan.count(") Scan ExistingRDD") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(read_schemas(df)) == 0, plan
+
+
 def test_cdc_chunker_is_one_scan_no_python(spark):
     """dedup_cdc_chunking: the whole chunker is higher-order Catalyst
     expressions in the scan stage — ONE parquet scan, no Python, no
