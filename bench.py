@@ -115,6 +115,7 @@ EXTENDED = [
     # r11 additions
     "text_dsir_importance_bigram",
     "pipeline_training_mix",
+    "similarity_int8_rerank",
 ]
 
 

@@ -1691,6 +1691,170 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- int8 symmetric quantized search + exact re-rank ------------------------
+
+_I8_C = 20  # quantized candidate pool per query before exact re-rank
+
+_I8_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, label, e,
+         list_max(list_transform(e, x -> abs(x))) AS mx
+  FROM v
+), qv AS (
+  SELECT vec_id, label, e,
+         CASE WHEN mx = 0
+              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x ->
+                     CAST(round(x / (mx / 127.0)) AS BIGINT)) END AS codes,
+         mx / 127.0 AS scale
+  FROM s
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, codes AS qcodes, scale AS qscale
+  FROM qv WHERE vec_id < {_N_QUERIES}
+), approx AS (
+  SELECT q.q_id, c.vec_id, c.label,
+         round((list_dot_product(q.qcodes::DOUBLE[], c.codes::DOUBLE[])
+                * q.qscale) * c.scale, 6) AS ascore
+  FROM q CROSS JOIN qv c
+  WHERE q.q_id <> c.vec_id
+), cand AS (
+  SELECT q_id, vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ascore DESC, vec_id) AS arnk
+  FROM approx
+  QUALIFY arnk <= {_I8_C}
+), rer AS (
+  SELECT cand.q_id, cand.vec_id, cand.label,
+         round(list_dot_product(qq.qe, vv.e) /
+               (sqrt(list_dot_product(qq.qe, qq.qe)) *
+                sqrt(list_dot_product(vv.e, vv.e))), 6) AS cosine
+  FROM cand
+  JOIN v vv ON vv.vec_id = cand.vec_id
+  JOIN q qq ON qq.q_id = cand.q_id
+)
+SELECT q_id, vec_id, label, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+FROM rer
+QUALIFY rnk <= {_TOP_K}
+ORDER BY q_id, rnk
+"""
+
+
+@register(
+    "similarity_int8_rerank", oracle=_I8_ORACLE, tags=("similarity",)
+)
+def similarity_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-tier search pattern on a SCALAR-quantized
+    index: tier 1 scans only the int8 index — per-vector symmetric
+    codes (round(x·127/max|x|), the signed companion of
+    embedding_quantize_int8's affine form) at 1/4 the float32 footprint
+    — scoring candidates with an exact INTEGER dot product scaled back
+    by the two vectors' scales; tier 2 fetches full-precision vectors
+    for only the top-{_I8_C} candidates per query and re-ranks with
+    true cosine. Every emitted cosine is exact — like the IVF/PQ tiers,
+    quantization bounds only RECALL (tests gate it), never the
+    reported score.
+
+    Determinism: the code arithmetic is elementwise IEEE double from
+    identical float32 inputs; the candidate dot is integer-exact
+    (|code| ≤ 127, dim {_DIM}: max Σ < 2²ⁱ — exact in int64 AND in the
+    oracle's double); the only float products are the two scale
+    multiplies, left-associated identically in both engines, rounded
+    to 6 dp before any rank decision.
+
+    100 TB: tier 1 reads a 4×-narrower index scan (codes + one scale
+    per vector — the column a real deployment writes next to the
+    parquet), broadcasts the query codes, and shuffles nothing but
+    (q_id, candidate) pairs; tier 2 is a broadcast-hash join of
+    |queries|·{_I8_C} survivor ids against the full-precision table —
+    the random-access fetch pattern of a vector store, expressed as a
+    join. Same output contract as every other similarity tier."""
+    base = _t(spark, sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    qv = base.select(
+        "vec_id",
+        "label",
+        "e",
+        F.expr("array_max(transform(e, x -> abs(x)))").alias("mx"),
+    ).select(
+        "vec_id",
+        "label",
+        "e",
+        (F.col("mx") / F.lit(127.0)).alias("scale"),
+        F.when(
+            F.col("mx") == 0,
+            F.expr("transform(e, x -> CAST(0 AS BIGINT))"),
+        )
+        .otherwise(
+            F.expr(
+                "transform(e, x -> CAST(round(x / (mx / 127.0D)) AS BIGINT))"
+            )
+        )
+        .alias("codes"),
+    )
+    # tier-1 index scan: codes + scale ONLY (never e — the narrow scan
+    # is the point)
+    index = qv.select("vec_id", "label", "codes", "scale")
+    q = qv.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("codes").alias("qcodes"),
+        F.col("scale").alias("qscale"),
+    )
+    approx = (
+        index.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(
+                (
+                    F.expr(f"CAST({_dot_sql('qcodes', 'codes')} AS DOUBLE)")
+                    * F.col("qscale")
+                )
+                * F.col("scale"),
+                6,
+            ).alias("ascore"),
+        )
+    )
+    wa = W.partitionBy("q_id").orderBy(F.desc("ascore"), F.col("vec_id"))
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= _I8_C)
+        .select("q_id", "vec_id", "label")
+    )
+    # tier-2 re-rank: fetch full precision for survivors only
+    full = base.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    qfull = full.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rer = (
+        full.select("vec_id", "e", "nrm")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qfull), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            _cosine(_dot("qe", "e"), F.col("qnrm"), F.col("nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .orderBy("q_id", "rnk")
+    )
+
+
 # -- PCA: distributed covariance + driver eigh + projected validation --------
 
 _PCA_TOL_ORTHO = 1e-5

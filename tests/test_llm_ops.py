@@ -129,6 +129,28 @@ def test_ann_banded_recall_and_determinism(spark):
     assert audit and all(r["recall_ok"] for r in audit)
 
 
+def test_int8_rerank_recall_and_exact_scores(spark):
+    """similarity_int8_rerank: the int8 candidate tier must carry ≥0.9
+    of the brute-force top-k through to the re-rank (measured 1.0 at
+    the test SFs — a 20-candidate pool over symmetric int8 codes loses
+    almost nothing at dim 64), and every emitted cosine must EQUAL the
+    exact scan's cosine for the same (q_id, vec_id) — quantization may
+    cost recall, never score fidelity."""
+    brute = {
+        (r["q_id"], r["vec_id"]): r["cosine"]
+        for r in _run(spark, "similarity_cosine_topk").collect()
+    }
+    got = _run(spark, "similarity_int8_rerank").collect()
+    assert got
+    pairs = {(r["q_id"], r["vec_id"]) for r in got}
+    recall = len(pairs & set(brute)) / len(brute)
+    assert recall >= 0.9, f"int8 re-rank recall {recall:.2f} < 0.9"
+    for r in got:
+        k = (r["q_id"], r["vec_id"])
+        if k in brute:
+            assert r["cosine"] == brute[k], k
+
+
 def test_dup_pairs_lsh_precision_and_recall(spark):
     """The LSH-prefiltered dup-pairs variant (dup_pairs_lsh API) must
     emit ONLY true pairs (precision 1 — every row also appears in the
