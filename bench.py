@@ -116,6 +116,7 @@ EXTENDED = [
     "text_dsir_importance_bigram",
     "pipeline_training_mix",
     "similarity_int8_rerank",
+    "join_runtime_bloom",
 ]
 
 

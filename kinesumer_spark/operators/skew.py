@@ -414,3 +414,92 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -- runtime Bloom-filter join pruning ---------------------------------------
+
+_RBLOOM_ORACLE = f"""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {oracle_sum('l_extendedprice')} AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+# The at-scale regime, simulated locally: the dim side exceeds any
+# broadcast threshold (forced with autoBroadcastJoinThreshold = -1) so
+# the join is shuffle-based, and the fact scan is large enough to be
+# worth filtering (applicationSideScanSizeThreshold = 0 — the default
+# 10 GB floor exists precisely because this only pays on big scans).
+_RBLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def runtime_bloom_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-materialized join — callers must hold ``_RBLOOM_CONFS``
+    while planning/executing it (join_runtime_bloom does; the plan test
+    audits might_contain on exactly this frame)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    p = read_table(spark, sf_dir, "part").filter("p_size = 1").select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "join_runtime_bloom",
+    oracle=_RBLOOM_ORACLE,
+    tags=("join", "prune", "scale"),
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime row-level Bloom-filter join pruning — the non-partitioned
+    counterpart of join_dpp_partitioned: when the selective predicate
+    lives on the dim side of a SHUFFLE join (too big to broadcast, no
+    partition column to prune), Catalyst's InjectRuntimeFilter plants a
+    bloom_filter_agg subquery on the dim side and a might_contain
+    filter directly above the FACT scan, so ~all non-matching fact rows
+    drop before the shuffle instead of after it. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    qualifying fraction (~3.5% here: p_size = 1).
+
+    Locally the dim side fits any broadcast threshold and the fact scan
+    is below the 10 GB application-side floor, so the two thresholds
+    are pinned for the query's scope (set/restore, the RocksDB-provider
+    pattern) to reproduce the at-scale plan shape; planning is lazy, so
+    the join MATERIALIZES (localCheckpoint eager — the aggregated
+    result is |brands| rows) inside the conf scope. The plan test
+    audits might_contain + bloom_filter_agg on the un-materialized
+    frame under the same confs.
+
+    The oracle is the plain join — the Bloom filter may only ever
+    REMOVE rows the join would drop anyway (false positives pass
+    through to the exact join), so any semantic leak reddens the
+    hash."""
+    prev = {k: spark.conf.get(k, None) for k in _RBLOOM_CONFS}
+    for k, v in _RBLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out = runtime_bloom_plan(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -621,6 +621,33 @@ def test_pack_bins_greedy_is_block_parallel(spark):
     assert len(read_schemas(df)) == 0, plan
 
 
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """join_runtime_bloom: under the at-scale confs, InjectRuntimeFilter
+    must plant a bloom_filter_agg on the dim side and a might_contain
+    predicate above the FACT (lineitem) scan — fact rows drop before
+    the shuffle. Audited on the un-materialized frame the registered
+    query executes."""
+    from kinesumer_spark.operators.skew import _RBLOOM_CONFS, runtime_bloom_plan
+
+    prev = {k: spark.conf.get(k, None) for k in _RBLOOM_CONFS}
+    for k, v in _RBLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = runtime_bloom_plan(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    # the might_contain must guard the lineitem side (the fact scan)
+    fact_branch = plan[plan.index("might_contain"):]
+    assert "l_partkey" in fact_branch.split("\n", 1)[0], plan
+
+
 def test_cdc_chunker_is_one_scan_no_python(spark):
     """dedup_cdc_chunking: the whole chunker is higher-order Catalyst
     expressions in the scan stage — ONE parquet scan, no Python, no
