@@ -149,3 +149,66 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """AQE's OptimizeSkewedJoin (the engine-native tier join_skew_salted
+    documents as its adaptive alternative) must actually SPLIT a hot
+    partition: an 80 %-hot join key under local-scale thresholds plans
+    SortMergeJoin(skew=true) with the fact side read as
+    'AQEShuffleRead … skewed', and the result still matches the join
+    semantics.
+
+    Two hard-won preconditions, asserted here so they stay documented:
+    (1) the skewed side must be a PLAIN shuffle under the join — an
+    aggregate between shuffle and sort (e.g. distinct()) breaks the
+    rule's pattern match; (2) the map side must have >1 mapper —
+    skew splits are PartialReducerPartitionSpec MAPPER RANGES, so a
+    single-input-split stage (one local parquet file) can never split
+    a skewed reduce partition no matter its size. At 100 TB both hold
+    by construction (thousands of input splits, scan-under-join); a
+    single-file local fixture silently can't reproduce skew handling
+    without the repartition."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2048",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = read_table(spark, SF_SMALL, "lineitem")
+        # >1 mapper (precondition 2); 8 round-robin map tasks
+        fact = li.repartition(8).select(
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_extendedprice",
+            # incompressible pad so the hot partition's shuffle BYTES
+            # (post-compression) clear the lowered threshold
+            F.sha2(
+                F.concat_ws("-", "l_orderkey", "l_partkey").cast("binary"),
+                512,
+            ).alias("pad"),
+        )
+        od = read_table(spark, SF_SMALL, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        j = fact.join(od, fact.k == od.o_orderkey)
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    assert "skewed" in plan, plan
+    # correctness under the split: row count = fact rows whose key
+    # exists in orders (every k is an existing orderkey by construction)
+    assert len(rows) == li.count()
