@@ -1421,7 +1421,7 @@ ORDER BY doc_id
 
 
 _CDC_DUCK_CHUNKS = _cdc_duck_chunks(
-    f"{_sha32_duck(f'substr(text, CAST(i AS INTEGER) - {_CDC_W - 1}, {_CDC_W})')}"
+    _sha32_duck(f"substr(text, CAST(i AS INTEGER) - {_CDC_W - 1}, {_CDC_W})")
 )
 
 _CDC_ORACLE = _cdc_duck_summary(_CDC_DUCK_CHUNKS)

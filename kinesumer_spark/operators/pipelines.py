@@ -69,6 +69,7 @@ from kinesumer_spark.operators.training_prep import (
     _BLOCK,
     _SEQ_LEN,
     _TMIX_D,
+    block_running_offset,
     temperature_copies_duck,
     temperature_copies_spark,
     temperature_plan_cte,
@@ -677,41 +678,25 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_docs",
         F.explode(F.expr("sequence(1, n_copies)")).alias("copy_no"),
     )
-    # pack_sequences' two-pass prefix sum, keyed on the emission order
-    # (copy_no, doc_id): block totals → bounded block-prefix window →
-    # broadcast back → within-block cumsum (parallel)
-    emitted = emitted.withColumn("block", F.expr(f"doc_id div {_BLOCK}"))
-    block_tot = emitted.groupBy("copy_no", "block").agg(
-        F.sum("tokens").alias("block_tokens")
-    )
-    block_prefix = block_tot.withColumn(
-        "block_off",
-        F.coalesce(
-            F.sum("block_tokens").over(
-                W.orderBy("copy_no", "block").rowsBetween(
-                    W.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("copy_no", "block", "block_off")
-    win = W.partitionBy("copy_no", "block").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    packed = (
-        emitted.join(F.broadcast(block_prefix), ["copy_no", "block"])
-        .withColumn(
-            "start_off",
-            F.col("block_off") + F.sum("tokens").over(win) - F.col("tokens"),
-        )
-        .selectExpr(
-            "lang",
-            "tokens",
-            "n_docs",
-            "target_docs",
-            f"start_off div {_SEQ_LEN} AS first_chunk",
-            f"(start_off + tokens - 1) div {_SEQ_LEN} AS last_chunk",
-        )
+    # materialize the emission once: the packing stage reads it twice
+    # (block totals + the offset join), and without the truncation the
+    # whole emission pipeline — corpus scan, broadcast plan join,
+    # per-doc sha draw, copy explode — executes twice (r11 review; the
+    # same double-execution pack_bins_greedy's kernel had)
+    emitted = emitted.withColumn(
+        "block", F.expr(f"doc_id div {_BLOCK}")
+    ).localCheckpoint(eager=False)
+    # pack_sequences' two-pass prefix sum via the SHARED helper, keyed
+    # on the emission order (copy_no, doc_id)
+    packed = block_running_offset(
+        emitted, "tokens", "doc_id", ["copy_no", "block"], "start_off"
+    ).selectExpr(
+        "lang",
+        "tokens",
+        "n_docs",
+        "target_docs",
+        f"start_off div {_SEQ_LEN} AS first_chunk",
+        f"(start_off + tokens - 1) div {_SEQ_LEN} AS last_chunk",
     )
     ledger = packed.groupBy("lang").agg(
         F.max("n_docs").cast("bigint").alias("n_docs"),

@@ -31,6 +31,57 @@ def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
+def exclusive_prefix(
+    df: DataFrame, order_cols: list[str], value: str, alias: str
+) -> DataFrame:
+    """Exclusive running sum of ``value`` in ``order_cols`` order — an
+    unpartitioned window, so call it ONLY on bounded summary relations
+    (block totals, bin counts), never on data-sized ones."""
+    return df.withColumn(
+        alias,
+        F.coalesce(
+            F.sum(value).over(
+                W.orderBy(*order_cols).rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+
+
+def block_running_offset(
+    d: DataFrame,
+    value: str,
+    order_col: str,
+    block_cols: list[str],
+    alias: str,
+) -> DataFrame:
+    """Append ``alias`` = exclusive running sum of ``value`` over rows
+    ordered by (*block_cols, order_col) — the TWO-PASS distributed
+    prefix sum: per-block totals (one narrow groupBy), exclusive
+    prefix over the bounded block-summary relation only, broadcast
+    back, cumsum WITHIN each block (partitioned window — parallel).
+    ONE definition shared by pack_sequences, pack_bins_greedy's bin
+    numbering, and pipeline_training_mix's packing stage so the offset
+    arithmetic can never fork (r11 review — the temperature_copies
+    discipline applied to the prefix sum)."""
+    block_tot = d.groupBy(*block_cols).agg(F.sum(value).alias("_bt"))
+    prefix = exclusive_prefix(block_tot, block_cols, "_bt", "_boff").select(
+        *block_cols, "_boff"
+    )
+    win = (
+        W.partitionBy(*block_cols)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(prefix), block_cols)
+        .withColumn(
+            alias, F.col("_boff") + F.sum(value).over(win) - F.col(value)
+        )
+        .drop("_boff")
+    )
+
+
 _PACK_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
@@ -76,24 +127,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tokens")
     )
     d = d.withColumn("block", F.expr(f"doc_id div {_BLOCK}"))
-    block_tot = d.groupBy("block").agg(F.sum("tokens").alias("block_tokens"))
-    block_prefix = block_tot.withColumn(
-        "block_off",
-        F.coalesce(
-            F.sum("block_tokens").over(
-                W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("block", "block_off")
-    win = W.partitionBy("block").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
     out = (
-        d.join(F.broadcast(block_prefix), "block")
-        .withColumn(
-            "start_off", F.col("block_off") + F.sum("tokens").over(win) - F.col("tokens")
-        )
+        block_running_offset(d, "tokens", "doc_id", ["block"], "start_off")
         .selectExpr(
             "doc_id",
             "tokens",
@@ -741,14 +776,8 @@ def pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins_per_block = packed.groupBy("block").agg(
         (F.max("bin_in_block") + 1).alias("nb")
     )
-    base = bins_per_block.withColumn(
-        "bin_base",
-        F.coalesce(
-            F.sum("nb").over(
-                W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
+    base = exclusive_prefix(
+        bins_per_block, ["block"], "nb", "bin_base"
     ).select("block", "bin_base")
     return (
         packed.join(F.broadcast(base), "block")

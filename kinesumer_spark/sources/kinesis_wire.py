@@ -621,11 +621,15 @@ class _KinesisApi:
         StreamARN stays required on token pages (ListStreamConsumers has
         no StreamName-xor-NextToken contract — that is ListShards)."""
         stream = self._stream_of_arn(body["StreamARN"])
-        all_consumers = [
-            dict(d)
-            for a, d in sorted(self.consumers.items())
-            if self._stream_of_arn(a) == stream
-        ]
+        # snapshot under the API lock: Register/Deregister mutate the
+        # dict under self.lock and ThreadingHTTPServer interleaves ops —
+        # an unlocked iteration can die mid-listing (r11 review)
+        with self.lock:
+            all_consumers = [
+                dict(d)
+                for a, d in sorted(self.consumers.items())
+                if self._stream_of_arn(a) == stream
+            ]
         start = 0
         token = body.get("NextToken")
         if token:
