@@ -117,6 +117,7 @@ EXTENDED = [
     "pipeline_training_mix",
     "similarity_int8_rerank",
     "join_runtime_bloom",
+    "text_decontaminate_fuzzy",
 ]
 
 

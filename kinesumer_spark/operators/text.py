@@ -700,6 +700,117 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fuzzy decontamination uses a WIDER eval slice than the exact screen's
+# mod-97: near-dup pairs are rarer than shared 3-grams, and mod 97
+# yields ZERO cross eval/corpus near-dup pairs at the driver's sf0.01 —
+# a hash-green-but-vacuous oracle (the r10 trap). mod 7 gives hits at
+# every gate SF while keeping the slice deterministic and content-free.
+_FUZZY_EVAL_MOD = 7
+_FUZZY_J = 0.5  # the LSH tier's verified-Jaccard threshold
+
+
+def _fuzzy_decontam_oracle() -> str:
+    from kinesumer_spark.operators.dedup import _minhash_cte
+
+    return f"""
+WITH {_minhash_cte()}, pj AS (
+  SELECT p.doc_a, p.doc_b,
+         round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= {_FUZZY_J}
+), x AS (
+  SELECT CASE WHEN doc_a % {_FUZZY_EVAL_MOD} = 0 THEN doc_b ELSE doc_a END
+           AS doc_id,
+         CASE WHEN doc_a % {_FUZZY_EVAL_MOD} = 0 THEN doc_a ELSE doc_b END
+           AS eval_id,
+         jaccard
+  FROM pj
+  WHERE (doc_a % {_FUZZY_EVAL_MOD} = 0) <> (doc_b % {_FUZZY_EVAL_MOD} = 0)
+), hits AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+         MAX(jaccard) AS max_jaccard,
+         CAST(SUM(eval_id) AS BIGINT) AS eval_id_checksum
+  FROM x GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       COALESCE(h.max_jaccard, 0.0) AS max_jaccard,
+       CAST(COALESCE(h.eval_id_checksum, 0) AS BIGINT) AS eval_id_checksum,
+       COALESCE(h.n_eval_matches, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {_FUZZY_EVAL_MOD} <> 0
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "text_decontaminate_fuzzy",
+    oracle=_fuzzy_decontam_oracle(),
+    tags=("text", "dedup", "approx"),
+)
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE eval-set decontamination — the fuzzy complement
+    of text_decontaminate's exact 3-gram screen: a training document is
+    contaminated if it is a verified near-duplicate (3-gram Jaccard ≥
+    0.5 = ``_FUZZY_J``) of ANY held-out eval document (doc_id % 7 == 0
+    stands in for the benchmark suite; see ``_FUZZY_EVAL_MOD`` for why
+    this slice is wider than the exact screen's). Paraphrased or
+    lightly-edited
+    benchmark leakage shares few exact 13-gram-style spans but survives
+    as a near-dup — real decontamination pipelines run BOTH screens.
+
+    Implementation is the registered MinHash/LSH tier verbatim
+    (minhash_pairs_df — shingles → 64-min signatures → 16×4 band
+    buckets → exact-Jaccard verify), then pairs that straddle the
+    eval/corpus split become per-corpus-doc verdicts: match count, max
+    Jaccard, an eval-id checksum pinning WHICH eval docs matched, and
+    the drop flag (clean docs emit with zeros — the screen's keep
+    decision is part of the contract).
+
+    Scale: everything down to the verify is dedup_minhash_lsh's
+    documented shape (signatures-only shuffles, banded buckets, never
+    all-pairs); the verdict join is corpus ⟕ (tiny hit table). In a
+    real deployment the eval side is a fixed benchmark set, so its
+    signatures broadcast and only corpus-side bands shuffle — the
+    symmetric form here additionally dedups corpus-corpus pairs for
+    free but is discarded by the straddle filter."""
+    from kinesumer_spark.operators.dedup import minhash_pairs_df
+
+    d = _t(spark, sf_dir)
+    pairs = minhash_pairs_df(d.select("doc_id", "lang", "text"))
+    a_eval = F.col("doc_a") % _FUZZY_EVAL_MOD == 0
+    b_eval = F.col("doc_b") % _FUZZY_EVAL_MOD == 0
+    cross = pairs.filter(a_eval != b_eval).select(
+        F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_id"
+        ),
+        F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "eval_id"
+        ),
+        "jaccard",
+    )
+    hits = cross.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.sum("eval_id").cast("bigint").alias("eval_id_checksum"),
+    )
+    return (
+        d.filter(F.col("doc_id") % _FUZZY_EVAL_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "cast(coalesce(n_eval_matches, 0) AS bigint) AS n_eval_matches",
+            "coalesce(max_jaccard, 0.0) AS max_jaccard",
+            "cast(coalesce(eval_id_checksum, 0) AS bigint)"
+            "  AS eval_id_checksum",
+            "coalesce(n_eval_matches, 0) >= 1 AS contaminated",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing (regex redaction)
 # --------------------------------------------------------------------------
