@@ -274,6 +274,94 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- binaryFile source: raw-file ingest --------------------------------------
+
+_BINFILE_N = 200  # bounded ingest batch (doc_id < N staged as raw files)
+
+_BINFILE_ORACLE = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha,
+       TRUE AS matches_source
+FROM documents
+WHERE doc_id < {_BINFILE_N}
+ORDER BY doc_id
+"""
+
+
+@register(
+    "source_binaryfile_ingest",
+    oracle=_BINFILE_ORACLE,
+    tags=("source", "multimodal"),
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest via Spark's binaryFile source — the entry path
+    multimodal data actually arrives through (a directory of opaque
+    files, before anything is parquet): a bounded batch of documents is
+    staged as individual UTF-8 files, read back as (path, length,
+    content: binary) rows, and each file's byte length + sha256 is
+    proven equal to the source row's (matches_source compares the
+    ingested bytes' hash to the joined source text's hash — a
+    per-file round-trip proof, with the oracle stating the same
+    identity over the documents table, path-independent).
+
+    Scale: binaryFile is a real FileFormat — distributed listing,
+    per-file tasks, partition-pruned by pathGlobFilter, content column
+    pruned when unused; it is how image/audio corpora enter the
+    multimodal operators (multimodal.py reads the binary column the
+    driver already staged to parquet; THIS op covers the step before
+    that parquet exists). The staging loop here is test plumbing, not
+    the operator: in production the files are already on the object
+    store. maxBytesPerFile/pathGlobFilter bound per-task memory; the
+    4 MB content cap Spark enforces for binaryFile is the documented
+    guard against unsplittable giants."""
+    import os
+    import tempfile
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < _BINFILE_N)
+    stage = tempfile.mkdtemp(prefix="ks_binfile_")
+    try:
+        for row in batch.collect():  # test plumbing: simulate the
+            # external filesystem the source would read in production
+            with open(
+                os.path.join(stage, f"{row['doc_id']:08d}.txt"), "wb"
+            ) as fh:
+                fh.write(row["text"].encode("utf-8"))
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.txt")
+            .load(stage)
+            .select(
+                F.regexp_extract(
+                    F.col("path"), r"([0-9]+)\.txt$", 1
+                )
+                .cast("bigint")
+                .alias("doc_id"),
+                F.col("length").cast("bigint").alias("n_bytes"),
+                F.sha2(F.col("content"), 256).alias("content_sha"),
+            )
+        )
+        out = (
+            files.join(batch, "doc_id")
+            .select(
+                "doc_id",
+                "n_bytes",
+                "content_sha",
+                (
+                    F.col("content_sha")
+                    == F.sha2(F.col("text").cast("binary"), 256)
+                ).alias("matches_source"),
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # -- Pure-SQL front end ------------------------------------------------------
 
 _SQL_IFACE_ORACLE = """
