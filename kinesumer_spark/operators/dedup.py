@@ -365,11 +365,14 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_df(_t(spark, sf_dir, "documents"))
 
 
-def minhash_pairs_df(d: DataFrame) -> DataFrame:
+def minhash_pairs_df(d: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     """DataFrame form of :func:`minhash_pairs` — ``d`` must expose
     (doc_id, lang, text). Composed pipelines run the identical LSH tier
     over a filtered corpus this way (mirroring ``_minhash_cte(src=...)``
-    on the oracle side)."""
+    on the oracle side). ``min_jaccard`` is the verified-Jaccard cut
+    (default 0.5, the registered pair tier's); a caller advertising its
+    own threshold constant must PASS it here so the Spark side and its
+    oracle cannot fork (r11 second review)."""
     tri = _shingles_raw(d).withColumn("h", F.expr(_sha32("shingle")))
     min_exprs = [
         F.expr(f"min(({a}L * h + {b}L) % {_P32}L) AS h{i}")
@@ -426,7 +429,7 @@ def minhash_pairs_df(d: DataFrame) -> DataFrame:
             "round(shared / cast(na + nb - shared AS double), 6) AS jaccard",
             "shared",
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= min_jaccard)
     )
 
 

@@ -778,7 +778,9 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesumer_spark.operators.dedup import minhash_pairs_df
 
     d = _t(spark, sf_dir)
-    pairs = minhash_pairs_df(d.select("doc_id", "lang", "text"))
+    pairs = minhash_pairs_df(
+        d.select("doc_id", "lang", "text"), min_jaccard=_FUZZY_J
+    )
     a_eval = F.col("doc_a") % _FUZZY_EVAL_MOD == 0
     b_eval = F.col("doc_b") % _FUZZY_EVAL_MOD == 0
     cross = pairs.filter(a_eval != b_eval).select(

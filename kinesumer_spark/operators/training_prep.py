@@ -60,10 +60,12 @@ def block_running_offset(
     prefix sum: per-block totals (one narrow groupBy), exclusive
     prefix over the bounded block-summary relation only, broadcast
     back, cumsum WITHIN each block (partitioned window — parallel).
-    ONE definition shared by pack_sequences, pack_bins_greedy's bin
-    numbering, and pipeline_training_mix's packing stage so the offset
-    arithmetic can never fork (r11 review — the temperature_copies
-    discipline applied to the prefix sum)."""
+    ONE definition shared by pack_sequences and pipeline_training_mix's
+    packing stage (pack_bins_greedy's bin numbering uses the
+    ``exclusive_prefix`` sub-step directly — its values are already
+    per-block aggregates) so the offset arithmetic can never fork
+    (r11 review — the temperature_copies discipline applied to the
+    prefix sum)."""
     block_tot = d.groupBy(*block_cols).agg(F.sum(value).alias("_bt"))
     prefix = exclusive_prefix(block_tot, block_cols, "_bt", "_boff").select(
         *block_cols, "_boff"

@@ -595,15 +595,19 @@ class _KinesisApi:
         if arn is None:
             stream = self._stream_of_arn(body["StreamARN"])
             name = body["ConsumerName"]
-            arn = next(
-                (
-                    a
-                    for a, d in self.consumers.items()
-                    if d["ConsumerName"] == name
-                    and self._stream_of_arn(a) == stream
-                ),
-                None,
-            )
+            # same snapshot-under-API-lock discipline as the listing op:
+            # Register/Deregister mutate the dict concurrently (r11
+            # second review — the listing fix missed this sibling path)
+            with self.lock:
+                arn = next(
+                    (
+                        a
+                        for a, d in self.consumers.items()
+                        if d["ConsumerName"] == name
+                        and self._stream_of_arn(a) == stream
+                    ),
+                    None,
+                )
         doc = self.consumers.get(arn)
         if doc is None:
             raise _ApiError("ResourceNotFoundException", f"no consumer {arn}")
@@ -633,12 +637,17 @@ class _KinesisApi:
         start = 0
         token = body.get("NextToken")
         if token:
-            # token = consumer name to resume strictly after
+            # token = consumer name to resume strictly after. Resume at
+            # the first name GREATER than the token (the listing is
+            # name-sorted), not at an exact match: if the token's
+            # consumer was deregistered between pages, an exact-match
+            # fallback to end-of-list would silently drop every
+            # remaining consumer (r11 second review).
             start = next(
                 (
-                    i + 1
+                    i
                     for i, d in enumerate(all_consumers)
-                    if d["ConsumerName"] == token
+                    if d["ConsumerName"] > token
                 ),
                 len(all_consumers),
             )

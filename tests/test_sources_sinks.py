@@ -1249,6 +1249,22 @@ def test_kinesis_wire_efo_adoption_pages_past_first_listing_page():
         # sanity: one listing page really is capped at 20
         page = c.list_stream_consumers(StreamARN=stream_arn, MaxResults=20)
         assert len(page["Consumers"]) == 20 and page.get("NextToken")
+        # r11 second review: a token whose consumer is DEREGISTERED
+        # between pages must resume at the next name, not silently end
+        # pagination (resume-strictly-after on the sorted listing)
+        token = page["NextToken"]
+        victim_arn = next(
+            d["ConsumerARN"]
+            for d in page["Consumers"]
+            if d["ConsumerName"] == token
+        )
+        c.deregister_stream_consumer(ConsumerARN=victim_arn)
+        page2 = c.list_stream_consumers(
+            StreamARN=stream_arn, NextToken=token, MaxResults=20
+        )
+        names2 = [d["ConsumerName"] for d in page2["Consumers"]]
+        assert names2 and all(n > token for n in names2)
+        assert "zz-target" in names2
 
 
 def test_kinesis_wire_efo_push_equals_polling():
