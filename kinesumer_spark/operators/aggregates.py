@@ -739,3 +739,64 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "user_id bigint, n_events bigint, within_bound boolean"
     ).orderBy("user_id")
+
+
+_BLOOM_EXPECT = 10_000  # sized-for expected items (≫ actual keys here)
+_BLOOM_FPP = 0.01
+_BLOOM_PROBES = 100  # bounded driver-side probe sample per class
+
+_BLOOM_ORACLE = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+       TRUE AS no_false_negatives,
+       TRUE AS fpp_within_bound
+FROM events
+"""
+
+
+@register(
+    "agg_bloom_filter_audit", oracle=_BLOOM_ORACLE, tags=("agg", "approx")
+)
+def agg_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — the third sketch next to HLL (distinct
+    counts) and Count-Min (point frequencies): a distributed
+    DataFrameStatFunctions.bloomFilter build over the event stream's
+    user ids (treeAggregate of fixed-size bit arrays — the same
+    structure InjectRuntimeFilter plants inside join_runtime_bloom,
+    here surfaced as a user-facing set-membership summary), audited
+    against both of its guarantees. No-false-negatives is HARD (a
+    member key can never probe absent) and checked over the
+    ``_BLOOM_PROBES`` lowest present keys; the false-positive rate is
+    checked over the same count of definitely-absent keys (present
+    + 10⁹) against a 5× margin on the nominal 1 % — deterministic for
+    fixed data and sizing (measured 0.0 observed FPP at every SF; the
+    filter is sized for 10⁴ items, so the local load factor is low).
+    The bound-oracle pattern: the driver hash pins the exact key
+    count, and a guarantee violation flips a boolean.
+
+    Scale: the filter is O(bits) regardless of N — the shape used for
+    100 TB anti-join prefilters and cross-cluster key shipping; the
+    build is one pass, map-side mergeable; probes are driver-side and
+    BOUNDED (2·100 py4j calls), never per-row."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    jbf = ev._jdf.stat().bloomFilter(
+        "user_id", _BLOOM_EXPECT, _BLOOM_FPP
+    )
+    present = [
+        int(r["user_id"])
+        for r in ev.distinct().orderBy("user_id").limit(_BLOOM_PROBES).collect()
+    ]
+    n_keys = ev.distinct().count()
+    fn = sum(0 if jbf.mightContainLong(u) else 1 for u in present)
+    fp = sum(
+        1 if jbf.mightContainLong(u + 1_000_000_000) else 0 for u in present
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_keys),
+                fn == 0,
+                fp / len(present) <= 5 * _BLOOM_FPP,
+            )
+        ],
+        "n_keys bigint, no_false_negatives boolean, fpp_within_bound boolean",
+    )
