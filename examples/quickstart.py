@@ -188,6 +188,18 @@ def main() -> None:
     )
     shutil.rmtree(wire_work, ignore_errors=True)
 
+    # 5. PREP — from curated corpus to training batches: the alpha=0.5
+    # temperature mixture drawn through to PACKED sequences (one
+    # whole-chain-oracled operator), and quantized-index similarity
+    # search with exact re-rank over the embeddings table.
+    reg = all_queries()
+    mix = reg["pipeline_training_mix"].spark(spark, sf_dir)
+    print("\ntraining mix → packed sequences (per language):")
+    mix.show(10, truncate=False)
+    topk = reg["similarity_int8_rerank"].spark(spark, sf_dir)
+    print("int8-index top-k (scores exact after full-precision re-rank):")
+    topk.show(10, truncate=False)
+
     spark.stop()
 
 
