@@ -1645,67 +1645,73 @@ def dedup_cdc_chunking_vectorized(
         "doc_id bigint, n_chunks bigint, max_chunk_len bigint, "
         "chunk_checksum bigint, chars_total bigint"
     )
+    return d.mapInPandas(_cdc_vectorized_kernel, out_schema).orderBy(
+        "doc_id"
+    )
 
-    def kernel(batches):
-        import hashlib
 
-        import numpy as np
-        import pandas as pd
+def _cdc_vectorized_kernel(batches):
+    """The Arrow kernel of dedup_cdc_chunking_vectorized, module-level
+    so property tests can drive it directly on arbitrary (incl.
+    non-ASCII / non-BMP) text against an independent reference."""
+    import hashlib
 
-        W, M, P, Q = _CDC_W, _CDC_M, _CDC_RP, _CDC_RQ
-        for pdf in batches:
-            ids, nch, mxl, cks, tot = [], [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
-                n = len(text)
-                if n >= W:
-                    # exact code points, vectorized: utf-32-le bytes ARE
-                    # the code-point array (no ASCII assumption)
-                    cp = np.frombuffer(
-                        text.encode("utf-32-le"), dtype=np.uint32
-                    ).astype(np.int64)
-                    h = cp[: n - W + 1].copy()
-                    for k in range(1, W):
-                        h *= P
-                        h += cp[k : k + n - W + 1]
-                        h %= Q
-                    # h[j] = Horner hash of text[j:j+W]; window END is
-                    # 1-based position j+W — same contract as the SQL
-                    cuts = np.nonzero(h % M == M - 1)[0] + W
-                else:
-                    cuts = np.empty(0, dtype=np.int64)
-                if cuts.size == 0 or cuts[-1] != n:
-                    bounds = np.append(cuts, n)
-                else:
-                    bounds = cuts
-                starts = np.concatenate(([0], bounds[:-1]))
-                checksum = 0
-                max_len = 0
-                for s, e in zip(starts, bounds):
-                    chunk = text[s:e]
-                    if e - s > max_len:
-                        max_len = int(e - s)
-                    # identical value to the SQL _sha32: first 4 bytes
-                    # of sha256 over the UTF-8 encoding, unsigned
-                    checksum += int.from_bytes(
-                        hashlib.sha256(chunk.encode("utf-8")).digest()[:4],
-                        "big",
-                    )
-                ids.append(int(doc_id))
-                nch.append(int(bounds.size))
-                mxl.append(max_len)
-                cks.append(checksum)
-                tot.append(n)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_chunks": pd.Series(nch, dtype="int64"),
-                    "max_chunk_len": pd.Series(mxl, dtype="int64"),
-                    "chunk_checksum": pd.Series(cks, dtype="int64"),
-                    "chars_total": pd.Series(tot, dtype="int64"),
-                }
-            )
+    import numpy as np
+    import pandas as pd
 
-    return d.mapInPandas(kernel, out_schema).orderBy("doc_id")
+    W, M, P, Q = _CDC_W, _CDC_M, _CDC_RP, _CDC_RQ
+    for pdf in batches:
+        ids, nch, mxl, cks, tot = [], [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+            n = len(text)
+            if n >= W:
+                # exact code points, vectorized: utf-32-le bytes ARE
+                # the code-point array (no ASCII assumption)
+                cp = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                h = cp[: n - W + 1].copy()
+                for k in range(1, W):
+                    h *= P
+                    h += cp[k : k + n - W + 1]
+                    h %= Q
+                # h[j] = Horner hash of text[j:j+W]; window END is
+                # 1-based position j+W — same contract as the SQL
+                cuts = np.nonzero(h % M == M - 1)[0] + W
+            else:
+                cuts = np.empty(0, dtype=np.int64)
+            if cuts.size == 0 or cuts[-1] != n:
+                bounds = np.append(cuts, n)
+            else:
+                bounds = cuts
+            starts = np.concatenate(([0], bounds[:-1]))
+            checksum = 0
+            max_len = 0
+            for s, e in zip(starts, bounds):
+                chunk = text[s:e]
+                if e - s > max_len:
+                    max_len = int(e - s)
+                # identical value to the SQL _sha32: first 4 bytes
+                # of sha256 over the UTF-8 encoding, unsigned
+                checksum += int.from_bytes(
+                    hashlib.sha256(chunk.encode("utf-8")).digest()[:4],
+                    "big",
+                )
+            ids.append(int(doc_id))
+            nch.append(int(bounds.size))
+            mxl.append(max_len)
+            cks.append(checksum)
+            tot.append(n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_chunks": pd.Series(nch, dtype="int64"),
+                "max_chunk_len": pd.Series(mxl, dtype="int64"),
+                "chunk_checksum": pd.Series(cks, dtype="int64"),
+                "chars_total": pd.Series(tot, dtype="int64"),
+            }
+        )
+
 
 
 _CDC_REUSE_ORACLE = f"""

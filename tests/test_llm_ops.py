@@ -728,3 +728,55 @@ def test_cdc_spark_chunker_matches_python_reference(spark):
     got = {r["doc_id"]: r["chunks"] for r in df.collect()}
     for i, s in enumerate(cases):
         assert got[i] == ref(s), (i, s, got[i], ref(s))
+
+
+def test_cdc_rolling_hof_equals_vectorized_on_unicode(spark):
+    """The two rolling-CDC execution shapes (pure-HOF Catalyst
+    expressions vs the numpy/Arrow kernel) are the SAME operator:
+    identical rows on text the ASCII corpus never exercises — accents,
+    CJK, and astral-plane code points — plus the empty and sub-window
+    edges. Pins that Spark's split('')/ascii() decomposition and the
+    kernel's utf-32 reinterpretation agree code-point-for-code-point
+    (both verified equal to Python ord and DuckDB unicode)."""
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.operators import dedup as D
+
+    rows = [
+        (0, "héllo wörld, 𝄞 music and 中文 text — mixed! " * 8),
+        (1, "a𝄞" * 40),
+        (2, ""),
+        (3, "short"),
+        (4, "ascii only but long enough to cut " * 12),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hof = (
+        df.select(
+            "doc_id",
+            "text",
+            F.expr(
+                "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
+            ).alias("cdc_cp"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.expr(D._cdc_roll_bounds_spark()).alias("cdc_bounds"),
+        )
+        .withColumn("cdc_allb", F.expr(D._CDC_ALLB_SPARK))
+        .select("doc_id", F.expr(D._CDC_CHUNKS_SPARK).alias("chunks"))
+    )
+    hof_out = [tuple(r) for r in D._cdc_summary_spark(hof).collect()]
+    vec_out = [
+        tuple(r)
+        for r in df.mapInPandas(
+            D._cdc_vectorized_kernel,
+            "doc_id bigint, n_chunks bigint, max_chunk_len bigint, "
+            "chunk_checksum bigint, chars_total bigint",
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert hof_out == vec_out
+    # the unicode docs actually produced content-defined cuts
+    assert any(r[1] > 1 for r in hof_out)

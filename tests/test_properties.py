@@ -762,3 +762,81 @@ def test_temperature_plan_invariants(counts):
     for (n1, t1), (n2, t2) in zip(by_n, by_n[1:]):
         if n1 < n2:
             assert t1 >= t2, (n1, t1, n2, t2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            # full unicode incl. astral plane — the kernel's utf-32
+            # decode claims exactness for ANY text, and the corpus
+            # (pure ASCII) never exercises that claim
+            alphabet=st.characters(
+                min_codepoint=1, max_codepoint=0x10FFFF,
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_cdc_vectorized_kernel_matches_spec(texts):
+    """The Arrow CDC kernel == an independent pure-Python reference of
+    the rolling-Horner spec (ord()-based, no numpy, no utf-32 trick)
+    on arbitrary unicode, including non-BMP: same cut positions, chunk
+    count, max chunk, sha32 checksum, and conservation total. This is
+    the cross-engine semantics the shared DuckDB oracle states, proven
+    beyond the ASCII-only corpus."""
+    import hashlib
+
+    import pandas as pd
+
+    from kinesumer_spark.operators.dedup import (
+        _CDC_M,
+        _CDC_RP,
+        _CDC_RQ,
+        _CDC_W,
+        _cdc_vectorized_kernel,
+    )
+
+    def reference(text):
+        n = len(text)
+        cps = [ord(c) for c in text]
+        cuts = []
+        for end in range(_CDC_W, n + 1):  # 1-based window end
+            h = cps[end - _CDC_W]
+            for k in range(end - _CDC_W + 1, end):
+                h = (h * _CDC_RP + cps[k]) % _CDC_RQ
+            if h % _CDC_M == _CDC_M - 1:
+                cuts.append(end)
+        if not cuts or cuts[-1] != n:
+            cuts.append(n)
+        chunks = [
+            text[s:e] for s, e in zip([0] + cuts[:-1], cuts)
+        ]
+        return (
+            len(chunks),
+            max(len(c) for c in chunks),
+            sum(
+                int.from_bytes(
+                    hashlib.sha256(c.encode("utf-8")).digest()[:4], "big"
+                )
+                for c in chunks
+            ),
+            n,
+        )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": pd.Series(texts, dtype=object)}
+    )
+    (out,) = list(_cdc_vectorized_kernel([pdf]))
+    for i, text in enumerate(texts):
+        row = out[out.doc_id == i].iloc[0]
+        got = (
+            int(row.n_chunks),
+            int(row.max_chunk_len),
+            int(row.chunk_checksum),
+            int(row.chars_total),
+        )
+        assert got == reference(text), (repr(text), got, reference(text))
