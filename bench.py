@@ -118,6 +118,20 @@ EXTENDED = [
     "similarity_int8_rerank",
     "join_runtime_bloom",
     "text_decontaminate_fuzzy",
+    # r12: the remaining r11 batch operators (r11 verdict #3 — an
+    # operator is not done until its bench row lands in the same round)
+    "pack_bins_greedy",
+    "source_binaryfile_ingest",
+    "agg_count_min_sketch",
+    "agg_bloom_filter_audit",
+    # EXCLUDED: stream_stateful_totals_rocksdb_restart — its ~16.6 s is
+    # two full Structured Streaming queries + a RocksDB state-store
+    # kill/restart + changelog restore, i.e. restart-PROTOCOL cost, not a
+    # data-plane plan. Benching it would swamp extended_total with
+    # checkpoint-recovery latency that doesn't scale with data. Its cost
+    # is recorded in SCALE.md (r11 operators table); the data-plane
+    # stateful path is already benched via stream_consume_envelope and
+    # pipeline_stream_ingest.
 ]
 
 

@@ -628,12 +628,20 @@ class _KinesisApi:
         # snapshot under the API lock: Register/Deregister mutate the
         # dict under self.lock and ThreadingHTTPServer interleaves ops —
         # an unlocked iteration can die mid-listing (r11 review)
+        # Sort by ConsumerName, not ARN: the NextToken resume below scans
+        # for the first ConsumerName > token, and ARN order (name + ':' +
+        # timestamp) diverges from bare-name order when one name is a
+        # prefix of another ('foo-2' < 'foo:...' byte-wise), which could
+        # skip consumers across a page boundary (r11 advisory).
         with self.lock:
-            all_consumers = [
-                dict(d)
-                for a, d in sorted(self.consumers.items())
-                if self._stream_of_arn(a) == stream
-            ]
+            all_consumers = sorted(
+                (
+                    dict(d)
+                    for a, d in self.consumers.items()
+                    if self._stream_of_arn(a) == stream
+                ),
+                key=lambda d: d["ConsumerName"],
+            )
         start = 0
         token = body.get("NextToken")
         if token:

@@ -636,6 +636,7 @@ def test_python_sink_abort_leaves_nothing_visible(spark, tmp_path):
     the staged files and publish NO manifest and NO data — a failed job
     is invisible to readers (the WAP discipline at connector level)."""
     import os
+    import time
 
     import pytest as _pytest
 
@@ -672,6 +673,7 @@ def test_python_sink_abort_leaves_nothing_visible(spark, tmp_path):
     if os.path.isdir(staging):
         for e in os.scandir(staging):
             os.utime(e.path, (0, 0))
+    sweep_time = time.time()  # the publish below runs the janitor sweep
     spark.range(10).selectExpr(
         "cast(id as string) AS partition_key", "'v' AS v"
     ).write.format("kinesumer_sim_sink").option("path", d).mode(
@@ -691,9 +693,15 @@ def test_python_sink_abort_leaves_nothing_visible(spark, tmp_path):
         if os.path.isdir(os.path.join(d, "_staging"))
         else []
     )
+    # A genuinely AGED orphan (the utime(0,0) files above) has
+    # mtime far below sweep_time - staging_ttl and must be gone; a
+    # post-sweep straggler's mtime is >= sweep_time and passes. The
+    # earlier `getmtime > 0` form was tautological (r11 advisory).
+    staging_ttl = 900.0  # sink default, python_source.py:274
     for name in leftovers:
         assert (
-            os.path.getmtime(os.path.join(d, "_staging", name)) > 0
+            os.path.getmtime(os.path.join(d, "_staging", name))
+            >= sweep_time - staging_ttl
         ), f"aged orphan {name} survived the janitor sweep"
 
 
@@ -1265,6 +1273,39 @@ def test_kinesis_wire_efo_adoption_pages_past_first_listing_page():
         names2 = [d["ConsumerName"] for d in page2["Consumers"]]
         assert names2 and all(n > token for n in names2)
         assert "zz-target" in names2
+
+
+def test_kinesis_wire_consumer_paging_prefix_names_lose_nothing():
+    """r11 advisory (low): the listing must sort by ConsumerName, not by
+    ARN — ARN order is name+':'+timestamp, which diverges from bare-name
+    order when one name is a prefix of another ('foo-2' sorts before
+    'foo:...' byte-wise), so an ARN-sorted listing with a name-based
+    NextToken resume can skip consumers across a page boundary. Register
+    prefix-colliding names, page with MaxResults=1, and require the
+    union of pages to be exactly the registered set."""
+    from kinesumer_spark.sources.kinesis_wire import (
+        FakeKinesisServer,
+        simple_stream,
+        wire_client,
+    )
+
+    with FakeKinesisServer(simple_stream("wire", 1, 3)) as srv:
+        c = wire_client(srv.url)
+        stream_arn = "arn:aws:kinesis:us-east-1:000000000000:stream/wire"
+        names = ["foo", "foo-2", "foo-2-x", "fop", "fo"]
+        for n in names:
+            c.register_stream_consumer(StreamARN=stream_arn, ConsumerName=n)
+        seen, token = [], None
+        while True:
+            kw = {"StreamARN": stream_arn, "MaxResults": 1}
+            if token:
+                kw["NextToken"] = token
+            page = c.list_stream_consumers(**kw)
+            seen += [d["ConsumerName"] for d in page["Consumers"]]
+            token = page.get("NextToken")
+            if not token:
+                break
+        assert seen == sorted(names), f"paged listing lost names: {seen}"
 
 
 def test_kinesis_wire_efo_push_equals_polling():
