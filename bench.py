@@ -118,6 +118,8 @@ EXTENDED = [
     "similarity_int8_rerank",
     "join_runtime_bloom",
     "text_decontaminate_fuzzy",
+    # r12 additions
+    "text_decontaminate_broadcast",
     # r12: the remaining r11 batch operators (r11 verdict #3 — an
     # operator is not done until its bench row lands in the same round)
     "pack_bins_greedy",

@@ -365,6 +365,53 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_df(_t(spark, sf_dir, "documents"))
 
 
+def minhash_band_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, key1, key2) — the LSH banding stage alone:
+    shingles → 64 minhash positions → 16 two-fold band keys. Extracted
+    from :func:`minhash_pairs_df` (r12) so ASYMMETRIC consumers — a tiny
+    fixed eval set banded separately from the corpus and broadcast into
+    the candidate join (text_decontaminate_broadcast) — reuse the exact
+    tier instead of re-deriving it; the symmetric pair path calls this
+    too, so the two forms cannot drift.
+
+    band key = two independent polynomial folds of the band's r min
+    values (~10¹⁸ key space, see _FOLD): at 10⁹ docs × 16 bands random
+    collisions (≈ false candidates, later rejected by verify) stay
+    negligible, where a single 32-bit key would already mix ~4 random
+    docs per bucket — and unlike xxhash64 the folds are portable SQL.
+    """
+    tri = _shingles_raw(d).withColumn("h", F.expr(_sha32("shingle")))
+    min_exprs = [
+        F.expr(f"min(({a}L * h + {b}L) % {_P32}L) AS h{i}")
+        for i, (a, b) in enumerate(_COEF)
+    ]
+    sig_rows = tri.groupBy("doc_id", "lang").agg(*min_exprs)
+
+    def _band_struct(i: int) -> str:
+        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        k1 = _fold_expr(cols, *_FOLD[0])
+        k2 = _fold_expr(cols, *_FOLD[1])
+        return f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
+
+    band_structs = ", ".join(_band_struct(i) for i in range(_BANDS))
+    return sig_rows.select(
+        "doc_id", "lang", F.expr(f"explode(array({band_structs})) AS bk")
+    ).select("doc_id", "lang", "bk.band", "bk.key1", "bk.key2")
+
+
+def shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, sh, n) — per-doc DISTINCT shingle set as an array
+    plus its size: the exact-Jaccard verify input (array_intersect form).
+    Extracted from :func:`minhash_pairs_df` (r12) for the same asymmetric
+    consumers as :func:`minhash_band_keys`."""
+    return (
+        _shingles_raw(d)
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("collect_set(shingle) AS sh"))
+        .selectExpr("doc_id", "lang", "sh", "cast(size(sh) AS bigint) AS n")
+    )
+
+
 def minhash_pairs_df(d: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     """DataFrame form of :func:`minhash_pairs` — ``d`` must expose
     (doc_id, lang, text). Composed pipelines run the identical LSH tier
@@ -373,28 +420,7 @@ def minhash_pairs_df(d: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     (default 0.5, the registered pair tier's); a caller advertising its
     own threshold constant must PASS it here so the Spark side and its
     oracle cannot fork (r11 second review)."""
-    tri = _shingles_raw(d).withColumn("h", F.expr(_sha32("shingle")))
-    min_exprs = [
-        F.expr(f"min(({a}L * h + {b}L) % {_P32}L) AS h{i}")
-        for i, (a, b) in enumerate(_COEF)
-    ]
-    sig_rows = tri.groupBy("doc_id", "lang").agg(*min_exprs)
-
-    # band key = two independent polynomial folds of the band's r min
-    # values (~10¹⁸ key space, see _FOLD): at 10⁹ docs × 16 bands random
-    # collisions (≈ false candidates, later rejected by verify) stay
-    # negligible, where a single 32-bit key would already mix ~4 random
-    # docs per bucket — and unlike xxhash64 the folds are portable SQL.
-    def _band_struct(i: int) -> str:
-        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        k1 = _fold_expr(cols, *_FOLD[0])
-        k2 = _fold_expr(cols, *_FOLD[1])
-        return f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
-
-    band_structs = ", ".join(_band_struct(i) for i in range(_BANDS))
-    bands = sig_rows.select(
-        "doc_id", "lang", F.expr(f"explode(array({band_structs})) AS bk")
-    ).select("doc_id", "lang", "bk.band", "bk.key1", "bk.key2")
+    bands = minhash_band_keys(d)
 
     buckets = (
         bands.groupBy("lang", "band", "key1", "key2")
@@ -410,11 +436,7 @@ def minhash_pairs_df(d: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     # verify ONLY candidate pairs (the whole point of LSH: exact Jaccard
     # never runs all-pairs) — join candidates to per-doc shingle sets and
     # intersect arrays
-    sets = (
-        tri.groupBy("doc_id", "lang")
-        .agg(F.expr("collect_set(shingle) AS sh"))
-        .selectExpr("doc_id", "sh", "cast(size(sh) AS bigint) AS n")
-    )
+    sets = shingle_sets(d).select("doc_id", "sh", "n")
     sa = sets.selectExpr("doc_id AS cand_a", "sh AS sh_a", "n AS na")
     sb = sets.selectExpr("doc_id AS cand_b", "sh AS sh_b", "n AS nb")
     return (

@@ -813,6 +813,101 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_decontaminate_broadcast",
+    oracle=_fuzzy_decontam_oracle(),
+    tags=("text", "dedup", "approx"),
+)
+def text_decontaminate_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC (broadcast-eval) fuzzy decontamination — the
+    production shape of ``text_decontaminate_fuzzy``, same verdict
+    semantics (3-gram MinHash/LSH candidates, exact-Jaccard ≥ 0.5
+    verify, per-corpus-doc match count / max Jaccard / eval-id
+    checksum / drop flag), different physical plan. In a real pipeline
+    the eval side is a FIXED benchmark suite (KBs–MBs) screened against
+    100 TB of corpus, so the eval side's band keys and shingle sets are
+    BROADCAST and only the corpus side ever shuffles:
+
+    - candidates: corpus band keys ⋈ broadcast(eval band keys) on
+      (lang, band, key1, key2) — a BroadcastHashJoin, NOT the symmetric
+      form's bucket self-expansion; no corpus-corpus pair is ever
+      materialized (the symmetric form generates and then discards
+      them via the straddle filter).
+    - verify: candidate (doc_id, eval_id) ⋈ corpus shingle sets
+      (corpus-keyed shuffle) ⋈ broadcast(eval shingle sets), exact
+      Jaccard via array_intersect.
+
+    Corpus-side cost: one signature groupBy + one sets groupBy + the
+    per-doc verdict aggregate — every wide exchange is keyed by
+    corpus doc_id; the eval side never forces a shuffle. Plan-pinned in
+    tests/test_plans.py (both eval joins broadcast; no symmetric
+    self-join on band keys). The banding/verify tier is shared code
+    (minhash_band_keys / shingle_sets, extracted from the registered
+    symmetric tier) so the two forms cannot drift; both share one
+    oracle because the asymmetric candidate condition — same (lang,
+    band, key1, key2) bucket — is exactly the symmetric condition
+    restricted to straddle pairs. Reference analog: record screening
+    against an external keyset (kinesumer delegates to the app;
+    SURVEY.md §2.2 text row)."""
+    from kinesumer_spark.operators.dedup import minhash_band_keys, shingle_sets
+
+    d = _t(spark, sf_dir)
+    is_eval = F.col("doc_id") % _FUZZY_EVAL_MOD == 0
+    eval_docs = d.filter(is_eval).select("doc_id", "lang", "text")
+    corpus = d.filter(~is_eval).select("doc_id", "lang", "text")
+
+    eval_bands = minhash_band_keys(eval_docs).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    cand = (
+        minhash_band_keys(corpus)
+        .join(F.broadcast(eval_bands), ["lang", "band", "key1", "key2"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    corpus_sets = shingle_sets(corpus).selectExpr(
+        "doc_id", "sh AS sh_c", "n AS nc"
+    )
+    eval_sets = shingle_sets(eval_docs).selectExpr(
+        "doc_id AS eval_id", "sh AS sh_e", "n AS ne"
+    )
+    verified = (
+        cand.join(corpus_sets, "doc_id")
+        .join(F.broadcast(eval_sets), "eval_id")
+        .withColumn(
+            "shared",
+            F.expr("cast(size(array_intersect(sh_c, sh_e)) AS bigint)"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("nc") + F.col("ne") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= _FUZZY_J)
+    )
+    hits = verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.sum("eval_id").cast("bigint").alias("eval_id_checksum"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "cast(coalesce(n_eval_matches, 0) AS bigint) AS n_eval_matches",
+            "coalesce(max_jaccard, 0.0) AS max_jaccard",
+            "cast(coalesce(eval_id_checksum, 0) AS bigint)"
+            "  AS eval_id_checksum",
+            "coalesce(n_eval_matches, 0) >= 1 AS contaminated",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing (regex redaction)
 # --------------------------------------------------------------------------

@@ -696,3 +696,23 @@ def test_cdc_vectorized_chunker_is_one_arrow_kernel(spark):
     exch = [i for i, ln in enumerate(tree_lines) if "Exchange" in ln]
     kern = [i for i, ln in enumerate(tree_lines) if "MapInPandas" in ln]
     assert len(exch) == 1 and len(kern) == 1 and exch[0] < kern[0], plan
+
+
+def test_decontaminate_broadcast_eval_side_never_shuffles(spark):
+    """text_decontaminate_broadcast (the asymmetric production form):
+    BOTH eval-side joins — band-key candidates and shingle-set verify —
+    must be broadcast, and no exchange may partition on a band key:
+    the symmetric tier's bucket stage (groupBy(lang, band, key1, key2)
+    + slice/posexplode pair expansion) must be absent, proving no
+    corpus-corpus pair is ever materialized."""
+    df = _df(spark, "text_decontaminate_broadcast")
+    plan = plan_string(df)
+    assert plan.count(") BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the symmetric form's in-bucket pair expansion marker
+    assert "slice(" not in plan, plan
+    # every wide exchange is corpus-doc-keyed, never band-key-keyed
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln:
+            assert "key1" not in ln and "key2" not in ln, ln
