@@ -120,6 +120,7 @@ EXTENDED = [
     "text_decontaminate_fuzzy",
     # r12 additions
     "text_decontaminate_broadcast",
+    "pipeline_training_full",
     # r12: the remaining r11 batch operators (r11 verdict #3 — an
     # operator is not done until its bench row lands in the same round)
     "pack_bins_greedy",

@@ -49,10 +49,16 @@ from kinesumer_spark.operators.dedup import (
     _minhash_cte,
     _sha32,
     _sha32_duck,
+    _shingles_raw,
+    minhash_band_keys,
     minhash_pairs_df,
+    shingle_sets,
 )
 from kinesumer_spark.operators.text import (
     _DSIR_B,
+    _EVAL_MOD,
+    _FUZZY_EVAL_MOD,
+    _FUZZY_J,
     dsir_model_cte,
     dsir_model_df,
     _GOPHER_MIN_ALPHA,
@@ -714,3 +720,388 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV {_SEQ_LEN} AS BIGINT)"
         ),
     ).orderBy("lang")
+
+
+# -- The full curation flagship: every screening tier carried to packing ----
+
+_PFULL_KEEP = 100  # DSIR selection budget (a REAL cut at every gate SF)
+
+
+def _duck_3gram_shingles(src: str) -> str:
+    """DuckDB SELECT fragment: (doc_id, shingle) — DISTINCT-per-doc
+    3-word shingles with the whole-text fallback for <3-word docs, the
+    exact screen's shingle definition (text_decontaminate's)."""
+    return f"""SELECT doc_id, unnest(
+    CASE WHEN len(regexp_split_to_array(text, ' ')) >= 3 THEN
+      list_distinct(list_transform(
+        range(1, len(regexp_split_to_array(text, ' ')) - 1),
+        i -> regexp_split_to_array(text, ' ')[i] || ' ' ||
+             regexp_split_to_array(text, ' ')[i+1] || ' ' ||
+             regexp_split_to_array(text, ' ')[i+2]))
+    ELSE [text] END) AS shingle
+  FROM {src}"""
+
+
+# Stage CTEs are MATERIALIZED: the chain is deep (each stage filters the
+# previous with a NOT IN), and letting DuckDB inline them re-evaluates
+# the LSH tier once per downstream reference — measured minutes instead
+# of ~2 s per SF. Materialization pins the per-stage evaluate-once
+# semantics the Spark side's localCheckpoints give.
+_PFULL_ORACLE = f"""
+WITH g AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, d.text, d.n_chars,
+         len(regexp_split_to_array(d.text, ' ')) AS n_words,
+         len(replace(d.text, ' ', ''))
+           / CAST(len(regexp_split_to_array(d.text, ' ')) AS DOUBLE)
+           AS mean_word_len,
+         len(list_filter({_sql_array(_STOPLISTS["en"])},
+             s -> list_contains(regexp_split_to_array(d.text, ' '), s)))
+           AS n_stop_distinct,
+         len(list_filter(regexp_split_to_array(d.text, ' '),
+             w -> regexp_matches(w, '^[a-z]+$')))
+           / CAST(len(regexp_split_to_array(d.text, ' ')) AS DOUBLE)
+           AS alpha_frac
+  FROM documents d
+  WHERE d.doc_id % {_FUZZY_EVAL_MOD} <> 0 AND d.doc_id % {_EVAL_MOD} <> 0
+), kept1 AS MATERIALIZED (
+  SELECT doc_id, lang, text, n_chars FROM g
+  WHERE n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI}
+    AND mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+    AND n_stop_distinct >= {_GOPHER_MIN_STOP}
+    AND alpha_frac >= {_GOPHER_MIN_ALPHA}
+), kept_exact AS MATERIALIZED (
+  SELECT doc_id, lang, text, n_chars
+  FROM (SELECT doc_id, lang, text, n_chars,
+               doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
+                 AS is_canonical
+        FROM kept1)
+  WHERE is_canonical
+), ev7 AS MATERIALIZED (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % {_FUZZY_EVAL_MOD} = 0
+), nd_src AS MATERIALIZED (
+  SELECT doc_id, lang, text FROM kept_exact
+  UNION ALL SELECT doc_id, lang, text FROM ev7
+), {_minhash_cte(src="nd_src")}, verified AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= {_FUZZY_J}
+), nd_drop AS MATERIALIZED (
+  SELECT DISTINCT doc_b AS doc_id FROM verified
+  WHERE doc_a % {_FUZZY_EVAL_MOD} <> 0 AND doc_b % {_FUZZY_EVAL_MOD} <> 0
+), kept_nd AS MATERIALIZED (
+  SELECT doc_id, lang, text, n_chars FROM kept_exact
+  WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)
+), b97 AS MATERIALIZED (
+  SELECT DISTINCT shingle FROM (
+    {_duck_3gram_shingles(f"documents WHERE doc_id % {_EVAL_MOD} = 0")})
+), dx_drop AS MATERIALIZED (
+  SELECT DISTINCT k.doc_id
+  FROM ({_duck_3gram_shingles("kept_nd")}) k
+  JOIN b97 USING (shingle)
+), kept_dx AS MATERIALIZED (
+  SELECT doc_id, lang, text, n_chars FROM kept_nd
+  WHERE doc_id NOT IN (SELECT doc_id FROM dx_drop)
+), fz_drop AS MATERIALIZED (
+  SELECT DISTINCT
+    CASE WHEN doc_a % {_FUZZY_EVAL_MOD} = 0 THEN doc_b ELSE doc_a END AS doc_id
+  FROM verified
+  WHERE (doc_a % {_FUZZY_EVAL_MOD} = 0) <> (doc_b % {_FUZZY_EVAL_MOD} = 0)
+), kept_fz AS MATERIALIZED (
+  SELECT doc_id, lang, text, n_chars FROM kept_dx
+  WHERE doc_id NOT IN (SELECT doc_id FROM fz_drop)
+), ftok AS MATERIALIZED (
+  SELECT doc_id, lang, n_chars >= {_PMIX_TARGET_CHARS} AS is_target,
+         {_sha32_duck("unnest(regexp_split_to_array(text, ' '))")}
+           % {_DSIR_B} AS bucket
+  FROM kept_fz
+), {dsir_model_cte("ftok", "is_target")}, fscored AS MATERIALIZED (
+  SELECT ftok.doc_id, MAX(ftok.lang) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS tokens,
+         SUM(m.m_t - m.m_r) AS dsir_score
+  FROM ftok JOIN m USING (bucket) GROUP BY ftok.doc_id
+), fsel AS MATERIALIZED (
+  SELECT doc_id, lang, tokens FROM fscored
+  ORDER BY dsir_score DESC, doc_id LIMIT {_PFULL_KEEP}
+), {temperature_plan_cte("fsel", "lang", "n_docs", _TMIX_D)}, fdrawn AS MATERIALIZED (
+  SELECT s.lang, s.doc_id, s.tokens,
+         {temperature_copies_duck("'pfull:' || s.doc_id", _TMIX_D)} AS n_copies
+  FROM fsel s JOIN thr t ON t.lang = s.lang
+), femit AS MATERIALIZED (
+  SELECT lang, doc_id, tokens,
+         unnest(generate_series(1, CAST(n_copies AS INTEGER))) AS copy_no
+  FROM fdrawn WHERE n_copies > 0
+), fpacked AS MATERIALIZED (
+  SELECT doc_id, tokens, copy_no,
+         SUM(tokens) OVER (ORDER BY copy_no, doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start_off
+  FROM femit
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+       CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_corpus,
+       CAST((SELECT COUNT(*) FROM kept1) AS BIGINT) AS n_gate,
+       CAST((SELECT COUNT(*) FROM kept_exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM kept_nd) AS BIGINT) AS n_neardup,
+       CAST((SELECT COUNT(*) FROM kept_dx) AS BIGINT) AS n_decontam_exact,
+       CAST((SELECT COUNT(*) FROM kept_fz) AS BIGINT) AS n_decontam_fuzzy,
+       CAST((SELECT COUNT(*) FROM fsel) AS BIGINT) AS n_selected,
+       CAST((SELECT SUM(doc_id) FROM fsel) AS BIGINT) AS sel_id_checksum,
+       CAST((SELECT COUNT(*) FROM femit) AS BIGINT) AS n_emitted,
+       CAST((SELECT SUM(tokens) FROM femit) AS BIGINT) AS emitted_tokens,
+       CAST((SELECT SUM(start_off // {_SEQ_LEN}
+                        + (start_off + tokens - 1) // {_SEQ_LEN})
+             FROM fpacked) AS BIGINT) AS chunk_checksum,
+       CAST((SELECT (SUM(tokens) + {_SEQ_LEN} - 1) // {_SEQ_LEN}
+             FROM femit) AS BIGINT) AS total_chunks
+"""
+
+
+@register(
+    "pipeline_training_full",
+    oracle=_PFULL_ORACLE,
+    tags=("pipeline", "dedup", "text", "quality", "training", "sample", "pack"),
+)
+def pipeline_training_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data flagship — every screening tier the
+    repo registers, composed into the one chain a real 100 TB curation
+    run executes (r11 verdict #6):
+
+        documents (minus the two benchmark stand-in slices)
+          → Gopher quality gate        (text_gopher_rules' keep rules)
+          → exact dedup, canonical keep (dedup_exact's sha256/min-id; this
+                                        synthetic corpus has no byte-exact
+                                        dupes, so the stage's drop count is
+                                        0 BY DATA — the ledger still pins
+                                        it, and dedup_exact's own row pins
+                                        the semantics)
+          → fuzzy near-dup filter      (dedup_minhash_lsh's symmetric tier
+                                        via minhash_pairs_df; larger id of
+                                        each verified pair drops)
+          → exact decontamination      (text_decontaminate's 3-gram screen
+                                        against the doc_id%97 eval slice:
+                                        any shared 3-gram drops the doc)
+          → fuzzy decontamination      (text_decontaminate_broadcast's
+                                        ASYMMETRIC shape against the wider
+                                        doc_id%7 slice — eval bands and
+                                        shingle sets broadcast, verified
+                                        Jaccard ≥ 0.5 drops the doc)
+          → DSIR selection             (hashed-unigram importance margin
+                                        fitted ON THE SURVIVORS, above-
+                                        median-length docs as the target
+                                        proxy; top-{_PFULL_KEEP} budget)
+          → temperature mixture        (alpha=0.5 plan from the SELECTED
+                                        per-lang counts; exact integer
+                                        draw∪repeat emission, 'pfull:'
+                                        salt)
+          → sequence packing           (pack_sequences' two-pass prefix
+                                        sum in (copy_no, doc_id) order)
+          → one-row whole-chain ledger (per-stage survivor counts,
+                                        selected-id checksum, emission
+                                        count + token mass, chunk-span
+                                        checksum, packed-sequence total)
+
+    Until r12 these existed as four disjoint pipelines; this row pins
+    the full composition, so a semantic drift in ANY stage — or in how
+    two stages hand off (the statistics-follow-the-survivors rule at
+    both the DSIR fit and the mixture plan) — reddens one driver row.
+    Every stage is the registered operator's exact arithmetic via the
+    shared helpers (minhash_pairs_df / minhash_band_keys / shingle_sets
+    / dsir_model_df / temperature_plan_df / temperature_copies_spark /
+    block_running_offset), so no fork is possible.
+
+    Scale: each stage keeps its standalone registration's documented
+    shape — map-side gate; digest-width dedup shuffle; banded LSH
+    (signatures only, never all-pairs); both decontamination screens
+    broadcast the fixed eval side so only corpus-keyed exchanges exist;
+    a ≤4096-row DSIR model broadcast; a |langs|-row mix plan broadcast;
+    the pack stage's wide ops are per-(copy, block) — never a global
+    data-sized sort. Stages are localCheckpointed exactly where a
+    DataFrame is consumed twice, so no corpus subtree re-executes
+    (scan-counted in tests/test_plans.py). Reference parity: the full
+    downstream curation application the reference feeds
+    (kinesumer.go:346-370, README.md:67-70)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    corpus0 = docs.filter(
+        (F.col("doc_id") % _FUZZY_EVAL_MOD != 0)
+        & (F.col("doc_id") % _EVAL_MOD != 0)
+    )
+    kept_ids = text_gopher_rules(spark, sf_dir).filter("keep").select("doc_id")
+    kept1 = corpus0.join(kept_ids, "doc_id").localCheckpoint(eager=False)
+
+    kept_exact = (
+        kept1.withColumn(
+            "is_canonical",
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                W.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
+            ),
+        )
+        .filter("is_canonical")
+        .select("doc_id", "lang", "text", "n_chars")
+        .localCheckpoint(eager=False)
+    )
+
+    # near-dup tier (symmetric, corpus-internal): larger id drops
+    nd_drop = (
+        minhash_pairs_df(kept_exact)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept_nd = kept_exact.join(
+        F.broadcast(nd_drop), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    # exact decontamination: any 3-gram shared with the %97 eval slice
+    ev97 = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    banned = _shingles_raw(ev97).select("shingle").distinct()
+    dx_drop = (
+        _shingles_raw(kept_nd)
+        .join(F.broadcast(banned), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    kept_dx = kept_nd.join(
+        F.broadcast(dx_drop), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    # fuzzy decontamination, the ASYMMETRIC broadcast-eval shape:
+    # eval bands + eval shingle sets broadcast, corpus-only shuffles
+    ev7 = docs.filter(F.col("doc_id") % _FUZZY_EVAL_MOD == 0)
+    eval_bands = minhash_band_keys(ev7).withColumnRenamed("doc_id", "eval_id")
+    fz_cand = (
+        minhash_band_keys(kept_dx)
+        .join(F.broadcast(eval_bands), ["lang", "band", "key1", "key2"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    c_sets = shingle_sets(kept_dx).selectExpr("doc_id", "sh AS sh_c", "n AS nc")
+    e_sets = shingle_sets(ev7).selectExpr(
+        "doc_id AS eval_id", "sh AS sh_e", "n AS ne"
+    )
+    fz_drop = (
+        fz_cand.join(c_sets, "doc_id")
+        .join(F.broadcast(e_sets), "eval_id")
+        .withColumn(
+            "shared",
+            F.expr("cast(size(array_intersect(sh_c, sh_e)) AS bigint)"),
+        )
+        .filter(
+            F.round(
+                F.col("shared")
+                / (F.col("nc") + F.col("ne") - F.col("shared")).cast("double"),
+                6,
+            )
+            >= _FUZZY_J
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    kept_fz = kept_dx.join(
+        F.broadcast(fz_drop), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    # DSIR selection, fitted on the survivors
+    tok = kept_fz.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") >= _PMIX_TARGET_CHARS).alias("is_target"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).select(
+        "doc_id",
+        "lang",
+        "is_target",
+        F.expr(f"{_sha32('word')} % {_DSIR_B}").alias("bucket"),
+    )
+    m = dsir_model_df(tok, F.col("is_target"))
+    fscored = (
+        tok.join(F.broadcast(m), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("tokens"),
+            F.sum(F.col("m_t") - F.col("m_r")).alias("dsir_score"),
+        )
+    )
+    fsel = (
+        fscored.orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(_PFULL_KEEP)
+        .select("doc_id", "lang", "tokens")
+        .localCheckpoint(eager=False)
+    )
+
+    # temperature mixture: plan from the SELECTED per-lang counts, then
+    # the exact integer draw∪repeat emission (shared copies helper)
+    thr = temperature_plan_df(fsel, "lang", "n_docs", _TMIX_D)
+    salted = "concat('pfull:', cast(doc_id AS string))"
+    drawn = fsel.join(F.broadcast(thr), "lang").selectExpr(
+        "lang",
+        "doc_id",
+        "tokens",
+        f"{temperature_copies_spark(salted, _TMIX_D)} AS n_copies",
+    )
+    emitted = (
+        drawn.filter("n_copies > 0")
+        .select(
+            "doc_id",
+            "tokens",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_no"),
+        )
+        .withColumn("block", F.expr(f"doc_id div {_BLOCK}"))
+        .localCheckpoint(eager=False)
+    )
+    packed = block_running_offset(
+        emitted, "tokens", "doc_id", ["copy_no", "block"], "start_off"
+    ).selectExpr(
+        "tokens",
+        f"start_off div {_SEQ_LEN} AS first_chunk",
+        f"(start_off + tokens - 1) div {_SEQ_LEN} AS last_chunk",
+    )
+
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    sel_stats = fsel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.sum("doc_id").cast("bigint").alias("sel_id_checksum"),
+    )
+    emit_stats = emitted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+        F.sum("tokens").cast("bigint").alias("emitted_tokens"),
+    )
+    pack_stats = packed.agg(
+        F.sum(F.col("first_chunk") + F.col("last_chunk"))
+        .cast("bigint")
+        .alias("chunk_checksum"),
+        F.expr(
+            f"cast((sum(tokens) + {_SEQ_LEN} - 1) div {_SEQ_LEN} AS bigint)"
+        ).alias("total_chunks"),
+    )
+    return (
+        _cnt(docs, "n_input")
+        .crossJoin(F.broadcast(_cnt(corpus0, "n_corpus")))
+        .crossJoin(F.broadcast(_cnt(kept1, "n_gate")))
+        .crossJoin(F.broadcast(_cnt(kept_exact, "n_exact")))
+        .crossJoin(F.broadcast(_cnt(kept_nd, "n_neardup")))
+        .crossJoin(F.broadcast(_cnt(kept_dx, "n_decontam_exact")))
+        .crossJoin(F.broadcast(_cnt(kept_fz, "n_decontam_fuzzy")))
+        .crossJoin(F.broadcast(sel_stats))
+        .crossJoin(F.broadcast(emit_stats))
+        .crossJoin(F.broadcast(pack_stats))
+        .select(
+            "n_input",
+            "n_corpus",
+            "n_gate",
+            "n_exact",
+            "n_neardup",
+            "n_decontam_exact",
+            "n_decontam_fuzzy",
+            "n_selected",
+            "sel_id_checksum",
+            "n_emitted",
+            "emitted_tokens",
+            "chunk_checksum",
+            "total_chunks",
+        )
+    )

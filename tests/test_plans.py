@@ -716,3 +716,21 @@ def test_decontaminate_broadcast_eval_side_never_shuffles(spark):
     for ln in plan.splitlines():
         if "hashpartitioning" in ln:
             assert "key1" not in ln and "key2" not in ln, ln
+
+
+def test_pipeline_training_full_stages_execute_once(spark):
+    """pipeline_training_full: every stage that is consumed twice is
+    localCheckpoint-materialized, so in the final ledger plan all stage
+    branches read checkpointed RDDs — the ONLY fresh parquet scans are
+    the two raw ledger counts (n_input / n_corpus); no corpus subtree
+    re-executes. The ledger's single-row crossJoins are broadcast
+    nested-loop over 1-row sides (bounded by construction); the only
+    hash join is the pack stage's broadcast prefix-sum join; nothing
+    touches Python and no data-sized sort-merge or cartesian exists."""
+    df = _df(spark, "pipeline_training_full")
+    plan = plan_string(df)
+    assert plan.count(") Scan ExistingRDD") >= 8, plan
+    assert len(read_schemas(df)) == 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
