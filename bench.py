@@ -121,6 +121,7 @@ EXTENDED = [
     # r12 additions
     "text_decontaminate_broadcast",
     "pipeline_training_full",
+    "similarity_tier_audit",
     # r12: the remaining r11 batch operators (r11 verdict #3 — an
     # operator is not done until its bench row lands in the same round)
     "pack_bins_greedy",

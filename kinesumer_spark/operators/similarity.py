@@ -311,8 +311,13 @@ def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_topk(spark: SparkSession, sf_dir: str, query_pred: Column) -> DataFrame:
-    """Banded hyperplane-LSH ANN with an arbitrary query-set predicate."""
+def ann_candidates(
+    spark: SparkSession, sf_dir: str, query_pred: Column
+) -> tuple[DataFrame, DataFrame]:
+    """The hyperplane-LSH candidate stage alone: returns
+    ((q_id, vec_id) candidate pairs, the normed vector table) — split
+    out of :func:`ann_topk` (r12) so similarity_tier_audit can count
+    candidates through the exact production path."""
     v = _t(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
     ).withColumn("nrm", F.sqrt(_dot("e", "e")))
@@ -331,7 +336,12 @@ def ann_topk(spark: SparkSession, sf_dir: str, query_pred: Column) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    return _exact_rerank(cand, v)
+    return cand, v
+
+
+def ann_topk(spark: SparkSession, sf_dir: str, query_pred: Column) -> DataFrame:
+    """Banded hyperplane-LSH ANN with an arbitrary query-set predicate."""
+    return _exact_rerank(*ann_candidates(spark, sf_dir, query_pred))
 
 
 def _exact_rerank(cand: DataFrame, v: DataFrame) -> DataFrame:
@@ -798,7 +808,13 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+def ivf_candidates(
+    spark: SparkSession, sf_dir: str, n_probe: int
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF candidate stage alone: returns ((q_id, vec_id) candidate
+    pairs — corpus rows in the query's probed cells — and the normed
+    vector table). Split out of :func:`ivf_topk` (r12) for
+    similarity_tier_audit's candidate accounting."""
     v = _t(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
     ).withColumn("nrm", F.sqrt(_dot("e", "e")))
@@ -817,7 +833,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
         .filter(F.col("q_id") != F.col("vec_id"))
         .select("q_id", "vec_id")
     )
-    return _exact_rerank(cand, v)
+    return cand, v
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+    return _exact_rerank(*ivf_candidates(spark, sf_dir, n_probe))
 
 
 # -- IVF codebook training: distributed integer-exact k-means (Lloyd) -------
@@ -1262,6 +1282,16 @@ def _ivfpq_adc_udf(cent: np.ndarray, cb: np.ndarray, qtab: np.ndarray, nq: int):
     return adc
 
 
+def ivfpq_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Parameterized form of :func:`similarity_ivfpq_topk` — top-``k``
+    per query by ADC distance. The registered query pins ``k=_TOP_K``;
+    similarity_tier_audit reads the wider ``k=_PQ_POOL`` pool (the
+    recall@R metric FAISS reports — PQ's per-rank precision on a
+    near-random corpus is noise-bounded, its POOL recall is the
+    production contract)."""
+    return _ivfpq_body(spark, sf_dir, k)
+
+
 @register(
     "similarity_ivfpq_topk", oracle=_ivfpq_oracle(), tags=("similarity", "approx")
 )
@@ -1290,6 +1320,10 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     app (kinesumer.go:346-370); SURVEY.md §2.2 'similarity search:
     scale path' row.
     """
+    return _ivfpq_body(spark, sf_dir, _TOP_K)
+
+
+def _ivfpq_body(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     v = _t(spark, sf_dir).select("vec_id", _as_double("embedding").alias("e"))
     qv = v.select(
         "vec_id",
@@ -1348,7 +1382,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= _TOP_K)
+        .filter(F.col("rnk") <= k)
         .orderBy("q_id", "rnk")
     )
 
@@ -2563,3 +2597,154 @@ def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(
         "step", F.col("doc_id").alias("vec_id"), "rel", "mmr"
     ).orderBy("step")
+
+
+# -- ANN ladder audit: the tiers' quality contract in one driver row --------
+
+_PQ_POOL = 20  # recall@R pool width for the IVF-PQ row (FAISS's R)
+# Mean-recall floors (percent). hyperplane/int8 are the tests'
+# tests/test_llm_ops.py gates verbatim (≥0.9); ivf_probe is
+# similarity_ivf_probe's registered 0.2 floor; ivfpq_pool gates the
+# recall@R=20 candidate pool (measured 0.44/0.32 at sf0.001/0.01 — PQ's
+# per-rank precision on a near-random corpus is noise-bounded, its POOL
+# recall is the production contract FAISS benchmarks report).
+_TIER_FLOOR_PCT = {
+    "hyperplane_lsh": 90,
+    "int8_rerank": 90,
+    "ivf_probe": 20,
+    "ivfpq_pool": 20,
+}
+_HP_CAND_MAX_PCT = 85  # hyperplane candidates ≤85% of a full scan (meas. ~78%)
+_IVF_CAND_MAX_PCT = 40  # 4-of-16-cell probe ≤40% of a full scan (meas. ~24%)
+
+_TIER_AUDIT_ORACLE = f"""
+SELECT tier,
+       CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(k AS BIGINT) AS k,
+       CAST(floor_pct AS BIGINT) AS floor_pct,
+       recall_ok, pruned_ok
+FROM (VALUES
+  ('hyperplane_lsh', {_N_QUERIES}, {_TOP_K}, 90, TRUE, TRUE),
+  ('int8_rerank',    {_N_QUERIES}, {_TOP_K}, 90, TRUE, TRUE),
+  ('ivf_probe',      {_N_QUERIES}, {_TOP_K}, 20, TRUE, TRUE),
+  ('ivfpq_pool',     {_N_QUERIES}, {_PQ_POOL}, 20, TRUE, TRUE))
+  AS t(tier, n_queries, k, floor_pct, recall_ok, pruned_ok)
+ORDER BY tier
+"""
+
+
+@register(
+    "similarity_tier_audit",
+    oracle=_TIER_AUDIT_ORACLE,
+    tags=("similarity", "approx"),
+)
+def similarity_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN ladder's quality contract, externally checkable in ONE
+    driver row per tier (r11 verdict #7 — these floors previously lived
+    only in four separate pytest gates): recall@k against the brute-force
+    cosine top-k on the standard query set, plus a candidate-count bound
+    proving each tier actually PRUNES.
+
+    Per tier — recall_ok: mean recall over the {_N_QUERIES} queries ≥
+    the tier's floor (``_TIER_FLOOR_PCT``); pruned_ok:
+      - hyperplane_lsh: distinct bucket-join candidate pairs ≤
+        {_HP_CAND_MAX_PCT}% of the full-scan pair count nq·(N−1);
+      - ivf_probe (n_probe={_IVF_PROBE} of {_IVF_CELLS} cells):
+        candidates ≤ {_IVF_CAND_MAX_PCT}% of a full scan;
+      - ivfpq_pool: the ADC pool is EXACTLY nq·{_PQ_POOL} rows (one code
+        scan, dense per-query pools — the byte-level 4 B+8 B/vec budget
+        is this tier's scale story, audited in its own registration);
+      - int8_rerank: the re-ranked output is exactly nq·{_TOP_K} rows
+        (its tier-2 pool is structurally capped at _I8_C).
+
+    Bound-oracle (q1_fast_validation pattern): every quantity the
+    booleans compare is computed in-plan from the same parquet both
+    engines read; the oracle emits the four expected rows with literal
+    TRUE. Candidate stages are consumed twice (count + re-rank), so
+    they are localCheckpointed — bounded relations (≤ nq·N pairs of two
+    ids). Scale: each tier keeps its registration's documented shape;
+    the audit adds only single-row aggregates and left-semi joins
+    against the ≤ nq·k brute set."""
+    brute = (
+        similarity_cosine_topk(spark, sf_dir)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    n_brute = brute.agg(F.count(F.lit(1)).cast("double").alias("n_brute"))
+    scan_pairs = _t(spark, sf_dir).agg(
+        (F.lit(_N_QUERIES) * (F.count(F.lit(1)) - 1))
+        .cast("double")
+        .alias("scan_pairs")
+    )
+
+    def _row(
+        name: str,
+        result: DataFrame,
+        k: int,
+        cand: DataFrame | None = None,
+        cand_max_pct: int = 0,
+        exact_rows: int = 0,
+    ) -> DataFrame:
+        hits = brute.join(
+            result.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("double").alias("n_hit"))
+        r = hits.crossJoin(F.broadcast(n_brute))
+        if cand is not None:
+            c = cand.agg(F.count(F.lit(1)).cast("double").alias("n_cand"))
+            r = r.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(scan_pairs))
+            pruned = F.col("n_cand") <= F.col("scan_pairs") * (
+                cand_max_pct / 100.0
+            )
+        else:
+            c = result.agg(F.count(F.lit(1)).alias("n_rows"))
+            r = r.crossJoin(F.broadcast(c))
+            pruned = F.col("n_rows") == F.lit(exact_rows)
+        return r.select(
+            F.lit(name).alias("tier"),
+            F.lit(_N_QUERIES).cast("bigint").alias("n_queries"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.lit(_TIER_FLOOR_PCT[name]).cast("bigint").alias("floor_pct"),
+            (
+                F.col("n_hit") / F.col("n_brute")
+                >= _TIER_FLOOR_PCT[name] / 100.0
+            ).alias("recall_ok"),
+            pruned.alias("pruned_ok"),
+        )
+
+    q_pred = F.col("vec_id") < _N_QUERIES
+    hp_cand, hp_v = ann_candidates(spark, sf_dir, q_pred)
+    hp_cand = hp_cand.localCheckpoint(eager=False)
+    ivf_cand, ivf_v = ivf_candidates(spark, sf_dir, _IVF_PROBE)
+    ivf_cand = ivf_cand.localCheckpoint(eager=False)
+    rows = [
+        _row(
+            "hyperplane_lsh",
+            _exact_rerank(hp_cand, hp_v),
+            _TOP_K,
+            cand=hp_cand,
+            cand_max_pct=_HP_CAND_MAX_PCT,
+        ),
+        _row(
+            "int8_rerank",
+            similarity_int8_rerank(spark, sf_dir),
+            _TOP_K,
+            exact_rows=_N_QUERIES * _TOP_K,
+        ),
+        _row(
+            "ivf_probe",
+            _exact_rerank(ivf_cand, ivf_v),
+            _TOP_K,
+            cand=ivf_cand,
+            cand_max_pct=_IVF_CAND_MAX_PCT,
+        ),
+        _row(
+            "ivfpq_pool",
+            ivfpq_topk(spark, sf_dir, _PQ_POOL),
+            _PQ_POOL,
+            exact_rows=_N_QUERIES * _PQ_POOL,
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("tier")
