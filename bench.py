@@ -122,6 +122,9 @@ EXTENDED = [
     "text_decontaminate_broadcast",
     "pipeline_training_full",
     "similarity_tier_audit",
+    "source_quality_ledger",
+    "text_decontaminate_spans",
+    "dedup_cross_source_matrix",
     # r12: the remaining r11 batch operators (r11 verdict #3 — an
     # operator is not done until its bench row lands in the same round)
     "pack_bins_greedy",

@@ -462,6 +462,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+def _cross_source_oracle() -> str:
+    return f"""
+WITH {_minhash_cte()}, vp AS (
+  SELECT p.doc_a, p.doc_b,
+         round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM vp
+JOIN documents da ON da.doc_id = vp.doc_a
+JOIN documents db ON db.doc_id = vp.doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=_cross_source_oracle(),
+    tags=("dedup", "approx", "pipeline"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the duplication comes from: the verified near-dup pairs of
+    the registered MinHash/LSH tier (Jaccard ≥ 0.5) rolled up to an
+    unordered SOURCE-pair matrix — pair count and max Jaccard per
+    (source_a ≤ source_b). The diagonal is intra-source duplication
+    (template reuse inside one crawl); off-diagonal cells expose source
+    MIRRORS — the web-crawl reality where two "different" sources are
+    the same site syndicated, and the cheapest fix is dropping one
+    source, not deduping 10⁹ document pairs. Per-source gate quality
+    lives in source_quality_ledger; this is its duplication companion.
+
+    Scale: the tier is minhash_pairs_df verbatim (banded, never
+    all-pairs); the rollup joins the PAIR table (near-dup density ×
+    corpus, orders of magnitude below corpus size) against the slim
+    (doc_id, source) projection twice, then a |sources|²-bounded
+    aggregate. Reference analog: per-stream accounting delegated to the
+    app (SURVEY.md §2.2)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_pairs_df(d.select("doc_id", "lang", "text"))
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.selectExpr("doc_id AS doc_a", "source AS src_a"), "doc_a"
+        )
+        .join(src.selectExpr("doc_id AS doc_b", "source AS src_b"), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

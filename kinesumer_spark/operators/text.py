@@ -908,6 +908,105 @@ def text_decontaminate_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPANS_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_split_to_array(text, ' ')) >= 3 THEN
+           list_transform(range(1, len(regexp_split_to_array(text, ' ')) - 1),
+             i -> regexp_split_to_array(text, ' ')[i] || ' ' ||
+                  regexp_split_to_array(text, ' ')[i+1] || ' ' ||
+                  regexp_split_to_array(text, ' ')[i+2])
+         ELSE [text] END AS shingles
+  FROM documents
+), banned AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM s
+  WHERE doc_id % {_EVAL_MOD} = 0
+), pos AS (
+  SELECT doc_id, unnest(shingles) AS shingle,
+         generate_subscripts(shingles, 1) AS pos
+  FROM s WHERE doc_id % {_EVAL_MOD} <> 0
+), hits AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(MIN(p.pos) AS BIGINT) AS first_pos,
+         CAST(MAX(p.pos) AS BIGINT) AS last_pos
+  FROM pos p JOIN banned b USING (shingle)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.first_pos, -1) AS BIGINT) AS first_pos,
+       CAST(COALESCE(h.last_pos, -1) AS BIGINT) AS last_pos,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {_EVAL_MOD} <> 0
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "text_decontaminate_spans",
+    oracle=_SPANS_ORACLE,
+    tags=("text", "dedup"),
+)
+def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the contamination sits: for every training document, the
+    1-based word positions of 3-gram occurrences shared with the
+    held-out eval slice (doc_id % 97 == 0) — occurrence count, first
+    and last hit position (−1 when clean), and the drop flag. The
+    registered exact screen (text_decontaminate) answers WHETHER to
+    drop; this row carries the span data a surgical pipeline needs to
+    EXCISE the leaked passage and keep the rest of the document —
+    standard practice when the contaminated span is a quoted benchmark
+    question inside an otherwise-clean page.
+
+    Positions index the shingle's first word (1-based, duplicates
+    counted per occurrence — excision needs every site, not the
+    distinct set); a <3-word doc is one whole-text shingle at position
+    1. Scale: same shape as the exact screen — banned set broadcast
+    (benchmarks are tiny), corpus never shuffled on shingle, the only
+    wide exchange is the per-doc groupBy(doc_id) over matched rows."""
+    d = _t(spark, sf_dir)
+    shingled = d.selectExpr(
+        "doc_id",
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+        "  transform(sequence(0, size(split(text, ' ')) - 3),"
+        "    i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],"
+        "                ' ', split(text, ' ')[i+2]))"
+        " ELSE array(text) END AS shingles",
+    )
+    banned = (
+        shingled.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .selectExpr("explode(shingles) AS shingle")
+        .distinct()
+    )
+    pos = shingled.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", F.posexplode("shingles").alias("pos0", "shingle")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    hits = (
+        pos.join(F.broadcast(banned), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+            F.max("pos").cast("bigint").alias("last_pos"),
+        )
+    )
+    return (
+        d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "cast(coalesce(n_hits, 0) AS bigint) AS n_hits",
+            "cast(coalesce(first_pos, -1) AS bigint) AS first_pos",
+            "cast(coalesce(last_pos, -1) AS bigint) AS last_pos",
+            "coalesce(n_hits, 0) >= 1 AS contaminated",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing (regex redaction)
 # --------------------------------------------------------------------------
@@ -1137,6 +1236,87 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_ok.alias("alpha_ok"),
         (wc_ok & mwl_ok & stop_ok & alpha_ok).alias("keep"),
     ).orderBy("doc_id")
+
+
+# -- Per-source curation ledger: the "which sources to keep" audit ----------
+
+_SRC_LEDGER_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, source, lang,
+         regexp_split_to_array(text, ' ') AS words,
+         len(replace(text, ' ', '')) AS n_nonspace
+  FROM documents
+), m AS (
+  SELECT doc_id, source, lang,
+         len(words) AS n_words,
+         (len(words) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+           AND (n_nonspace / CAST(len(words) AS DOUBLE)
+                  BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+           AND len(list_filter({_sql_array(_STOPLISTS["en"])},
+                   s -> list_contains(words, s))) >= {_GOPHER_MIN_STOP}
+           AND len(list_filter(words, w -> regexp_matches(w, '^[a-z]+$')))
+                 / CAST(len(words) AS DOUBLE) >= {_GOPHER_MIN_ALPHA} AS keep
+  FROM f
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 4) AS keep_pct,
+       CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "source_quality_ledger",
+    oracle=_SRC_LEDGER_ORACLE,
+    tags=("text", "quality", "pipeline"),
+)
+def source_quality_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE curation ledger — the governance query a real corpus
+    team runs before committing a source to the training mix: for each
+    ingest source, document count, Gopher-gate pass count and rate,
+    raw vs gate-surviving token mass, and language spread. A source
+    whose keep_pct collapses (spam mirror, boilerplate farm) is cut at
+    the SOURCE level before any per-document work is spent — the
+    cheapest lever in a 100 TB pipeline.
+
+    The gate is text_gopher_rules' exact conjunction (same constants,
+    same integer-division discipline); this row only changes the
+    aggregation grain from doc to source. Scale: one scan, map-side
+    rule evaluation, a single |sources|-cardinality shuffle — runs at
+    parquet-scan speed. Reference analog: per-stream accounting the
+    reference delegates to its app (SURVEY.md §2.2 text row)."""
+    d = _t(spark, sf_dir)
+    gate = text_gopher_rules(spark, sf_dir).select("doc_id", "n_words", "keep")
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(gate, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("keep_pct"),
+            F.sum("n_words").cast("bigint").alias("sum_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
 
 
 # -- N-gram language-model counts (the count-based-LM / KN-smoothing prep) ---

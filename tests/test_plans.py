@@ -734,3 +734,21 @@ def test_pipeline_training_full_stages_execute_once(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_r12_profiling_ops_stay_jvm_side(spark):
+    """The r12 source-profiling / span additions are pure columnar —
+    no Python anywhere, and the span screen's banned side broadcasts
+    (the exact screen's shape at a different output grain)."""
+    for name in (
+        "source_quality_ledger",
+        "text_decontaminate_spans",
+        "dedup_cross_source_matrix",
+    ):
+        plan = plan_string(_df(spark, name))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "CartesianProduct" not in plan, name
+    assert "BroadcastHashJoin" in plan_string(
+        _df(spark, "text_decontaminate_spans")
+    )
