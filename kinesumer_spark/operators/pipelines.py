@@ -888,7 +888,7 @@ def pipeline_training_full(spark: SparkSession, sf_dir: str) -> DataFrame:
           → DSIR selection             (hashed-unigram importance margin
                                         fitted ON THE SURVIVORS, above-
                                         median-length docs as the target
-                                        proxy; top-{_PFULL_KEEP} budget)
+                                        proxy; top-100 _PFULL_KEEP budget)
           → temperature mixture        (alpha=0.5 plan from the SELECTED
                                         per-lang counts; exact integer
                                         draw∪repeat emission, 'pfull:'

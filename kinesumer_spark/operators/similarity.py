@@ -2645,17 +2645,18 @@ def similarity_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine top-k on the standard query set, plus a candidate-count bound
     proving each tier actually PRUNES.
 
-    Per tier — recall_ok: mean recall over the {_N_QUERIES} queries ≥
-    the tier's floor (``_TIER_FLOOR_PCT``); pruned_ok:
-      - hyperplane_lsh: distinct bucket-join candidate pairs ≤
-        {_HP_CAND_MAX_PCT}% of the full-scan pair count nq·(N−1);
-      - ivf_probe (n_probe={_IVF_PROBE} of {_IVF_CELLS} cells):
-        candidates ≤ {_IVF_CAND_MAX_PCT}% of a full scan;
-      - ivfpq_pool: the ADC pool is EXACTLY nq·{_PQ_POOL} rows (one code
-        scan, dense per-query pools — the byte-level 4 B+8 B/vec budget
-        is this tier's scale story, audited in its own registration);
-      - int8_rerank: the re-ranked output is exactly nq·{_TOP_K} rows
-        (its tier-2 pool is structurally capped at _I8_C).
+    Per tier — recall_ok: mean recall over the 5 queries ≥ the tier's
+    floor (``_TIER_FLOOR_PCT``: 90/90/20/20 %); pruned_ok:
+      - hyperplane_lsh: distinct bucket-join candidate pairs ≤ 85 %
+        (``_HP_CAND_MAX_PCT``) of the full-scan pair count nq·(N−1);
+      - ivf_probe (n_probe 4 of 16 cells): candidates ≤ 40 %
+        (``_IVF_CAND_MAX_PCT``) of a full scan;
+      - ivfpq_pool: the ADC pool is EXACTLY nq·20 (``_PQ_POOL``) rows
+        (one code scan, dense per-query pools — the byte-level
+        4 B+8 B/vec budget is this tier's scale story, audited in its
+        own registration);
+      - int8_rerank: the re-ranked output is exactly nq·k rows (its
+        tier-2 pool is structurally capped at _I8_C).
 
     Bound-oracle (q1_fast_validation pattern): every quantity the
     booleans compare is computed in-plan from the same parquet both
