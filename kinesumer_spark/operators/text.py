@@ -572,19 +572,21 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     record-level quality gates to the app; SURVEY.md §2.2 text row).
     """
     d = _t(spark, sf_dir)
-    g = d.selectExpr(
+    # split once, in a PRIOR select: the HOF lambdas run interpreted and
+    # re-evaluate any inline split(text) per element — O(words²) per doc
+    # (SCALE.md r11/r12 lesson)
+    g = d.selectExpr("doc_id", "split(text, ' ') AS words").selectExpr(
         "doc_id",
-        "split(text, ' ') AS words",
-        "size(split(text, ' ')) AS n",
+        "words",
+        "size(words) AS n",
         # Spark arrays are 0-indexed; sequence(0, n-2) yields n-1 bigrams
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-        "  transform(sequence(0, size(split(text, ' ')) - 2),"
-        "    i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))"
+        "CASE WHEN size(words) >= 2 THEN"
+        "  transform(sequence(0, size(words) - 2),"
+        "    i -> concat(words[i], ' ', words[i+1]))"
         " ELSE array() END AS g2",
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-        "  transform(sequence(0, size(split(text, ' ')) - 3),"
-        "    i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],"
-        "                ' ', split(text, ' ')[i+2]))"
+        "CASE WHEN size(words) >= 3 THEN"
+        "  transform(sequence(0, size(words) - 3),"
+        "    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
         " ELSE array() END AS g3",
     )
     return g.selectExpr(
@@ -665,13 +667,18 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kinesumer delegates to the app; SURVEY.md §2.2 text row).
     """
     d = _t(spark, sf_dir)
-    s = d.selectExpr(
+    # Shingle via the codegen'd regexp lookahead (dedup._shingles_raw's
+    # formulation), not a transform lambda: Spark HOF lambdas run
+    # INTERPRETED (SCALE.md r11) — the lambda form measured 3.9 s vs
+    # 0.6 s for the regexp at sf0.1, and this op pays shingling twice
+    # (banned + probe branches). Match order = word-start order, so the
+    # array is element-wise identical to the 3-word-window transform
+    # (multiset equality pinned in tests for the shared raw form).
+    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
+    s = d.selectExpr("doc_id", "text", f"{arr} AS sh_arr").selectExpr(
         "doc_id",
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-        "  array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
-        "    i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],"
-        "                ' ', split(text, ' ')[i+2])))"
-        " ELSE array(text) END AS shingles",
+        "array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+        "  ELSE array(text) END) AS shingles",
     )
     banned = (
         s.filter(F.col("doc_id") % _EVAL_MOD == 0)
@@ -967,13 +974,16 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (benchmarks are tiny), corpus never shuffled on shingle, the only
     wide exchange is the per-doc groupBy(doc_id) over matched rows."""
     d = _t(spark, sf_dir)
-    shingled = d.selectExpr(
+    # Shingles via the codegen'd regexp lookahead, not a transform
+    # lambda (HOF lambdas run interpreted — see text_decontaminate and
+    # SCALE.md r11/r12). Match order IS word-start order, so
+    # posexplode's index is the shingle's first-word position — the
+    # position semantics survive the formulation change.
+    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
+    shingled = d.selectExpr("doc_id", "text", f"{arr} AS sh_arr").selectExpr(
         "doc_id",
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-        "  transform(sequence(0, size(split(text, ' ')) - 3),"
-        "    i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],"
-        "                ' ', split(text, ' ')[i+2]))"
-        " ELSE array(text) END AS shingles",
+        "CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+        "  ELSE array(text) END AS shingles",
     )
     banned = (
         shingled.filter(F.col("doc_id") % _EVAL_MOD == 0)
