@@ -125,6 +125,8 @@ EXTENDED = [
     "source_quality_ledger",
     "text_decontaminate_spans",
     "dedup_cross_source_matrix",
+    "pack_seqlen_sweep",
+    "dedup_lsh_param_audit",
     # r12: the remaining r11 batch operators (r11 verdict #3 — an
     # operator is not done until its bench row lands in the same round)
     "pack_bins_greedy",

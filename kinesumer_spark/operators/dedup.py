@@ -524,6 +524,187 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- LSH parameter audit: the b×r S-curve, measured on this corpus ----------
+
+# Candidate (bands, rows_per_band) splits of the same 64-permutation
+# signature. More rows per band = stricter buckets (P(candidate) =
+# 1-(1-j^r)^b): (32,2) floods candidates for high recall, (8,8) prunes
+# hardest. The registered tier's 16×4 sits between; this audit measures
+# all three on the actual corpus so the choice is data, not folklore.
+_LSH_CONFIGS = ((32, 2), (16, 4), (8, 8))
+
+
+def _lsh_param_oracle() -> str:
+    h = _sha32_duck("shingle")
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_P32}) AS h{i}" for i, (a, b) in enumerate(_COEF)
+    )
+    cfg_ctes = []
+    cfg_rows = []
+    for nb, rpb in _LSH_CONFIGS:
+        band_rows = []
+        for i in range(nb):
+            cols = [f"h{i * rpb + r}" for r in range(rpb)]
+            k1 = _fold_expr(cols, *_FOLD[0])
+            k2 = _fold_expr(cols, *_FOLD[1])
+            band_rows.append(
+                f"SELECT doc_id, lang, {i} AS band, {k1} AS key1,"
+                f" {k2} AS key2 FROM sig"
+            )
+        bands = "\n  UNION ALL ".join(band_rows)
+        cfg_ctes.append(
+            f"""bands_{nb} AS (
+  {bands}
+), cand_{nb} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_{nb} a JOIN bands_{nb} b
+    ON a.lang = b.lang AND a.band = b.band
+   AND a.key1 = b.key1 AND a.key2 = b.key2 AND a.doc_id < b.doc_id
+)"""
+        )
+        cfg_rows.append(
+            f"""SELECT {nb} AS bands, {rpb} AS rows_per_band,
+       (SELECT COUNT(*) FROM cand_{nb}) AS n_candidates,
+       (SELECT COUNT(*) FROM cand_{nb} c JOIN exact x
+          ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b) AS n_verified"""
+        )
+    cfgs = ",\n".join(cfg_ctes)
+    rows = "\nUNION ALL ".join(cfg_rows)
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), t AS (
+  SELECT doc_id, lang, unnest(shingles) AS shingle FROM s
+), hh AS (
+  SELECT doc_id, lang, {h} AS h FROM t
+), sig AS MATERIALIZED (
+  SELECT doc_id, lang,
+         {mins}
+  FROM hh GROUP BY doc_id, lang
+), e AS (
+  SELECT doc_id, lang, len(list_distinct(shingles)) AS n,
+         unnest(list_distinct(shingles)) AS shingle
+  FROM s
+), exact AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM e a JOIN e b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING round(COUNT(*) / CAST(any_value(a.n) + any_value(b.n) - COUNT(*)
+               AS DOUBLE), 6) >= 0.5
+), {cfgs}, cfg AS (
+{rows}
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_verified AS BIGINT) AS n_verified,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       round(n_verified / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 6)
+         AS recall
+FROM cfg
+ORDER BY rows_per_band
+"""
+
+
+@register(
+    "dedup_lsh_param_audit",
+    oracle=_lsh_param_oracle(),
+    tags=("dedup", "approx"),
+)
+def dedup_lsh_param_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH b×r S-curve measured on the actual corpus — the design
+    audit behind the registered 16×4 choice: for each split of the same
+    64-permutation signature into (32×2, 16×4, 8×8) bands, the candidate
+    count the banding emits and its recall of the EXACT 3-gram-Jaccard
+    ≥ 0.5 pair set (verify precision is 1 by construction, so recall and
+    candidate volume are the whole tradeoff: 32×2 floods candidates,
+    8×8 prunes hardest, P(candidate) = 1-(1-j^r)^b). Real deployments
+    tune b×r per corpus duplication profile before a 100 TB run — this
+    row makes the repo's parameter choice externally checkable data
+    instead of folklore.
+
+    Fully ORACLE-EXACT (the dedup_minhash_lsh discipline, not a bound
+    oracle): signatures, band folds, bucket candidates, the exact pair
+    set, and the recall division are deterministic integer/sha
+    arithmetic both engines replay bit-for-bit.
+
+    Scale: ONE signature pass shared by all three configs
+    (localCheckpointed — 64×8 B per doc regardless of length); each
+    config adds only its band explode + bucket groupBy over signatures,
+    never touching text again. The exact pair set is corpus-wide ngram
+    Jaccard — affordable at audit time on a SAMPLE at 100 TB (the
+    documented dedup_ngram_jaccard caveat); candidates stay banded."""
+    d = _t(spark, sf_dir, "documents")
+    tri = _shingles_raw(d).withColumn("h", F.expr(_sha32("shingle")))
+    min_exprs = [
+        F.expr(f"min(({a}L * h + {b}L) % {_P32}L) AS h{i}")
+        for i, (a, b) in enumerate(_COEF)
+    ]
+    sig_rows = (
+        tri.groupBy("doc_id", "lang").agg(*min_exprs).localCheckpoint(eager=False)
+    )
+    exact = (
+        _verified_pairs(_shingles(d), 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+
+    def _cfg_row(nb: int, rpb: int) -> DataFrame:
+        def _band_struct(i: int) -> str:
+            cols = [f"h{i * rpb + r}" for r in range(rpb)]
+            k1 = _fold_expr(cols, *_FOLD[0])
+            k2 = _fold_expr(cols, *_FOLD[1])
+            return f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
+
+        structs = ", ".join(_band_struct(i) for i in range(nb))
+        bands = sig_rows.select(
+            "doc_id", "lang", F.expr(f"explode(array({structs})) AS bk")
+        ).select("doc_id", "lang", "bk.band", "bk.key1", "bk.key2")
+        buckets = (
+            bands.groupBy("lang", "band", "key1", "key2")
+            .agg(F.expr("sort_array(collect_list(doc_id)) AS ids"))
+            .filter(F.expr("size(ids) > 1"))
+        )
+        cand = (
+            buckets.selectExpr("posexplode(ids) AS (i, doc_a)", "ids")
+            .selectExpr("doc_a", "explode(slice(ids, i + 2, size(ids))) AS doc_b")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        n_ver = cand.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_verified")
+        )
+        return (
+            n_cand.crossJoin(F.broadcast(n_ver))
+            .crossJoin(F.broadcast(n_exact))
+            .selectExpr(
+                f"cast({nb} AS bigint) AS bands",
+                f"cast({rpb} AS bigint) AS rows_per_band",
+                "n_candidates",
+                "n_verified",
+                "n_exact",
+                "round(n_verified / cast(n_exact AS double), 6) AS recall",
+            )
+        )
+
+    out = None
+    for nb, rpb in _LSH_CONFIGS:
+        row = _cfg_row(nb, rpb)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rows_per_band")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

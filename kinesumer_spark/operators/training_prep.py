@@ -128,7 +128,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tokens")
     )
-    d = d.withColumn("block", F.expr(f"doc_id div {_BLOCK}"))
+    # materialize the 24 B/doc (doc_id, tokens, block) projection once:
+    # the shared prefix sum reads it twice (block totals + offset join),
+    # and without the checkpoint each read re-scans and re-splits the
+    # full text column (r12)
+    d = d.withColumn("block", F.expr(f"doc_id div {_BLOCK}")).localCheckpoint(
+        eager=False
+    )
     out = (
         block_running_offset(d, "tokens", "doc_id", ["block"], "start_off")
         .selectExpr(
@@ -142,6 +148,112 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("doc_id")
+
+
+_SWEEP_LENS = (256, 512, 1024)  # candidate sequence lengths
+
+_SEQLEN_SWEEP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, tokens,
+         CAST(SUM(tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT)
+           AS start_off
+  FROM t
+), l AS (
+  SELECT UNNEST({list(_SWEEP_LENS)}) AS seq_len
+)
+SELECT l.seq_len,
+       CAST(SUM(c.tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(c.tokens) + l.seq_len - 1) // l.seq_len AS BIGINT)
+         AS total_chunks,
+       CAST(SUM(CASE WHEN (c.start_off + c.tokens - 1) // l.seq_len
+                       <> c.start_off // l.seq_len THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddled,
+       CAST(SUM((c.start_off + c.tokens - 1) // l.seq_len
+                - c.start_off // l.seq_len) AS BIGINT) AS boundary_crossings,
+       CAST((SUM(c.tokens) + l.seq_len - 1) // l.seq_len * l.seq_len
+            - SUM(c.tokens) AS BIGINT) AS tail_pad_tokens
+FROM c CROSS JOIN l
+GROUP BY l.seq_len
+ORDER BY l.seq_len
+"""
+
+
+@register(
+    "pack_seqlen_sweep",
+    oracle=_SEQLEN_SWEEP_ORACLE,
+    tags=("training", "pack"),
+)
+def pack_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length sweep for the concat-and-chunk layout — the
+    "which seq_len do we train at" planning query: for each candidate
+    length (256/512/1024), the packed-chunk total, how many documents
+    straddle a chunk boundary (each straddle splits a document's
+    attention span across training sequences), total boundary
+    crossings (a long doc can straddle several), and the tail padding
+    the final partial chunk wastes. Real pretraining runs sweep this
+    once per corpus before committing GPU-months; longer sequences cut
+    straddles but pay quadratic attention — this row supplies the data
+    side of that tradeoff.
+
+    Scale: ONE distributed prefix-sum pass (pack_sequences' shared
+    two-pass block_running_offset — never a global data-sized sort),
+    then a 3-way explode of the candidate lengths and a |lens|-row
+    aggregate: the corpus is scanned once no matter how many lengths
+    are swept. All arithmetic is int64 floor-division, replayed
+    bit-for-bit by the oracle's global-window form."""
+    d = _t(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tokens")
+    )
+    # one corpus scan total: the slim projection is checkpointed before
+    # the prefix sum's two reads (see pack_sequences)
+    d = d.withColumn("block", F.expr(f"doc_id div {_BLOCK}")).localCheckpoint(
+        eager=False
+    )
+    offs = block_running_offset(d, "tokens", "doc_id", ["block"], "start_off")
+    lens = ", ".join(str(l) for l in _SWEEP_LENS)
+    return (
+        offs.select(
+            "tokens",
+            "start_off",
+            F.explode(F.expr(f"array({lens})")).alias("seq_len"),
+        )
+        .groupBy("seq_len")
+        .agg(
+            F.sum("tokens").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "cast((sum(tokens) + seq_len - 1) div seq_len AS bigint)"
+            ).alias("total_chunks"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        "(start_off + tokens - 1) div seq_len"
+                        " <> start_off div seq_len"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_straddled"),
+            F.sum(
+                F.expr(
+                    "(start_off + tokens - 1) div seq_len"
+                    " - start_off div seq_len"
+                )
+            )
+            .cast("bigint")
+            .alias("boundary_crossings"),
+            F.expr(
+                "cast((sum(tokens) + seq_len - 1) div seq_len * seq_len"
+                " - sum(tokens) AS bigint)"
+            ).alias("tail_pad_tokens"),
+        )
+        .orderBy("seq_len")
+    )
 
 
 # Split buckets from a sha256 prefix of the SALTED doc id: stable under

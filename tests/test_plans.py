@@ -752,3 +752,30 @@ def test_r12_profiling_ops_stay_jvm_side(spark):
     assert "BroadcastHashJoin" in plan_string(
         _df(spark, "text_decontaminate_spans")
     )
+
+
+def test_lsh_param_audit_shares_one_signature_pass(spark):
+    """dedup_lsh_param_audit: all three b×r configs read the ONE
+    localCheckpointed signature relation (no per-config re-shingle of
+    the corpus); the exact pair set is likewise checkpointed; no Python
+    anywhere and no cartesian."""
+    df = _df(spark, "dedup_lsh_param_audit")
+    plan = plan_string(df)
+    assert plan.count(") Scan ExistingRDD") >= 4, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the checkpointed audit plan never rescans parquet
+    assert len(read_schemas(df)) == 0, plan
+
+
+def test_pack_seqlen_sweep_one_scan_no_python(spark):
+    """pack_seqlen_sweep: the corpus is scanned once and the candidate
+    lengths ride a 3-way explode — sweeping more lengths must not add
+    scans; prefix sums stay block-partitioned (shared helper)."""
+    df = _df(spark, "pack_seqlen_sweep")
+    plan = plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    # the slim (doc_id, tokens, block) projection is checkpointed before
+    # the prefix sum's two reads: zero fresh parquet scans in this plan
+    assert len(read_schemas(df)) == 0, plan
+    assert plan.count(") Scan ExistingRDD") >= 2, plan
