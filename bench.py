@@ -127,6 +127,7 @@ EXTENDED = [
     "dedup_cross_source_matrix",
     "pack_seqlen_sweep",
     "dedup_lsh_param_audit",
+    "text_decontaminate_excise",
     # r12: the remaining r11 batch operators (r11 verdict #3 — an
     # operator is not done until its bench row lands in the same round)
     "pack_bins_greedy",

@@ -1017,6 +1017,126 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXCISE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(text, ' ') AS words,
+         CASE WHEN len(regexp_split_to_array(text, ' ')) >= 3 THEN
+           list_transform(range(1, len(regexp_split_to_array(text, ' ')) - 1),
+             i -> regexp_split_to_array(text, ' ')[i] || ' ' ||
+                  regexp_split_to_array(text, ' ')[i+1] || ' ' ||
+                  regexp_split_to_array(text, ' ')[i+2])
+         ELSE [text] END AS shingles
+  FROM documents
+), banned AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM s
+  WHERE doc_id % {_EVAL_MOD} = 0
+), pos AS (
+  SELECT doc_id, unnest(shingles) AS shingle,
+         generate_subscripts(shingles, 1) AS pos
+  FROM s WHERE doc_id % {_EVAL_MOD} <> 0
+), cov AS (
+  SELECT DISTINCT p.doc_id, unnest([p.pos - 1, p.pos, p.pos + 1]) AS idx
+  FROM pos p JOIN banned b USING (shingle)
+), w AS (
+  SELECT doc_id, generate_subscripts(words, 1) - 1 AS idx,
+         unnest(words) AS word
+  FROM s WHERE doc_id % {_EVAL_MOD} <> 0
+), kept AS (
+  SELECT w.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(w.word, ' ' ORDER BY w.idx) AS cleaned
+  FROM w ANTI JOIN cov ON cov.doc_id = w.doc_id AND cov.idx = w.idx
+  GROUP BY w.doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.words) AS BIGINT) AS n_words,
+       CAST(len(s.words) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+FROM s LEFT JOIN kept k ON k.doc_id = s.doc_id
+WHERE s.doc_id % {_EVAL_MOD} <> 0
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "text_decontaminate_excise",
+    oracle=_EXCISE_ORACLE,
+    tags=("text", "dedup"),
+)
+def text_decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination — the EXCISION text_decontaminate_spans
+    exists for: every word covered by a 3-gram occurrence shared with
+    the eval slice (positions p−1..p+1 in 0-based word indices for a
+    1-based hit at p) is cut, the survivors re-joined in order, and the
+    cleaned text proven byte-identical across engines via its md5
+    (not just counted — a re-join that drops a separator or reorders
+    words flips the hash). Emits per-doc total words, removed words,
+    and the cleaned-text digest; a fully-excised doc hashes the empty
+    string (the drop case). This is the keep-the-page-cut-the-quote
+    pipeline production decontamination actually runs — dropping whole
+    documents for one leaked benchmark question wastes good tokens.
+
+    Scale: banned set broadcast; covered-index set is |hits|·3 rows,
+    anti-joined against the exploded word table keyed by (doc_id, idx);
+    the re-join is one per-doc aggregate (collect_list of (idx, word)
+    structs, array_sort — per-doc memory is the document itself, the
+    same bound every per-doc aggregate here carries). Word explodes are
+    codegen'd posexplode over one split — no HOF lambdas in the hot
+    path (the r12 shingle lesson: shingles via regexp lookahead)."""
+    d = _t(spark, sf_dir)
+    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
+    base = d.selectExpr(
+        "doc_id", "text", "split(text, ' ') AS words", f"{arr} AS sh_arr"
+    ).selectExpr(
+        "doc_id",
+        "words",
+        "CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+        "  ELSE array(text) END AS shingles",
+    )
+    banned = (
+        base.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .selectExpr("explode(shingles) AS shingle")
+        .distinct()
+    )
+    corpus = base.filter(F.col("doc_id") % _EVAL_MOD != 0).localCheckpoint(
+        eager=False
+    )
+    hits = (
+        corpus.select("doc_id", F.posexplode("shingles").alias("pos0", "shingle"))
+        .join(F.broadcast(banned), "shingle")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    )
+    cov = hits.selectExpr(
+        "doc_id", "explode(array(pos - 1, pos, pos + 1)) AS idx"
+    ).distinct()
+    words = corpus.select(
+        "doc_id", F.posexplode("words").alias("idx", "word")
+    )
+    kept = (
+        words.join(cov, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(idx, word))), s -> s.word), ' ') AS cleaned"
+            ),
+        )
+    )
+    return (
+        corpus.selectExpr("doc_id", "cast(size(words) AS bigint) AS n_words")
+        .join(kept, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "cast(n_words - coalesce(n_kept, 0) AS bigint) AS n_removed",
+            "md5(cast(coalesce(cleaned, '') AS binary)) AS cleaned_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing (regex redaction)
 # --------------------------------------------------------------------------

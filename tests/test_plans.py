@@ -743,6 +743,7 @@ def test_r12_profiling_ops_stay_jvm_side(spark):
     for name in (
         "source_quality_ledger",
         "text_decontaminate_spans",
+        "text_decontaminate_excise",
         "dedup_cross_source_matrix",
     ):
         plan = plan_string(_df(spark, name))
