@@ -1151,13 +1151,16 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.2 LLM row).
     """
     d = _t(spark, sf_dir, "documents")
-    c = d.selectExpr(
+    # split once in a prior select: the HOF lambda runs interpreted and
+    # would re-split text per chunk — O(words²/C) per doc (the r12
+    # shingle lesson, SCALE.md)
+    c = d.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
         "doc_id",
         # Spark slice() is 1-based and truncates at the array end, same
         # as the DuckDB list slice in the oracle
-        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {_CHUNK_WORDS}.0)"
+        f"transform(sequence(0, cast(ceil(size(w) / {_CHUNK_WORDS}.0)"
         f"    AS int) - 1),"
-        f"  i -> array_join(slice(split(text, ' '), i * {_CHUNK_WORDS} + 1,"
+        f"  i -> array_join(slice(w, i * {_CHUNK_WORDS} + 1,"
         f"       {_CHUNK_WORDS}), ' ')) AS chunks",
     )
     e = c.selectExpr("doc_id", "explode(chunks) AS chunk").withColumn(
