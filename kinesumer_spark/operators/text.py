@@ -143,6 +143,49 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The whole lang-id oracle (ORDER BY included — DuckDB allows ordered
+# subqueries) wrapped as a CTE: the confusion matrix can never fork from
+# the registered per-doc predictions.
+_LANG_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANG_ORACLE})
+SELECT lang, predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM pred
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+
+@register(
+    "text_lang_confusion",
+    oracle=_LANG_CONFUSION_ORACLE,
+    tags=("text", "quality"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the audit that decides whether
+    the cheap stopword classifier is good enough to gate a corpus: for
+    every (labeled lang, predicted lang) cell, the document count and
+    an id checksum pinning WHICH docs landed there. Off-diagonal mass
+    localizes the classifier's failure modes (e.g. romance-language
+    stopword overlap) before anyone trusts per-lang mixture planning
+    built on predictions. Composes the registered text_lang_id verbatim
+    (its DataFrame is the input; its oracle is the CTE), so prediction
+    semantics cannot fork between the per-doc row and this rollup.
+
+    Scale: text_lang_id's one-scan map-side shape + a ≤|langs|² -row
+    aggregate — runs at scan speed."""
+    p = text_lang_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
+    return (
+        p.groupBy("lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
 _QUALITY_ORACLE = """
 WITH f AS (
   SELECT doc_id, n_chars,

@@ -744,6 +744,7 @@ def test_r12_profiling_ops_stay_jvm_side(spark):
         "source_quality_ledger",
         "text_decontaminate_spans",
         "text_decontaminate_excise",
+        "text_lang_confusion",
         "dedup_cross_source_matrix",
     ):
         plan = plan_string(_df(spark, name))
