@@ -4023,3 +4023,109 @@ def stream_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_emitted"))
         .orderBy("purchase_id", "click_id")
     )
+
+
+# -- Streaming decontamination: the LLM screen composed into ingest ---------
+
+_STREAM_DECONTAM_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS words, text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [text] END) AS shingles
+  FROM w
+), banned AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM s WHERE doc_id % 97 = 0
+), e AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM s WHERE doc_id % 97 <> 0
+)
+SELECT e.doc_id,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_banned,
+       SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) >= 1
+         AS contaminated
+FROM e LEFT JOIN banned b ON b.shingle = e.shingle
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""
+
+
+@register(
+    "stream_decontaminate_gate",
+    oracle=_STREAM_DECONTAM_ORACLE,
+    tags=("streaming", "text", "dedup"),
+)
+def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact decontamination screen composed into the STREAMING
+    ingest path — documents arrive as a file stream and every microbatch
+    is checked against the static benchmark suite before it can reach a
+    training corpus sink: per-doc banned-3-gram count and the drop flag,
+    exactly text_decontaminate's verdict semantics (distinct 3-word
+    shingles, whole-text fallback, doc_id % 97 eval slice), now produced
+    incrementally. This is the shape a real pipeline runs when corpus
+    ingest is continuous: the screen must be ON the stream — screening
+    after the corpus lands means contaminated documents were already
+    readable.
+
+    Plan: the banned set is a BATCH read of the fixed eval slice
+    broadcast into the stream (stream-static left join — no stream-side
+    shuffle for the probe); the only stateful stage is the per-doc
+    count aggregate. Shingling is the codegen'd regexp-lookahead form
+    (the r12 HOF lesson) with array_distinct applied map-side, so the
+    stateful key is doc_id and state size is one count per doc in the
+    microbatch horizon. At 100 TB/day the same plan holds: broadcast
+    refreshed per benchmark release, corpus never shuffled on shingle.
+    Reference analog: O1's consume loop feeding the screening app
+    (kinesumer.go:346-370), fused into one streaming plan."""
+    from kinesumer_spark.catalog import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
+    # static side: the benchmark suite's distinct 3-grams (batch read)
+    banned = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .selectExpr("text", f"{arr} AS sh_arr")
+        .selectExpr(
+            "explode(array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+            "  ELSE array(text) END)) AS shingle"
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    # stream side: documents as a file stream (footer-read schema — a
+    # file-stream source does no inference)
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    shingled = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .selectExpr("doc_id", "text", f"{arr} AS sh_arr")
+        .selectExpr(
+            "doc_id",
+            "explode(array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+            "  ELSE array(text) END)) AS shingle",
+        )
+    )
+    verdicts = (
+        shingled.join(F.broadcast(banned), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_banned")
+        )
+        .select(
+            "doc_id", "n_banned", (F.col("n_banned") >= 1).alias("contaminated")
+        )
+    )
+    return _run_to_table(verdicts, "ks_stream_decontaminate_gate").orderBy(
+        "doc_id"
+    )
