@@ -4027,7 +4027,9 @@ def stream_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Streaming decontamination: the LLM screen composed into ingest ---------
 
-_STREAM_DECONTAM_ORACLE = """
+from kinesumer_spark.operators.text import _EVAL_MOD  # noqa: E402
+
+_STREAM_DECONTAM_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(text, ' ') AS words, text
   FROM documents
@@ -4039,9 +4041,9 @@ WITH w AS (
          ELSE [text] END) AS shingles
   FROM w
 ), banned AS (
-  SELECT DISTINCT unnest(shingles) AS shingle FROM s WHERE doc_id % 97 = 0
+  SELECT DISTINCT unnest(shingles) AS shingle FROM s WHERE doc_id % {_EVAL_MOD} = 0
 ), e AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM s WHERE doc_id % 97 <> 0
+  SELECT doc_id, unnest(shingles) AS shingle FROM s WHERE doc_id % {_EVAL_MOD} <> 0
 )
 SELECT e.doc_id,
        CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -4085,10 +4087,12 @@ def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
-    # static side: the benchmark suite's distinct 3-grams (batch read)
+    # static side: the benchmark suite's distinct 3-grams (batch read).
+    # _EVAL_MOD is the batch screen's slice constant — shared, not
+    # re-declared, so the streaming and batch screens cannot fork.
     banned = (
         read_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 97 == 0)
+        .filter(F.col("doc_id") % _EVAL_MOD == 0)
         .selectExpr("text", f"{arr} AS sh_arr")
         .selectExpr(
             "explode(array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
@@ -4106,7 +4110,7 @@ def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     shingled = (
-        docs.filter(F.col("doc_id") % 97 != 0)
+        docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
         .selectExpr("doc_id", "text", f"{arr} AS sh_arr")
         .selectExpr(
             "doc_id",
