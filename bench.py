@@ -131,6 +131,7 @@ EXTENDED = [
     "text_lang_confusion",
     "stream_decontaminate_gate",
     "stream_neardup_gate",
+    "pipeline_stream_admission",
     # r12: the remaining r11 batch operators (r11 verdict #3 — an
     # operator is not done until its bench row lands in the same round)
     "pack_bins_greedy",

@@ -4310,3 +4310,283 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(verdicts, "ks_stream_neardup_gate").orderBy("doc_id")
+
+
+# -- Streaming admission: quality + decontam + near-dup in ONE verdict ------
+
+
+def _stream_admission_oracle() -> str:
+    from kinesumer_spark.operators.dedup import _minhash_cte
+    from kinesumer_spark.operators.text import (
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MWL_HI,
+        _GOPHER_MWL_LO,
+        _GOPHER_WC_HI,
+        _GOPHER_WC_LO,
+        _sql_array,
+        _STOPLISTS,
+    )
+
+    return f"""
+WITH {_minhash_cte()}, vp AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b,
+         round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+), nd AS (
+  SELECT doc_a AS doc_id, doc_b AS partner FROM vp
+  UNION ALL SELECT doc_b, doc_a FROM vp
+), ndh AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT partner) AS BIGINT) AS n_partners
+  FROM nd GROUP BY doc_id
+), gq AS (
+  SELECT doc_id,
+         (len(words) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+           AND (len(replace(text, ' ', '')) / CAST(len(words) AS DOUBLE)
+                  BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+           AND len(list_filter({_sql_array(_STOPLISTS["en"])},
+                   st -> list_contains(words, st))) >= {_GOPHER_MIN_STOP}
+           AND len(list_filter(words, x -> regexp_matches(x, '^[a-z]+$')))
+                 / CAST(len(words) AS DOUBLE) >= {_GOPHER_MIN_ALPHA}
+           AS quality_ok
+  FROM (SELECT doc_id, text, regexp_split_to_array(text, ' ') AS words
+        FROM documents WHERE doc_id % {_EVAL_MOD} <> 0)
+), ds AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [text] END) AS shingles
+  FROM (SELECT doc_id, text, regexp_split_to_array(text, ' ') AS words
+        FROM documents)
+), dbanned AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM ds
+  WHERE doc_id % {_EVAL_MOD} = 0
+), dhit AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_banned
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM ds
+        WHERE doc_id % {_EVAL_MOD} <> 0) e
+  JOIN dbanned b ON b.shingle = e.shingle
+  GROUP BY e.doc_id
+)
+SELECT g.doc_id,
+       g.quality_ok,
+       CAST(COALESCE(d.n_banned, 0) AS BIGINT) AS n_banned,
+       CAST(COALESCE(n.n_partners, 0) AS BIGINT) AS n_partners,
+       CASE WHEN NOT g.quality_ok THEN 'reject_quality'
+            WHEN COALESCE(d.n_banned, 0) >= 1 THEN 'reject_contaminated'
+            WHEN COALESCE(n.n_partners, 0) >= 1 THEN 'reject_neardup'
+            ELSE 'admit' END AS verdict
+FROM gq g
+LEFT JOIN dhit d ON d.doc_id = g.doc_id
+LEFT JOIN ndh n ON n.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register(
+    "pipeline_stream_admission",
+    oracle=_stream_admission_oracle(),
+    tags=("streaming", "pipeline", "text", "dedup", "quality"),
+)
+def pipeline_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest ADMISSION pipeline as one streaming plan — the
+    capstone the two streaming gates build toward: every incoming
+    document gets one verdict per microbatch, with a fixed precedence
+    real pipelines use because it orders the screens by cost honesty:
+
+        reject_quality       (Gopher rules — cheapest, purely map-side)
+        reject_contaminated  (shares any 3-gram with the benchmark
+                              slice — broadcast banned set)
+        reject_neardup       (verified MinHash near-dup of the corpus
+                              index — broadcast bands + sets, in-row
+                              signatures per stream_neardup_gate)
+        admit
+
+    Structured Streaming cannot chain stateful aggregations, so the
+    three screens are fused as a TAGGED UNION feeding ONE per-doc
+    verdict aggregate: the base branch carries the map-side quality
+    booleans (and guarantees every doc a verdict row), the contam
+    branch emits one row per banned-shingle hit, the near-dup branch
+    one row per verified partner. Each branch is stateless map-side
+    work over the same file-stream source (a streaming self-union —
+    the source is read once per branch per microbatch, the price of
+    single-pass verdicts; the batch composition pays the same).
+
+    All three screens are the registered operators' exact arithmetic
+    (gopher constants, the exact screen's distinct-shingle semantics,
+    the LSH tier's signature/band/verify chain) and the oracle replays
+    all three — a drift in any screen OR in the precedence reddens
+    this one driver row. Reference analog: the complete consume →
+    screen → admit application loop (kinesumer.go:346-370), fused into
+    one streaming plan."""
+    from kinesumer_spark.operators.dedup import (
+        _BANDS,
+        _COEF,
+        _FOLD,
+        _P32,
+        _ROWS_PER_BAND,
+        _fold_expr,
+        _sha32,
+        minhash_band_keys,
+        shingle_sets,
+    )
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.text import (
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MWL_HI,
+        _GOPHER_MWL_LO,
+        _GOPHER_WC_HI,
+        _GOPHER_WC_LO,
+        _STOPLISTS,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
+    # static sides: benchmark 3-grams + corpus LSH index + corpus sets
+    banned = (
+        batch_docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .selectExpr("text", f"{arr} AS sh_arr")
+        .selectExpr(
+            "explode(array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+            "  ELSE array(text) END)) AS shingle"
+        )
+        .distinct()
+    )
+    index = minhash_band_keys(batch_docs).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    corpus_sets = shingle_sets(batch_docs).selectExpr(
+        "doc_id AS corpus_id", "sh AS sh_c", "n AS nc"
+    )
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+
+    def _stream() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("doc_id") % _EVAL_MOD != 0)
+        )
+
+    # branch 1 — base: map-side Gopher booleans, one row per doc
+    stops = ", ".join(f"'{s}'" for s in _STOPLISTS["en"])
+    base = _stream().selectExpr(
+        "doc_id",
+        "split(text, ' ') AS w",
+        "length(replace(text, ' ', '')) AS n_nonspace",
+    ).selectExpr(
+        "doc_id",
+        f"""(size(w) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+            AND (n_nonspace / cast(size(w) AS double)
+                   BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+            AND size(filter(array({stops}), st -> array_contains(w, st)))
+                  >= {_GOPHER_MIN_STOP}
+            AND size(filter(w, x -> x rlike '^[a-z]+$'))
+                  / cast(size(w) AS double) >= {_GOPHER_MIN_ALPHA}
+            AS quality_ok""",
+        "CAST(0 AS bigint) AS contam_hit",
+        "CAST(NULL AS bigint) AS partner",
+    )
+    # branch 2 — contamination hits (one row per banned-shingle match)
+    contam = (
+        _stream()
+        .selectExpr("doc_id", "text", f"{arr} AS sh_arr")
+        .selectExpr(
+            "doc_id",
+            "explode(array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+            "  ELSE array(text) END)) AS shingle",
+        )
+        .join(F.broadcast(banned), "shingle")
+        .selectExpr(
+            "doc_id",
+            "CAST(NULL AS boolean) AS quality_ok",
+            "CAST(1 AS bigint) AS contam_hit",
+            "CAST(NULL AS bigint) AS partner",
+        )
+    )
+    # branch 3 — verified near-dup partners (stream_neardup_gate's
+    # stateless in-row probe)
+    min_exprs = [
+        f"array_min(transform(hh, x -> ({a}L * x + {b}L) % {_P32}L)) AS h{i}"
+        for i, (a, b) in enumerate(_COEF)
+    ]
+
+    def _band_struct(i: int) -> str:
+        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        k1 = _fold_expr(cols, *_FOLD[0])
+        k2 = _fold_expr(cols, *_FOLD[1])
+        return f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
+
+    band_structs = ", ".join(_band_struct(i) for i in range(_BANDS))
+    sh_hash = _sha32("s")
+    neardup = (
+        _stream()
+        .selectExpr("doc_id", "lang", "text", f"{arr} AS sh_arr")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+            "  ELSE array(text) END AS sh_all",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "array_distinct(sh_all) AS sh_set",
+            f"transform(sh_all, s -> {sh_hash}) AS hh",
+        )
+        .selectExpr("doc_id", "lang", "sh_set", *min_exprs)
+        .selectExpr(
+            "doc_id", "lang", "sh_set",
+            f"explode(array({band_structs})) AS bk",
+        )
+        .select("doc_id", "lang", "sh_set", "bk.band", "bk.key1", "bk.key2")
+        .join(F.broadcast(index), ["lang", "band", "key1", "key2"])
+        .filter(F.col("corpus_id") != F.col("doc_id"))
+        .join(F.broadcast(corpus_sets), "corpus_id")
+        .filter(
+            F.expr(
+                "round(size(array_intersect(sh_set, sh_c))"
+                " / cast(size(sh_set) + nc"
+                "        - size(array_intersect(sh_set, sh_c)) AS double), 6)"
+                " >= 0.5"
+            )
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(NULL AS boolean) AS quality_ok",
+            "CAST(0 AS bigint) AS contam_hit",
+            "corpus_id AS partner",
+        )
+    )
+    verdicts = (
+        base.unionByName(contam)
+        .unionByName(neardup)
+        .groupBy("doc_id")
+        .agg(
+            F.max("quality_ok").alias("quality_ok"),
+            F.sum("contam_hit").cast("bigint").alias("n_banned"),
+            F.expr("cast(size(collect_set(partner)) AS bigint)").alias(
+                "n_partners"
+            ),
+        )
+        .selectExpr(
+            "doc_id",
+            "quality_ok",
+            "n_banned",
+            "n_partners",
+            """CASE WHEN NOT quality_ok THEN 'reject_quality'
+                    WHEN n_banned >= 1 THEN 'reject_contaminated'
+                    WHEN n_partners >= 1 THEN 'reject_neardup'
+                    ELSE 'admit' END AS verdict""",
+        )
+    )
+    return _run_to_table(verdicts, "ks_pipeline_stream_admission").orderBy(
+        "doc_id"
+    )
