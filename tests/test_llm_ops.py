@@ -780,3 +780,53 @@ def test_cdc_rolling_hof_equals_vectorized_on_unicode(spark):
     assert hof_out == vec_out
     # the unicode docs actually produced content-defined cuts
     assert any(r[1] > 1 for r in hof_out)
+
+
+def test_stream_gates_agree_with_batch_screens(spark):
+    """The streaming gates are the batch screens' semantics per
+    microbatch — pin Spark-vs-Spark agreement in-repo (the DuckDB
+    oracles already pin each side externally):
+    - stream_neardup_gate's verdicts must be exactly the symmetric
+      batch tier's pair relation seen from each doc;
+    - pipeline_stream_admission must populate ALL FOUR verdict classes
+      at the gate SF (a one-class result would mean a screen went
+      vacuous) and agree with the standalone gates where they overlap."""
+    from collections import Counter
+
+    from kinesumer_spark.registry import all_queries
+
+    qs = all_queries()
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["dedup_minhash_lsh"].spark(spark, SF_SMALL).collect()
+    }
+    partners = Counter()
+    for a, b in pairs:
+        partners[a] += 1
+        partners[b] += 1
+    gate = {
+        r["doc_id"]: r
+        for r in qs["stream_neardup_gate"].spark(spark, SF_SMALL).collect()
+    }
+    for doc, n in partners.items():
+        assert gate[doc]["n_partners"] == n, doc
+        assert gate[doc]["is_neardup"] is True
+    for doc, r in gate.items():
+        if doc not in partners:
+            assert r["n_partners"] == 0 and r["is_neardup"] is False, doc
+
+    adm = qs["pipeline_stream_admission"].spark(spark, SF_SMALL).collect()
+    classes = Counter(r["verdict"] for r in adm)
+    assert set(classes) == {
+        "admit",
+        "reject_quality",
+        "reject_contaminated",
+        "reject_neardup",
+    }, classes
+    # precedence: a neardup rejection implies the doc PASSED quality and
+    # contamination (otherwise an earlier reason would have claimed it)
+    for r in adm:
+        if r["verdict"] == "reject_neardup":
+            assert r["quality_ok"] and r["n_banned"] == 0 and r["n_partners"] >= 1
+        if r["verdict"] == "admit":
+            assert r["quality_ok"] and r["n_banned"] == 0 and r["n_partners"] == 0
