@@ -387,16 +387,179 @@ def minhash_band_keys(d: DataFrame) -> DataFrame:
     ]
     sig_rows = tri.groupBy("doc_id", "lang").agg(*min_exprs)
 
-    def _band_struct(i: int) -> str:
-        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        k1 = _fold_expr(cols, *_FOLD[0])
-        k2 = _fold_expr(cols, *_FOLD[1])
-        return f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
-
-    band_structs = ", ".join(_band_struct(i) for i in range(_BANDS))
+    band_structs = ", ".join(
+        f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
+        for i, k1, k2 in band_key_exprs()
+    )
     return sig_rows.select(
         "doc_id", "lang", F.expr(f"explode(array({band_structs})) AS bk")
     ).select("doc_id", "lang", "bk.band", "bk.key1", "bk.key2")
+
+
+def band_key_exprs() -> list[tuple[int, str, str]]:
+    """``[(band, key1_sql, key2_sql)] × 16`` over signature columns
+    ``h0..h63`` — THE band-fold formula, in exactly one place (r13,
+    driver advice): :func:`minhash_band_keys` (batch groupBy form), the
+    in-row streaming twins below, and any future banded consumer all
+    assemble their band structs from this list, so a fold-constant or
+    grouping change can never drift one copy."""
+    out = []
+    for i in range(_BANDS):
+        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        out.append((i, _fold_expr(cols, *_FOLD[0]), _fold_expr(cols, *_FOLD[1])))
+    return out
+
+
+def inrow_signatures(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, lang, sh_set, h0..h63[, *keep]) computed IN-ROW — the
+    stateless twin of :func:`minhash_band_keys` + :func:`shingle_sets`
+    for STREAMING consumers, where a pre-verdict groupBy is illegal
+    (Structured Streaming cannot chain stateful aggregations). Each
+    minhash position is ``array_min`` over the doc's own hashed
+    distinct-shingle array: min over the distinct set equals min over
+    the multiset equals the batch tier's ``min()`` aggregate, so the
+    in-row arithmetic is bit-identical to ``minhash_band_keys`` and the
+    two forms cannot disagree on a single band key.
+
+    Formulation is the measured winner (SCALE.md r13): 64 separate
+    ``array_min(transform(...))`` passes beat a single ``aggregate()``
+    pass with a 64-field struct accumulator 3.7× (0.50 s vs 1.88 s over
+    sf0.1 documents) — the per-element struct allocation dominates the
+    saved lambda dispatches; both run on the interpreted HOF path, the
+    documented price of statelessness. Hashing the distinct set (not
+    the multiset) ties on this corpus and strictly shrinks the array.
+
+    ``keep`` carries extra pre-computed columns (e.g. a quality boolean)
+    through unchanged. One string-built selectExpr per stage — Column
+    chains would cost ~hundreds of py4j round trips (minhash_pairs)."""
+    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
+    sh_hash = _sha32("s")
+    min_exprs = [
+        f"array_min(transform(hh, x -> ({a}L * x + {b}L) % {_P32}L)) AS h{i}"
+        for i, (a, b) in enumerate(_COEF)
+    ]
+    return (
+        df.selectExpr("doc_id", "lang", "text", f"{arr} AS sh_arr", *keep)
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
+            "  ELSE array(text) END) AS sh_set",
+            *keep,
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "sh_set",
+            f"transform(sh_set, s -> {sh_hash}) AS hh",
+            *keep,
+        )
+        .selectExpr("doc_id", "lang", "sh_set", *min_exprs, *keep)
+    )
+
+
+def stream_inrow_band_probe(df: DataFrame, sentinel: bool = False) -> DataFrame:
+    """(doc_id, lang, sh_set, band, key1, key2) — the in-row LSH probe
+    rows for a (possibly streaming) DataFrame exposing (doc_id, lang,
+    text): :func:`inrow_signatures` → 16 band structs → explode.
+    Extracted r13 (driver advice) so stream_neardup_gate and
+    pipeline_stream_admission share one copy of the probe chain.
+
+    ``sentinel=True`` appends a 17th ``band = -1`` element per doc —
+    probing a LEFT join against the band index, it guarantees every doc
+    one surviving row, which lets a single source read feed both the
+    probe and the every-doc-gets-a-verdict guarantee (r12 paid a second
+    stream read + unionByName for that sentinel)."""
+    band_structs = ", ".join(
+        f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
+        for i, k1, k2 in band_key_exprs()
+    )
+    elems = f"array({band_structs})"
+    if sentinel:
+        elems = (
+            f"concat({elems}, array(struct(-1 AS band,"
+            " CAST(NULL AS bigint) AS key1, CAST(NULL AS bigint) AS key2)))"
+        )
+    return (
+        inrow_signatures(df)
+        .selectExpr("doc_id", "lang", "sh_set", f"explode({elems}) AS bk")
+        .select("doc_id", "lang", "sh_set", "bk.band", "bk.key1", "bk.key2")
+    )
+
+
+# Above this many corpus documents the gates drop their broadcast hints
+# and let the planner shuffle the probe join instead: the broadcast
+# sides (minhash_band_keys ≈ 16 rows/doc of bigints; shingle_sets ≈ the
+# corpus' distinct-shingle text) grow linearly with the corpus, and an
+# oversized explicit hint fails the job at the driver instead of
+# degrading (r13, driver advice — SCALE.md records the bound).
+_STREAM_INDEX_BROADCAST_CAP = 100_000
+
+
+def _maybe_broadcast(df: DataFrame, n_docs: int | None) -> DataFrame:
+    return (
+        F.broadcast(df)
+        if n_docs is not None and n_docs <= _STREAM_INDEX_BROADCAST_CAP
+        else df
+    )
+
+
+def stream_neardup_partners(
+    stream: DataFrame,
+    batch_docs: DataFrame,
+    n_corpus_docs: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, corpus_id, jaccard) — each stream doc's VERIFIED
+    near-dup partners against a static corpus index, plus one sentinel
+    ``corpus_id IS NULL`` row per doc (so a downstream per-doc verdict
+    aggregate sees clean docs with zeros), all from ONE read of
+    ``stream``: in-row signatures → banded probe (sentinel element) →
+    LEFT join the broadcast band index → LEFT join the broadcast
+    corpus shingle sets → exact-Jaccard verify at ``threshold``.
+
+    The shared core of stream_neardup_gate (r13 extraction, driver
+    advice). Broadcast hints are size-gated on ``n_corpus_docs``
+    (``_STREAM_INDEX_BROADCAST_CAP``): past the cap the plan degrades
+    to a shuffled stream-static join instead of failing at the driver.
+    Self-matches (corpus_id = doc_id) are excluded; the same partner
+    verifying in several bands is deduplicated by the caller's
+    ``collect_set`` (exactly as the batch tier's candidate distinct)."""
+    index = minhash_band_keys(batch_docs).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    corpus_sets = shingle_sets(batch_docs).selectExpr(
+        "doc_id AS corpus_id", "sh AS sh_c", "n AS nc"
+    )
+    probe = stream_inrow_band_probe(stream, sentinel=True)
+    idx = _maybe_broadcast(index, n_corpus_docs)
+    return (
+        probe.join(
+            idx,
+            ["lang", "band", "key1", "key2"],
+            "left",
+        )
+        .filter(
+            F.expr("band = -1 OR (corpus_id IS NOT NULL AND corpus_id != doc_id)")
+        )
+        .join(_maybe_broadcast(corpus_sets, n_corpus_docs), "corpus_id", "left")
+        .selectExpr(
+            "doc_id",
+            "corpus_id",
+            "CASE WHEN corpus_id IS NULL THEN CAST(NULL AS double) ELSE"
+            " round(size(array_intersect(sh_set, sh_c))"
+            " / cast(size(sh_set) + nc"
+            "        - size(array_intersect(sh_set, sh_c)) AS double), 6)"
+            " END AS jaccard",
+        )
+        .filter(F.expr(f"corpus_id IS NULL OR jaccard >= {threshold}"))
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN jaccard IS NULL THEN CAST(NULL AS bigint)"
+            " ELSE corpus_id END AS corpus_id",
+            "jaccard",
+        )
+    )
 
 
 def shingle_sets(d: DataFrame) -> DataFrame:

@@ -4181,49 +4181,39 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     index: admit-or-drop BEFORE the corpus grows.
 
     The streaming twist: signatures are computed IN-ROW — each doc's 64
-    minhash positions are array_min over its own hashed shingle array
-    (min over the multiset equals min over the set), so the entire
+    minhash positions are array_min over its own hashed distinct-shingle
+    array (min over the set equals min over the multiset), so the entire
     index probe is STATELESS map-side work: no stream-side groupBy
     before the verdict aggregate, which matters because Structured
     Streaming cannot chain stateful aggregations. The in-row arithmetic
-    is bit-identical to the batch tier's groupBy form, so the corpus
-    index (minhash_band_keys) and the stream side can never disagree —
-    and the oracle replays the symmetric batch pipeline.
+    is bit-identical to the batch tier's groupBy form — both now live in
+    dedup.inrow_signatures / band_key_exprs (r13 extraction, driver
+    advice), so the corpus index (minhash_band_keys) and the stream side
+    share one copy of every constant — and the oracle replays the
+    symmetric batch pipeline.
 
     Plan/scale: corpus band index and corpus shingle sets broadcast
     (the text_decontaminate_broadcast asymmetry — at 100 TB/day of
-    ingest the INDEX side is the bounded one after banding; a too-large
-    index shards the broadcast by band); stream side stays map-side
-    through shingle → hash → 64 mins → 16 band keys → probe join →
-    exact verify; the only stateful stage is the final per-doc verdict
-    aggregate. The verify set rides the band explode (16× in-task
-    duplication bounded by microbatch size — the two-phase re-join
-    variant documented in the module would trade that for a second
-    probe). The 64 in-row mins run on the interpreted HOF path (the
-    r12 lesson) — linear in shingles, the price of statelessness;
-    measured beside the batch tier in SCALE.md."""
-    from kinesumer_spark.operators.dedup import (
-        _BANDS,
-        _COEF,
-        _FOLD,
-        _P32,
-        _ROWS_PER_BAND,
-        _fold_expr,
-        _sha32,
-        minhash_band_keys,
-        shingle_sets,
-    )
+    ingest the INDEX side is the bounded one after banding), with the
+    hint size-gated on the corpus doc count so an oversized index
+    degrades to a shuffled stream-static join instead of failing at the
+    driver (dedup._STREAM_INDEX_BROADCAST_CAP, r13 driver advice);
+    stream side stays map-side through shingle → hash → 64 mins → 16
+    band keys (+ the band=-1 sentinel element, which replaced r12's
+    second source read + unionByName) → LEFT probe join → exact verify;
+    the only stateful stage is the final per-doc verdict aggregate. The
+    verify set rides the band explode (17× in-task duplication bounded
+    by microbatch size — the two-phase re-join variant documented in
+    the module would trade that for a second probe). The 64 in-row mins
+    run on the interpreted HOF path — linear in shingles, the price of
+    statelessness; the single-pass aggregate() reformulation measured
+    3.7× WORSE (SCALE.md r13), so this formulation stands."""
+    from kinesumer_spark.operators.dedup import stream_neardup_partners
     from kinesumer_spark.catalog import read_table
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
-    )
-    index = minhash_band_keys(batch_docs).withColumnRenamed(
-        "doc_id", "corpus_id"
-    )
-    corpus_sets = shingle_sets(batch_docs).selectExpr(
-        "doc_id AS corpus_id", "sh AS sh_c", "n AS nc"
     )
 
     schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
@@ -4232,70 +4222,11 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
-    # in-row signature: hash the shingle multiset once, then 64 affine
-    # mins over the hashed array (one string-built selectExpr — Column
-    # chains would cost ~hundreds of py4j round trips)
-    min_exprs = [
-        f"array_min(transform(hh, x -> ({a}L * x + {b}L) % {_P32}L)) AS h{i}"
-        for i, (a, b) in enumerate(_COEF)
-    ]
-
-    def _band_struct(i: int) -> str:
-        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        k1 = _fold_expr(cols, *_FOLD[0])
-        k2 = _fold_expr(cols, *_FOLD[1])
-        return f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
-
-    band_structs = ", ".join(_band_struct(i) for i in range(_BANDS))
-    sh_hash = _sha32("s")
-    sigged = (
-        stream.selectExpr("doc_id", "lang", "text", f"{arr} AS sh_arr")
-        .selectExpr(
-            "doc_id",
-            "lang",
-            "CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
-            "  ELSE array(text) END AS sh_all",
-        )
-        .selectExpr(
-            "doc_id",
-            "lang",
-            "array_distinct(sh_all) AS sh_set",
-            f"transform(sh_all, s -> {sh_hash}) AS hh",
-        )
-        .selectExpr("doc_id", "lang", "sh_set", *min_exprs)
-        .selectExpr(
-            "doc_id",
-            "lang",
-            "sh_set",
-            f"explode(array({band_structs})) AS bk",
-        )
-        .select("doc_id", "lang", "sh_set", "bk.band", "bk.key1", "bk.key2")
-    )
-    verified = (
-        sigged.join(F.broadcast(index), ["lang", "band", "key1", "key2"])
-        .filter(F.col("corpus_id") != F.col("doc_id"))
-        .join(F.broadcast(corpus_sets), "corpus_id")
-        .selectExpr(
-            "doc_id",
-            "corpus_id",
-            "round(size(array_intersect(sh_set, sh_c))"
-            " / cast(size(sh_set) + nc"
-            "        - size(array_intersect(sh_set, sh_c)) AS double), 6)"
-            "  AS jaccard",
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
-    # sentinel branch: every stream doc emits one null row so clean docs
-    # appear in the verdict with zeros (collect_set/max ignore nulls)
-    base = stream.selectExpr(
-        "doc_id",
-        "CAST(NULL AS bigint) AS corpus_id",
-        "CAST(NULL AS double) AS jaccard",
+    partners = stream_neardup_partners(
+        stream, batch_docs, n_corpus_docs=batch_docs.count()
     )
     verdicts = (
-        verified.unionByName(base)
-        .groupBy("doc_id")
+        partners.groupBy("doc_id")
         .agg(
             F.expr("cast(size(collect_set(corpus_id)) AS bigint)").alias(
                 "n_partners"
@@ -4406,29 +4337,52 @@ def pipeline_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Structured Streaming cannot chain stateful aggregations, so the
     three screens are fused as a TAGGED UNION feeding ONE per-doc
-    verdict aggregate: the base branch carries the map-side quality
-    booleans (and guarantees every doc a verdict row), the contam
-    branch emits one row per banned-shingle hit, the near-dup branch
-    one row per verified partner. Each branch is stateless map-side
-    work over the same file-stream source (a streaming self-union —
-    the source is read once per branch per microbatch, the price of
-    single-pass verdicts; the batch composition pays the same).
+    verdict aggregate — and since r13, the tagged union is built by ONE
+    explode over ONE source read (r12 read the source once per branch,
+    3× per microbatch; the r12 verdict asked for 2 — plan-pinned at 1
+    in tests/test_plans.py): each doc expands in-row to
+        1 'q' element  (the map-side Gopher quality boolean),
+        |sh_set| 'c' elements (one distinct-shingle probe each), and
+        16  'b' elements (the LSH band keys, each carrying the doc's
+            distinct-shingle set for the exact verify),
+    then two LEFT broadcast probes — banned 3-gram set on `shingle`,
+    corpus band index on (lang, band, key1, key2) — a survivor filter
+    (q rows always survive, guaranteeing every doc a verdict), the
+    corpus shingle-set join + exact-Jaccard verify, and the single
+    stateful per-doc aggregate. The per-doc in-task cost of carrying
+    the verify set inside the 16 band elements (17 copies of sh_set
+    incl. the probe column itself) replaces r12's 3 full source reads
+    + 3× shingle/signature recomputes; at 100 TB ingest the saved IO
+    dominates (before/after measured in SCALE.md r13).
 
-    All three screens are the registered operators' exact arithmetic
-    (gopher constants, the exact screen's distinct-shingle semantics,
-    the LSH tier's signature/band/verify chain) and the oracle replays
-    all three — a drift in any screen OR in the precedence reddens
-    this one driver row. Reference analog: the complete consume →
+    All three screens are the registered operators' exact arithmetic —
+    gopher constants, the exact screen's distinct-shingle semantics,
+    and the LSH signature/band/verify chain now IMPORTED from
+    dedup.inrow_signatures / band_key_exprs (r13 extraction, driver
+    advice: the stream and batch tiers share one copy of every
+    constant) — and the oracle replays all three: a drift in any
+    screen OR in the precedence reddens this one driver row. Broadcast
+    hints on the corpus-derived sides are size-gated on the corpus doc
+    count (dedup._STREAM_INDEX_BROADCAST_CAP, r13 driver advice) so an
+    oversized index degrades to a shuffled stream-static join instead
+    of failing at the driver. Reference analog: the complete consume →
     screen → admit application loop (kinesumer.go:346-370), fused into
     one streaming plan."""
+    verdicts = _admission_verdicts(spark, sf_dir)
+    return _run_to_table(verdicts, "ks_pipeline_stream_admission").orderBy(
+        "doc_id"
+    )
+
+
+def _admission_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNSTARTED streaming verdict plan for pipeline_stream_admission
+    (see its docstring) — exposed separately so tests can pin the plan
+    shape (exactly ONE streaming source) without executing the query."""
     from kinesumer_spark.operators.dedup import (
-        _BANDS,
-        _COEF,
-        _FOLD,
-        _P32,
-        _ROWS_PER_BAND,
-        _fold_expr,
-        _sha32,
+        _maybe_broadcast,
+        _shingles_raw,
+        band_key_exprs,
+        inrow_signatures,
         minhash_band_keys,
         shingle_sets,
     )
@@ -4447,16 +4401,15 @@ def pipeline_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
+    n_corpus = batch_docs.count()
     # static sides: benchmark 3-grams + corpus LSH index + corpus sets
+    # (banned derives from the shared _shingles_raw tier: per-doc
+    # distinct then global distinct == global distinct of the multiset)
     banned = (
-        batch_docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
-        .selectExpr("text", f"{arr} AS sh_arr")
-        .selectExpr(
-            "explode(array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
-            "  ELSE array(text) END)) AS shingle"
-        )
+        _shingles_raw(batch_docs.filter(F.col("doc_id") % _EVAL_MOD == 0))
+        .select("shingle")
         .distinct()
+        .withColumn("banned_hit", F.lit(1))
     )
     index = minhash_band_keys(batch_docs).withColumnRenamed(
         "doc_id", "corpus_id"
@@ -4466,23 +4419,26 @@ def pipeline_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % _EVAL_MOD != 0)
+    )
 
-    def _stream() -> DataFrame:
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-            .filter(F.col("doc_id") % _EVAL_MOD != 0)
-        )
-
-    # branch 1 — base: map-side Gopher booleans, one row per doc
+    # ONE source read: quality boolean map-side, then in-row signatures,
+    # then the tagged-union explode (q + c×|sh_set| + b×16 elements)
     stops = ", ".join(f"'{s}'" for s in _STOPLISTS["en"])
-    base = _stream().selectExpr(
+    with_quality = stream.selectExpr(
         "doc_id",
+        "lang",
+        "text",
         "split(text, ' ') AS w",
         "length(replace(text, ' ', '')) AS n_nonspace",
     ).selectExpr(
         "doc_id",
+        "lang",
+        "text",
         f"""(size(w) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
             AND (n_nonspace / cast(size(w) AS double)
                    BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
@@ -4491,84 +4447,80 @@ def pipeline_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND size(filter(w, x -> x rlike '^[a-z]+$'))
                   / cast(size(w) AS double) >= {_GOPHER_MIN_ALPHA}
             AS quality_ok""",
-        "CAST(0 AS bigint) AS contam_hit",
-        "CAST(NULL AS bigint) AS partner",
     )
-    # branch 2 — contamination hits (one row per banned-shingle match)
-    contam = (
-        _stream()
-        .selectExpr("doc_id", "text", f"{arr} AS sh_arr")
-        .selectExpr(
-            "doc_id",
-            "explode(array_distinct(CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
-            "  ELSE array(text) END)) AS shingle",
-        )
-        .join(F.broadcast(banned), "shingle")
-        .selectExpr(
-            "doc_id",
-            "CAST(NULL AS boolean) AS quality_ok",
-            "CAST(1 AS bigint) AS contam_hit",
-            "CAST(NULL AS bigint) AS partner",
-        )
+    sig = inrow_signatures(with_quality, keep=("quality_ok",))
+
+    _nulls = (
+        "CAST(NULL AS string) AS shingle",
+        "CAST(NULL AS bigint) AS key1",
+        "CAST(NULL AS bigint) AS key2",
+        "CAST(NULL AS array<string>) AS sh",
     )
-    # branch 3 — verified near-dup partners (stream_neardup_gate's
-    # stateless in-row probe)
-    min_exprs = [
-        f"array_min(transform(hh, x -> ({a}L * x + {b}L) % {_P32}L)) AS h{i}"
-        for i, (a, b) in enumerate(_COEF)
-    ]
-
-    def _band_struct(i: int) -> str:
-        cols = [f"h{i * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        k1 = _fold_expr(cols, *_FOLD[0])
-        k2 = _fold_expr(cols, *_FOLD[1])
-        return f"struct({i} AS band, {k1} AS key1, {k2} AS key2)"
-
-    band_structs = ", ".join(_band_struct(i) for i in range(_BANDS))
-    sh_hash = _sha32("s")
-    neardup = (
-        _stream()
-        .selectExpr("doc_id", "lang", "text", f"{arr} AS sh_arr")
-        .selectExpr(
+    q_elem = (
+        "struct('q' AS tag, quality_ok AS q_ok, "
+        f"{_nulls[0]}, -1 AS band, {_nulls[1]}, {_nulls[2]}, {_nulls[3]})"
+    )
+    c_elems = (
+        "transform(sh_set, s -> struct('c' AS tag,"
+        " CAST(NULL AS boolean) AS q_ok, s AS shingle, -1 AS band,"
+        f" {_nulls[1]}, {_nulls[2]}, {_nulls[3]}))"
+    )
+    b_elems = ", ".join(
+        "struct('b' AS tag, CAST(NULL AS boolean) AS q_ok,"
+        f" {_nulls[0]}, {i} AS band, {k1} AS key1, {k2} AS key2,"
+        " sh_set AS sh)"
+        for i, k1, k2 in band_key_exprs()
+    )
+    exploded = (
+        sig.selectExpr(
             "doc_id",
             "lang",
-            "CASE WHEN size(sh_arr) >= 1 THEN sh_arr"
-            "  ELSE array(text) END AS sh_all",
+            f"explode(concat(array({q_elem}), {c_elems}, array({b_elems})))"
+            " AS e",
         )
-        .selectExpr(
-            "doc_id",
-            "lang",
-            "array_distinct(sh_all) AS sh_set",
-            f"transform(sh_all, s -> {sh_hash}) AS hh",
+        .select(
+            "doc_id", "lang", "e.tag", "e.q_ok", "e.shingle",
+            "e.band", "e.key1", "e.key2", "e.sh",
         )
-        .selectExpr("doc_id", "lang", "sh_set", *min_exprs)
-        .selectExpr(
-            "doc_id", "lang", "sh_set",
-            f"explode(array({band_structs})) AS bk",
+    )
+    probed = (
+        exploded.join(_maybe_broadcast(banned, n_corpus), "shingle", "left")
+        .join(
+            _maybe_broadcast(index, n_corpus),
+            ["lang", "band", "key1", "key2"],
+            "left",
         )
-        .select("doc_id", "lang", "sh_set", "bk.band", "bk.key1", "bk.key2")
-        .join(F.broadcast(index), ["lang", "band", "key1", "key2"])
-        .filter(F.col("corpus_id") != F.col("doc_id"))
-        .join(F.broadcast(corpus_sets), "corpus_id")
         .filter(
             F.expr(
-                "round(size(array_intersect(sh_set, sh_c))"
-                " / cast(size(sh_set) + nc"
-                "        - size(array_intersect(sh_set, sh_c)) AS double), 6)"
-                " >= 0.5"
+                "tag = 'q' OR banned_hit = 1"
+                " OR (corpus_id IS NOT NULL AND corpus_id != doc_id)"
             )
         )
+        .join(_maybe_broadcast(corpus_sets, n_corpus), "corpus_id", "left")
         .selectExpr(
             "doc_id",
-            "CAST(NULL AS boolean) AS quality_ok",
-            "CAST(0 AS bigint) AS contam_hit",
-            "corpus_id AS partner",
+            "tag",
+            "q_ok",
+            "banned_hit",
+            "corpus_id",
+            "CASE WHEN corpus_id IS NULL THEN CAST(NULL AS double) ELSE"
+            " round(size(array_intersect(sh, sh_c))"
+            " / cast(size(sh) + nc"
+            "        - size(array_intersect(sh, sh_c)) AS double), 6)"
+            " END AS jaccard",
+        )
+        .filter(F.expr("tag = 'q' OR banned_hit = 1 OR jaccard >= 0.5"))
+        .selectExpr(
+            "doc_id",
+            "q_ok AS quality_ok",
+            "CASE WHEN banned_hit = 1 THEN CAST(1 AS bigint)"
+            " ELSE CAST(0 AS bigint) END AS contam_hit",
+            "CASE WHEN tag = 'b' AND jaccard >= 0.5 THEN corpus_id"
+            " ELSE CAST(NULL AS bigint) END AS partner",
         )
     )
-    verdicts = (
-        base.unionByName(contam)
-        .unionByName(neardup)
-        .groupBy("doc_id")
+    return (
+        probed.groupBy("doc_id")
         .agg(
             F.max("quality_ok").alias("quality_ok"),
             F.sum("contam_hit").cast("bigint").alias("n_banned"),
@@ -4586,7 +4538,4 @@ def pipeline_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN n_partners >= 1 THEN 'reject_neardup'
                     ELSE 'admit' END AS verdict""",
         )
-    )
-    return _run_to_table(verdicts, "ks_pipeline_stream_admission").orderBy(
-        "doc_id"
     )

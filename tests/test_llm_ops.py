@@ -830,3 +830,56 @@ def test_stream_gates_agree_with_batch_screens(spark):
             assert r["quality_ok"] and r["n_banned"] == 0 and r["n_partners"] >= 1
         if r["verdict"] == "admit":
             assert r["quality_ok"] and r["n_banned"] == 0 and r["n_partners"] == 0
+
+
+def test_regex_shingles_match_python_model_off_invariant(spark):
+    """Bridge for the r13 whitespace property tests (test_properties):
+    Spark's Java-regex _shingles_raw must agree with the Python re
+    model on ADVERSARIAL whitespace — tabs, newlines, multi-space runs,
+    edge whitespace, sub-3-word fallbacks — over an ASCII alphabet
+    where \\S is engine-identical. The property suite pins the model's
+    semantics; this pins Spark to the model, closing the loop."""
+    import re
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kinesumer_spark.operators.dedup import _shingles_raw
+
+    texts = [
+        "a b c d e",
+        "a  b c d",
+        "a\tb c d e",
+        " a b c",
+        "a b c ",
+        "\ta b c",
+        "a \t b c d",
+        "x  y  z",
+        "one two",
+        "",
+        "   ",
+        "\t\n",
+        "a b  c d  e f",
+        "lead mid c d\ttail e f g",
+        "a b c\nd e f",
+    ]
+
+    def model(text):
+        m = re.findall(r"(?:^| )(?=(\S+ \S+ \S+))", text)
+        return sorted(m) if m else [text]
+
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        i: sorted(r["sh"])
+        for i, r in enumerate(
+            _shingles_raw(df)
+            .groupBy("doc_id")
+            .agg(F.expr("sort_array(collect_list(shingle)) AS sh"))
+            .orderBy("doc_id")
+            .collect()
+        )
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == model(t), (repr(t), got[i], model(t))

@@ -781,3 +781,44 @@ def test_pack_seqlen_sweep_one_scan_no_python(spark):
     # the prefix sum's two reads: zero fresh parquet scans in this plan
     assert len(read_schemas(df)) == 0, plan
     assert plan.count(") Scan ExistingRDD") >= 2, plan
+
+
+def test_stream_admission_reads_source_once(spark):
+    """pipeline_stream_admission (r13): the three admission screens are
+    fused into ONE explode over ONE streaming source read — r12 paid
+    one read per screen branch (3× per microbatch), the r12 verdict
+    asked for 2, the tagged-union explode gets it to 1. Also pin that
+    every corpus-derived probe side still arrives by broadcast hint and
+    nothing falls to Python."""
+    from kinesumer_spark.streaming.queries import _admission_verdicts
+
+    df = _admission_verdicts(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("StreamingRelation") == 1, plan
+    # all three corpus-derived probe sides carry the (size-gated)
+    # broadcast hint at this SF; nothing falls to Python
+    assert plan.count("ResolvedHint (strategy=broadcast)") >= 3, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_stream_neardup_partners_reads_source_once(spark):
+    """stream_neardup_partners (the shared gate core, r13 extraction):
+    the sentinel that guarantees every doc a verdict row is an in-row
+    band=-1 element probing a LEFT join — NOT a second source read
+    (r12's unionByName sentinel branch)."""
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.dedup import stream_neardup_partners
+
+    batch_docs = read_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMALL)
+    )
+    df = stream_neardup_partners(stream, batch_docs, n_corpus_docs=500)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("StreamingRelation") == 1, plan

@@ -840,3 +840,98 @@ def test_cdc_vectorized_kernel_matches_spec(texts):
             int(row.chars_total),
         )
         assert got == reference(text), (repr(text), got, reference(text))
+
+
+# ---- shingle-regex whitespace invariant (r13, driver advice) --------------
+# The regexp-lookahead shingle form '(?:^| )(?=(\S+ \S+ \S+))' backs
+# text_decontaminate/spans/excise and all three streaming gates; its
+# split(' ')-based oracles agree with it ONLY on single-space-tokenized
+# text. These properties pin (a) the equality on the documented corpus
+# invariant and (b) the exact divergence semantics off it, so a regex or
+# tokenizer change that silently shifts either side fails here first.
+
+_WORD = st.text(
+    alphabet=st.characters(
+        codec="ascii", categories=("L", "N", "P", "S")
+    ),
+    min_size=1,
+    max_size=6,
+).filter(lambda w: " " not in w)
+
+
+def _split_trigrams(text: str) -> list[str]:
+    """The oracle-side model: split(' ') word trigrams, whole-text
+    fallback below 3 words — exactly the DuckDB oracles' CASE."""
+    words = text.split(" ")
+    if len(words) >= 3:
+        return [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    return [text]
+
+
+def _regex_trigrams(text: str) -> list[str]:
+    """Python re model of the Spark expression: regexp_extract_all with
+    the lookahead pattern, whole-text fallback on zero matches. The
+    generated alphabet is ASCII, where Python's \\S and Java's \\S
+    agree (the Spark==model bridge is test_llm_ops'
+    test_regex_shingles_match_python_model_off_invariant)."""
+    import re
+
+    m = re.findall(r"(?:^| )(?=(\S+ \S+ \S+))", text)
+    return m if m else [text]
+
+
+def _segment_model(text: str) -> list[str]:
+    """Independent characterization of the regex semantics: shingles are
+    generated per maximal single-space-separated \\S+ run; any non-space
+    whitespace or a 2+ space run is a hard boundary; AND a run's first
+    word anchors a shingle only when the run starts at ^ or right after
+    a literal space (a tab/newline-preceded run loses its first
+    trigram — the lookahead has nowhere to stand). No whole-text
+    fallback here — the caller applies it on an empty total."""
+    import re
+
+    out: list[str] = []
+    for m in re.finditer(r"\S+(?: \S+)*", text):
+        words = m.group(0).split(" ")
+        first = 0 if (m.start() == 0 or text[m.start() - 1] == " ") else 1
+        out.extend(
+            " ".join(words[i : i + 3]) for i in range(first, len(words) - 2)
+        )
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(words=st.lists(_WORD, min_size=0, max_size=12))
+def test_shingle_regex_equals_split_on_single_space_text(words):
+    """THE corpus invariant: on single-space-tokenized text the regex
+    multiset equals the split(' ') trigram multiset — the precondition
+    every decontamination oracle and streaming gate stands on."""
+    text = " ".join(words)
+    assert _regex_trigrams(text) == _split_trigrams(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    words=st.lists(_WORD, min_size=1, max_size=10),
+    seps=st.lists(
+        st.sampled_from([" ", "  ", "\t", "\n", " \t ", "   "]),
+        min_size=0,
+        max_size=9,
+    ),
+    lead=st.sampled_from(["", " ", "\t", "  "]),
+    tail=st.sampled_from(["", " ", "\t", "  "]),
+)
+def test_shingle_regex_divergence_mode_is_pinned(words, seps, lead, tail):
+    """OFF the invariant (tabs, newlines, multi-space runs, edge
+    whitespace) the regex does NOT track split(' '): it shingles each
+    maximal single-space-separated word run independently and falls
+    back to the whole text only when no run reaches 3 words. Pinning
+    this exact mode documents what the oracles would disagree about if
+    the corpus ever stopped being single-space tokenized."""
+    parts = [words[0]]
+    for i, w in enumerate(words[1:]):
+        parts.append(seps[i % len(seps)] if seps else " ")
+        parts.append(w)
+    text = lead + "".join(parts) + tail
+    expect = _segment_model(text) or [text]
+    assert _regex_trigrams(text) == expect
