@@ -524,7 +524,12 @@ def stream_neardup_partners(
     to a shuffled stream-static join instead of failing at the driver.
     Self-matches (corpus_id = doc_id) are excluded; the same partner
     verifying in several bands is deduplicated by the caller's
-    ``collect_set`` (exactly as the batch tier's candidate distinct)."""
+    ``collect_set`` (exactly as the batch tier's candidate distinct).
+
+    Static-side fan-out and localCheckpoint were measured and REJECTED
+    here (SCALE.md r13): per-microbatch re-planning of the extra
+    exchanges costs more in stage scheduling than the single-split map
+    stages they would parallelize."""
     index = minhash_band_keys(batch_docs).withColumnRenamed(
         "doc_id", "corpus_id"
     )

@@ -4221,6 +4221,10 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+        # microbatch fan-out before the per-doc signature work — an
+        # ingest microbatch often arrives as one file/split; see
+        # pipeline_stream_admission + SCALE.md r13
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     partners = stream_neardup_partners(
         stream, batch_docs, n_corpus_docs=batch_docs.count()
@@ -4404,7 +4408,11 @@ def _admission_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = batch_docs.count()
     # static sides: benchmark 3-grams + corpus LSH index + corpus sets
     # (banned derives from the shared _shingles_raw tier: per-doc
-    # distinct then global distinct == global distinct of the multiset)
+    # distinct then global distinct == global distinct of the multiset).
+    # Static-side fan-out + localCheckpoint were both MEASURED AND
+    # REJECTED here (SCALE.md r13): the extra exchanges, re-planned per
+    # microbatch, cost more in stage scheduling than the single-split
+    # map stages they parallelize at this corpus size.
     banned = (
         _shingles_raw(batch_docs.filter(F.col("doc_id") % _EVAL_MOD == 0))
         .select("shingle")
@@ -4424,6 +4432,14 @@ def _admission_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         .filter(F.col("doc_id") % _EVAL_MOD != 0)
+        # microbatch fan-out: an ingest microbatch often arrives as ONE
+        # file (here: one single-row-group parquet = one input split), so
+        # without this the whole per-doc screen runs on one core. The
+        # shuffle is bounded by trigger size and buys full-cluster
+        # parallelism for the signature/probe work — measured 7.4 s →
+        # (see SCALE.md r13) at sf0.1; at scale the same pattern holds
+        # whenever trigger files < cores.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     # ONE source read: quality boolean map-side, then in-row signatures,
