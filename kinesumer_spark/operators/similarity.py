@@ -2618,10 +2618,31 @@ _HP_CAND_MAX_PCT = 85  # hyperplane candidates ≤85% of a full scan (meas. ~78%
 _IVF_CAND_MAX_PCT = 40  # 4-of-16-cell probe ≤40% of a full scan (meas. ~24%)
 
 _TIER_AUDIT_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.q_id, v.vec_id,
+         round(list_dot_product(q.qe, v.e) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+  FROM q CROSS JOIN v
+  WHERE q.q_id <> v.vec_id
+), brute AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+  QUALIFY rnk <= {_TOP_K}
+)
 SELECT tier,
        CAST(n_queries AS BIGINT) AS n_queries,
        CAST(k AS BIGINT) AS k,
        CAST(floor_pct AS BIGINT) AS floor_pct,
+       CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS n_brute,
+       CAST({_N_QUERIES} * ((SELECT COUNT(*) FROM embeddings) - 1)
+            AS BIGINT) AS scan_pairs,
        recall_ok, pruned_ok
 FROM (VALUES
   ('hyperplane_lsh', {_N_QUERIES}, {_TOP_K}, 90, TRUE, TRUE),
@@ -2661,7 +2682,15 @@ def similarity_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bound-oracle (q1_fast_validation pattern): every quantity the
     booleans compare is computed in-plan from the same parquet both
     engines read; the oracle emits the four expected rows with literal
-    TRUE. Candidate stages are consumed twice (count + re-rank), so
+    TRUE for the per-tier booleans, but since r13 (driver advice) the
+    recall DENOMINATOR ``n_brute`` and the pruning yardstick
+    ``scan_pairs`` are ENGINE-REPLAYED — the oracle recomputes the
+    brute-force cosine top-k row count and nq·(N−1) from the same
+    parquet, so a brute tier reading a broken query predicate (the
+    symmetric-bug case a literal-TRUE oracle cannot see) now reddens
+    the row. The per-tier numerators stay Spark-side: replaying four
+    ANN tiers in SQL would re-derive the whole ladder. Candidate
+    stages are consumed twice (count + re-rank), so
     they are localCheckpointed — bounded relations (≤ nq·N pairs of two
     ids). Scale: each tier keeps its registration's documented shape;
     the audit adds only single-row aggregates and left-semi joins
@@ -2689,10 +2718,12 @@ def similarity_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = brute.join(
             result.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
         ).agg(F.count(F.lit(1)).cast("double").alias("n_hit"))
-        r = hits.crossJoin(F.broadcast(n_brute))
+        r = hits.crossJoin(F.broadcast(n_brute)).crossJoin(
+            F.broadcast(scan_pairs)
+        )
         if cand is not None:
             c = cand.agg(F.count(F.lit(1)).cast("double").alias("n_cand"))
-            r = r.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(scan_pairs))
+            r = r.crossJoin(F.broadcast(c))
             pruned = F.col("n_cand") <= F.col("scan_pairs") * (
                 cand_max_pct / 100.0
             )
@@ -2705,6 +2736,8 @@ def similarity_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_N_QUERIES).cast("bigint").alias("n_queries"),
             F.lit(k).cast("bigint").alias("k"),
             F.lit(_TIER_FLOOR_PCT[name]).cast("bigint").alias("floor_pct"),
+            F.col("n_brute").cast("bigint").alias("n_brute"),
+            F.col("scan_pairs").cast("bigint").alias("scan_pairs"),
             (
                 F.col("n_hit") / F.col("n_brute")
                 >= _TIER_FLOOR_PCT[name] / 100.0
