@@ -138,6 +138,14 @@ EXTENDED = [
     "source_binaryfile_ingest",
     "agg_count_min_sketch",
     "agg_bloom_filter_audit",
+    # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1) and
+    # stream_neardup_admit_restart (~25 s) — both are multi-microbatch
+    # PROTOCOL demonstrations: 4 chunked arrival batches through a
+    # python-stateful band-bucket index (×32 state stores per batch),
+    # plus, for the restart twin, a RocksDB kill/restart + changelog
+    # restore. The data-plane near-dup screen is benched via
+    # stream_neardup_gate; the admit ops' costs are recorded in
+    # SCALE.md r13 with a per-stage profile.
     # EXCLUDED: stream_stateful_totals_rocksdb_restart — its ~16.6 s is
     # two full Structured Streaming queries + a RocksDB state-store
     # kill/restart + changelog restore, i.e. restart-PROTOCOL cost, not a

@@ -289,3 +289,100 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---- cross-microbatch near-dup admission index (r13) -----------------------
+# State keyed by LSH band bucket (lang, band, key1, key2): the bucket's
+# full arrival history as parallel arrays (doc ids + JSON-encoded
+# distinct-shingle sets). Every arriving doc is exact-verified against
+# every EARLIER arrival in the bucket (state + earlier rows of the same
+# microbatch, processed in arrival order), then joins the bucket index
+# itself — the admit-and-index semantics the reference's checkpointed
+# consume loop keeps across scans (kinesumer.go:615-704;
+# statestore.go:260-281). Idempotent under batch replay: a doc already
+# present in the bucket's id list is neither re-verified nor re-added,
+# so a restart that re-runs an uncommitted microbatch emits the same
+# pair set (the exactly-once property stream_neardup_admit_restart
+# proves end-to-end).
+
+ADMIT_OUTPUT_SCHEMA = "doc_id bigint, partner bigint, jaccard double"
+ADMIT_STATE_SCHEMA = "ids array<bigint>, sets array<string>"
+
+
+def _update_bucket_index(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import json
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ids: list[int]
+    if state.exists:
+        st_ids, st_sets = state.get
+        ids = list(st_ids)
+        sets = [frozenset(json.loads(s)) for s in st_sets]
+    else:
+        ids, sets = [], []
+    seen = set(ids)
+    q6 = Decimal("0.000001")
+
+    out_doc: list[int] = []
+    out_partner: list[int] = []
+    out_j: list[float] = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # arrival order within the microbatch = ascending doc_id (the
+    # staging writer feeds chunks in doc_id order; within a chunk the
+    # sort below is the arrival tiebreak)
+    rows = rows.sort_values("doc_id", kind="mergesort")
+    for doc_id, sh_list in zip(rows["doc_id"], rows["sh_set"]):
+        d = int(doc_id)
+        if d in seen:  # replayed microbatch — already verified + indexed
+            continue
+        s = frozenset(sh_list)
+        ns = len(s)
+        for pid, ps in zip(ids, sets):
+            shared = len(s & ps)
+            if shared == 0:
+                continue
+            # IEEE double division then shortest-repr HALF_UP rounding —
+            # bit-compatible with Spark's round(x, 6) on the batch tier
+            j = float(
+                Decimal(repr(shared / (ns + len(ps) - shared))).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+            )
+            if j >= 0.5:
+                out_doc.append(d)
+                out_partner.append(pid)
+                out_j.append(j)
+        ids.append(d)
+        sets.append(s)
+        seen.add(d)
+    state.update(
+        (ids, [json.dumps(sorted(s)) for s in sets])
+    )
+    if out_doc:
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "partner": out_partner, "jaccard": out_j}
+        )
+
+
+def bucket_admit_pairs(probe: DataFrame) -> DataFrame:
+    """(doc_id, partner, jaccard) — verified near-dup pairs where
+    ``partner`` arrived strictly earlier, from a streaming LSH probe
+    relation (dedup.stream_inrow_band_probe output). One state row per
+    band bucket; the same pair verifying in several buckets is emitted
+    once per bucket with an identical jaccard (exact arithmetic), so a
+    downstream ``distinct()`` collapses it."""
+    return (
+        probe.select("lang", "band", "key1", "key2", "doc_id", "sh_set")
+        .groupBy("lang", "band", "key1", "key2")
+        .applyInPandasWithState(
+            _update_bucket_index,
+            outputStructType=ADMIT_OUTPUT_SCHEMA,
+            stateStructType=ADMIT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

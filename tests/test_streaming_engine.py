@@ -1864,3 +1864,86 @@ def test_admit_flush_with_reserved_looking_columns(spark, tmp_path):
     assert seqs == [str(i).zfill(21) for i in range(11, 14)], seqs
     assert all(r["_ks_n"] == "caller-owned" and r["_ks_subdir"] == 7 for r in out)
     eng.close()
+
+
+def test_neardup_admit_catches_pairs_across_microbatches(spark, tmp_path):
+    """stream_neardup_admit's core claim, isolated: a doc arriving in a
+    LATER microbatch must be verified against a near-identical doc from
+    an EARLIER microbatch (the static-index gate structurally cannot do
+    this). Two batch files, the near-dup pair split across them."""
+    import pandas as pd
+
+    from kinesumer_spark.operators.dedup import stream_inrow_band_probe
+    from kinesumer_spark.streaming.stateful import bucket_admit_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, "en", base), (2, "en", "totally different words entirely here")],
+        [(3, "en", base + " extra")],  # near-dup of doc 1, later batch
+    ]
+    src = tmp_path / "admit_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(
+            src / f"batch_{i}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    pairs = bucket_admit_pairs(stream_inrow_band_probe(stream))
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_admit_cross")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        (r["doc_id"], r["partner"])
+        for r in spark.table("t_admit_cross").collect()
+    }
+    assert (3, 1) in got, got          # later batch caught earlier arrival
+    assert all(p < d for d, p in got), got  # partner always arrived first
+
+
+def test_update_bucket_index_replay_is_idempotent():
+    """A replayed microbatch (restart re-running an uncommitted batch)
+    must re-emit NOTHING and leave bucket state unchanged — the
+    exactly-once property the admit op's restart proof stands on."""
+    import pandas as pd
+
+    from kinesumer_spark.streaming.stateful import _update_bucket_index
+
+    class _StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = _StubState()
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "sh_set": [["a b c", "b c d"], ["a b c", "b c d", "c d e"]],
+        }
+    )
+    out1 = list(_update_bucket_index((0,), iter([rows]), st))
+    assert len(out1) == 1 and len(out1[0]) == 1
+    assert (out1[0].doc_id[0], out1[0].partner[0]) == (2, 1)
+    state_after_1 = st._v
+    out2 = list(_update_bucket_index((0,), iter([rows]), st))
+    assert out2 == []                      # nothing re-emitted
+    assert st._v == state_after_1          # state unchanged
