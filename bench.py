@@ -138,6 +138,9 @@ EXTENDED = [
     "source_binaryfile_ingest",
     "agg_count_min_sketch",
     "agg_bloom_filter_audit",
+    # r13 additions
+    "text_lang_id_ngram",
+    "text_lang_confusion_ngram",
     # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1) and
     # stream_neardup_admit_restart (~25 s) — both are multi-microbatch
     # PROTOCOL demonstrations: 4 chunked arrival batches through a
