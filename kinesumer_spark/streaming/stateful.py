@@ -309,77 +309,100 @@ ADMIT_OUTPUT_SCHEMA = "doc_id bigint, partner bigint, jaccard double"
 ADMIT_STATE_SCHEMA = "ids array<bigint>, sets array<string>"
 
 
-def _update_bucket_index(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    import json
-    from decimal import ROUND_HALF_UP, Decimal
+def _make_bucket_update(horizon: int | None):
+    """Build the bucket-index update fn. ``horizon=None`` keeps the full
+    arrival history; ``horizon=T`` verifies only against partners within
+    the last T arrivals (arrival index = doc_id, ascending by the
+    staging contract) AND PRUNES expired entries from state — the
+    bounded-state production form: per-bucket state tracks the active
+    horizon, not the all-time arrival count. The prune is exact, not
+    heuristic: arrivals are ascending, so an entry below
+    max(batch) − T can never verify against any future doc."""
 
-    ids: list[int]
-    if state.exists:
-        st_ids, st_sets = state.get
-        ids = list(st_ids)
-        sets = [frozenset(json.loads(s)) for s in st_sets]
-    else:
-        ids, sets = [], []
-    seen = set(ids)
-    q6 = Decimal("0.000001")
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json
+        from decimal import ROUND_HALF_UP, Decimal
 
-    out_doc: list[int] = []
-    out_partner: list[int] = []
-    out_j: list[float] = []
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    # arrival order within the microbatch = ascending doc_id (the
-    # staging writer feeds chunks in doc_id order; within a chunk the
-    # sort below is the arrival tiebreak)
-    rows = rows.sort_values("doc_id", kind="mergesort")
-    for doc_id, sh_list in zip(rows["doc_id"], rows["sh_set"]):
-        d = int(doc_id)
-        if d in seen:  # replayed microbatch — already verified + indexed
-            continue
-        s = frozenset(sh_list)
-        ns = len(s)
-        for pid, ps in zip(ids, sets):
-            shared = len(s & ps)
-            if shared == 0:
+        ids: list[int]
+        if state.exists:
+            st_ids, st_sets = state.get
+            ids = list(st_ids)
+            sets = [frozenset(json.loads(s)) for s in st_sets]
+        else:
+            ids, sets = [], []
+        seen = set(ids)
+        q6 = Decimal("0.000001")
+
+        out_doc: list[int] = []
+        out_partner: list[int] = []
+        out_j: list[float] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # arrival order within the microbatch = ascending doc_id (the
+        # staging writer feeds chunks in doc_id order; within a chunk
+        # the sort below is the arrival tiebreak)
+        rows = rows.sort_values("doc_id", kind="mergesort")
+        for doc_id, sh_list in zip(rows["doc_id"], rows["sh_set"]):
+            d = int(doc_id)
+            if d in seen:  # replayed microbatch — already verified
                 continue
-            # IEEE double division then shortest-repr HALF_UP rounding —
-            # bit-compatible with Spark's round(x, 6) on the batch tier
-            j = float(
-                Decimal(repr(shared / (ns + len(ps) - shared))).quantize(
-                    q6, rounding=ROUND_HALF_UP
+            s = frozenset(sh_list)
+            ns = len(s)
+            for pid, ps in zip(ids, sets):
+                if horizon is not None and pid < d - horizon:
+                    continue  # expired for THIS doc (prune happens below)
+                shared = len(s & ps)
+                if shared == 0:
+                    continue
+                # IEEE double division then shortest-repr HALF_UP
+                # rounding — bit-compatible with Spark's round(x, 6)
+                j = float(
+                    Decimal(repr(shared / (ns + len(ps) - shared))).quantize(
+                        q6, rounding=ROUND_HALF_UP
+                    )
                 )
-            )
-            if j >= 0.5:
-                out_doc.append(d)
-                out_partner.append(pid)
-                out_j.append(j)
-        ids.append(d)
-        sets.append(s)
-        seen.add(d)
-    state.update(
-        (ids, [json.dumps(sorted(s)) for s in sets])
-    )
-    if out_doc:
-        yield pd.DataFrame(
-            {"doc_id": out_doc, "partner": out_partner, "jaccard": out_j}
+                if j >= 0.5:
+                    out_doc.append(d)
+                    out_partner.append(pid)
+                    out_j.append(j)
+            ids.append(d)
+            sets.append(s)
+            seen.add(d)
+        if horizon is not None and ids:
+            cut = max(ids) - horizon
+            keep = [i for i, pid in enumerate(ids) if pid >= cut]
+            ids = [ids[i] for i in keep]
+            sets = [sets[i] for i in keep]
+        state.update(
+            (ids, [json.dumps(sorted(s)) for s in sets])
         )
+        if out_doc:
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "partner": out_partner, "jaccard": out_j}
+            )
+
+    return update
 
 
-def bucket_admit_pairs(probe: DataFrame) -> DataFrame:
+_update_bucket_index = _make_bucket_update(None)
+
+
+def bucket_admit_pairs(probe: DataFrame, horizon: int | None = None) -> DataFrame:
     """(doc_id, partner, jaccard) — verified near-dup pairs where
-    ``partner`` arrived strictly earlier, from a streaming LSH probe
-    relation (dedup.stream_inrow_band_probe output). One state row per
-    band bucket; the same pair verifying in several buckets is emitted
-    once per bucket with an identical jaccard (exact arithmetic), so a
+    ``partner`` arrived strictly earlier (and, with ``horizon=T``,
+    within the last T arrivals), from a streaming LSH probe relation
+    (dedup.stream_inrow_band_probe output). One state row per band
+    bucket; the same pair verifying in several buckets is emitted once
+    per bucket with an identical jaccard (exact arithmetic), so a
     downstream ``distinct()`` collapses it."""
     return (
         probe.select("lang", "band", "key1", "key2", "doc_id", "sh_set")
         .groupBy("lang", "band", "key1", "key2")
         .applyInPandasWithState(
-            _update_bucket_index,
+            _make_bucket_update(horizon),
             outputStructType=ADMIT_OUTPUT_SCHEMA,
             stateStructType=ADMIT_STATE_SCHEMA,
             outputMode="append",

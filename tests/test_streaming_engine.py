@@ -1947,3 +1947,46 @@ def test_update_bucket_index_replay_is_idempotent():
     out2 = list(_update_bucket_index((0,), iter([rows]), st))
     assert out2 == []                      # nothing re-emitted
     assert st._v == state_after_1          # state unchanged
+
+
+def test_bucket_index_ttl_prunes_state_without_changing_verdicts():
+    """The bounded-state variant's contract: entries older than the
+    horizon are evicted from bucket state (size tracks the active
+    window), and eviction only ever REMOVES out-of-window pairs — an
+    in-window pair verifies identically with and without the horizon."""
+    import pandas as pd
+
+    from kinesumer_spark.streaming.stateful import _make_bucket_update
+
+    class _StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    sh = ["a b c", "b c d"]
+    mk_rows = lambda ids: pd.DataFrame(  # noqa: E731
+        {"doc_id": ids, "sh_set": [sh] * len(ids)}
+    )
+    # horizon 10: doc 1 then doc 100 (gap 99 > 10) — no pair, state pruned
+    st = _StubState()
+    upd = _make_bucket_update(10)
+    out = list(upd((0,), iter([mk_rows([1])]), st))
+    assert out == []
+    out = list(upd((0,), iter([mk_rows([100])]), st))
+    assert out == []                       # expired partner: no pair
+    assert list(st._v[0]) == [100]         # doc 1 pruned from state
+    # same arrivals, horizon 200: the pair verifies and both stay
+    st2 = _StubState()
+    upd2 = _make_bucket_update(200)
+    list(upd2((0,), iter([mk_rows([1])]), st2))
+    out = list(upd2((0,), iter([mk_rows([100])]), st2))
+    assert len(out) == 1 and (out[0].doc_id[0], out[0].partner[0]) == (100, 1)
+    assert sorted(st2._v[0]) == [1, 100]
