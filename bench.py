@@ -142,7 +142,9 @@ EXTENDED = [
     "text_lang_id_ngram",
     "text_lang_confusion_ngram",
     # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1),
-    # stream_neardup_admit_ttl (same shape, bounded state), and
+    # stream_neardup_admit_ttl (same shape, bounded state),
+    # pipeline_stream_admission_evolving (~23 s: the admit shape plus
+    # the stateless screens), and
     # stream_neardup_admit_restart (~25 s) — all are multi-microbatch
     # PROTOCOL demonstrations: 4 chunked arrival batches through a
     # python-stateful band-bucket index (×32 state stores per batch),

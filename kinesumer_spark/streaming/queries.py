@@ -4940,3 +4940,238 @@ def stream_neardup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, "ks_stream_neardup_admit_ttl", mode="append", stable=False
     )
     return _admit_verdict(docs, emitted)
+
+
+# -- Evolving admission: static screens + self-indexing near-dup ------------
+
+
+def _stream_admission_evolving_oracle() -> str:
+    from kinesumer_spark.operators.dedup import _minhash_cte
+    from kinesumer_spark.operators.text import (
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MWL_HI,
+        _GOPHER_MWL_LO,
+        _GOPHER_WC_HI,
+        _GOPHER_WC_LO,
+        _sql_array,
+        _STOPLISTS,
+    )
+
+    return f"""
+WITH {_minhash_cte()}, vp AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b,
+         round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+    AND p.doc_a % {_EVAL_MOD} <> 0 AND p.doc_b % {_EVAL_MOD} <> 0
+), ndh AS (
+  SELECT doc_b AS doc_id, CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_earlier
+  FROM vp GROUP BY doc_b
+), gq AS (
+  SELECT doc_id,
+         (len(words) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+           AND (len(replace(text, ' ', '')) / CAST(len(words) AS DOUBLE)
+                  BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+           AND len(list_filter({_sql_array(_STOPLISTS["en"])},
+                   st -> list_contains(words, st))) >= {_GOPHER_MIN_STOP}
+           AND len(list_filter(words, x -> regexp_matches(x, '^[a-z]+$')))
+                 / CAST(len(words) AS DOUBLE) >= {_GOPHER_MIN_ALPHA}
+           AS quality_ok
+  FROM (SELECT doc_id, text, regexp_split_to_array(text, ' ') AS words
+        FROM documents WHERE doc_id % {_EVAL_MOD} <> 0)
+), ds AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [text] END) AS shingles
+  FROM (SELECT doc_id, text, regexp_split_to_array(text, ' ') AS words
+        FROM documents)
+), dbanned AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM ds
+  WHERE doc_id % {_EVAL_MOD} = 0
+), dhit AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_banned
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM ds
+        WHERE doc_id % {_EVAL_MOD} <> 0) e
+  JOIN dbanned b ON b.shingle = e.shingle
+  GROUP BY e.doc_id
+)
+SELECT g.doc_id,
+       g.quality_ok,
+       CAST(COALESCE(d.n_banned, 0) AS BIGINT) AS n_banned,
+       CAST(COALESCE(n.n_earlier, 0) AS BIGINT) AS n_partners,
+       CASE WHEN NOT g.quality_ok THEN 'reject_quality'
+            WHEN COALESCE(d.n_banned, 0) >= 1 THEN 'reject_contaminated'
+            WHEN COALESCE(n.n_earlier, 0) >= 1 THEN 'reject_neardup'
+            ELSE 'admit' END AS verdict
+FROM gq g
+LEFT JOIN dhit d ON d.doc_id = g.doc_id
+LEFT JOIN ndh n ON n.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register(
+    "pipeline_stream_admission_evolving",
+    oracle=_stream_admission_evolving_oracle(),
+    tags=("streaming", "pipeline", "dedup", "stateful", "quality"),
+)
+def pipeline_stream_admission_evolving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The admission pipeline with a SELF-INDEXING near-dup screen — the
+    r13 composition of the two streaming capstones:
+    pipeline_stream_admission screens against a STATIC corpus index
+    (yesterday's corpus), so two near-dups arriving the same day both
+    pass; here the near-dup screen is stream_neardup_admit's stateful
+    bucket index, which every arrival joins — the first of a dup pair
+    admits, the later one rejects, across microbatches, with no
+    pre-built index at all (day-one cold-start ingest).
+
+    One streaming query, two branches over the arrival chunks:
+      - stateless: quality booleans (one row per doc — the verdict
+        guarantee) + exact-decontamination hits against the broadcast
+        benchmark 3-grams;
+      - stateful: the band-bucket admission index emitting verified
+        (later, earlier) pairs — Structured Streaming accepts a UNION
+        of a stateless branch with an applyInPandasWithState branch in
+        append mode (pinned by this op's execution), which sidesteps
+        the no-chained-aggregation rule a second time: the per-doc
+        verdict rollup runs batch-side over the drained evidence table,
+        exactly the stream_neardup_admit discipline.
+
+    Precedence and arithmetic are the registered screens' own (gopher
+    constants, distinct-shingle contam semantics, the LSH tier's
+    signature/band/verify chain via the shared in-row helpers); the
+    oracle replays all three screens over the arrival prefix, restricted
+    to ingested (non-eval) docs — hash-exact. Scale: the stateless
+    branch is map-side + broadcast; the stateful branch is the admit
+    op's shape (bounded by the TTL variant in production); two source
+    reads per microbatch (one per branch — the tagged-union single-read
+    trick cannot cross the stateless/stateful boundary, the groupBy
+    feeding the state operator must see only probe rows)."""
+    import tempfile
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.dedup import (
+        _maybe_broadcast,
+        _shingles_raw,
+        stream_inrow_band_probe,
+    )
+    from kinesumer_spark.operators.text import (
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MWL_HI,
+        _GOPHER_MWL_LO,
+        _GOPHER_WC_HI,
+        _GOPHER_WC_LO,
+        _STOPLISTS,
+    )
+    from kinesumer_spark.streaming.stateful import bucket_admit_pairs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    n_corpus = docs.count()
+    banned = (
+        _shingles_raw(docs.filter(F.col("doc_id") % _EVAL_MOD == 0))
+        .select("shingle")
+        .distinct()
+        .withColumn("banned_hit", F.lit(1))
+    )
+    ingested = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    staging = tempfile.mkdtemp(prefix="ks_admit_evolving_src_")
+    bounds = _admit_chunk_bounds(ingested)
+    _write_admit_chunks(ingested, staging, range(4), bounds)
+
+    def _stream() -> DataFrame:
+        return _admit_stream(spark, staging)
+
+    arr = r"regexp_extract_all(text, '(?:^| )(?=(\\S+ \\S+ \\S+))', 1)"
+    stops = ", ".join(f"'{s}'" for s in _STOPLISTS["en"])
+    # stateless branch: 1 quality element + |sh_set| contam probes per
+    # doc, one explode (the pipeline_stream_admission tagged union,
+    # minus the band elements — those belong to the stateful branch)
+    stateless = (
+        _stream()
+        .selectExpr(
+            "doc_id",
+            "text",
+            "split(text, ' ') AS w",
+            "length(replace(text, ' ', '')) AS n_nonspace",
+            f"array_distinct(CASE WHEN size({arr}) >= 1 THEN {arr}"
+            "  ELSE array(text) END) AS sh_set",
+        )
+        .selectExpr(
+            "doc_id",
+            f"""(size(w) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+                AND (n_nonspace / cast(size(w) AS double)
+                       BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+                AND size(filter(array({stops}), st -> array_contains(w, st)))
+                      >= {_GOPHER_MIN_STOP}
+                AND size(filter(w, x -> x rlike '^[a-z]+$'))
+                      / cast(size(w) AS double) >= {_GOPHER_MIN_ALPHA}
+                AS quality_ok""",
+            "sh_set",
+        )
+        .selectExpr(
+            "doc_id",
+            "explode(concat(array(struct(quality_ok AS q_ok,"
+            " CAST(NULL AS string) AS shingle)),"
+            " transform(sh_set, s -> struct(CAST(NULL AS boolean) AS q_ok,"
+            " s AS shingle)))) AS e",
+        )
+        .select("doc_id", "e.q_ok", "e.shingle")
+        .join(_maybe_broadcast(banned, n_corpus), "shingle", "left")
+        .filter(F.expr("shingle IS NULL OR banned_hit = 1"))
+        .selectExpr(
+            "doc_id",
+            "q_ok AS quality_ok",
+            # shingle rides into the evidence table as the dedup
+            # disambiguator: the batch-side distinct() must collapse
+            # multi-band pair duplicates but KEEP each banned-shingle hit
+            "shingle",
+            "CASE WHEN banned_hit = 1 THEN CAST(1 AS bigint)"
+            " ELSE CAST(0 AS bigint) END AS contam_hit",
+            "CAST(NULL AS bigint) AS partner",
+        )
+    )
+    # stateful branch: the self-indexing near-dup pairs
+    pairs = bucket_admit_pairs(stream_inrow_band_probe(_stream())).selectExpr(
+        "doc_id",
+        "CAST(NULL AS boolean) AS quality_ok",
+        "CAST(NULL AS string) AS shingle",
+        "CAST(0 AS bigint) AS contam_hit",
+        "partner",
+    )
+    emitted = _run_to_table(
+        stateless.unionByName(pairs),
+        "ks_pipeline_stream_admission_evolving",
+        mode="append",
+        stable=False,
+    )
+    return (
+        emitted.distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.max("quality_ok").alias("quality_ok"),
+            F.sum("contam_hit").cast("bigint").alias("n_banned"),
+            F.expr("cast(size(collect_set(partner)) AS bigint)").alias(
+                "n_partners"
+            ),
+        )
+        .selectExpr(
+            "doc_id",
+            "quality_ok",
+            "n_banned",
+            "n_partners",
+            """CASE WHEN NOT quality_ok THEN 'reject_quality'
+                    WHEN n_banned >= 1 THEN 'reject_contaminated'
+                    WHEN n_partners >= 1 THEN 'reject_neardup'
+                    ELSE 'admit' END AS verdict""",
+        )
+        .orderBy("doc_id")
+    )

@@ -911,3 +911,19 @@ def test_lang_labels_carry_no_textual_signal(spark):
     # ...and its off-diagonal is exactly 1 - P(that class)
     (pred_class,) = [k for k, v in by_pred.items() if v == total]
     assert off == total - by_true[pred_class], (off, by_true, pred_class)
+
+
+def test_stream_admission_evolving_populates_all_verdicts(spark):
+    """pipeline_stream_admission_evolving must populate all four verdict
+    classes at the gate SF — in particular reject_neardup must come from
+    the SELF-INDEXING bucket state (there is no static corpus index in
+    this op), proving the within-stream screen fires inside the fused
+    pipeline, not only in isolation."""
+    rows = _run(spark, "pipeline_stream_admission_evolving").collect()
+    got = {r["verdict"] for r in rows}
+    assert got == {
+        "admit",
+        "reject_quality",
+        "reject_contaminated",
+        "reject_neardup",
+    }, got
