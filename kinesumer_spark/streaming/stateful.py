@@ -349,6 +349,15 @@ def _make_bucket_update(horizon: int | None):
             d = int(doc_id)
             if d in seen:  # replayed microbatch — already verified
                 continue
+            # ordering tripwire: the staging contract (chunk files fed
+            # in ascending-doc_id order) is what makes "partner arrived
+            # earlier" equal "partner < doc_id" — a violation must fail
+            # loudly, not silently mis-attribute the rejection side
+            if ids and d < ids[-1]:
+                raise ValueError(
+                    f"out-of-order arrival: doc {d} after {ids[-1]} "
+                    "in the same bucket (staging contract broken)"
+                )
             s = frozenset(sh_list)
             ns = len(s)
             for pid, ps in zip(ids, sets):

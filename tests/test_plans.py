@@ -822,3 +822,29 @@ def test_stream_neardup_partners_reads_source_once(spark):
     df = stream_neardup_partners(stream, batch_docs, n_corpus_docs=500)
     plan = df._jdf.queryExecution().analyzed().toString()
     assert plan.count("StreamingRelation") == 1, plan
+
+
+def test_stream_neardup_admit_plan_shape(spark, tmp_path):
+    """stream_neardup_admit's streaming plan: exactly ONE source read
+    feeding the probe, and the cross-microbatch state lives in a single
+    FlatMapGroupsInPandasWithState operator (no second stateful stage —
+    the per-doc rollup is batch-side by design)."""
+    import pandas as pd
+
+    from kinesumer_spark.operators.dedup import stream_inrow_band_probe
+    from kinesumer_spark.streaming.stateful import bucket_admit_pairs
+
+    src = tmp_path / "admit_plan_src"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, "en", "a b c d")], columns=["doc_id", "lang", "text"]
+    ).to_parquet(src / "chunk_0.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    df = bucket_admit_pairs(stream_inrow_band_probe(stream))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("StreamingRelation") == 1, plan
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1, plan
