@@ -70,6 +70,8 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "similarity_cosine_topk",
         "text_fingerprint",
         "text_lang_id",
+        "text_lang_id_ngram",
+        "text_lang_confusion_ngram",
         "events_sessionize",
     ):
         plan = plan_string(_df(spark, name))
