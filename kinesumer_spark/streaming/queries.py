@@ -5386,3 +5386,124 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(
         verdicts, "ks_stream_semantic_gate", stable=False
     ).orderBy("vec_id")
+
+
+# -- Streaming DSIR importance gate ------------------------------------------
+
+
+def _stream_dsir_oracle() -> str:
+    from kinesumer_spark.operators.dedup import _sha32_duck
+    from kinesumer_spark.operators.text import _DSIR_B, dsir_model_cte
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         {_sha32_duck("unnest(regexp_split_to_array(text, ' '))")}
+           % {_DSIR_B} AS bucket
+  FROM documents
+), {dsir_model_cte("tok", "lang = 'en'")}, s AS (
+  SELECT tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(m.m_t - m.m_r) AS BIGINT) AS dsir_score
+  FROM tok JOIN m USING (bucket)
+  GROUP BY tok.doc_id
+), thr AS (
+  SELECT MIN(dsir_score) AS t FROM (
+    SELECT dsir_score FROM s
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT (SELECT COUNT(*) // 5 FROM documents)
+  )
+)
+SELECT s.doc_id, s.n_tokens, s.dsir_score,
+       s.dsir_score >= thr.t AS selected
+FROM s CROSS JOIN thr
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "stream_dsir_gate",
+    oracle=_stream_dsir_oracle(),
+    tags=("streaming", "text", "training"),
+)
+def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted admission ON the ingest stream — the
+    data-selection screen (text_dsir_importance's exact integer
+    arithmetic: Laplace-smoothed hashed-unigram bucket model, target =
+    the English slice) composed into the streaming admission plane.
+    The batch op surfaces a top-K ranking; a rank is not computable
+    statelessly on a stream, so the streaming-native form is a
+    THRESHOLD gate: a document is selected iff its integer importance
+    score reaches the corpus' top-20 % cut — the threshold is the
+    K-th-largest corpus score (K = N DIV 5, ties by doc_id), computed
+    batch-side as one bounded scalar pull (the codebook-pull exception)
+    and baked into the plan; ties at the threshold may admit more than
+    K docs, identically in both engines.
+
+    Plan: the ≤4096-row bucket model (dsir_model_df — the SAME fitting
+    code as the batch op, so the arithmetic cannot fork) broadcasts
+    into the token probe; stream side is token explode → bucket hash →
+    broadcast join → ONE per-doc stateful aggregate. All-integer
+    (the text_lm_doc_score rule), hence hash-exact cross-engine.
+    Scale: model is constant-size, threshold is one scalar, per-doc
+    work is linear in tokens; the one shuffle is the verdict
+    aggregate's. Reference analog: payload scoring in the consumer app
+    (README.md:67-70)."""
+    from kinesumer_spark.operators.dedup import _sha32
+    from kinesumer_spark.operators.text import _DSIR_B, dsir_model_df
+    from kinesumer_spark.catalog import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    n_docs = docs.count()
+    k = n_docs // 5
+    tok_b = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"explode(transform(split(text, ' '), s -> {_sha32('s')}"
+        f" % {_DSIR_B})) AS bucket",
+    )
+    model = dsir_model_df(tok_b, F.col("lang") == "en")
+    scores_b = (
+        tok_b.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(F.expr("cast(sum(m_t - m_r) AS bigint) AS dsir_score"))
+    )
+    threshold = (
+        scores_b.orderBy(F.desc("dsir_score"), F.col("doc_id"))
+        .limit(k)
+        .agg(F.min("dsir_score"))
+        .collect()[0][0]
+    )
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    verdicts = (
+        stream.selectExpr(
+            "doc_id",
+            f"explode(transform(split(text, ' '), s -> {_sha32('s')}"
+            f" % {_DSIR_B})) AS bucket",
+        )
+        .join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.expr("cast(sum(m_t - m_r) AS bigint) AS dsir_score"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "dsir_score",
+            f"dsir_score >= {threshold}L AS selected",
+        )
+    )
+    return _run_to_table(
+        verdicts, "ks_stream_dsir_gate", stable=False
+    ).orderBy("doc_id")
