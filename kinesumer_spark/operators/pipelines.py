@@ -1105,3 +1105,207 @@ def pipeline_training_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chunks",
         )
     )
+
+
+# -- Cross-modal admission: text screens + embedding-space semantics ---------
+
+
+def _multimodal_admission_oracle() -> str:
+    from kinesumer_spark.operators.similarity import (
+        _IVF_ANCHOR_BASE,
+        _IVF_CELLS,
+        _SEM_ASSIGN,
+        _SEM_TAU,
+    )
+
+    return f"""
+WITH {_minhash_cte()}, vp AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+), ndh AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT partner) AS BIGINT) AS n_partners
+  FROM (SELECT doc_a AS doc_id, doc_b AS partner FROM vp
+        UNION ALL SELECT doc_b, doc_a FROM vp)
+  GROUP BY doc_id
+), gq AS (
+  SELECT doc_id,
+         (len(words) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+           AND (len(replace(text, ' ', '')) / CAST(len(words) AS DOUBLE)
+                  BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+           AND len(list_filter({_sql_array(_STOPLISTS["en"])},
+                   st -> list_contains(words, st))) >= {_GOPHER_MIN_STOP}
+           AND len(list_filter(words, x -> regexp_matches(x, '^[a-z]+$')))
+                 / CAST(len(words) AS DOUBLE) >= {_GOPHER_MIN_ALPHA}
+           AS quality_ok
+  FROM (SELECT doc_id, text, regexp_split_to_array(text, ' ') AS words
+        FROM documents WHERE doc_id % {_EVAL_MOD} <> 0)
+), ds AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [text] END) AS shingles
+  FROM (SELECT doc_id, text, regexp_split_to_array(text, ' ') AS words
+        FROM documents)
+), dbanned AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM ds
+  WHERE doc_id % {_EVAL_MOD} = 0
+), dhit AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_banned
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM ds
+        WHERE doc_id % {_EVAL_MOD} <> 0) e
+  JOIN dbanned b ON b.shingle = e.shingle
+  GROUP BY e.doc_id
+), ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), anch AS (
+  SELECT vec_id - {_IVF_ANCHOR_BASE} AS cell, e AS ae FROM ev
+  WHERE vec_id BETWEEN {_IVF_ANCHOR_BASE}
+    AND {_IVF_ANCHOR_BASE + _IVF_CELLS - 1}
+), cscored AS (
+  SELECT ev.vec_id, anch.cell,
+         list_dot_product(ev.e, anch.ae)
+           / sqrt(list_dot_product(anch.ae, anch.ae)) AS d
+  FROM ev CROSS JOIN anch
+), asg AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d DESC, cell) AS rnk
+  FROM cscored
+  QUALIFY rnk <= {_SEM_ASSIGN}
+), sem AS (
+  SELECT x.vec_id,
+         CAST(COUNT(DISTINCT CASE WHEN y.vec_id <> x.vec_id AND
+           round(list_dot_product(xv.e, yv.e)
+                 / (sqrt(list_dot_product(xv.e, xv.e))
+                    * sqrt(list_dot_product(yv.e, yv.e))), 6) >= {_SEM_TAU}
+           THEN y.vec_id END) AS BIGINT) AS n_semdups
+  FROM asg x JOIN asg y ON x.cell = y.cell
+  JOIN ev xv ON xv.vec_id = x.vec_id
+  JOIN ev yv ON yv.vec_id = y.vec_id
+  GROUP BY x.vec_id
+)
+SELECT g.doc_id,
+       g.quality_ok,
+       CAST(COALESCE(d.n_banned, 0) AS BIGINT) AS n_banned,
+       CAST(COALESCE(n.n_partners, 0) AS BIGINT) AS n_partners,
+       CAST(COALESCE(s.n_semdups, 0) AS BIGINT) AS n_semdups,
+       CASE WHEN NOT g.quality_ok THEN 'reject_quality'
+            WHEN COALESCE(d.n_banned, 0) >= 1 THEN 'reject_contaminated'
+            WHEN COALESCE(n.n_partners, 0) >= 1 THEN 'reject_neardup'
+            WHEN COALESCE(s.n_semdups, 0) >= 1 THEN 'reject_semdup'
+            ELSE 'admit' END AS verdict
+FROM gq g
+LEFT JOIN dhit d ON d.doc_id = g.doc_id
+LEFT JOIN ndh n ON n.doc_id = g.doc_id
+LEFT JOIN sem s ON s.vec_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register(
+    "pipeline_admission_multimodal",
+    oracle=_multimodal_admission_oracle(),
+    tags=("pipeline", "text", "dedup", "similarity", "quality"),
+)
+def pipeline_admission_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-MODAL admission — the batch form of the full screen a
+    curation team runs when documents carry BOTH text and an embedding:
+    quality (Gopher), exact decontamination (banned benchmark 3-grams),
+    text near-dup (the symmetric MinHash/LSH tier), and SEMANTIC
+    near-dup in embedding space (the SemDeDup in-plan screen shared
+    with stream_semantic_gate — one copy of the codebook/verify
+    arithmetic), fused into one verdict with the cost-ordered
+    precedence quality → contaminated → neardup → semdup → admit.
+    Documents are linked to their vectors by doc_id = vec_id; a doc
+    without an embedding simply skips the semantic screen (LEFT join,
+    zero n_semdups) — exactly how a partially-embedded corpus behaves
+    mid-backfill.
+
+    Every screen is the registered operator's own arithmetic
+    (minhash_pairs_df, the shared gopher constants, the
+    semantic_inplan_verdicts helper), and the oracle replays all four
+    INCLUDING the in-SQL cell assignment — hash-exact. Scale: each
+    screen keeps its registration's shape (banded candidates, broadcast
+    banned set, broadcast cell index, one corpus-keyed aggregate per
+    screen); the verdict join is doc-keyed."""
+    from kinesumer_spark.operators.similarity import _as_double
+    from kinesumer_spark.streaming.queries import semantic_inplan_verdicts
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    ingested = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    stops = ", ".join(f"'{s}'" for s in _STOPLISTS["en"])
+    quality = ingested.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS w",
+        "length(replace(text, ' ', '')) AS n_nonspace",
+    ).selectExpr(
+        "doc_id",
+        f"""(size(w) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+            AND (n_nonspace / cast(size(w) AS double)
+                   BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+            AND size(filter(array({stops}), st -> array_contains(w, st)))
+                  >= {_GOPHER_MIN_STOP}
+            AND size(filter(w, x -> x rlike '^[a-z]+$'))
+                  / cast(size(w) AS double) >= {_GOPHER_MIN_ALPHA}
+            AS quality_ok""",
+    )
+    banned = (
+        _shingles_raw(docs.filter(F.col("doc_id") % _EVAL_MOD == 0))
+        .select("shingle")
+        .distinct()
+    )
+    contam = (
+        _shingles_raw(ingested)
+        .select("doc_id", "shingle")
+        .distinct()
+        .join(F.broadcast(banned), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_banned"))
+    )
+    pairs = minhash_pairs_df(docs).select("doc_a", "doc_b")
+    neardup = (
+        pairs.selectExpr("doc_a AS doc_id", "doc_b AS partner")
+        .unionByName(
+            pairs.selectExpr("doc_b AS doc_id", "doc_a AS partner")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr("cast(count(DISTINCT partner) AS bigint) AS n_partners")
+        )
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double("embedding").alias("e"))
+    # fan the probe side out past the single-split scan bound — the
+    # per-pair verify otherwise runs in ONE task (the streaming gate's
+    # microbatch fan-out, batch form: 36 -> 12.5 s at sf0.1)
+    probe = emb.repartition(spark.sparkContext.defaultParallelism)
+    sem = semantic_inplan_verdicts(v, probe).selectExpr(
+        "vec_id AS doc_id", "n_dups AS n_semdups"
+    )
+    return (
+        quality.join(F.broadcast(contam), "doc_id", "left")
+        .join(F.broadcast(neardup), "doc_id", "left")
+        .join(F.broadcast(sem), "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "quality_ok",
+            "CAST(COALESCE(n_banned, 0) AS bigint) AS n_banned",
+            "CAST(COALESCE(n_partners, 0) AS bigint) AS n_partners",
+            "CAST(COALESCE(n_semdups, 0) AS bigint) AS n_semdups",
+            """CASE WHEN NOT quality_ok THEN 'reject_quality'
+                    WHEN COALESCE(n_banned, 0) >= 1
+                      THEN 'reject_contaminated'
+                    WHEN COALESCE(n_partners, 0) >= 1
+                      THEN 'reject_neardup'
+                    WHEN COALESCE(n_semdups, 0) >= 1
+                      THEN 'reject_semdup'
+                    ELSE 'admit' END AS verdict""",
+        )
+        .orderBy("doc_id")
+    )

@@ -5274,21 +5274,45 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cell|-bounded exact verifies — the SemDeDup per-cluster contract.
     Reference analog: per-payload screening in the consumer app
     (README.md:67-70), here over the embeddings modality."""
-    from kinesumer_spark.operators.dedup import _maybe_broadcast
-    from kinesumer_spark.operators.similarity import (
-        _as_double,
-        _dot_sql,
-        _IVF_ANCHOR_BASE,
-        _IVF_CELLS,
-        _SEM_ASSIGN,
-        _SEM_TAU,
-        _t as _emb,
-    )
+    from kinesumer_spark.operators.similarity import _as_double, _t as _emb
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     v = _emb(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("e")
     )
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    verdicts = semantic_inplan_verdicts(v, stream)
+    # complete-mode aggregate: processAllAvailable alone already leaves
+    # the final complete output in the sink — the stability loop only
+    # pays for append-mode watermark-delayed emission
+    return _run_to_table(
+        verdicts, "ks_stream_semantic_gate", stable=False
+    ).orderBy("vec_id")
+
+
+def semantic_inplan_verdicts(v: DataFrame, probe: DataFrame) -> DataFrame:
+    """(vec_id, n_dups, max_cos, is_semdup) — the SemDeDup in-plan
+    verdict plan over an arbitrary ``probe`` relation exposing (vec_id,
+    embedding), against the corpus ``v`` (vec_id, e double[]). Extracted
+    r13 so stream_semantic_gate and the cross-modal batch admission
+    share one copy of the codebook literals, the HOF cell scores, the
+    top-3 rank, and the verify arithmetic (see the gate's docstring for
+    the measured formulation choices and the exactness argument)."""
+    from kinesumer_spark.operators.dedup import _maybe_broadcast
+    from kinesumer_spark.operators.similarity import (
+        _dot_sql,
+        _IVF_ANCHOR_BASE,
+        _IVF_CELLS,
+        _SEM_ASSIGN,
+        _SEM_TAU,
+    )
+
     n_corpus = v.count()
     # bounded codebook pull (16 × 64 doubles): raw anchor components —
     # normalization happens in-plan so both engines fold the same chain
@@ -5309,8 +5333,8 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _cell_scores(e_col: str) -> str:
         # normalized anchor dot per cell, left-assoc sequential like
-        # DuckDB's list_dot_product (see docstring for the HOF-vs-unrolled
-        # measurement)
+        # DuckDB's list_dot_product (see the gate docstring for the
+        # HOF-vs-unrolled measurement)
         return (
             f"transform({anchors_lit}, a -> "
             f"aggregate(zip_with({e_col}, a, (x, y) -> x * y), 0D,"
@@ -5337,16 +5361,8 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sqrt({_dot_sql('e_c', 'e_c')}) AS nrm_c",
         )
     )
-
-    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
     probed = (
-        stream.selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+        probe.selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
         .selectExpr("vec_id", "e", _cell_scores("e"))
         .selectExpr(
             "vec_id",
@@ -5361,7 +5377,7 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(({_dot_sql('e', 'e_c')}) / (nrm * nrm_c), 6) AS cos",
         )
     )
-    verdicts = (
+    return (
         probed.groupBy("vec_id")
         .agg(
             F.expr(
@@ -5380,12 +5396,6 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dups >= 1 AS is_semdup",
         )
     )
-    # complete-mode aggregate: processAllAvailable alone already leaves
-    # the final complete output in the sink — the stability loop only
-    # pays for append-mode watermark-delayed emission
-    return _run_to_table(
-        verdicts, "ks_stream_semantic_gate", stable=False
-    ).orderBy("vec_id")
 
 
 # -- Streaming DSIR importance gate ------------------------------------------

@@ -927,3 +927,19 @@ def test_stream_admission_evolving_populates_all_verdicts(spark):
         "reject_contaminated",
         "reject_neardup",
     }, got
+
+
+def test_multimodal_admission_populates_all_verdicts(spark):
+    """pipeline_admission_multimodal must populate all five verdict
+    classes at the gate SF — reject_semdup in particular must come from
+    the embedding-space screen (docs without an embedding skip it), so
+    the cross-modal link (doc_id = vec_id, LEFT) is proven live."""
+    rows = _run(spark, "pipeline_admission_multimodal").collect()
+    got = {r["verdict"] for r in rows}
+    assert got == {
+        "admit",
+        "reject_quality",
+        "reject_contaminated",
+        "reject_neardup",
+        "reject_semdup",
+    }, got
