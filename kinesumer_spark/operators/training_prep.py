@@ -330,6 +330,134 @@ ORDER BY lang
 """
 
 
+def _split_leak_oracle() -> str:
+    from kinesumer_spark.operators.dedup import _minhash_cte
+
+    return f"""
+WITH {_minhash_cte()}, sp AS (
+  SELECT doc_id, {_split_case(_SPLIT_EXPR_DUCK)} AS split FROM documents
+), vp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM vp
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM vp
+), hsh AS (
+  SELECT d.doc_id, s2.split, sha256(d.text) AS ch
+  FROM documents d JOIN sp s2 ON s2.doc_id = d.doc_id
+), exleak AS (
+  SELECT doc_id, split FROM hsh
+  WHERE split <> 'train'
+    AND ch IN (SELECT ch FROM hsh WHERE split = 'train')
+), ndleak AS (
+  SELECT s2.doc_id, s2.split
+  FROM sp s2
+  WHERE s2.split <> 'train' AND s2.doc_id IN (
+    SELECT e.u FROM edges e JOIN sp t ON t.doc_id = e.v AND t.split = 'train'
+  )
+), ev AS (
+  SELECT split, COUNT(*) AS n_docs FROM sp WHERE split <> 'train' GROUP BY split
+)
+SELECT ev.split, ev.n_docs,
+       CAST(COALESCE(x.n, 0) AS BIGINT) AS n_exact_leak,
+       CAST(COALESCE(x.cs, 0) AS BIGINT) AS exact_id_checksum,
+       CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_neardup_leak,
+       CAST(COALESCE(nd.cs, 0) AS BIGINT) AS neardup_id_checksum
+FROM ev
+LEFT JOIN (
+  SELECT split, COUNT(*) AS n, SUM(doc_id) AS cs FROM exleak GROUP BY split
+) x ON x.split = ev.split
+LEFT JOIN (
+  SELECT split, COUNT(*) AS n, SUM(doc_id) AS cs FROM ndleak GROUP BY split
+) nd ON nd.split = ev.split
+ORDER BY ev.split
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_split_leak_oracle(),
+    tags=("training", "dedup", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit across the deterministic 80/10/10
+    split: for each eval split (val, test), count documents that leak
+    from train EXACTLY (identical sha256(text) also present in train —
+    duplicate clusters straddling the split boundary) and as NEAR-DUPS
+    (a verified MinHash-LSH partner with Jaccard ≥ 0.5 in train), with
+    doc_id checksums pinning the exact leaked membership. This is the
+    split-side twin of eval-suite decontamination (text.py): an id-keyed
+    split does NOT imply content-level separation, and leaked eval docs
+    inflate benchmark scores — the audit quantifies exactly how many.
+
+    Reuses the registered tiers wholesale: the split column is the same
+    salted sha256 bucket as ``split_train_val_test``; the near-dup pairs
+    are ``minhash_pairs_df`` (identical constants, so this audit and the
+    dedup tier cannot disagree on what "near-dup" means). Reference has
+    no analog (delivers opaque records, kinesumer.go:97-102).
+
+    Scale (100 TB): exact tier is a 32-byte-digest semi-join — the text
+    never shuffles, only (doc_id, split, digest); near-dup tier is the
+    banded LSH pipeline (fixed-size signatures, per-bucket candidate
+    joins, never all-pairs); the leak relation then joins ids only. The
+    final rollup is 2 rows. No broadcast of the train side (80 % of the
+    corpus): both leak joins shuffle on digest/id keys as they must.
+    """
+    from kinesumer_spark.operators.dedup import minhash_pairs_df
+
+    d = _t(spark, sf_dir)
+    sp = d.selectExpr(
+        "doc_id", f"{_split_case(_SPLIT_EXPR_SPARK)} AS split"
+    ).localCheckpoint(eager=False)
+
+    hashed = d.selectExpr(
+        "doc_id", "sha2(cast(text AS binary), 256) AS ch"
+    ).join(sp, "doc_id")
+    train_h = hashed.filter("split = 'train'").select("ch").distinct()
+    exact_leak = (
+        hashed.filter("split <> 'train'").join(train_h, "ch", "left_semi")
+    )
+
+    pairs = minhash_pairs_df(d)
+    edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    train_ids = sp.filter("split = 'train'").selectExpr("doc_id AS v")
+    nd_leak = (
+        edges.join(train_ids, "v", "left_semi")
+        .selectExpr("u AS doc_id")
+        .distinct()
+        .join(sp.filter("split <> 'train'"), "doc_id")
+    )
+
+    ev = sp.filter("split <> 'train'").groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
+    ex_agg = exact_leak.groupBy("split").agg(
+        F.count("*").alias("n_exact_leak"),
+        F.sum("doc_id").alias("exact_id_checksum"),
+    )
+    nd_agg = nd_leak.groupBy("split").agg(
+        F.count("*").alias("n_neardup_leak"),
+        F.sum("doc_id").alias("neardup_id_checksum"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        ev.join(ex_agg, "split", "left")
+        .join(nd_agg, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_exact_leak", zero).alias("n_exact_leak"),
+            F.coalesce("exact_id_checksum", zero).alias("exact_id_checksum"),
+            F.coalesce("n_neardup_leak", zero).alias("n_neardup_leak"),
+            F.coalesce("neardup_id_checksum", zero).alias("neardup_id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
 @register("resample_temperature", oracle=_RESAMPLE_ORACLE, tags=("training", "sample"))
 def resample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based language rebalancing (α = 0.5): target counts
@@ -905,4 +1033,140 @@ def pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_off",
         )
         .orderBy("doc_id")
+    )
+
+
+# -- data-constrained epoch planning (balanced multilingual mixing) ----------
+#
+# Budget = 2× the corpus' total tokens, split UNIFORMLY across languages
+# (balanced mixing); a language whose uniform share exceeds EPOCH_CAP
+# epochs of its own data is capped (repeating data indefinitely stops
+# helping — the public data-constrained-scaling result caps useful
+# repetition at ~4 epochs; 2.5 here exercises both branches on this
+# corpus at every SF) and its unfilled budget is redistributed to the
+# uncapped languages proportional to their token counts in ONE
+# water-filling step.
+_BUDGET_MULT = 2  # budget = _BUDGET_MULT × total corpus tokens
+_EPOCH_CAP_NUM, _EPOCH_CAP_DEN = 5, 2  # cap = 5/2 = 2.5 epochs, kept rational
+
+_EPOCH_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(SUM(len(regexp_split_to_array(text, ' '))) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT lang, src_tokens,
+         CAST(({_BUDGET_MULT} * SUM(src_tokens) OVER ()) // COUNT(*) OVER ()
+              AS BIGINT) AS target_tokens
+  FROM t
+), capped AS (
+  SELECT lang, src_tokens, target_tokens,
+         target_tokens > ({_EPOCH_CAP_NUM} * src_tokens) // {_EPOCH_CAP_DEN}
+           AS capped,
+         CAST(LEAST(target_tokens,
+               ({_EPOCH_CAP_NUM} * src_tokens) // {_EPOCH_CAP_DEN})
+              AS BIGINT) AS realized_tokens
+  FROM tot
+), pool AS (
+  SELECT lang, src_tokens, target_tokens, capped, realized_tokens,
+         CAST(target_tokens - realized_tokens AS BIGINT) AS deficit_tokens,
+         CAST(SUM(target_tokens - realized_tokens) OVER () AS BIGINT)
+           AS leftover,
+         CAST(SUM(CASE WHEN NOT capped THEN src_tokens ELSE 0 END) OVER ()
+              AS BIGINT) AS uncapped_tokens
+  FROM capped
+)
+SELECT lang, src_tokens, target_tokens, capped, realized_tokens,
+       deficit_tokens,
+       CAST(CASE WHEN capped THEN 0 ELSE FLOOR(
+         leftover * (CAST(src_tokens AS DOUBLE) / uncapped_tokens)
+       ) END AS BIGINT) AS extra_tokens,
+       CAST(realized_tokens + CAST(CASE WHEN capped THEN 0 ELSE FLOOR(
+         leftover * (CAST(src_tokens AS DOUBLE) / uncapped_tokens)
+       ) END AS BIGINT) AS BIGINT) AS final_tokens,
+       round((realized_tokens + CAST(CASE WHEN capped THEN 0 ELSE FLOOR(
+         leftover * (CAST(src_tokens AS DOUBLE) / uncapped_tokens)
+       ) END AS BIGINT)) / CAST(src_tokens AS DOUBLE), 6) AS final_epochs
+FROM pool
+ORDER BY lang
+"""
+
+
+@register("mix_epoch_planner", oracle=_EPOCH_ORACLE, tags=("training", "mix"))
+def mix_epoch_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planner: split a token budget (2× corpus)
+    uniformly across languages (balanced multilingual mixing), cap any
+    language at 2.5 epochs of its own data (public data-constrained
+    scaling: repetition stops paying after a few epochs), and
+    redistribute the capped languages' unfilled budget to the uncapped
+    ones proportional to size — one water-filling step, emitted as a
+    per-language plan row (targets, caps, deficits, final epochs).
+    ``sample_temperature_repeat`` executes plans of this shape; this op
+    PRODUCES one under a hard budget. Reference has no analog.
+
+    Exactness: every shared quantity (totals, targets, caps, deficits,
+    leftover pool) is int64 arithmetic — order-free aggregates, no float
+    accumulation; the only doubles are single IEEE ops (one division,
+    one multiply, one floor) that reproduce bit-for-bit cross-engine.
+    The cap is kept rational (5/2) so capping floors in integers.
+
+    Scale: one corpus scan → |langs| rows; the two pool totals are
+    single-row broadcast rollups over a 5-row relation (the repo's
+    ledger pattern). The double-based redistribution deliberately
+    avoids the int64 overflow a leftover×tokens product would hit at
+    real corpus sizes (~1e13 × 1e13); planners emit advisory numbers,
+    and the floor keeps the redistributed sum ≤ leftover (conservative,
+    asserted in tests)."""
+    d = _t(spark, sf_dir)
+    t = d.groupBy("lang").agg(
+        F.expr("cast(sum(size(split(text, ' '))) AS bigint) AS src_tokens")
+    )
+    totals = t.groupBy().agg(
+        F.expr(
+            f"cast({_BUDGET_MULT} * sum(src_tokens) div count(*) AS bigint)"
+            " AS target_tokens"
+        )
+    )
+    capped = (
+        t.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "lang",
+            "src_tokens",
+            "target_tokens",
+            f"target_tokens > ({_EPOCH_CAP_NUM} * src_tokens)"
+            f" div {_EPOCH_CAP_DEN} AS capped",
+            f"least(target_tokens, ({_EPOCH_CAP_NUM} * src_tokens)"
+            f" div {_EPOCH_CAP_DEN}) AS realized_tokens",
+        )
+        .withColumn(
+            "deficit_tokens", F.expr("target_tokens - realized_tokens")
+        )
+    )
+    pool = capped.groupBy().agg(
+        F.expr("sum(deficit_tokens) AS leftover"),
+        F.expr(
+            "sum(CASE WHEN NOT capped THEN src_tokens ELSE 0 END)"
+            " AS uncapped_tokens"
+        ),
+    )
+    extra = (
+        "CAST(CASE WHEN capped THEN 0 ELSE FLOOR("
+        "leftover * (CAST(src_tokens AS DOUBLE) / uncapped_tokens)"
+        ") END AS BIGINT)"
+    )
+    return (
+        capped.crossJoin(F.broadcast(pool))
+        .selectExpr(
+            "lang",
+            "src_tokens",
+            "target_tokens",
+            "capped",
+            "realized_tokens",
+            "deficit_tokens",
+            f"{extra} AS extra_tokens",
+            f"realized_tokens + {extra} AS final_tokens",
+            f"round((realized_tokens + {extra})"
+            " / CAST(src_tokens AS DOUBLE), 6) AS final_epochs",
+        )
+        .orderBy("lang")
     )

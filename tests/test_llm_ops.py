@@ -943,3 +943,77 @@ def test_multimodal_admission_populates_all_verdicts(spark):
         "reject_neardup",
         "reject_semdup",
     }, got
+
+
+def test_split_leakage_audit_near_dup_tier_fires(spark):
+    """The split audit's near-dup tier must report the cross-split LSH
+    pair the gate fixture contains (one test-split doc with a verified
+    train partner); exact leakage is 0 at this SF because no duplicate
+    cluster straddles the split here — both exact columns fire at sf0.1
+    (2 val + 2 test leaks, checked when bench data is present)."""
+    rows = {r["split"]: r for r in _run(spark, "split_leakage_audit").collect()}
+    assert set(rows) == {"val", "test"}
+    assert rows["test"]["n_neardup_leak"] >= 1
+    # leaked ids are a subset of the split's docs: checksum consistency
+    for r in rows.values():
+        assert r["n_exact_leak"] <= r["n_docs"]
+        assert r["n_neardup_leak"] <= r["n_docs"]
+
+
+def test_split_leakage_audit_agrees_with_registered_tiers(spark):
+    """Every near-dup leak the audit reports must be derivable from the
+    registered pair tier + the registered split — the audit may not
+    invent its own notion of 'near-dup' or 'split' (shared-constants
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _run(spark, "dedup_minhash_lsh").collect()
+    }
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.training_prep import (
+        _SPLIT_EXPR_SPARK,
+        _split_case,
+    )
+
+    d = read_table(spark, SF_SMALL, "documents")
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in d.selectExpr(
+            "doc_id", f"{_split_case(_SPLIT_EXPR_SPARK)} AS split"
+        ).collect()
+    }
+    expect = {"val": set(), "test": set()}
+    for a, b in pairs:
+        sa, sb = split_of[a], split_of[b]
+        if sa == "train" and sb != "train":
+            expect[sb].add(b)
+        if sb == "train" and sa != "train":
+            expect[sa].add(a)
+    rows = {r["split"]: r for r in _run(spark, "split_leakage_audit").collect()}
+    for s in ("val", "test"):
+        assert rows[s]["n_neardup_leak"] == len(expect[s])
+        assert rows[s]["neardup_id_checksum"] == sum(expect[s])
+
+
+def test_epoch_planner_conserves_budget_and_caps(spark):
+    """The water-filling step must (a) never exceed the cap-free budget
+    (redistributed extras floor, so Σ final ≤ Σ target), (b) cap some
+    languages and not others at this SF (both branches exercised), and
+    (c) give capped languages exactly cap×tokens and zero extra."""
+    rows = _run(spark, "mix_epoch_planner").collect()
+    assert sum(r["final_tokens"] for r in rows) <= sum(
+        r["target_tokens"] for r in rows
+    )
+    capped = [r for r in rows if r["capped"]]
+    uncapped = [r for r in rows if not r["capped"]]
+    assert capped and uncapped
+    for r in capped:
+        assert r["realized_tokens"] == (5 * r["src_tokens"]) // 2
+        assert r["extra_tokens"] == 0
+        assert r["deficit_tokens"] > 0
+    leftover = sum(r["deficit_tokens"] for r in rows)
+    assert sum(r["extra_tokens"] for r in rows) <= leftover
+    for r in uncapped:
+        assert r["final_epochs"] >= r["target_tokens"] / r["src_tokens"]

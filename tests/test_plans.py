@@ -850,3 +850,14 @@ def test_stream_neardup_admit_plan_shape(spark, tmp_path):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert plan.count("StreamingRelation") == 1, plan
     assert plan.count("FlatMapGroupsInPandasWithState") == 1, plan
+
+
+def test_split_leakage_audit_stays_jvm_and_semi_joins(spark):
+    """The split audit must stay on the JVM path (both tiers are
+    sha256/modular arithmetic) and implement the exact tier as a
+    LeftSemi digest join — the text column must never ride past the
+    hashing projection."""
+    plan = plan_string(_df(spark, "split_leakage_audit"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan, plan
