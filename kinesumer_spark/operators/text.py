@@ -1994,77 +1994,16 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- BPE tokenizer APPLY (inference half of text_bpe_train) ------------------
 
-def _bpe_apply_oracle() -> str:
-    """Replays training (the same K unrolled levels) AND applies the
-    learned segmentation to every document: each doc's token count is
-    the sum of its words' final symbol counts."""
-    levels = []
-    prev = "words0"
-    for k in range(1, _BPE_MERGES + 1):
-        levels.append(f"""pairs{k} AS (
-  SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r, freq
-  FROM (SELECT freq, list_filter(string_split(s, '||'), x -> x <> '') AS syms
-        FROM {prev})
-  WHERE len(syms) >= 2
-), best{k} AS (
-  SELECT l, r FROM pairs{k} GROUP BY l, r
-  ORDER BY CAST(SUM(freq) AS BIGINT) DESC, l, r LIMIT 1
-), words{k} AS (
-  SELECT word, freq,
-         replace(s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS s
-  FROM {prev} CROSS JOIN best{k} b
-)""")
-        prev = f"words{k}"
-    return f"""
-WITH words0 AS (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-         '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s
-  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word
-),
-{','.join(levels)},
-vocab AS (
-  SELECT word,
-         CAST(len(list_filter(string_split(s, '||'), x -> x <> '')) AS BIGINT)
-           AS n_sym,
-         length(word) AS n_chars
-  FROM words{_BPE_MERGES}
-), tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-)
-SELECT t.doc_id,
-       CAST(SUM(v.n_chars) AS BIGINT) AS n_chars_tokens,
-       CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
-       round(SUM(v.n_chars) / CAST(SUM(v.n_sym) AS DOUBLE), 6) AS compression
-FROM tok t JOIN vocab v ON v.word = t.word
-GROUP BY t.doc_id
-ORDER BY t.doc_id
-"""
-
-
-@register(
-    "text_bpe_apply",
-    oracle=_bpe_apply_oracle(),
-    tags=("text", "tokenizer", "iterative"),
-)
-def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer INFERENCE: apply the merges learned by the
-    ``text_bpe_train`` loop to every document and report per-doc token
-    counts (char-level vs post-merge) and the compression ratio — the
-    train→apply pair a pipeline runs to size its token budget.
-
-    The trainer's insight carries over: segmentation is a WORD-level
-    function, so the merges apply once per distinct word (the
-    vocab-sized table the training loop already maintains) and documents
-    just join their words to that segmented vocab — at 100 TB the apply
-    step costs one word-keyed join of the exploded corpus against a
-    broadcast-sized vocab, with the merge replaces never touching the
-    corpus itself. The oracle replays training AND application in one
-    unrolled SQL chain, so the driver hash-checks the end-to-end
-    tokenizer."""
+def bpe_segmented_vocab(d: DataFrame) -> DataFrame:
+    """(word, n_sym, n_chars) — the trained BPE segmentation applied to
+    the distinct-word vocabulary: the Spark twin of
+    :func:`_bpe_vocab_chain_sql`'s ``vocab`` CTE, extracted from
+    ``text_bpe_apply`` so apply-side consumers (per-doc counts, per-lang
+    fertility) share one merge loop. The K driver-side ``collect()`` calls
+    pull ONE best-pair row each (the iterative-algorithm exception to the
+    no-collect rule — the argmax of a global aggregate is a scalar)."""
     vocab = (
-        _t(spark, sf_dir)
-        .select(F.explode(F.split("text", " ")).alias("word"))
+        d.select(F.explode(F.split("text", " ")).alias("word"))
         # '|' is the symbol-boundary metacharacter of the pipe-doubled
         # encoding: a literal '|' inside a word would corrupt it, so
         # such words are excluded from the vocabulary (both engines)
@@ -2106,13 +2045,92 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
             ),
         )
-    seg = words.select(
+    return words.select(
         "word",
         F.expr(
             "cast(size(filter(split(s, '\\\\|\\\\|'), x -> x != '')) AS bigint)"
         ).alias("n_sym"),
         F.length("word").alias("n_chars"),
     )
+
+
+def _bpe_vocab_chain_sql() -> str:
+    """CTE prefix replaying BPE training and emitting the segmented
+    ``vocab(word, n_sym, n_chars)`` relation — the shared front half of
+    every apply-side oracle (per-doc counts, per-lang fertility), so the
+    unrolled merge chain exists in exactly one place."""
+    levels = []
+    prev = "words0"
+    for k in range(1, _BPE_MERGES + 1):
+        levels.append(f"""pairs{k} AS (
+  SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r, freq
+  FROM (SELECT freq, list_filter(string_split(s, '||'), x -> x <> '') AS syms
+        FROM {prev})
+  WHERE len(syms) >= 2
+), best{k} AS (
+  SELECT l, r FROM pairs{k} GROUP BY l, r
+  ORDER BY CAST(SUM(freq) AS BIGINT) DESC, l, r LIMIT 1
+), words{k} AS (
+  SELECT word, freq,
+         replace(s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS s
+  FROM {prev} CROSS JOIN best{k} b
+)""")
+        prev = f"words{k}"
+    return f"""words0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word
+),
+{','.join(levels)},
+vocab AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, '||'), x -> x <> '')) AS BIGINT)
+           AS n_sym,
+         length(word) AS n_chars
+  FROM words{_BPE_MERGES}
+)"""
+
+
+def _bpe_apply_oracle() -> str:
+    """Replays training (the same K unrolled levels) AND applies the
+    learned segmentation to every document: each doc's token count is
+    the sum of its words' final symbol counts."""
+    return f"""
+WITH {_bpe_vocab_chain_sql()}, tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT t.doc_id,
+       CAST(SUM(v.n_chars) AS BIGINT) AS n_chars_tokens,
+       CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(v.n_chars) / CAST(SUM(v.n_sym) AS DOUBLE), 6) AS compression
+FROM tok t JOIN vocab v ON v.word = t.word
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE: apply the merges learned by the
+    ``text_bpe_train`` loop to every document and report per-doc token
+    counts (char-level vs post-merge) and the compression ratio — the
+    train→apply pair a pipeline runs to size its token budget.
+
+    The trainer's insight carries over: segmentation is a WORD-level
+    function, so the merges apply once per distinct word (the
+    vocab-sized table the training loop already maintains) and documents
+    just join their words to that segmented vocab — at 100 TB the apply
+    step costs one word-keyed join of the exploded corpus against a
+    broadcast-sized vocab, with the merge replaces never touching the
+    corpus itself. The oracle replays training AND application in one
+    unrolled SQL chain, so the driver hash-checks the end-to-end
+    tokenizer."""
+    seg = bpe_segmented_vocab(_t(spark, sf_dir))
     tok = (
         _t(spark, sf_dir)
         .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -2129,6 +2147,84 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
         .orderBy("doc_id")
+    )
+
+
+_FERTILITY_ORACLE = f"""
+WITH {_bpe_vocab_chain_sql()}, tok AS (
+  SELECT d.lang, unnest(string_split(d.text, ' ')) AS word FROM documents d
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN v.n_sym = v.n_chars AND v.n_chars > 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmerged,
+       CAST(SUM(CASE WHEN v.n_sym = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_token,
+       CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(v.n_chars) AS BIGINT) AS n_char_tokens,
+       round(SUM(v.n_sym) / CAST(COUNT(*) AS DOUBLE), 6) AS tokens_per_word,
+       round(SUM(v.n_chars) / CAST(SUM(v.n_sym) AS DOUBLE), 6) AS compression
+FROM tok t JOIN vocab v ON v.word = t.word
+GROUP BY t.lang
+ORDER BY t.lang
+"""
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE,
+    tags=("text", "tokenizer", "audit", "iterative"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility audit over the trained BPE
+    segmentation: word occurrences that stayed fully char-level
+    (n_sym = n_chars on a multi-char word — the tokenizer learned
+    nothing for them), words collapsed to a single token, and the two
+    budget numbers a multilingual pipeline reads before fixing a
+    tokenizer — tokens/word (fertility) and chars/token (compression)
+    per language. A shared tokenizer systematically inflates token
+    budgets for languages it undertrained on; this measures exactly
+    that, corpus-wide. Reference has no analog.
+
+    Shares :func:`bpe_segmented_vocab` (Spark) / the unrolled vocab
+    chain (oracle) with ``text_bpe_apply`` — one merge loop, two
+    consumers; the segmentation cannot fork between per-doc counts and
+    this audit.
+
+    Scale: segmentation stays a vocab-sized relation; the corpus pays
+    one word explode + one broadcast join against the segmented vocab +
+    one |langs|-row aggregate. No text column past the explode."""
+    d = _t(spark, sf_dir)
+    seg = bpe_segmented_vocab(d)
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_sym = n_chars AND n_chars > 1"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_unmerged"),
+            F.sum(F.expr("CASE WHEN n_sym = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_single_token"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_char_tokens"),
+            F.round(
+                F.sum("n_sym") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_sym").cast("double"), 6
+            ).alias("compression"),
+        )
+        .orderBy("lang")
     )
 
 

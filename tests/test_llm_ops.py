@@ -1017,3 +1017,21 @@ def test_epoch_planner_conserves_budget_and_caps(spark):
     assert sum(r["extra_tokens"] for r in rows) <= leftover
     for r in uncapped:
         assert r["final_epochs"] >= r["target_tokens"] / r["src_tokens"]
+
+
+def test_tokenizer_fertility_reconciles_with_bpe_apply(spark):
+    """The per-lang fertility audit and the per-doc apply op share one
+    segmentation (bpe_segmented_vocab) — their corpus-wide token totals
+    must agree exactly, and the fertility identities must hold."""
+    langs = _run(spark, "text_tokenizer_fertility").collect()
+    docs = _run(spark, "text_bpe_apply").collect()
+    assert sum(r["n_bpe_tokens"] for r in langs) == sum(
+        r["n_bpe_tokens"] for r in docs
+    )
+    assert sum(r["n_char_tokens"] for r in langs) == sum(
+        r["n_chars_tokens"] for r in docs
+    )
+    for r in langs:
+        assert r["n_bpe_tokens"] <= r["n_char_tokens"]
+        assert 0 < r["n_single_token"] and 0 < r["n_unmerged"] <= r["n_words"]
+        assert r["tokens_per_word"] >= 1.0
