@@ -1170,3 +1170,196 @@ def mix_epoch_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- largest-remainder eval-budget allocation (Hamilton apportionment) -------
+#
+# Building a balanced eval set: a fixed document budget is apportioned
+# across (source, lang) strata proportional to stratum size with the
+# largest-remainder method — the standard exact apportionment (floor of
+# the proportional quota everywhere, the leftover seats to the largest
+# fractional remainders). All comparisons are INTEGER (remainder of
+# E·n_i mod N), so the allocation is bit-exact in any engine and the
+# rounding can never be inconsistent the way per-stratum float rounding
+# is (Σ floor(E·n_i/N) < E, and WHICH strata get the +1 matters).
+_EVAL_BUDGET = 100  # documents in the eval set
+
+_ALLOC_ORACLE = f"""
+WITH s AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source, lang
+), q AS (
+  SELECT source, lang, n_docs,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+         CAST(({_EVAL_BUDGET} * n_docs) // SUM(n_docs) OVER () AS BIGINT)
+           AS base_alloc,
+         CAST(({_EVAL_BUDGET} * n_docs) % SUM(n_docs) OVER () AS BIGINT)
+           AS remainder_num
+  FROM s
+), r AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY remainder_num DESC, source, lang) AS BIGINT) AS rem_rank,
+         CAST({_EVAL_BUDGET} - SUM(base_alloc) OVER () AS BIGINT) AS n_extra
+  FROM q
+)
+SELECT source, lang, n_docs, base_alloc, remainder_num, rem_rank,
+       CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r
+ORDER BY source, lang
+"""
+
+
+@register(
+    "sample_proportional_allocation",
+    oracle=_ALLOC_ORACLE,
+    tags=("training", "sample", "audit"),
+)
+def sample_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed eval-set
+    budget across (source, lang) strata: floor of each stratum's
+    proportional quota, the leftover documents to the largest integer
+    remainders (E·n mod N — no floats anywhere, so no engine can round
+    a quota differently and the allocations always sum exactly to the
+    budget). The allocation plan a balanced eval-set builder executes;
+    complements ``mix_epoch_planner`` (training budget) on the eval
+    side. Reference has no analog.
+
+    Scale: one corpus scan → |sources|×|langs| strata rows; the total
+    and the leftover count are single-row broadcast rollups; the
+    remainder ranking is a window over the bounded strata relation
+    (never the corpus). The stratum count is the only driver of the
+    tail's cost at any corpus size."""
+    d = _t(spark, sf_dir)
+    s = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = s.groupBy().agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    q = s.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        "total_docs",
+        f"cast(({_EVAL_BUDGET} * n_docs) div total_docs AS bigint)"
+        " AS base_alloc",
+        f"cast(({_EVAL_BUDGET} * n_docs) % total_docs AS bigint)"
+        " AS remainder_num",
+    )
+    extra = q.groupBy().agg(
+        (F.lit(_EVAL_BUDGET) - F.sum("base_alloc")).cast("bigint").alias("n_extra")
+    )
+    ranked = q.crossJoin(F.broadcast(extra)).withColumn(
+        "rem_rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("remainder_num"), "source", "lang"))
+        .cast("bigint"),
+    )
+    return ranked.selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        "base_alloc",
+        "remainder_num",
+        "rem_rank",
+        "cast(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END"
+        " AS bigint) AS alloc",
+    ).orderBy("source", "lang")
+
+
+# -- length-bucketed batching waste audit ------------------------------------
+#
+# Inference/finetune batching pads every sequence in a batch to the
+# batch max; bucketing sequences by length bounds that waste. Buckets
+# are the fixed power-of-two ladder (integer CASE, no float log2 —
+# LOG2 at exact powers is the classic cross-engine ulp trap).
+_LEN_BUCKETS = (16, 32, 64, 128)
+
+
+def _bucket_case(tok: str) -> str:
+    arms = " ".join(
+        f"WHEN {tok} <= {b} THEN {b}" for b in _LEN_BUCKETS
+    )
+    return f"CASE {arms} ELSE -1 END"
+
+
+_LENBUCKET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, tokens,
+         CAST({_bucket_case('tokens')} AS BIGINT) AS bucket,
+         CAST(MAX(tokens) OVER () AS BIGINT) AS corpus_max
+  FROM t
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+       CAST(MAX(tokens) AS BIGINT) AS bucket_max,
+       CAST(COUNT(*) * MAX(tokens) - SUM(tokens) AS BIGINT) AS bucket_pad,
+       CAST(COUNT(*) * MAX(corpus_max) - SUM(tokens) AS BIGINT) AS naive_pad,
+       round((COUNT(*) * MAX(tokens) - SUM(tokens))
+             / CAST(COUNT(*) * MAX(corpus_max) - SUM(tokens) AS DOUBLE), 6)
+         AS pad_ratio
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "pack_length_buckets",
+    oracle=_LENBUCKET_ORACLE,
+    tags=("training", "pack", "audit"),
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the
+    smallest power-of-two length bucket that holds it and report, per
+    bucket, the padding tokens bucketed batching pays (pad to bucket
+    top) versus naive batching (pad everything to the corpus max) —
+    the serving/finetune cost question "is length bucketing worth it
+    on this corpus". Buckets are an integer CASE ladder, NOT
+    ``ceil(log2())`` — float log at exact powers of two is a
+    cross-engine ulp trap; the ladder is exact. Complements
+    ``pack_seqlen_sweep`` (which audits the concat-and-chunk layout;
+    this audits the pad-to-bucket layout). Reference has no analog.
+
+    Scale: one corpus scan to (doc, tokens); the corpus max is a
+    single-row rollup (window over nothing here is fine at |docs| rows
+    map-side — Spark computes it as one scalar exchange); the rollup
+    is |buckets| rows. The only division is one double op per bucket."""
+    d = _t(spark, sf_dir)
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tokens")
+    )
+    cmax = t.groupBy().agg(F.max("tokens").cast("bigint").alias("corpus_max"))
+    b = t.crossJoin(F.broadcast(cmax)).selectExpr(
+        "doc_id",
+        "tokens",
+        f"cast({_bucket_case('tokens')} AS bigint) AS bucket",
+        "corpus_max",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("sum_tokens"),
+            F.max("tokens").cast("bigint").alias("bucket_max"),
+            (F.count(F.lit(1)) * F.max("tokens") - F.sum("tokens"))
+            .cast("bigint")
+            .alias("bucket_pad"),
+            (F.count(F.lit(1)) * F.max("corpus_max") - F.sum("tokens"))
+            .cast("bigint")
+            .alias("naive_pad"),
+            F.round(
+                (F.count(F.lit(1)) * F.max("tokens") - F.sum("tokens"))
+                / (
+                    F.count(F.lit(1)) * F.max("corpus_max") - F.sum("tokens")
+                ).cast("double"),
+                6,
+            ).alias("pad_ratio"),
+        )
+        .orderBy("bucket")
+    )

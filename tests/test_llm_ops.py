@@ -1035,3 +1035,31 @@ def test_tokenizer_fertility_reconciles_with_bpe_apply(spark):
         assert r["n_bpe_tokens"] <= r["n_char_tokens"]
         assert 0 < r["n_single_token"] and 0 < r["n_unmerged"] <= r["n_words"]
         assert r["tokens_per_word"] >= 1.0
+
+
+def test_proportional_allocation_sums_to_budget(spark):
+    """Hamilton apportionment invariants: allocations sum exactly to
+    the budget, every stratum gets floor(quota) or floor(quota)+1, and
+    the +1s go to the largest remainders (no float rounding paradoxes)."""
+    rows = _run(spark, "sample_proportional_allocation").collect()
+    assert sum(r["alloc"] for r in rows) == 100
+    for r in rows:
+        assert r["alloc"] in (r["base_alloc"], r["base_alloc"] + 1)
+    got_extra = {r["rem_rank"] for r in rows if r["alloc"] == r["base_alloc"] + 1}
+    if got_extra:
+        assert max(got_extra) == len(got_extra), "extras must be a rank prefix"
+
+
+def test_length_buckets_account_every_document(spark):
+    """Bucket audit invariants: every document lands in a bucket (no
+    -1 overflow on this corpus), totals reconcile with the corpus, and
+    bucketed padding is never worse than naive padding."""
+    rows = _run(spark, "pack_length_buckets").collect()
+    assert all(r["bucket"] in (16, 32, 64, 128) for r in rows)
+    from kinesumer_spark.catalog import read_table
+
+    n = read_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert r["bucket_pad"] <= r["naive_pad"]
+        assert 0.0 <= r["pad_ratio"] <= 1.0
