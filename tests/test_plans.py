@@ -73,6 +73,10 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "text_lang_id_ngram",
         "text_lang_confusion_ngram",
         "events_sessionize",
+        "mix_epoch_planner",
+        "sample_proportional_allocation",
+        "pack_length_buckets",
+        "text_tokenizer_fertility",
     ):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
