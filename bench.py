@@ -149,6 +149,7 @@ EXTENDED = [
     "text_tokenizer_fertility",
     "sample_proportional_allocation",
     "pack_length_buckets",
+    "export_shard_plan",
     # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1),
     # stream_neardup_admit_ttl (same shape, bounded state),
     # pipeline_stream_admission_evolving (~23 s: the admit shape plus

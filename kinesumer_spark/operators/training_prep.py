@@ -1363,3 +1363,86 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -- export shard planning (output-file layout) ------------------------------
+#
+# Writing a curated corpus: output files should hold a bounded token
+# budget each (too-small files drown the namenode/manifest, too-large
+# files break downstream loaders). Assign every document to the shard
+# whose token range contains its start offset in doc_id order — the
+# write-side twin of warehouse_compaction_plan (which plans input
+# compaction).
+_SHARD_TOKENS = 4096  # token budget per output shard
+
+
+_SHARD_PLAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, tokens,
+         CAST(SUM(tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT)
+           AS start_off
+  FROM t
+)
+SELECT CAST(start_off // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM c
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
+@register(
+    "export_shard_plan",
+    oracle=_SHARD_PLAN_ORACLE,
+    tags=("training", "sink", "audit"),
+)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard layout plan for exporting a curated corpus: documents
+    are assigned (in doc_id order) to fixed token-budget shards by their
+    global start offset, and the plan reports each shard's membership
+    (doc span, id checksum) and realized size — what a writer turns into
+    one output file per shard via repartitionByRange. The write-side
+    twin of ``warehouse_compaction_plan``. Reference analog: none (its
+    sink is a Go channel, kinesumer.go:97-102).
+
+    Scale: the offsets come from the shared TWO-PASS distributed prefix
+    sum (``block_running_offset`` — per-block totals, bounded block
+    relation window, broadcast back; identical machinery to
+    pack_sequences, so the offset arithmetic cannot fork); the oracle
+    replays the plain global-window form. One corpus scan + one
+    |shards|-row aggregate; a doc whose span crosses a shard boundary
+    stays in its starting shard, so realized sizes wobble around the
+    budget instead of splitting documents (the loader-friendly
+    choice)."""
+    d = _t(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tokens")
+    )
+    d = d.withColumn("block", F.expr(f"doc_id div {_BLOCK}")).localCheckpoint(
+        eager=False
+    )
+    return (
+        block_running_offset(d, "tokens", "doc_id", ["block"], "start_off")
+        .selectExpr(
+            f"cast(start_off div {_SHARD_TOKENS} AS bigint) AS shard_id",
+            "doc_id",
+            "tokens",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("shard_id")
+    )

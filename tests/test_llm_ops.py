@@ -1063,3 +1063,27 @@ def test_length_buckets_account_every_document(spark):
     for r in rows:
         assert r["bucket_pad"] <= r["naive_pad"]
         assert 0.0 <= r["pad_ratio"] <= 1.0
+
+
+def test_export_shard_plan_partitions_corpus(spark):
+    """Shard plan invariants: shards tile the corpus exactly (doc and
+    token totals reconcile), doc spans are contiguous and disjoint in
+    shard order, and every realized size stays within budget + one
+    document's max length (no-split wobble bound)."""
+    rows = sorted(
+        _run(spark, "export_shard_plan").collect(), key=lambda r: r["shard_id"]
+    )
+    from kinesumer_spark.catalog import read_table
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, SF_SMALL, "documents")
+    n = d.count()
+    max_tok = d.select(
+        F.max(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert sum(r["n_docs"] for r in rows) == n
+    for a, b in zip(rows, rows[1:]):
+        assert b["first_doc"] == a["last_doc"] + 1
+        assert b["shard_id"] == a["shard_id"] + 1
+    for r in rows[:-1]:
+        assert r["sum_tokens"] < 4096 + max_tok

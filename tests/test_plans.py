@@ -77,6 +77,7 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "sample_proportional_allocation",
         "pack_length_buckets",
         "text_tokenizer_fertility",
+        "export_shard_plan",
     ):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
