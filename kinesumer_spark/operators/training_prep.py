@@ -1446,3 +1446,144 @@ def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# -- eval-set builder: execute the apportionment ----------------------------
+
+_EVAL_SALT_SPARK = "concat('eval:', doc_id)"
+_EVAL_SALT_DUCK = "'eval:' || doc_id"
+
+_EVAL_BUILD_ORACLE = f"""
+WITH s AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source, lang
+), q AS (
+  SELECT source, lang, n_docs,
+         CAST(({_EVAL_BUDGET} * n_docs) // SUM(n_docs) OVER () AS BIGINT)
+           AS base_alloc,
+         CAST(({_EVAL_BUDGET} * n_docs) % SUM(n_docs) OVER () AS BIGINT)
+           AS remainder_num
+  FROM s
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY remainder_num DESC, source, lang)
+           AS rem_rank,
+         {_EVAL_BUDGET} - SUM(base_alloc) OVER () AS n_extra
+  FROM q
+), a AS (
+  SELECT source, lang, n_docs,
+         CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END
+              AS BIGINT) AS alloc
+  FROM r
+), ranked AS (
+  SELECT d.source, d.lang, d.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source, d.lang
+           ORDER BY {_sha32_duck(_EVAL_SALT_DUCK)}, d.doc_id) AS pick_rank
+  FROM documents d
+), sel AS (
+  SELECT rk.source, rk.lang, rk.doc_id
+  FROM ranked rk JOIN a ON a.source = rk.source AND a.lang = rk.lang
+  WHERE rk.pick_rank <= a.alloc
+)
+SELECT a.source, a.lang, a.n_docs, a.alloc,
+       CAST(COALESCE(COUNT(sel.doc_id), 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(SUM(sel.doc_id), 0) AS BIGINT) AS sel_id_checksum
+FROM a LEFT JOIN sel ON sel.source = a.source AND sel.lang = a.lang
+GROUP BY a.source, a.lang, a.n_docs, a.alloc
+ORDER BY a.source, a.lang
+"""
+
+
+@register(
+    "sample_eval_set_build",
+    oracle=_EVAL_BUILD_ORACLE,
+    tags=("training", "sample"),
+)
+def sample_eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the Hamilton apportionment: select exactly ``alloc``
+    documents per (source, lang) stratum, chosen by rank over a salted
+    content-free hash (sha256 of 'eval:'||doc_id — reproducible across
+    engines, runs, and repartitionings; never rand()), and emit the
+    per-stratum membership ledger (count + id checksum) the driver
+    hash-pins. ``sample_proportional_allocation`` is the plan; this is
+    the selection — together they build a balanced eval set of exactly
+    the budget size.
+
+    Scale: the rank is a per-stratum window (shuffle on (source, lang),
+    linearithmic within strata). At 100 TB with small eval budgets the
+    right refinement is a hash-threshold PRE-FILTER (keep hash <
+    k·alloc/n quantile estimate, then rank survivors) so the sort
+    touches a sliver of each stratum; the selection semantics — and
+    this ledger — are unchanged by that refinement, which is why the
+    rank form is the registered oracle shape. Allocation arithmetic is
+    shared inline with the plan op (same integer quota/remainder
+    expressions)."""
+    d = _t(spark, sf_dir)
+    s = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = s.groupBy().agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    q = s.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        f"cast(({_EVAL_BUDGET} * n_docs) div total_docs AS bigint)"
+        " AS base_alloc",
+        f"cast(({_EVAL_BUDGET} * n_docs) % total_docs AS bigint)"
+        " AS remainder_num",
+    )
+    extra = q.groupBy().agg(
+        (F.lit(_EVAL_BUDGET) - F.sum("base_alloc"))
+        .cast("bigint")
+        .alias("n_extra")
+    )
+    alloc = (
+        q.crossJoin(F.broadcast(extra))
+        .withColumn(
+            "rem_rank",
+            F.row_number().over(
+                W.orderBy(F.desc("remainder_num"), "source", "lang")
+            ),
+        )
+        .selectExpr(
+            "source",
+            "lang",
+            "n_docs",
+            "cast(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0"
+            " END AS bigint) AS alloc",
+        )
+    )
+    ranked = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            W.partitionBy("source", "lang").orderBy(
+                F.expr(_sha32(_EVAL_SALT_SPARK)), "doc_id"
+            )
+        )
+        .alias("pick_rank"),
+    )
+    sel = ranked.join(F.broadcast(alloc.select("source", "lang", "alloc")),
+                      ["source", "lang"]).filter(
+        F.col("pick_rank") <= F.col("alloc")
+    )
+    sel_agg = sel.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.sum("doc_id").cast("bigint").alias("sel_id_checksum"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        alloc.join(sel_agg, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "alloc",
+            F.coalesce("n_selected", zero).alias("n_selected"),
+            F.coalesce("sel_id_checksum", zero).alias("sel_id_checksum"),
+        )
+        .orderBy("source", "lang")
+    )

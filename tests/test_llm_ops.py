@@ -1087,3 +1087,19 @@ def test_export_shard_plan_partitions_corpus(spark):
         assert b["shard_id"] == a["shard_id"] + 1
     for r in rows[:-1]:
         assert r["sum_tokens"] < 4096 + max_tok
+
+
+def test_eval_set_build_executes_allocation_exactly(spark):
+    """The builder must select exactly the plan's allocation in every
+    stratum (n_selected == alloc — possible because Hamilton quotas
+    never exceed stratum size when budget <= corpus), and the total must
+    be exactly the budget."""
+    plan = {
+        (r["source"], r["lang"]): r["alloc"]
+        for r in _run(spark, "sample_proportional_allocation").collect()
+    }
+    built = _run(spark, "sample_eval_set_build").collect()
+    assert sum(r["n_selected"] for r in built) == 100
+    for r in built:
+        assert r["n_selected"] == r["alloc"] == plan[(r["source"], r["lang"])]
+        assert r["alloc"] <= r["n_docs"]

@@ -78,6 +78,7 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "pack_length_buckets",
         "text_tokenizer_fertility",
         "export_shard_plan",
+        "sample_eval_set_build",
     ):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
