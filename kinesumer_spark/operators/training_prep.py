@@ -1508,7 +1508,9 @@ def sample_eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stratum membership ledger (count + id checksum) the driver
     hash-pins. ``sample_proportional_allocation`` is the plan; this is
     the selection — together they build a balanced eval set of exactly
-    the budget size.
+    the budget size. Same hash-rank family as ``sample_stratified_hash``
+    (text.py), which draws a FIXED k per lang; here the per-stratum k is
+    the apportioned quota, so the total is exactly the budget.
 
     Scale: the rank is a per-stratum window (shuffle on (source, lang),
     linearithmic within strata). At 100 TB with small eval budgets the

@@ -965,8 +965,6 @@ def test_split_leakage_audit_agrees_with_registered_tiers(spark):
     registered pair tier + the registered split — the audit may not
     invent its own notion of 'near-dup' or 'split' (shared-constants
     discipline)."""
-    from pyspark.sql import functions as F
-
     pairs = {
         (r["doc_a"], r["doc_b"])
         for r in _run(spark, "dedup_minhash_lsh").collect()

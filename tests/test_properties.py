@@ -935,3 +935,34 @@ def test_shingle_regex_divergence_mode_is_pinned(words, seps, lead, tail):
     text = lead + "".join(parts) + tail
     expect = _segment_model(text) or [text]
     assert _regex_trigrams(text) == expect
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=25)
+)
+def test_hamilton_allocation_sql_properties(counts):
+    """The apportionment SQL (the exact text the driver trusts) must
+    satisfy Hamilton's invariants for ARBITRARY strata, not just the
+    fixture's: allocations sum exactly to the budget (Σ fractional
+    remainders < #strata, so the rank-prefix rule always lands), every
+    stratum gets floor(quota) or floor(quota)+1, and staying within one
+    document of the real-valued quota (no Alabama-paradox-style drift
+    from float rounding — there are no floats to drift)."""
+    import duckdb
+
+    from kinesumer_spark.operators.training_prep import _ALLOC_ORACLE, _EVAL_BUDGET
+
+    con = duckdb.connect()
+    parts = " UNION ALL ".join(
+        f"SELECT 'src{i:03d}' AS source, 'l' AS lang, 1 AS doc_id FROM range({c})"
+        for i, c in enumerate(counts)
+    )
+    con.sql(f"CREATE VIEW documents AS {parts}")
+    rows = con.sql(_ALLOC_ORACLE).fetchall()
+    total = sum(counts)
+    assert sum(r[-1] for r in rows) == _EVAL_BUDGET
+    for source, lang, n_docs, base, rem, rank, alloc in rows:
+        assert alloc in (base, base + 1)
+        quota = _EVAL_BUDGET * n_docs / total
+        assert quota - 1 < alloc < quota + 1
