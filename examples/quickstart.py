@@ -200,6 +200,20 @@ def main() -> None:
     print("int8-index top-k (scores exact after full-precision re-rank):")
     topk.show(10, truncate=False)
 
+    # 6. PLAN — the budget/layout planning family (r13): how many epochs
+    # per language fit a 2x token budget under the repeat cap, how a
+    # fixed eval budget apportions across strata (and the builder that
+    # selects exactly that), whether the split leaks train content into
+    # eval, and the output-shard layout for the export.
+    print("\nepoch plan under a 2x budget (repeat cap + water-filling):")
+    reg["mix_epoch_planner"].spark(spark, sf_dir).show(5, truncate=False)
+    print("eval-set apportionment executed (exact per-stratum quotas):")
+    reg["sample_eval_set_build"].spark(spark, sf_dir).show(5, truncate=False)
+    print("train->eval leakage audit (exact + near-dup tiers):")
+    reg["split_leakage_audit"].spark(spark, sf_dir).show(truncate=False)
+    print("export shard layout (token-budgeted output files):")
+    reg["export_shard_plan"].spark(spark, sf_dir).show(5, truncate=False)
+
     spark.stop()
 
 
