@@ -1184,8 +1184,12 @@ def mix_epoch_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is (Σ floor(E·n_i/N) < E, and WHICH strata get the +1 matters).
 _EVAL_BUDGET = 100  # documents in the eval set
 
-_ALLOC_ORACLE = f"""
-WITH s AS (
+def _alloc_cte() -> str:
+    """CTE chain ``s → q → r → a`` ending in ``a(source, lang, n_docs,
+    alloc)`` — THE Hamilton apportionment, in exactly one place on the
+    oracle side; consumed by the plan oracle and the builder oracle so
+    the quota arithmetic cannot fork."""
+    return f"""s AS (
   SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY source, lang
 ), q AS (
@@ -1202,13 +1206,66 @@ WITH s AS (
            ORDER BY remainder_num DESC, source, lang) AS BIGINT) AS rem_rank,
          CAST({_EVAL_BUDGET} - SUM(base_alloc) OVER () AS BIGINT) AS n_extra
   FROM q
-)
-SELECT source, lang, n_docs, base_alloc, remainder_num, rem_rank,
-       CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END
-            AS BIGINT) AS alloc
-FROM r
+), a AS (
+  SELECT source, lang, n_docs, base_alloc, remainder_num, rem_rank,
+         CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END
+              AS BIGINT) AS alloc
+  FROM r
+)"""
+
+
+_ALLOC_ORACLE = f"""
+WITH {_alloc_cte()}
+SELECT source, lang, n_docs, base_alloc, remainder_num, rem_rank, alloc
+FROM a
 ORDER BY source, lang
 """
+
+
+def alloc_plan_df(d: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, base_alloc, remainder_num, rem_rank,
+    alloc) — THE Hamilton apportionment on the Spark side, in exactly
+    one place (the twin of :func:`_alloc_cte`); consumed by the plan op
+    and the eval-set builder so the quota arithmetic cannot fork."""
+    s = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = s.groupBy().agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    q = s.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        f"cast(({_EVAL_BUDGET} * n_docs) div total_docs AS bigint)"
+        " AS base_alloc",
+        f"cast(({_EVAL_BUDGET} * n_docs) % total_docs AS bigint)"
+        " AS remainder_num",
+    )
+    extra = q.groupBy().agg(
+        (F.lit(_EVAL_BUDGET) - F.sum("base_alloc"))
+        .cast("bigint")
+        .alias("n_extra")
+    )
+    return (
+        q.crossJoin(F.broadcast(extra))
+        .withColumn(
+            "rem_rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("remainder_num"), "source", "lang"))
+            .cast("bigint"),
+        )
+        .selectExpr(
+            "source",
+            "lang",
+            "n_docs",
+            "base_alloc",
+            "remainder_num",
+            "rem_rank",
+            "cast(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0"
+            " END AS bigint) AS alloc",
+        )
+    )
+
+
 
 
 @register(
@@ -1231,40 +1288,7 @@ def sample_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFram
     remainder ranking is a window over the bounded strata relation
     (never the corpus). The stratum count is the only driver of the
     tail's cost at any corpus size."""
-    d = _t(spark, sf_dir)
-    s = d.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
-    tot = s.groupBy().agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
-    q = s.crossJoin(F.broadcast(tot)).selectExpr(
-        "source",
-        "lang",
-        "n_docs",
-        "total_docs",
-        f"cast(({_EVAL_BUDGET} * n_docs) div total_docs AS bigint)"
-        " AS base_alloc",
-        f"cast(({_EVAL_BUDGET} * n_docs) % total_docs AS bigint)"
-        " AS remainder_num",
-    )
-    extra = q.groupBy().agg(
-        (F.lit(_EVAL_BUDGET) - F.sum("base_alloc")).cast("bigint").alias("n_extra")
-    )
-    ranked = q.crossJoin(F.broadcast(extra)).withColumn(
-        "rem_rank",
-        F.row_number()
-        .over(W.orderBy(F.desc("remainder_num"), "source", "lang"))
-        .cast("bigint"),
-    )
-    return ranked.selectExpr(
-        "source",
-        "lang",
-        "n_docs",
-        "base_alloc",
-        "remainder_num",
-        "rem_rank",
-        "cast(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END"
-        " AS bigint) AS alloc",
-    ).orderBy("source", "lang")
+    return alloc_plan_df(_t(spark, sf_dir)).orderBy("source", "lang")
 
 
 # -- length-bucketed batching waste audit ------------------------------------
@@ -1317,8 +1341,10 @@ ORDER BY bucket
 def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching audit: assign every document to the
     smallest power-of-two length bucket that holds it and report, per
-    bucket, the padding tokens bucketed batching pays (pad to bucket
-    top) versus naive batching (pad everything to the corpus max) —
+    bucket, the padding tokens bucketed batching pays (every doc padded
+    to the bucket's OBSERVED max — batches form within a bucket, so
+    that is the real pad target) versus naive batching (pad everything
+    to the corpus max) —
     the serving/finetune cost question "is length bucketing worth it
     on this corpus". Buckets are an integer CASE ladder, NOT
     ``ceil(log2())`` — float log at exact powers of two is a
@@ -1454,28 +1480,7 @@ _EVAL_SALT_SPARK = "concat('eval:', doc_id)"
 _EVAL_SALT_DUCK = "'eval:' || doc_id"
 
 _EVAL_BUILD_ORACLE = f"""
-WITH s AS (
-  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM documents GROUP BY source, lang
-), q AS (
-  SELECT source, lang, n_docs,
-         CAST(({_EVAL_BUDGET} * n_docs) // SUM(n_docs) OVER () AS BIGINT)
-           AS base_alloc,
-         CAST(({_EVAL_BUDGET} * n_docs) % SUM(n_docs) OVER () AS BIGINT)
-           AS remainder_num
-  FROM s
-), r AS (
-  SELECT *,
-         ROW_NUMBER() OVER (ORDER BY remainder_num DESC, source, lang)
-           AS rem_rank,
-         {_EVAL_BUDGET} - SUM(base_alloc) OVER () AS n_extra
-  FROM q
-), a AS (
-  SELECT source, lang, n_docs,
-         CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END
-              AS BIGINT) AS alloc
-  FROM r
-), ranked AS (
+WITH {_alloc_cte()}, ranked AS (
   SELECT d.source, d.lang, d.doc_id,
          ROW_NUMBER() OVER (
            PARTITION BY d.source, d.lang
@@ -1519,43 +1524,9 @@ def sample_eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches a sliver of each stratum; the selection semantics — and
     this ledger — are unchanged by that refinement, which is why the
     rank form is the registered oracle shape. Allocation arithmetic is
-    shared inline with the plan op (same integer quota/remainder
-    expressions)."""
+    :func:`alloc_plan_df` — the same relation the plan op registers."""
     d = _t(spark, sf_dir)
-    s = d.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
-    tot = s.groupBy().agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
-    q = s.crossJoin(F.broadcast(tot)).selectExpr(
-        "source",
-        "lang",
-        "n_docs",
-        f"cast(({_EVAL_BUDGET} * n_docs) div total_docs AS bigint)"
-        " AS base_alloc",
-        f"cast(({_EVAL_BUDGET} * n_docs) % total_docs AS bigint)"
-        " AS remainder_num",
-    )
-    extra = q.groupBy().agg(
-        (F.lit(_EVAL_BUDGET) - F.sum("base_alloc"))
-        .cast("bigint")
-        .alias("n_extra")
-    )
-    alloc = (
-        q.crossJoin(F.broadcast(extra))
-        .withColumn(
-            "rem_rank",
-            F.row_number().over(
-                W.orderBy(F.desc("remainder_num"), "source", "lang")
-            ),
-        )
-        .selectExpr(
-            "source",
-            "lang",
-            "n_docs",
-            "cast(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0"
-            " END AS bigint) AS alloc",
-        )
-    )
+    alloc = alloc_plan_df(d).select("source", "lang", "n_docs", "alloc")
     ranked = d.select(
         "source",
         "lang",
