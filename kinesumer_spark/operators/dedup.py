@@ -252,6 +252,29 @@ def _fold_expr(terms: list[str], mult: int, mod: int) -> str:
 # exact verify bit-for-bit and the driver hash-compares the final pair
 # set. (This is what rows-only status bought nothing over: approximate
 # RECALL does not mean irreproducible OUTPUT.)
+def _shingle_base_cte(src: str = "documents") -> str:
+    """CTE prefix ``w → s → e``: ``src`` → word arrays → per-doc shingle
+    lists (3-word, whole-text fallback) → exploded DISTINCT shingles
+    with the per-doc set size. The oracle-side twin of
+    :func:`_shingles`; factored out of :func:`_minhash_cte` (r13) so
+    non-LSH shingle consumers (n-gram novelty) replay the identical
+    shingle definition instead of re-deriving it."""
+    return f"""w AS (
+  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM {src}
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), e AS (
+  SELECT doc_id, lang, len(list_distinct(shingles)) AS n,
+         unnest(list_distinct(shingles)) AS shingle
+  FROM s
+)"""
+
+
 def _minhash_cte(src: str = "documents") -> str:
     """Shared CTE chain: ``src`` → shingles → signatures → band keys →
     candidates → exact-verify stats (``p``). Consumed by the pair oracle
@@ -271,16 +294,7 @@ def _minhash_cte(src: str = "documents") -> str:
             f"SELECT doc_id, lang, {i} AS band, {k1} AS key1, {k2} AS key2 FROM sig"
         )
     bands = "\n  UNION ALL ".join(band_rows)
-    return f"""w AS (
-  SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS words FROM {src}
-), s AS (
-  SELECT doc_id, lang,
-         CASE WHEN len(words) >= 3 THEN
-           list_transform(range(1, len(words) - 1),
-             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-         ELSE [array_to_string(words, ' ')] END AS shingles
-  FROM w
-), t AS (
+    return f"""{_shingle_base_cte(src)}, t AS (
   SELECT doc_id, lang, unnest(shingles) AS shingle FROM s
 ), hh AS (
   SELECT doc_id, lang, {h} AS h FROM t
@@ -295,10 +309,6 @@ def _minhash_cte(src: str = "documents") -> str:
   FROM bands a JOIN bands b
     ON a.lang = b.lang AND a.band = b.band
    AND a.key1 = b.key1 AND a.key2 = b.key2 AND a.doc_id < b.doc_id
-), e AS (
-  SELECT doc_id, lang, len(list_distinct(shingles)) AS n,
-         unnest(list_distinct(shingles)) AS shingle
-  FROM s
 ), p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          COUNT(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
@@ -2217,4 +2227,67 @@ def dedup_cdc_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum(F.col("clen") * F.col("cnt")) - F.sum("clen")
         ).cast("bigint").alias("chars_saved"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty profiling (memorization curve by arrival order)
+# --------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH {_shingle_base_cte()}, f AS (
+  SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+  FROM e GROUP BY shingle
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM e JOIN f ON f.shingle = e.shingle
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("text", "dedup", "audit"))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in doc_id (arrival) order: the share
+    of a document's distinct 3-gram shingles whose FIRST corpus
+    occurrence is that document. Pairwise dedup asks "does a partner
+    exist"; novelty asks "how much of this document is new at the time
+    it arrives" — the memorization/staleness curve a corpus audit reads
+    before deciding how much more of a source to ingest (exact copies
+    score 0 unless first; boilerplate-heavy docs score low even with no
+    single dominant partner). Corpus-global across langs on purpose:
+    novelty is a property of the text, not of a label. Reference has no
+    analog.
+
+    Shares the shingle definition with the entire LSH family
+    (:func:`_shingles` on the Spark side, :func:`_shingle_base_cte` in
+    the oracle — factored from ``_minhash_cte`` this round so a fourth
+    consumer could not re-derive it).
+
+    Scale (100 TB): one shingle explode + a min-groupBy on shingle +
+    one shingle-keyed join back — two shuffles of the (shingle, doc_id)
+    relation, no text movement past the explode, never all-pairs. The
+    min-aggregate is the same first-occurrence shape as dedup_exact's
+    keeper rule, lifted from digests to shingles."""
+    sh = _shingles(_t(spark, sf_dir, "documents")).select("doc_id", "shingle")
+    first = sh.groupBy("shingle").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    is_novel = F.expr("CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(is_novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(is_novel) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )

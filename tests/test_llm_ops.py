@@ -1101,3 +1101,33 @@ def test_eval_set_build_executes_allocation_exactly(spark):
     for r in built:
         assert r["n_selected"] == r["alloc"] == plan[(r["source"], r["lang"])]
         assert r["alloc"] <= r["n_docs"]
+
+
+def test_ngram_novelty_tracks_exact_dedup(spark):
+    """Novelty must agree with the registered tiers at the extremes:
+    a later exact copy scores 0 (every shingle first-seen in the
+    earlier copy), the first document scores 1.0, and corpus-wide
+    novel-shingle count equals the number of distinct shingles."""
+    nov = {r["doc_id"]: r for r in _run(spark, "text_ngram_novelty").collect()}
+    assert nov[0]["novelty"] == 1.0
+    # exact copies exist at sf0.1 but not at every gate SF - check when present
+    for r in _run(spark, "dedup_exact").collect():
+        if not r["is_canonical"]:
+            assert nov[r["doc_id"]]["n_novel"] == 0
+    # a verified near-dup's LATER side cannot count shared shingles as
+    # novel: n_novel(b) <= n_shingles(b) - shared(a, b)
+    pairs = _run(spark, "dedup_minhash_lsh").collect()
+    assert pairs
+    for p in pairs:
+        b = nov[p["doc_b"]]
+        assert b["n_novel"] <= b["n_shingles"] - p["shared"]
+    from kinesumer_spark.operators.dedup import _shingles
+    from kinesumer_spark.catalog import read_table
+
+    n_distinct = (
+        _shingles(read_table(spark, SF_SMALL, "documents"))
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in nov.values()) == n_distinct

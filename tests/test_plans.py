@@ -79,6 +79,7 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "text_tokenizer_fertility",
         "export_shard_plan",
         "sample_eval_set_build",
+        "text_ngram_novelty",
     ):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
