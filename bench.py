@@ -152,6 +152,7 @@ EXTENDED = [
     "export_shard_plan",
     "sample_eval_set_build",
     "text_ngram_novelty",
+    "split_repair_leakage",
     # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1),
     # stream_neardup_admit_ttl (same shape, bounded state),
     # pipeline_stream_admission_evolving (~23 s: the admit shape plus

@@ -1560,3 +1560,130 @@ def sample_eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# -- split repair: move leaked eval docs back to train -----------------------
+
+def _split_repair_oracle() -> str:
+    from kinesumer_spark.operators.dedup import _minhash_cte
+
+    return f"""
+WITH RECURSIVE {_minhash_cte()}, sp AS (
+  SELECT doc_id, {_split_case(_SPLIT_EXPR_DUCK)} AS split FROM documents
+), vp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  WHERE round(shared / CAST(na + nb - shared AS DOUBLE), 6) >= 0.5
+), hsh AS (
+  SELECT doc_id, sha256(text) AS ch FROM documents
+), hp AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY ch) AS doc_a, doc_id AS doc_b
+  FROM hsh
+), dup_edges AS (
+  SELECT doc_a, doc_b FROM vp
+  UNION SELECT doc_a, doc_b FROM hp WHERE doc_a <> doc_b
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_edges
+  UNION ALL SELECT doc_b, doc_a FROM dup_edges
+), walk AS (
+  SELECT DISTINCT src AS doc_id, src AS reach FROM edges
+  UNION
+  SELECT wk.doc_id, e2.dst FROM walk wk JOIN edges e2 ON e2.src = wk.reach
+), labels AS (
+  SELECT doc_id, MIN(reach) AS label FROM walk GROUP BY doc_id
+), alldocs AS (
+  SELECT sp.doc_id, sp.split, COALESCE(l.label, sp.doc_id) AS label
+  FROM sp LEFT JOIN labels l ON l.doc_id = sp.doc_id
+), rep AS (
+  SELECT doc_id, split,
+         split <> 'train' AND label IN (
+           SELECT DISTINCT label FROM alldocs WHERE split = 'train'
+         ) AS moved
+  FROM alldocs
+)
+SELECT CASE WHEN moved THEN 'train' ELSE split END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM rep
+GROUP BY 1
+ORDER BY split
+"""
+
+
+@register(
+    "split_repair_leakage",
+    oracle=_split_repair_oracle(),
+    tags=("training", "dedup", "audit", "iterative"),
+)
+def split_repair_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPAIR the contamination ``split_leakage_audit`` reports — by
+    CLOSURE, not by direct leaks alone: every eval document whose
+    duplicate-graph component (exact sha256 clusters ∪ verified
+    near-dup pairs) touches train moves to train, and the repaired
+    per-split ledger (counts, moved-in, id checksums) is emitted. The
+    audit→remediation pair mirrors ``text_decontaminate_spans`` →
+    ``text_decontaminate_excise``.
+
+    Why closure: moving only DIRECTLY-leaked docs can CREATE leakage —
+    an eval doc whose sole near-dup partner was another eval doc starts
+    leaking the moment that partner moves to train (chain case). Moving
+    the whole train-touching component is provably sufficient in one
+    pass: any partner of a remaining eval doc shares its component, and
+    a component with any train member was moved wholesale — pinned by a
+    test that re-probes both tiers against an independently-computed
+    union-find closure.
+
+    Scale: the audit's cost shape + ``connected_components`` over the
+    dup-edge graph (alternating-star contraction, O(log n) rounds over
+    |edges| — the dedup_clusters_lsh machinery reused verbatim); the
+    oracle closes the same edges with a recursive CTE."""
+    from kinesumer_spark.operators.dedup import (
+        connected_components,
+        minhash_pairs_df,
+    )
+
+    d = _t(spark, sf_dir)
+    sp = d.selectExpr(
+        "doc_id", f"{_split_case(_SPLIT_EXPR_SPARK)} AS split"
+    ).localCheckpoint(eager=False)
+
+    hashed = d.selectExpr("doc_id", "sha2(cast(text AS binary), 256) AS ch")
+    hp = hashed.select(
+        F.min("doc_id").over(W.partitionBy("ch")).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+    ).filter("doc_a <> doc_b")
+    dup_edges = (
+        minhash_pairs_df(d).select("doc_a", "doc_b").unionByName(hp).distinct()
+    )
+    labels, _ = connected_components(dup_edges)
+
+    alldocs = sp.join(labels, "doc_id", "left").withColumn(
+        "label", F.coalesce("label", "doc_id")
+    )
+    train_labels = (
+        alldocs.filter("split = 'train'").select("label").distinct()
+    )
+    flagged = alldocs.join(
+        train_labels.withColumn("has_train", F.lit(True)), "label", "left"
+    ).selectExpr(
+        "doc_id",
+        "split",
+        "split <> 'train' AND coalesce(has_train, false) AS moved",
+    )
+    return (
+        flagged.selectExpr(
+            "CASE WHEN moved THEN 'train' ELSE split END AS split",
+            "doc_id",
+            "moved",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN moved THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_moved_in"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )

@@ -1131,3 +1131,77 @@ def test_ngram_novelty_tracks_exact_dedup(spark):
         .count()
     )
     assert sum(r["n_novel"] for r in nov.values()) == n_distinct
+
+
+def test_split_repair_leaves_no_leakage(spark):
+    """The closure repair must be provably sufficient in ONE pass:
+    re-probing exact and near-dup tiers against the repaired assignment
+    finds zero eval leaks (including chain cases — an eval doc whose
+    only partner also moved), the corpus is conserved, moves only go
+    INTO train, and the moved count matches an independent union-find
+    closure over exact-hash clusters and verified near-dup pairs."""
+    import hashlib
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.training_prep import (
+        _SPLIT_EXPR_SPARK,
+        _split_case,
+    )
+
+    rep = {r["split"]: r for r in _run(spark, "split_repair_leakage").collect()}
+    d = read_table(spark, SF_SMALL, "documents")
+    assert sum(r["n_docs"] for r in rep.values()) == d.count()
+    assert rep["val"]["n_moved_in"] == 0 and rep["test"]["n_moved_in"] == 0
+
+    texts = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in d.selectExpr(
+            "doc_id", f"{_split_case(_SPLIT_EXPR_SPARK)} AS split"
+        ).collect()
+    }
+    # independent closure: union-find over exact-hash clusters + pairs
+    parent = {i: i for i in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_hash = {}
+    for i, t in texts.items():
+        by_hash.setdefault(hashlib.sha256(t.encode()).hexdigest(), []).append(i)
+    for ids in by_hash.values():
+        for j in ids[1:]:
+            union(ids[0], j)
+    pairs = _run(spark, "dedup_minhash_lsh").collect()
+    for p in pairs:
+        union(p["doc_a"], p["doc_b"])
+    train_roots = {find(i) for i, s in split_of.items() if s == "train"}
+    moved = {
+        i
+        for i, s in split_of.items()
+        if s != "train" and find(i) in train_roots
+    }
+    assert rep["train"]["n_moved_in"] == len(moved)
+    repaired = {i: ("train" if i in moved else s) for i, s in split_of.items()}
+    # leak-free re-probe, both tiers, INCLUDING chain cases
+    train_hashes = {
+        hashlib.sha256(texts[i].encode()).hexdigest()
+        for i, s in repaired.items()
+        if s == "train"
+    }
+    for i, s in repaired.items():
+        if s != "train":
+            assert (
+                hashlib.sha256(texts[i].encode()).hexdigest() not in train_hashes
+            )
+    for p in pairs:
+        a, b = p["doc_a"], p["doc_b"]
+        assert (repaired[a] == "train") == (repaired[b] == "train")

@@ -80,6 +80,7 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "export_shard_plan",
         "sample_eval_set_build",
         "text_ngram_novelty",
+        "split_repair_leakage",
     ):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
