@@ -1267,3 +1267,97 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         m("^v").alias("n_view_first"),
         m("p[^e]*$").alias("n_purchase_no_error_after"),
     )
+
+
+# -- Rolling z-score anomaly monitor over hourly event volume ----------------
+#
+# The on-call question "is this hour's traffic abnormal given the last
+# day": trailing-24h mean/std of hourly event counts, z-score per hour,
+# |z| > 3 flagged. Variance comes from INTEGER rolling sums
+# (24·Σx² − (Σx)² over int64 counts), so the only floats are a fixed
+# chain of single IEEE ops (two divisions, one sqrt, one subtraction)
+# — bit-exact cross-engine, no accumulation-order hazard. Warmup hours
+# (fewer than 24 in the frame) are excluded; a zero-variance frame
+# yields a NULL z (flat traffic is not anomalous).
+
+_ZSCORE_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), w AS (
+  SELECT hr, cnt,
+         COUNT(*) OVER win AS n,
+         CAST(SUM(cnt) OVER win AS BIGINT) AS s1,
+         CAST(SUM(cnt * cnt) OVER win AS BIGINT) AS s2
+  FROM h
+  WINDOW win AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       cnt,
+       round(s1 / 24.0, 6) AS mean_24h,
+       CASE WHEN 24 * s2 - s1 * s1 > 0 THEN
+         round((cnt - s1 / 24.0)
+               / sqrt((24 * s2 - s1 * s1) / (24.0 * 23)), 6)
+       END AS zscore,
+       CASE WHEN 24 * s2 - s1 * s1 > 0 THEN
+         abs((cnt - s1 / 24.0)
+             / sqrt((24 * s2 - s1 * s1) / (24.0 * 23))) > 3.0
+       ELSE FALSE END AS is_anomaly
+FROM w
+WHERE n = 24
+ORDER BY hour
+"""
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=_ZSCORE_ORACLE,
+    tags=("analytics", "quality", "timeseries"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour z-score anomaly monitor over hourly event
+    volume — the ingest-health alarm a pipeline reads next to the
+    chi-square mix monitor (``events_drift_chi2`` asks "did the TYPE
+    mix shift"; this asks "is the VOLUME abnormal"). |z| > 3 flags;
+    warmup hours excluded; zero-variance frames yield NULL z (flat
+    traffic is not anomalous). Non-vacuous at every SF (1–2 flagged
+    hours). Reference analog: none (its only time semantics are
+    processing-time ticks, kinesumer.go:636).
+
+    Scale: the stream-scale work is ONE keyed aggregate to hourly
+    counts (map-side combined); the rolling window runs on the bounded
+    hourly relation (744 rows/month — the single-partition window
+    caveat applies to that constant-size table, not the stream), with
+    integer rolling sums and a fixed single-op float chain per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir)
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    win = W.orderBy("hr").rowsBetween(-23, 0)
+    w = h.select(
+        "hr",
+        "cnt",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("cnt").over(win).cast("bigint").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(win).cast("bigint").alias("s2"),
+    ).filter("n = 24")
+    # double(24): Spark parses a bare 24.0 literal as DECIMAL and its
+    # decimal division truncates scale (z diverged in the 7th digit);
+    # DuckDB's 24.0 is already a double, so the casts pin both engines
+    # to the same IEEE ops
+    z = (
+        "(cnt - s1 / double(24))"
+        " / sqrt((24 * s2 - s1 * s1) / (double(24) * 23))"
+    )
+    return (
+        w.selectExpr(
+            "date_format(hr, 'yyyy-MM-dd HH:mm:ss') AS hour",
+            "cnt",
+            "round(s1 / double(24), 6) AS mean_24h",
+            f"CASE WHEN 24 * s2 - s1 * s1 > 0 THEN round({z}, 6) END AS zscore",
+            f"CASE WHEN 24 * s2 - s1 * s1 > 0 THEN abs({z}) > 3.0"
+            " ELSE FALSE END AS is_anomaly",
+        )
+        .orderBy("hour")
+    )

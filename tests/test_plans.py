@@ -81,6 +81,7 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "sample_eval_set_build",
         "text_ngram_novelty",
         "split_repair_leakage",
+        "events_anomaly_zscore",
     ):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
