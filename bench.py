@@ -154,6 +154,7 @@ EXTENDED = [
     "text_ngram_novelty",
     "split_repair_leakage",
     "events_anomaly_zscore",
+    "stream_anomaly_zscore",
     # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1),
     # stream_neardup_admit_ttl (same shape, bounded state),
     # pipeline_stream_admission_evolving (~23 s: the admit shape plus

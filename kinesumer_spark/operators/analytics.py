@@ -1330,10 +1330,22 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     caveat applies to that constant-size table, not the stream), with
     integer rolling sums and a fixed single-op float chain per row."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _t(spark, sf_dir)
-    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+    return zscore_from_hours(hourly_counts(_t(spark, sf_dir)))
+
+
+def hourly_counts(ev: DataFrame) -> DataFrame:
+    """(hr, cnt) — hourly event volume: the single stream-scale
+    aggregation of the volume monitor; shared by the batch query above
+    and its streaming twin (streaming/queries.py), mirroring the
+    drift_cells / chi2_from_cells split."""
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+def zscore_from_hours(h: DataFrame) -> DataFrame:
+    """Rolling z-score tail over an (hr, cnt) relation — runs on the
+    bounded hourly table (744 rows/month), never the stream."""
     win = W.orderBy("hr").rowsBetween(-23, 0)
     w = h.select(
         "hr",

@@ -5525,3 +5525,38 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(
         verdicts, "ks_stream_dsir_gate", stable=False
     ).orderBy("doc_id")
+
+
+def _stream_zscore_oracle() -> str:
+    from kinesumer_spark.operators.analytics import _ZSCORE_ORACLE
+
+    return _ZSCORE_ORACLE
+
+
+@register(
+    "stream_anomaly_zscore",
+    oracle=_stream_zscore_oracle(),
+    tags=("streaming", "quality", "timeseries"),
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling z-score volume monitor (operators/analytics.
+    events_anomaly_zscore) as a STREAMING complete-mode aggregation —
+    carried under the batch oracle verbatim, proving batch/stream
+    equivalence (the stream_drift_chi2 pattern): the hourly-count cells
+    accumulate statefully against the live feed (state = one counter
+    per hour in the horizon — bounded), and the rolling z-score tail
+    re-derives per trigger on the drained constant-size hourly table.
+    Together the pair watches both axes of ingest health on the stream:
+    chi-square for the TYPE mix, z-score for the VOLUME."""
+    from kinesumer_spark.operators.analytics import (
+        hourly_counts,
+        zscore_from_hours,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cells = hourly_counts(_events_stream(spark, sf_dir))
+    with _bounded_state_partitions(spark):  # one counter per hour
+        out = _run_to_table(
+            cells, "ks_stream_anomaly_zscore", mode="complete", stable=False
+        )
+    return zscore_from_hours(out)

@@ -1221,3 +1221,13 @@ def test_anomaly_zscore_flags_and_warmup(spark):
     for r in rows:
         if r["zscore"] is None:
             assert not r["is_anomaly"]
+
+
+def test_stream_zscore_equals_batch(spark):
+    """The streaming volume monitor must produce exactly the batch
+    op's rows once drained (same shared builders, same oracle)."""
+    batch = {r["hour"]: r for r in _run(spark, "events_anomaly_zscore").collect()}
+    stream = {r["hour"]: r for r in _run(spark, "stream_anomaly_zscore").collect()}
+    assert batch.keys() == stream.keys()
+    for h, r in batch.items():
+        assert stream[h] == r
