@@ -1231,3 +1231,35 @@ def test_stream_zscore_equals_batch(spark):
     assert batch.keys() == stream.keys()
     for h, r in batch.items():
         assert stream[h] == r
+
+
+def test_block_prefix_sum_equals_global_window(spark):
+    """The shared two-pass distributed prefix sum (block_running_offset
+    — consumed by pack_sequences, pipeline packing, and
+    export_shard_plan) must reproduce the plain global-window running
+    sum exactly, including across block boundaries, on an irregular
+    value pattern (not just the fixture corpus)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kinesumer_spark.operators.training_prep import block_running_offset
+
+    rows = [(i, (i * 37 + 11) % 97 + 1) for i in range(0, 523)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long").withColumn(
+        "block", F.expr("doc_id div 100")
+    )
+    got = {
+        r["doc_id"]: r["off"]
+        for r in block_running_offset(
+            df, "tokens", "doc_id", ["block"], "off"
+        ).collect()
+    }
+    win = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    expect = {
+        r["doc_id"]: r["off"]
+        for r in df.select(
+            "doc_id",
+            F.coalesce(F.sum("tokens").over(win), F.lit(0)).alias("off"),
+        ).collect()
+    }
+    assert got == expect

@@ -966,3 +966,47 @@ def test_hamilton_allocation_sql_properties(counts):
         assert alloc in (base, base + 1)
         quota = _EVAL_BUDGET * n_docs / total
         assert quota - 1 < alloc < quota + 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(h=st.integers(min_value=0, max_value=(1 << 32) - 1))
+def test_minhash_coefficients_stay_inside_int64(h):
+    """The documented overflow-safety claims of the MinHash tier
+    (dedup.py _COEF/_FOLD comments) hold for EVERY 32-bit hash value:
+    a·h + b < 2^63 for all 64 permutation pairs, and every polynomial
+    band-fold intermediate stays under 2^62 (so neither Spark's silent
+    int64 wrap nor DuckDB's overflow error can ever fire)."""
+    from kinesumer_spark.operators.dedup import _COEF, _FOLD, _P32
+
+    for a, b in _COEF:
+        assert a * h + b < 1 << 63
+        m = (a * h + b) % _P32
+        assert m < 1 << 33
+    # fold: k < Q < 2^30 at every step, k·M + h < 2^62 + 2^33
+    for mult, mod in _FOLD:
+        k = h % mod
+        for _ in range(4):
+            assert k * mult + h < 1 << 63
+            k = (k * mult + h) % mod
+            assert k < mod < 1 << 31
+
+
+@settings(max_examples=100, deadline=None)
+@given(tokens=st.integers(min_value=1, max_value=128))
+def test_length_bucket_ladder_matches_bisect(tokens):
+    """The integer CASE ladder must agree with the mathematical
+    definition (smallest listed power of two >= tokens) everywhere in
+    the supported range — the property ceil(log2()) would get wrong at
+    exact powers under float rounding."""
+    import duckdb
+
+    from kinesumer_spark.operators.training_prep import (
+        _LEN_BUCKETS,
+        _bucket_case,
+    )
+
+    expect = next((b for b in _LEN_BUCKETS if tokens <= b), -1)
+    got = duckdb.sql(
+        f"SELECT {_bucket_case(str(tokens))} AS b"
+    ).fetchone()[0]
+    assert got == expect
