@@ -1273,17 +1273,32 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The on-call question "is this hour's traffic abnormal given the last
 # day": trailing-24h mean/std of hourly event counts, z-score per hour,
-# |z| > 3 flagged. Variance comes from INTEGER rolling sums
-# (24·Σx² − (Σx)² over int64 counts), so the only floats are a fixed
-# chain of single IEEE ops (two divisions, one sqrt, one subtraction)
-# — bit-exact cross-engine, no accumulation-order hazard. Warmup hours
-# (fewer than 24 in the frame) are excluded; a zero-variance frame
-# yields a NULL z (flat traffic is not anomalous).
+# |z| > 3 flagged. The hourly grid is DENSIFIED before the window
+# (generate the min→max hour range, left-join counts, COALESCE 0 — r13
+# driver advice): observed hours alone would let the frame silently
+# span more wall-clock across gaps, and a total ingest outage — the
+# strongest volume anomaly — would be invisible to the alarm. Rolling
+# sums stay INTEGER (exact, no accumulation-order hazard); only the
+# per-row variance products run in double (24·Σx² and (Σx)² overflow
+# int64 once an hourly count exceeds ~1.1e8 — r13 driver advice — and
+# a non-ANSI Spark would wrap silently while DuckDB errors; int64→
+# double conversion and single IEEE products are deterministic and
+# identical cross-engine, unlike a windowed double SUM would be).
+# Remaining exact-integer bound: Σx² itself wraps past ~6e8 events/hr
+# (170k/s sustained — beyond any single reference stream). Warmup
+# hours (fewer than 24 in the frame) are excluded; a zero-variance
+# frame yields a NULL z (flat traffic is not anomalous).
 
 _ZSCORE_ORACLE = """
-WITH h AS (
+WITH h0 AS (
   SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1
+), g AS (
+  SELECT unnest(generate_series(MIN(hr), MAX(hr), INTERVAL 1 HOUR)) AS hr
+  FROM h0
+), h AS (
+  SELECT g.hr, CAST(COALESCE(h0.cnt, 0) AS BIGINT) AS cnt
+  FROM g LEFT JOIN h0 ON h0.hr = g.hr
 ), w AS (
   SELECT hr, cnt,
          COUNT(*) OVER win AS n,
@@ -1295,13 +1310,13 @@ WITH h AS (
 SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
        cnt,
        round(s1 / 24.0, 6) AS mean_24h,
-       CASE WHEN 24 * s2 - s1 * s1 > 0 THEN
+       CASE WHEN 24.0 * s2 - CAST(s1 AS DOUBLE) * s1 > 0 THEN
          round((cnt - s1 / 24.0)
-               / sqrt((24 * s2 - s1 * s1) / (24.0 * 23)), 6)
+               / sqrt((24.0 * s2 - CAST(s1 AS DOUBLE) * s1) / (24.0 * 23)), 6)
        END AS zscore,
-       CASE WHEN 24 * s2 - s1 * s1 > 0 THEN
+       CASE WHEN 24.0 * s2 - CAST(s1 AS DOUBLE) * s1 > 0 THEN
          abs((cnt - s1 / 24.0)
-             / sqrt((24 * s2 - s1 * s1) / (24.0 * 23))) > 3.0
+             / sqrt((24.0 * s2 - CAST(s1 AS DOUBLE) * s1) / (24.0 * 23))) > 3.0
        ELSE FALSE END AS is_anomaly
 FROM w
 WHERE n = 24
@@ -1345,9 +1360,20 @@ def hourly_counts(ev: DataFrame) -> DataFrame:
 
 def zscore_from_hours(h: DataFrame) -> DataFrame:
     """Rolling z-score tail over an (hr, cnt) relation — runs on the
-    bounded hourly table (744 rows/month), never the stream."""
+    bounded hourly table (744 rows/month), never the stream. Densifies
+    the hourly grid first (see the module note: a zero-event hour must
+    appear as cnt=0, or the frame silently spans gaps and an outage is
+    invisible); both consumers — the batch query and the streaming twin
+    that drains its stateful hourly counts — inherit the densify here,
+    so the twins cannot drift."""
+    grid = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")).selectExpr(
+        "explode(sequence(lo, hi, interval 1 hour)) AS hr"
+    )
+    dense = grid.join(h, "hr", "left").selectExpr(
+        "hr", "CAST(COALESCE(cnt, 0) AS bigint) AS cnt"
+    )
     win = W.orderBy("hr").rowsBetween(-23, 0)
-    w = h.select(
+    w = dense.select(
         "hr",
         "cnt",
         F.count(F.lit(1)).over(win).alias("n"),
@@ -1357,18 +1383,17 @@ def zscore_from_hours(h: DataFrame) -> DataFrame:
     # double(24): Spark parses a bare 24.0 literal as DECIMAL and its
     # decimal division truncates scale (z diverged in the 7th digit);
     # DuckDB's 24.0 is already a double, so the casts pin both engines
-    # to the same IEEE ops
-    z = (
-        "(cnt - s1 / double(24))"
-        " / sqrt((24 * s2 - s1 * s1) / (double(24) * 23))"
-    )
+    # to the same IEEE ops. The variance products run in double (NOT the
+    # sums — see the module note's overflow/exactness split).
+    var = "(double(24) * s2 - double(s1) * s1)"
+    z = f"(cnt - s1 / double(24)) / sqrt({var} / (double(24) * 23))"
     return (
         w.selectExpr(
             "date_format(hr, 'yyyy-MM-dd HH:mm:ss') AS hour",
             "cnt",
             "round(s1 / double(24), 6) AS mean_24h",
-            f"CASE WHEN 24 * s2 - s1 * s1 > 0 THEN round({z}, 6) END AS zscore",
-            f"CASE WHEN 24 * s2 - s1 * s1 > 0 THEN abs({z}) > 3.0"
+            f"CASE WHEN {var} > 0 THEN round({z}, 6) END AS zscore",
+            f"CASE WHEN {var} > 0 THEN abs({z}) > 3.0"
             " ELSE FALSE END AS is_anomaly",
         )
         .orderBy("hour")

@@ -1049,6 +1049,22 @@ def pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUDGET_MULT = 2  # budget = _BUDGET_MULT × total corpus tokens
 _EPOCH_CAP_NUM, _EPOCH_CAP_DEN = 5, 2  # cap = 5/2 = 2.5 epochs, kept rational
 
+# The water-filling redistribution divides by the uncapped languages'
+# token pool with NO zero guard — that is safe only while
+# _BUDGET_MULT < _EPOCH_CAP_NUM/_EPOCH_CAP_DEN: "every language capped"
+# would mean cap·T < budget = _BUDGET_MULT·T, impossible under the
+# inequality, so at least one language always stays uncapped. The
+# invariant is load-bearing in BOTH engines (r13 driver advice —
+# independently raising _BUDGET_MULT or lowering the cap would turn
+# every extra_tokens into a silent NULL); fail at import, not with
+# NULLs at plan time.
+assert _BUDGET_MULT * _EPOCH_CAP_DEN < _EPOCH_CAP_NUM, (
+    "mix_epoch_planner's zero-guard-free water-filling requires "
+    "_BUDGET_MULT < _EPOCH_CAP_NUM/_EPOCH_CAP_DEN (an all-capped corpus "
+    "must be impossible); add an explicit all-capped branch before "
+    "weakening this."
+)
+
 _EPOCH_ORACLE = f"""
 WITH t AS (
   SELECT lang,
@@ -1296,8 +1312,19 @@ def sample_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFram
 # Inference/finetune batching pads every sequence in a batch to the
 # batch max; bucketing sequences by length bounds that waste. Buckets
 # are the fixed power-of-two ladder (integer CASE, no float log2 —
-# LOG2 at exact powers is the classic cross-engine ulp trap).
-_LEN_BUCKETS = (16, 32, 64, 128)
+# LOG2 at exact powers is the classic cross-engine ulp trap). The
+# ladder runs to 65536 — far past this corpus' max, and past any
+# plausible single-document token count short of book-length outliers
+# — because a doc beyond the top rung falls into ONE catch-all bucket
+# whose pad arithmetic treats an unbounded length range as one
+# batchable group (r13 driver advice: the fixture corpus never
+# exercised that row, so it reported silently). The catch-all that
+# remains is labeled with an explicit ``overflow`` flag rather than
+# only the -1 sentinel, and tests/test_llm_ops.py covers it with a
+# synthetic beyond-ladder corpus.
+_LEN_BUCKETS = (
+    16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536,
+)
 
 
 def _bucket_case(tok: str) -> str:
@@ -1319,6 +1346,7 @@ WITH t AS (
   FROM t
 )
 SELECT bucket,
+       bucket = -1 AS overflow,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
        CAST(MAX(tokens) AS BIGINT) AS bucket_max,
@@ -1360,6 +1388,14 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tokens")
     )
+    return length_bucket_audit(t)
+
+
+def length_bucket_audit(t: DataFrame) -> DataFrame:
+    """The bucket/pad rollup over a (doc_id, tokens) relation —
+    extracted so the overflow path (docs beyond the ladder's top rung,
+    absent from the fixture corpus) is unit-testable on synthetic
+    lengths (r13 driver advice)."""
     cmax = t.groupBy().agg(F.max("tokens").cast("bigint").alias("corpus_max"))
     b = t.crossJoin(F.broadcast(cmax)).selectExpr(
         "doc_id",
@@ -1386,6 +1422,16 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double"),
                 6,
             ).alias("pad_ratio"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") == -1).alias("overflow"),
+            "n_docs",
+            "sum_tokens",
+            "bucket_max",
+            "bucket_pad",
+            "naive_pad",
+            "pad_ratio",
         )
         .orderBy("bucket")
     )

@@ -1049,11 +1049,14 @@ def test_proportional_allocation_sums_to_budget(spark):
 
 
 def test_length_buckets_account_every_document(spark):
-    """Bucket audit invariants: every document lands in a bucket (no
-    -1 overflow on this corpus), totals reconcile with the corpus, and
+    """Bucket audit invariants: every document lands in a real rung (no
+    overflow row on this corpus), totals reconcile with the corpus, and
     bucketed padding is never worse than naive padding."""
+    from kinesumer_spark.operators.training_prep import _LEN_BUCKETS
+
     rows = _run(spark, "pack_length_buckets").collect()
-    assert all(r["bucket"] in (16, 32, 64, 128) for r in rows)
+    assert all(r["bucket"] in _LEN_BUCKETS for r in rows)
+    assert not any(r["overflow"] for r in rows)
     from kinesumer_spark.catalog import read_table
 
     n = read_table(spark, SF_SMALL, "documents").count()
@@ -1061,6 +1064,33 @@ def test_length_buckets_account_every_document(spark):
     for r in rows:
         assert r["bucket_pad"] <= r["naive_pad"]
         assert 0.0 <= r["pad_ratio"] <= 1.0
+
+
+def test_length_buckets_overflow_path(spark):
+    """The beyond-ladder path the fixture corpus never exercises (r13
+    driver advice): docs longer than the top rung land in ONE
+    explicitly-flagged overflow row (bucket = -1, overflow = true)
+    whose pad arithmetic still treats them as one group padded to the
+    group max — reported, not hidden."""
+    from kinesumer_spark.operators.training_prep import (
+        _LEN_BUCKETS,
+        length_bucket_audit,
+    )
+
+    top = _LEN_BUCKETS[-1]
+    t = spark.createDataFrame(
+        [(1, 10), (2, top), (3, top + 1), (4, top * 2)],
+        "doc_id bigint, tokens bigint",
+    )
+    rows = {r["bucket"]: r for r in length_bucket_audit(t).collect()}
+    assert set(rows) == {16, top, -1}
+    ov = rows[-1]
+    assert ov["overflow"] and not rows[16]["overflow"]
+    assert ov["n_docs"] == 2
+    assert ov["bucket_max"] == top * 2
+    # pad to the overflow group's own max, not the ladder top
+    assert ov["bucket_pad"] == (top * 2) - (top + 1)
+    assert ov["naive_pad"] == ov["bucket_pad"]  # corpus max IS this group's max
 
 
 def test_export_shard_plan_partitions_corpus(spark):
@@ -1221,6 +1251,29 @@ def test_anomaly_zscore_flags_and_warmup(spark):
     for r in rows:
         if r["zscore"] is None:
             assert not r["is_anomaly"]
+
+
+def test_zscore_densifies_gaps(spark):
+    """A zero-event hour — the strongest volume anomaly — must appear
+    in the monitor as cnt=0 and flag, not silently vanish from the
+    trailing frame (r13 driver advice: observed-hours-only framing made
+    a total ingest outage invisible)."""
+    from kinesumer_spark.operators.analytics import zscore_from_hours
+
+    hours = [
+        (f"2024-01-0{1 + i // 24} {i % 24:02d}:00:00", 100)
+        for i in range(30)
+        if i != 27  # total outage at hour 27: NO row arrives
+    ]
+    h = spark.createDataFrame(hours, "hr_s string, cnt bigint").selectExpr(
+        "CAST(hr_s AS timestamp) AS hr", "cnt"
+    )
+    rows = {r["hour"]: r for r in zscore_from_hours(h).collect()}
+    outage = rows["2024-01-02 03:00:00"]
+    assert outage["cnt"] == 0
+    assert outage["is_anomaly"] and outage["zscore"] < -3
+    # steady hours before the outage are not anomalous
+    assert not rows["2024-01-02 02:00:00"]["is_anomaly"]
 
 
 def test_stream_zscore_equals_batch(spark):

@@ -992,7 +992,7 @@ def test_minhash_coefficients_stay_inside_int64(h):
 
 
 @settings(max_examples=100, deadline=None)
-@given(tokens=st.integers(min_value=1, max_value=128))
+@given(tokens=st.integers(min_value=1, max_value=140_000))
 def test_length_bucket_ladder_matches_bisect(tokens):
     """The integer CASE ladder must agree with the mathematical
     definition (smallest listed power of two >= tokens) everywhere in
