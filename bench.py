@@ -57,6 +57,22 @@ HEADLINE = [
 # registered validations that build exact references (dedup_semantic's
 # theta join) are correctness gates, not benchmarks.
 EXTENDED = [
+    # Streaming protocol-floor rows run FIRST (r13 verdict #4): their
+    # cost is dominated by microbatch scheduling + state commits, which
+    # a heated session (JVM old-gen pressure + code-cache churn after
+    # ~80 prior queries) inflates 2-3× over idle min-of-3 — every round
+    # burned an adjudication cycle on exactly these rows. Running them
+    # before the session heats makes the committed capture track the
+    # idle truth; their seconds still land in extended_total like
+    # everything else.
+    "stream_decontaminate_gate",
+    "stream_neardup_gate",
+    "stream_neardup_gate_shuffled",  # r14: the over-cap degrade layout
+    "stream_neardup_gate_bucketed",  # r14: the bucketed 100 TB layout
+    "stream_semantic_gate",
+    "stream_dsir_gate",
+    "stream_anomaly_zscore",
+    "pipeline_stream_admission",
     "events_attribution",
     "events_attribution_linear",
     "scd2_customer_priority",
@@ -129,9 +145,9 @@ EXTENDED = [
     "dedup_lsh_param_audit",
     "text_decontaminate_excise",
     "text_lang_confusion",
-    "stream_decontaminate_gate",
-    "stream_neardup_gate",
-    "pipeline_stream_admission",
+    # (stream_decontaminate_gate / stream_neardup_gate /
+    #  pipeline_stream_admission moved to the protocol-floor front
+    #  block, r13 verdict #4)
     # r12: the remaining r11 batch operators (r11 verdict #3 — an
     # operator is not done until its bench row lands in the same round)
     "pack_bins_greedy",
@@ -141,8 +157,8 @@ EXTENDED = [
     # r13 additions
     "text_lang_id_ngram",
     "text_lang_confusion_ngram",
-    "stream_semantic_gate",
-    "stream_dsir_gate",
+    # (stream_semantic_gate / stream_dsir_gate moved to the
+    #  protocol-floor front block, r13 verdict #4)
     "pipeline_admission_multimodal",
     "split_leakage_audit",
     "mix_epoch_planner",
@@ -154,7 +170,15 @@ EXTENDED = [
     "text_ngram_novelty",
     "split_repair_leakage",
     "events_anomaly_zscore",
-    "stream_anomaly_zscore",
+    # (stream_anomaly_zscore moved to the protocol-floor front block)
+    # EXCLUDED (r14): stream_neardup_admit_compacted (two admission
+    # phases + an index-maintenance streaming query + a cold bootstrap
+    # — compaction/bootstrap PROTOCOL, the data plane is benched via
+    # stream_neardup_gate*) and pipeline_stream_training (the evolving
+    # admission shape (~23 s, excluded r13) plus the in-row DSIR screen
+    # — its stateless screens are benched via the gate rows and
+    # pipeline_stream_admission; the stateful branch via
+    # stream_neardup_gate's data plane). Costs recorded in SCALE.md r14.
     # EXCLUDED (r13): stream_neardup_admit (~15.4 s at sf0.1),
     # stream_neardup_admit_ttl (same shape, bounded state),
     # pipeline_stream_admission_evolving (~23 s: the admit shape plus

@@ -498,20 +498,28 @@ def stream_inrow_band_probe(df: DataFrame, sentinel: bool = False) -> DataFrame:
 
 
 # Above this many corpus documents the gates drop their broadcast hints
-# and let the planner shuffle the probe join instead: the broadcast
-# sides (minhash_band_keys ≈ 16 rows/doc of bigints; shingle_sets ≈ the
+# and pin the shuffled stream-static join instead: the broadcast sides
+# (minhash_band_keys ≈ 16 rows/doc of bigints; shingle_sets ≈ the
 # corpus' distinct-shingle text) grow linearly with the corpus, and an
 # oversized explicit hint fails the job at the driver instead of
-# degrading (r13, driver advice — SCALE.md records the bound).
+# degrading (r13, driver advice — SCALE.md records the bound). The
+# over-cap branch hints SHUFFLE_HASH rather than merely dropping the
+# broadcast hint: at a true over-cap corpus the index side exceeds
+# spark.sql.autoBroadcastJoinThreshold anyway, so the planner would
+# shuffle regardless — the explicit hint makes the cap-forced fixture
+# variant (stream_neardup_gate_shuffled) execute the SAME physical
+# shape at sf scale instead of being silently auto-broadcast back.
 _STREAM_INDEX_BROADCAST_CAP = 100_000
 
 
-def _maybe_broadcast(df: DataFrame, n_docs: int | None) -> DataFrame:
-    return (
-        F.broadcast(df)
-        if n_docs is not None and n_docs <= _STREAM_INDEX_BROADCAST_CAP
-        else df
-    )
+def _maybe_broadcast(
+    df: DataFrame, n_docs: int | None, cap: int = _STREAM_INDEX_BROADCAST_CAP
+) -> DataFrame:
+    """Size-gated probe-side hint: broadcast at-or-under ``cap`` corpus
+    docs, SHUFFLE_HASH past it (the r14 degrade — see the cap note)."""
+    if n_docs is not None and n_docs <= cap:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
 
 
 def stream_neardup_partners(
@@ -519,6 +527,9 @@ def stream_neardup_partners(
     batch_docs: DataFrame,
     n_corpus_docs: int | None = None,
     threshold: float = 0.5,
+    broadcast_cap: int = _STREAM_INDEX_BROADCAST_CAP,
+    index: DataFrame | None = None,
+    corpus_sets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, corpus_id, jaccard) — each stream doc's VERIFIED
     near-dup partners against a static corpus index, plus one sentinel
@@ -529,9 +540,17 @@ def stream_neardup_partners(
     corpus shingle sets → exact-Jaccard verify at ``threshold``.
 
     The shared core of stream_neardup_gate (r13 extraction, driver
-    advice). Broadcast hints are size-gated on ``n_corpus_docs``
-    (``_STREAM_INDEX_BROADCAST_CAP``): past the cap the plan degrades
-    to a shuffled stream-static join instead of failing at the driver.
+    advice). Broadcast hints are size-gated on ``n_corpus_docs`` vs
+    ``broadcast_cap`` (default ``_STREAM_INDEX_BROADCAST_CAP``): past
+    the cap the plan degrades to a SHUFFLE_HASH stream-static join
+    instead of failing at the driver — stream_neardup_gate_shuffled
+    passes ``broadcast_cap=0`` so the degrade branch runs oracle-green
+    at fixture scale (r13 verdict item: the over-cap path must EXECUTE,
+    not just exist; reference analog: the exercised shard-cache
+    fallback, syncclient.go:101-106). Callers with a pre-laid-out index
+    (the bucketed 100 TB shape, stream_neardup_gate_bucketed) pass
+    ``index`` / ``corpus_sets`` explicitly — used AS GIVEN, no hints
+    added, so a bucketed table's co-located layout survives planning.
     Self-matches (corpus_id = doc_id) are excluded; the same partner
     verifying in several bands is deduplicated by the caller's
     ``collect_set`` (exactly as the batch tier's candidate distinct).
@@ -540,14 +559,23 @@ def stream_neardup_partners(
     here (SCALE.md r13): per-microbatch re-planning of the extra
     exchanges costs more in stage scheduling than the single-split map
     stages they would parallelize."""
-    index = minhash_band_keys(batch_docs).withColumnRenamed(
-        "doc_id", "corpus_id"
-    )
-    corpus_sets = shingle_sets(batch_docs).selectExpr(
-        "doc_id AS corpus_id", "sh AS sh_c", "n AS nc"
-    )
+    idx_given = index is not None
+    sets_given = corpus_sets is not None
+    if index is None:
+        index = minhash_band_keys(batch_docs).withColumnRenamed(
+            "doc_id", "corpus_id"
+        )
+    if corpus_sets is None:
+        corpus_sets = shingle_sets(batch_docs).selectExpr(
+            "doc_id AS corpus_id", "sh AS sh_c", "n AS nc"
+        )
     probe = stream_inrow_band_probe(stream, sentinel=True)
-    idx = _maybe_broadcast(index, n_corpus_docs)
+    idx = index if idx_given else _maybe_broadcast(index, n_corpus_docs, broadcast_cap)
+    sets = (
+        corpus_sets
+        if sets_given
+        else _maybe_broadcast(corpus_sets, n_corpus_docs, broadcast_cap)
+    )
     return (
         probe.join(
             idx,
@@ -557,7 +585,7 @@ def stream_neardup_partners(
         .filter(
             F.expr("band = -1 OR (corpus_id IS NOT NULL AND corpus_id != doc_id)")
         )
-        .join(_maybe_broadcast(corpus_sets, n_corpus_docs), "corpus_id", "left")
+        .join(sets, "corpus_id", "left")
         .selectExpr(
             "doc_id",
             "corpus_id",

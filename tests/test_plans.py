@@ -870,3 +870,70 @@ def test_split_leakage_audit_stays_jvm_and_semi_joins(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "LeftSemi" in plan, plan
+
+
+def test_stream_neardup_gate_strategy_flips_at_cap(spark):
+    """The over-cap streaming-index degrade path (r13 verdict #3) must
+    EXECUTE, not just exist, and the three gate variants must carry the
+    three intended physical layouts in their executed microbatch plans:
+
+      - under the cap (stream_neardup_gate): both corpus probe sides
+        arrive by BroadcastExchange / BroadcastHashJoin;
+      - past the cap (stream_neardup_gate_shuffled, broadcast_cap=0 —
+        the same code path a >100k-doc corpus takes): NO broadcast
+        anywhere, both probe joins ShuffledHashJoin behind explicit
+        exchanges;
+      - the 100 TB layout (stream_neardup_gate_bucketed): SortMergeJoin
+        over bucketed index tables, NO broadcast AND strictly fewer
+        exchanges than the shuffled variant — the index-side shuffles
+        are gone because the bucketed layout pre-paid them at write
+        time (Bucketed: true scans in-plan).
+
+    All three return the identical verdict relation (same registered
+    oracle); this test pins only the physical strategy flip."""
+    from kinesumer_spark.streaming.queries import LAST_STREAM_PLAN
+
+    def phys(name):
+        _df(spark, name).collect()
+        full = LAST_STREAM_PLAN[f"ks_{name}"]
+        return full.split("== Physical Plan ==")[-1]
+
+    p_bcast = phys("stream_neardup_gate")
+    assert p_bcast.count("BroadcastHashJoin") == 2, p_bcast
+    assert "ShuffledHashJoin" not in p_bcast, p_bcast
+
+    p_shuf = phys("stream_neardup_gate_shuffled")
+    assert "BroadcastExchange" not in p_shuf, p_shuf
+    assert "BroadcastHashJoin" not in p_shuf, p_shuf
+    assert p_shuf.count("ShuffledHashJoin") == 2, p_shuf
+
+    p_bkt = phys("stream_neardup_gate_bucketed")
+    assert "BroadcastExchange" not in p_bkt, p_bkt
+    assert p_bkt.count("SortMergeJoin") == 2, p_bkt
+    assert "Bucketed: true" in p_bkt, p_bkt
+    assert p_bkt.count("Exchange") < p_shuf.count("Exchange"), (
+        p_bkt,
+        p_shuf,
+    )
+
+
+def test_maybe_broadcast_cap_branches(spark):
+    """_maybe_broadcast: broadcast hint at-or-under the cap, SHUFFLE_HASH
+    hint past it (never an unhinted fall-through that sf-scale
+    auto-broadcast would silently re-promote)."""
+    from kinesumer_spark.operators.dedup import (
+        _STREAM_INDEX_BROADCAST_CAP,
+        _maybe_broadcast,
+    )
+
+    df = spark.range(3)
+    under = _maybe_broadcast(df, _STREAM_INDEX_BROADCAST_CAP)
+    over = _maybe_broadcast(df, _STREAM_INDEX_BROADCAST_CAP + 1)
+    unknown = _maybe_broadcast(df, None)
+    assert "strategy=broadcast" in (
+        under._jdf.queryExecution().analyzed().toString()
+    )
+    for d in (over, unknown):
+        assert "strategy=shuffle_hash" in (
+            d._jdf.queryExecution().analyzed().toString()
+        )
