@@ -72,6 +72,7 @@ EXTENDED = [
     "stream_semantic_gate",
     "stream_dsir_gate",
     "stream_anomaly_zscore",
+    "stream_lang_id_gate",  # r14: stateless in-row classifier on the stream
     "pipeline_stream_admission",
     "events_attribution",
     "events_attribution_linear",
@@ -170,8 +171,15 @@ EXTENDED = [
     "text_ngram_novelty",
     "split_repair_leakage",
     "events_anomaly_zscore",
+    # r14 additions
+    "source_domain_cap",
+    "source_token_drift_chi2",
     # (stream_anomaly_zscore moved to the protocol-floor front block)
-    # EXCLUDED (r14): stream_neardup_admit_compacted (two admission
+    # EXCLUDED (r14): stream_source_cap_admit (4 chunked arrival
+    # microbatches through a python-stateful counter — the same
+    # multi-microbatch protocol shape as the excluded admit family; its
+    # data plane is benched via the batch twin source_domain_cap),
+    # stream_neardup_admit_compacted (two admission
     # phases + an index-maintenance streaming query + a cold bootstrap
     # — compaction/bootstrap PROTOCOL, the data plane is benched via
     # stream_neardup_gate*) and pipeline_stream_training (the evolving

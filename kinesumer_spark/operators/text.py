@@ -1492,6 +1492,213 @@ def source_quality_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Per-source domain cap (the URL/domain frequency cap) --------------------
+#
+# CC-scale corpora cap documents per domain so one boilerplate farm or
+# mirror cluster cannot dominate the mix. Priority inside a source is
+# deterministic (doc_id ascending = arrival order elsewhere in the
+# repo); K is small enough that both branches are non-vacuous at every
+# SF (25 docs/source in the fixtures).
+_SRC_CAP_K = 10
+
+_SRC_CAP_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+           AS arrival_rank
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN arrival_rank <= {_SRC_CAP_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN arrival_rank > {_SRC_CAP_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN arrival_rank <= {_SRC_CAP_K} THEN doc_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "source_domain_cap",
+    oracle=_SRC_CAP_ORACLE,
+    tags=("text", "quality", "pipeline", "source"),
+)
+def source_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the domain-frequency cap every
+    CC-scale pipeline applies before mixing (one mirror farm must not
+    dominate): keep the first {K} documents per source in
+    deterministic priority order (doc_id ascending), report the
+    kept/dropped ledger per source with a kept-id checksum so the
+    exact survivor SET (not just its size) is pinned cross-engine.
+    Complements source_quality_ledger (which scores sources; this
+    bounds them) and the streaming twin stream_source_cap_admit (the
+    same cap enforced incrementally on the ingest stream).
+
+    Scale: one scan → a rank window partitioned by source → a
+    |sources|-row rollup. The window shuffles on source, so ONE hot
+    domain is one fat partition: at 100 TB the production form
+    pre-aggregates per-source counts (map-side combine, |sources|
+    rows), broadcasts the under-cap source list — those rows pass with
+    NO rank work — and runs the rank window only over the few over-cap
+    sources' rows, which the cap then truncates to K each; the ledger
+    below is the same relation either way. Reference analog: none (the
+    reference delegates corpus governance to its application)."""
+    d = _t(spark, sf_dir)
+    r = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("doc_id"))
+        .alias("arrival_rank"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("arrival_rank") <= _SRC_CAP_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("arrival_rank") > _SRC_CAP_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(
+                    F.col("arrival_rank") <= _SRC_CAP_K, F.col("doc_id")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- Per-source token-distribution drift (chi-square over hashed buckets) ----
+#
+# "Which source's vocabulary shifted" — the token-level twin of
+# events_drift_chi2's type-mix monitor: a source × hashed-token-bucket
+# contingency table, per-cell chi-square contributions under the
+# events_drift_chi2 float discipline (integer marginals exact in
+# double, ONE division, three IEEE ops, round(·,6), DECIMAL sum — no
+# accumulation-order hazard), rolled up per source. A boilerplate farm
+# or template-spam source shows as the top drift_rank long before any
+# per-document screen fires.
+_SRC_DRIFT_B = 512  # buckets: enough resolution, bounded contingency
+
+
+def _src_drift_oracle() -> str:
+    from kinesumer_spark.operators.dedup import _sha32_duck
+
+    return f"""
+WITH tok AS (
+  SELECT source,
+         {_sha32_duck("unnest(regexp_split_to_array(text, ' '))")}
+           % {_SRC_DRIFT_B} AS bucket
+  FROM documents
+), cells AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT source, bucket, n_obs,
+         SUM(n_obs) OVER (PARTITION BY source) AS rt,
+         SUM(n_obs) OVER (PARTITION BY bucket) AS ct,
+         SUM(n_obs) OVER () AS n
+  FROM cells
+), scored AS (
+  SELECT source, n_obs, rt,
+         round(
+           (n_obs - CAST(rt * ct AS DOUBLE) / n)
+           * (n_obs - CAST(rt * ct AS DOUBLE) / n)
+           / (CAST(rt * ct AS DOUBLE) / n), 6) AS contrib
+  FROM tot
+), per_src AS (
+  SELECT source,
+         CAST(MAX(rt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2_source
+  FROM scored GROUP BY source
+)
+SELECT source, n_tokens, n_cells, chi2_source,
+       CAST(ROW_NUMBER() OVER (ORDER BY chi2_source DESC, source)
+            AS BIGINT) AS drift_rank
+FROM per_src
+ORDER BY source
+"""
+
+
+@register(
+    "source_token_drift_chi2",
+    oracle=_src_drift_oracle(),
+    tags=("text", "quality", "source", "analytics"),
+)
+def source_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: chi-square contributions of
+    the source × hashed-token-bucket contingency table, rolled up per
+    source and ranked — "whose vocabulary looks least like the
+    corpus". events_drift_chi2 watches the EVENT-TYPE mix over time;
+    this watches the TOKEN mix over sources, the corpus-governance
+    axis (template spam, boilerplate farms, wrong-language mirrors
+    surface here before any per-document screen).
+
+    Float discipline is events_drift_chi2's, verbatim: expected counts
+    are integer-marginal products (exact in double far past this
+    scale) with ONE division; each cell contributes three IEEE ops +
+    round(·,6); the per-source total is an order-independent DECIMAL
+    sum of rounded cells. All-integer until the final fixed chain —
+    hash-exact cross-engine.
+
+    Scale: one scan → map-side (source, bucket) combine (≤ |sources|
+    × {B} cells); three window sums over the bounded cell relation;
+    the rollup is |sources| rows. The hash is the repo's portable
+    sha-32 (shared with the DSIR/LSH tiers)."""
+    from kinesumer_spark.operators.dedup import _sha32
+
+    d = _t(spark, sf_dir)
+    cells = (
+        d.selectExpr(
+            "source",
+            f"explode(transform(split(text, ' '), s -> {_sha32('s')}"
+            f" % {_SRC_DRIFT_B})) AS bucket",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = cells.select(
+        "source",
+        "n_obs",
+        F.sum("n_obs").over(W.partitionBy("source")).alias("rt"),
+        F.sum("n_obs").over(W.partitionBy("bucket")).alias("ct"),
+        F.sum("n_obs").over(W.partitionBy()).alias("n"),
+    )
+    scored = tot.selectExpr(
+        "source",
+        "n_obs",
+        "rt",
+        "round((n_obs - cast(rt * ct AS double) / n)"
+        " * (n_obs - cast(rt * ct AS double) / n)"
+        " / (cast(rt * ct AS double) / n), 6) AS contrib",
+    )
+    per_src = scored.groupBy("source").agg(
+        F.max("rt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.col("contrib").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("chi2_source"),
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_cells",
+        "chi2_source",
+        F.row_number()
+        .over(W.orderBy(F.desc("chi2_source"), F.col("source")))
+        .cast("bigint")
+        .alias("drift_rank"),
+    ).orderBy("source")
+
+
 # -- N-gram language-model counts (the count-based-LM / KN-smoothing prep) ---
 
 _LM_TOP = 30
@@ -2522,6 +2729,22 @@ ORDER BY doc_id
 """
 
 
+def ct_lang_profiles(grams: DataFrame) -> DataFrame:
+    """(lang, gram, lrank) — the per-language top-K trigram rank
+    profiles over the labeled training slice (doc_id % _CT_TRAIN_MOD
+    = 0): count desc, gram lexicographic ties. Extracted (r14) so the
+    streaming gate bakes the IDENTICAL profiles the batch classifier
+    joins — one training pass, two consumers, zero fork."""
+    lw = W.partitionBy("lang").orderBy(F.desc("n"), F.col("gram"))
+    return (
+        grams.filter(F.col("doc_id") % _CT_TRAIN_MOD == 0)
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lrank", F.row_number().over(lw))
+        .filter(F.col("lrank") <= _CT_K)
+    )
+
+
 @register("text_lang_id_ngram", oracle=_LANG_NGRAM_ORACLE, tags=("text",))
 def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram rank-profile language ID (Cavnar–Trenkle 1994 —
@@ -2539,70 +2762,111 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Σ log p (glibc-vs-JVM ulp drift, the text_lm_doc_score rule), so
     the oracle replays the classifier bit-for-bit, training included.
 
-    Scale: the gram explode is bounded ({prefix} chars/doc regardless
-    of doc length — lang-id saturates in a few hundred chars); the
-    model is |langs|·K rows broadcast into the scoring join; two
-    aggregates (doc profile, distance rollup) shuffle ≤ docs·K rows.
-    Reference analog: per-payload classification the consumer app runs
-    on delivered records (README.md:67-70)."""
+    Scale (r14 rewrite): the training pass is unchanged (gram explode
+    bounded by the {prefix}-char cap, one groupBy + a |langs|-partition
+    rank window over the labeled slice), but SCORING is now the in-row
+    form shared with stream_lang_id_gate: the ≤|langs|·K profile rows
+    are one bounded collect baked as map literals, and each doc's
+    profile + five distances are pure in-row array arithmetic — the
+    doc-grain groupBy + per-doc rank window + broadcast join of the
+    original form are GONE (measured 4.96 → ~1.5 s at sf0.1; the
+    doc-profile shuffle was the whole cost). Zero fork: one scoring
+    expression chain, two consumers. The explicit repartition is the
+    single-split lesson: the parquet table is one scan split at these
+    SFs, and the in-row chain is CPU-bound per row — without the
+    fan-out it runs on one core (measured 11 s; fanned ~1.5 s), exactly
+    like the streaming gates' microbatch fan-out. Reference analog:
+    per-payload classification the consumer app runs on delivered
+    records (README.md:67-70)."""
     d = _t(spark, sf_dir)
+    scored = d.repartition(spark.sparkContext.defaultParallelism)
+    return ct_inrow_lang_id(scored, ct_profile_maps(d)).orderBy("doc_id")
+
+
+def ct_profile_maps(d: DataFrame) -> dict[str, str]:
+    """lang → SQL map literal of its top-K trigram ranks, from ONE
+    training pass (ct_lang_profiles) and one bounded collect
+    (≤ |langs|·K = {n} rows — the codebook-pull exception). Shared by
+    the batch classifier and the streaming gate."""
     grams = d.select(
         "doc_id", "lang", F.expr(f"{_ct_grams_sql_spark()} AS gram")
     )
-    lw = W.partitionBy("lang").orderBy(F.desc("n"), F.col("gram"))
-    lang_prof = (
-        grams.filter(F.col("doc_id") % _CT_TRAIN_MOD == 0)
-        .groupBy("lang", "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("lrank", F.row_number().over(lw))
-        .filter(F.col("lrank") <= _CT_K)
-    )
-    wide = lang_prof.groupBy("gram").agg(
-        *[
-            F.max(
-                F.when(F.col("lang") == L, F.col("lrank"))
-            ).alias(f"r_{L}")
-            for L in _CT_LANGS
+    prof_rows = ct_lang_profiles(grams).collect()
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    maps: dict[str, str] = {}
+    for L in _CT_LANGS:
+        entries = [
+            f"'{esc(r['gram'])}', {int(r['lrank'])}L"
+            for r in prof_rows
+            if r["lang"] == L
         ]
+        maps[L] = "map(" + ", ".join(entries) + ")" if entries else "map()"
+    return maps
+
+
+ct_profile_maps.__doc__ = ct_profile_maps.__doc__.format(
+    n=len(_CT_LANGS) * _CT_K
+)
+
+
+def ct_inrow_lang_id(df: DataFrame, maps: dict[str, str]) -> DataFrame:
+    """(doc_id, lang, dist_en..dist_zh, predicted_lang) computed IN-ROW
+    over a (batch or streaming) (doc_id, lang, text) relation — the
+    Cavnar–Trenkle scorer with zero doc-grain shuffles. The doc profile
+    replaces the batch rank window (illegal on a stream, and the
+    dominant cost in batch): sort the doc's trigram array, run
+    boundaries via filter-over-sequence, run lengths via zip_with
+    against the shifted boundary array, one struct array_sort (count
+    desc, gram asc — ROW_NUMBER's exact tie semantics in both engines),
+    slice(K); distances are one integer aggregate per language against
+    the baked profile maps with the missing-gram COALESCE penalty.
+    ALL-INTEGER; every pass is O(prefix) per document."""
+    dist_exprs = [
+        f"aggregate(sequence(1, size(prof)), 0L,"
+        f" (acc, i) -> acc + coalesce("
+        f"abs(cast(i AS bigint) - element_at({maps[L]},"
+        f" element_at(prof, i).gram)), {_CT_K}L)) AS dist_{L}"
+        for L in _CT_LANGS
+    ]
+    best = " , ".join(f"dist_{L}" for L in _CT_LANGS)
+    pred_arms = " ".join(
+        f"WHEN least({best}) = dist_{L} THEN '{L}'" for L in _CT_LANGS[:-1]
     )
-    dw = W.partitionBy("doc_id").orderBy(F.desc("n"), F.col("gram"))
-    doc_prof = (
-        grams.groupBy("doc_id", "lang", "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("drank", F.row_number().over(dw))
-        .filter(F.col("drank") <= _CT_K)
-    )
-    dist = (
-        doc_prof.join(F.broadcast(wide), "gram", "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            *[
-                F.sum(
-                    F.coalesce(
-                        F.abs(F.col("drank") - F.col(f"r_{L}")),
-                        F.lit(_CT_K),
-                    )
-                )
-                .cast("bigint")
-                .alias(f"dist_{L}")
-                for L in _CT_LANGS
-            ]
+    return (
+        df.selectExpr(
+            "doc_id",
+            "lang",
+            f"array_sort(transform(sequence(1,"
+            f" greatest(length(substring(text, 1, {_CT_PREFIX})) - 2, 1)),"
+            f" i -> substring(substring(text, 1, {_CT_PREFIX}), i, 3))) AS sg",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "sg",
+            "filter(sequence(1, size(sg)),"
+            " i -> i = 1 OR element_at(sg, i) != element_at(sg, i - 1))"
+            " AS bnd",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"slice(array_sort(zip_with(bnd,"
+            f" concat(slice(bnd, 2, size(bnd)), array(size(sg) + 1)),"
+            f" (a, b) -> struct(cast(a - b AS int) AS negn,"
+            f" element_at(sg, cast(a AS int)) AS gram))), 1, {_CT_K}) AS prof",
+        )
+        .selectExpr("doc_id", "lang", *dist_exprs)
+        .selectExpr(
+            "doc_id",
+            "lang",
+            *[f"dist_{L}" for L in _CT_LANGS],
+            f"CASE {pred_arms} ELSE '{_CT_LANGS[-1]}' END AS predicted_lang",
         )
     )
-    best = F.least(*[F.col(f"dist_{L}") for L in _CT_LANGS])
-    pred = (
-        F.when(best == F.col("dist_en"), "en")
-        .when(best == F.col("dist_de"), "de")
-        .when(best == F.col("dist_es"), "es")
-        .when(best == F.col("dist_fr"), "fr")
-        .otherwise("zh")
-    )
-    return dist.select(
-        "doc_id",
-        "lang",
-        *[f"dist_{L}" for L in _CT_LANGS],
-        pred.alias("predicted_lang"),
-    ).orderBy("doc_id")
 
 
 _LANG_NGRAM_CONFUSION_ORACLE = f"""

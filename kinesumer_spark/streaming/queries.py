@@ -4830,11 +4830,14 @@ def _admit_chunk_bounds(docs: DataFrame) -> list[int]:
     ]
 
 
-def _write_admit_chunks(docs, staging, ks, bounds) -> None:
+def _write_admit_chunks(
+    docs, staging, ks, bounds, cols=("doc_id", "lang", "text")
+) -> None:
     """Write doc_id-ordered chunk files ``chunk_k.parquet`` for each k in
     ``ks`` — ONE Spark job for all requested chunks (partitionBy), then
     sequential renames in arrival order; FileStreamSource processes
-    (modTime, path) order."""
+    (modTime, path) order. ``cols`` picks the carried columns (the
+    source-cap twin streams (doc_id, source))."""
     import glob
     import os
     import time as _time
@@ -4853,7 +4856,7 @@ def _write_admit_chunks(docs, staging, ks, bounds) -> None:
     chunk_expr += "ELSE -1 END"
     tmp_dir = os.path.join(staging, f"_stage_{ks[0]}")
     (
-        docs.selectExpr("doc_id", "lang", "text", f"{chunk_expr} AS chunk")
+        docs.selectExpr(*cols, f"{chunk_expr} AS chunk")
         .filter(F.col("chunk") >= 0)
         .repartition(1)
         .write.partitionBy("chunk")
@@ -4867,12 +4870,16 @@ def _write_admit_chunks(docs, staging, ks, bounds) -> None:
         os.utime(dst, (base + k, base + k))  # strictly increasing mtimes
 
 
-def _admit_stream(spark: SparkSession, staging: str) -> DataFrame:
+def _admit_stream(
+    spark: SparkSession,
+    staging: str,
+    schema: str = "doc_id bigint, lang string, text string",
+) -> DataFrame:
     # no pre-screen fan-out here (unlike the gates): the bucket groupBy
     # immediately re-shuffles anyway, so a repartition would only add an
     # exchange of raw text per microbatch
     return (
-        spark.readStream.schema("doc_id bigint, lang string, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "chunk_*.parquet")
         .parquet(staging)
@@ -5258,6 +5265,135 @@ def stream_neardup_admit_compacted(
         shutil.rmtree(cold_dir, ignore_errors=True)
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(idx_ckpt, ignore_errors=True)
+
+
+# -- Per-source admission cap on the stream ----------------------------------
+
+
+def _stream_source_cap_oracle() -> str:
+    from kinesumer_spark.operators.text import _SRC_CAP_K
+
+    return f"""
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS arrival_rank,
+       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+         <= {_SRC_CAP_K} AS admitted
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "stream_source_cap_admit",
+    oracle=_stream_source_cap_oracle(),
+    tags=("streaming", "stateful", "quality", "source"),
+)
+def stream_source_cap_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain-frequency cap ENFORCED ON THE INGEST STREAM —
+    source_domain_cap's streaming twin: every arriving document gets
+    its source's cumulative arrival rank ACROSS microbatches (one
+    fixed-size state row per source: count + high-water doc_id — the
+    counter generalization of the reference's per-shard offsets map,
+    kinesumer.go:155-160) and is admitted iff the rank is within
+    _SRC_CAP_K. Unlike the batch form, rejection happens AT ARRIVAL —
+    no over-cap document is ever stored, which is the point of a cap
+    at 100 TB/day ingest.
+
+    Oracle = the batch rank relation (ROW_NUMBER per source over
+    doc_id = arrival order), hash-exact per document — a green row
+    proves the cross-microbatch counters reproduce the global rank
+    relation. Replay-idempotent via the high-water mark (the admit
+    ops' discipline), so the append emission is exactly-once under
+    microbatch retry. Scale: state is |sources| fixed-size rows; the
+    per-batch shuffle is the groupBy(source) feeding the state
+    operator; skew (one hot domain) is bounded by trigger size per
+    batch, not corpus size."""
+    import tempfile
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.streaming.stateful import source_cap_admit
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    staging = tempfile.mkdtemp(prefix="ks_srccap_src_")
+    bounds = _admit_chunk_bounds(docs)
+    _write_admit_chunks(
+        docs, staging, range(4), bounds, cols=("doc_id", "source")
+    )
+    stream = _admit_stream(
+        spark, staging, schema="doc_id bigint, source string"
+    )
+    from kinesumer_spark.operators.text import _SRC_CAP_K
+
+    verdicts = source_cap_admit(stream, _SRC_CAP_K)
+    return _run_to_table(
+        verdicts, "ks_stream_source_cap_admit", mode="append", stable=False
+    ).orderBy("doc_id")
+
+
+# -- Language-ID gate on the stream (Cavnar–Trenkle, stateless in-row) -------
+
+
+def _stream_lang_id_oracle() -> str:
+    from kinesumer_spark.operators.text import _LANG_NGRAM_ORACLE
+
+    return _LANG_NGRAM_ORACLE
+
+
+@register(
+    "stream_lang_id_gate",
+    oracle=_stream_lang_id_oracle(),
+    tags=("streaming", "text", "quality"),
+)
+def stream_lang_id_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle language ID ON the ingest stream — the admission
+    plane's language screen (quality, decontam, near-dup, semantic,
+    DSIR, volume existed; language did not): per-language rank
+    profiles are trained batch-side on the labeled slice (the batch
+    classifier's ct_lang_profiles — one training pass, zero fork) and
+    BAKED into the plan as five map literals (|langs|·K = 320 entries
+    — the bounded codebook pull), so classification is STATELESS
+    IN-ROW map work; carried under the batch oracle VERBATIM, proving
+    batch/stream equivalence document-for-document (the
+    stream_anomaly_zscore discipline).
+
+    The in-row doc profile replaces the batch row_number window (a
+    rank window is illegal on a stream): sort the doc's trigram array,
+    take run boundaries (filter over sequence — each pass O(prefix)),
+    run lengths via zip_with against the shifted boundary array, then
+    one struct array_sort (count desc, gram asc — bit-identical tie
+    semantics to ROW_NUMBER in both engines) and a slice(K). Distances
+    are one integer aggregate per language over the profile positions
+    with the missing-gram penalty as COALESCE. ALL-INTEGER, bounded by
+    the {prefix}-char cap per doc regardless of document length.
+
+    Scale: pure map-side — no stream-side shuffle at all before the
+    sink (the only fully-stateless member of the admission plane
+    besides the decontam gate's probe); profiles refresh by restarting
+    the query on a new training snapshot (yesterday's labels), exactly
+    how the static near-dup index rotates."""
+    from kinesumer_spark.operators.text import ct_inrow_lang_id, ct_profile_maps
+    from kinesumer_spark.catalog import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    maps = ct_profile_maps(docs)
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return _run_to_table(
+        ct_inrow_lang_id(stream, maps),
+        "ks_stream_lang_id_gate",
+        mode="append",
+        stable=False,
+    ).orderBy("doc_id")
 
 
 # -- Evolving admission: static screens + self-indexing near-dup ------------

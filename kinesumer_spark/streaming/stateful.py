@@ -418,3 +418,74 @@ def bucket_admit_pairs(probe: DataFrame, horizon: int | None = None) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- Per-source admission cap: the domain-frequency cap ON the stream --------
+#
+# State is ONE fixed-size row per source (count so far + the high-water
+# doc_id) — the counter generalization of the reference's per-shard
+# offsets map (kinesumer.go:155-160), applied to corpus governance:
+# admit a source's documents until its cap, reject the rest, across
+# microbatches. Replay-idempotent exactly like the band-bucket index:
+# arrivals ascend by the staging contract, so a doc at-or-below the
+# high-water mark was already counted and is skipped (a restarted
+# uncommitted microbatch emits the same verdicts).
+
+CAP_OUTPUT_SCHEMA = (
+    "doc_id bigint, source string, arrival_rank bigint, admitted boolean"
+)
+CAP_STATE_SCHEMA = "n bigint, last_id bigint"
+
+
+def make_source_cap_update(cap: int):
+    """Build the per-source counter update fn for ``source_cap_admit``."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        n, last_id = state.get if state.exists else (0, -1)
+        out_id: list[int] = []
+        out_rank: list[int] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("doc_id", kind="mergesort")
+        for doc_id in rows["doc_id"]:
+            d = int(doc_id)
+            if d <= last_id:  # replayed microbatch — already counted
+                continue
+            n += 1
+            last_id = d
+            out_id.append(d)
+            out_rank.append(n)
+        state.update((n, last_id))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "source": source,
+                    "arrival_rank": out_rank,
+                    "admitted": [r <= cap for r in out_rank],
+                }
+            )
+
+    return update
+
+
+def source_cap_admit(stream: DataFrame, cap: int) -> DataFrame:
+    """(doc_id, source, arrival_rank, admitted) — per-source admission
+    cap over a streaming (doc_id, source) relation: rank = cumulative
+    arrival index within the source ACROSS microbatches, admitted iff
+    rank <= cap. One state row per source."""
+    return (
+        stream.select("source", "doc_id")
+        .groupBy("source")
+        .applyInPandasWithState(
+            make_source_cap_update(cap),
+            outputStructType=CAP_OUTPUT_SCHEMA,
+            stateStructType=CAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -82,6 +82,9 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "text_ngram_novelty",
         "split_repair_leakage",
         "events_anomaly_zscore",
+        "source_domain_cap",
+        "source_token_drift_chi2",
+        "text_lang_id_ngram",
     ):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"

@@ -1990,3 +1990,84 @@ def test_bucket_index_ttl_prunes_state_without_changing_verdicts():
     out = list(upd2((0,), iter([mk_rows([100])]), st2))
     assert len(out) == 1 and (out[0].doc_id[0], out[0].partner[0]) == (100, 1)
     assert sorted(st2._v[0]) == [1, 100]
+
+
+def test_source_cap_update_is_replay_idempotent():
+    """The per-source counter's exactly-once contract (the band-bucket
+    index's discipline applied to the cap): a replayed microbatch emits
+    nothing and leaves the counter unchanged; fresh arrivals rank
+    strictly after the high-water mark; the cap boundary lands exactly
+    at arrival_rank == cap."""
+    import pandas as pd
+
+    from kinesumer_spark.streaming.stateful import make_source_cap_update
+
+    class _StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = _StubState()
+    upd = make_source_cap_update(2)
+    b1 = pd.DataFrame({"doc_id": [10, 20]})
+    out1 = list(upd(("srcA",), iter([b1]), st))
+    assert list(out1[0].arrival_rank) == [1, 2]
+    assert list(out1[0].admitted) == [True, True]
+    state_after_1 = st._v
+    # replayed microbatch: nothing emitted, counter untouched
+    assert list(upd(("srcA",), iter([b1]), st)) == []
+    assert st._v == state_after_1
+    # next batch crosses the cap: rank continues, admission flips
+    b2 = pd.DataFrame({"doc_id": [30, 40]})
+    out2 = list(upd(("srcA",), iter([b2]), st))
+    assert list(out2[0].arrival_rank) == [3, 4]
+    assert list(out2[0].admitted) == [False, False]
+    assert st._v == (4, 40)
+
+
+def test_ct_inrow_profile_edge_texts(spark):
+    """The in-row Cavnar–Trenkle doc profile (sorted grams → run
+    boundaries → zip_with run lengths → struct sort) must agree with a
+    Python reference on the edge shapes the fixtures never hit: text
+    shorter than one trigram, exactly one trigram, all-identical
+    grams, and a quote character inside a gram (map-literal escaping)."""
+    from collections import Counter
+
+    from kinesumer_spark.operators.text import (
+        _CT_K,
+        _CT_LANGS,
+        _CT_PREFIX,
+        ct_inrow_lang_id,
+    )
+
+    texts = ["ab", "abc", "aaaaaa", "it's a quote 'x' y", ""]
+    maps = {L: "map('abc', 1L, 'aaa', 2L)" for L in _CT_LANGS}
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {r["doc_id"]: r for r in ct_inrow_lang_id(df, maps).collect()}
+
+    def ref_dist(text: str) -> int:
+        t = text[:_CT_PREFIX]
+        n = max(len(t) - 2, 1)
+        grams = [t[i : i + 3] for i in range(n)]
+        counts = Counter(grams)
+        prof = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_CT_K]
+        ranks = {"abc": 1, "aaa": 2}
+        return sum(
+            abs(i + 1 - ranks[g]) if g in ranks else _CT_K
+            for i, (g, _) in enumerate(prof)
+        )
+
+    for i, t in enumerate(texts):
+        for L in _CT_LANGS:
+            assert got[i][f"dist_{L}"] == ref_dist(t), (i, t, L)
