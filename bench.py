@@ -73,6 +73,8 @@ EXTENDED = [
     "stream_dsir_gate",
     "stream_anomaly_zscore",
     "stream_lang_id_gate",  # r14: stateless in-row classifier on the stream
+    "stream_source_token_drift",    # r14: governance monitors on ingest
+    "stream_source_quality_ledger",
     "pipeline_stream_admission",
     "events_attribution",
     "events_attribution_linear",

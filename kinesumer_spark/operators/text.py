@@ -1653,10 +1653,19 @@ def source_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     × {B} cells); three window sums over the bounded cell relation;
     the rollup is |sources| rows. The hash is the repo's portable
     sha-32 (shared with the DSIR/LSH tiers)."""
+    return src_drift_from_cells(src_drift_cells(_t(spark, sf_dir))).orderBy(
+        "source"
+    )
+
+
+def src_drift_cells(d: DataFrame) -> DataFrame:
+    """(source, bucket, n_obs) — the source × hashed-token-bucket
+    contingency cells: the single stream-scale aggregation of the
+    drift monitor, shared by the batch query and its streaming twin
+    (the hourly_counts / zscore_from_hours split)."""
     from kinesumer_spark.operators.dedup import _sha32
 
-    d = _t(spark, sf_dir)
-    cells = (
+    return (
         d.selectExpr(
             "source",
             f"explode(transform(split(text, ' '), s -> {_sha32('s')}"
@@ -1665,6 +1674,12 @@ def source_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
     )
+
+
+def src_drift_from_cells(cells: DataFrame) -> DataFrame:
+    """Chi-square tail over a (source, bucket, n_obs) cell relation —
+    runs on the bounded contingency table (≤ |sources|·B rows), never
+    the corpus/stream."""
     tot = cells.select(
         "source",
         "n_obs",

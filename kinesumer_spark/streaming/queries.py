@@ -5131,15 +5131,19 @@ def stream_neardup_admit_compacted(
     separates durable state from derived cache (checkpoints,
     statestore.go:48-53, vs the shard cache, statemodel.go:17-22); the
     analog here is a maintenance sink that drains each microbatch's
-    band-bucket rows to a batch-readable parquet index, which a COLD
-    query then joins as its static side — rejecting a known-dup
+    band-bucket rows into a batch-readable index — written DIRECTLY in
+    the bucketed (lang, band, key1, key2) layout, the
+    stream_neardup_gate_bucketed 100 TB shape, so no re-layout job sits
+    between compaction and a cold consumer — which a COLD query then
+    joins as its static side exchange-free, rejecting a known-dup
     arrival without replaying history.
 
     Phase 1 (warm ingest, arrival chunks 1–2): the admission query
     emits verified pairs as usual, and an index-maintenance streaming
     query beside it appends the probe rows (lang, band, key1, key2,
     doc_id, sh_set) — exactly the state the bucket operator
-    accumulates — to the compacted parquet index. (Two source reads at
+    accumulates — to the compacted bucketed index table via
+    foreachBatch. (Two source reads at
     fixture scale; production taps the one fused probe with a
     foreachBatch writing both sinks — the r13 admission-fusion shape.)
 
@@ -5162,10 +5166,12 @@ def stream_neardup_admit_compacted(
     a warm partner (the index is USED — 3/3/35 cross-boundary pairs at
     sf0.001/0.01/0.1, the same boundary the restart twin pins), and the
     cold query's emissions must contain NO warm-side doc_id (nothing
-    was replayed). Scale: the index is the banded relation (16 rows/doc
-    + the doc's distinct shingles); at 100 TB it lives bucketed on
-    (band, key1, key2) exactly like stream_neardup_gate_bucketed's, and
-    compaction runs as the foreachBatch maintenance beside the ledger."""
+    was replayed) — plus a LAYOUT tripwire asserting from the executed
+    plan that the cold join consumed the bucket layout (Bucketed: true
+    scan under a SortMergeJoin, no index rebroadcast). Scale: the index
+    is the banded relation (16 rows/doc + the doc's distinct shingles),
+    already in its 100 TB layout at write time; compaction runs as the
+    foreachBatch maintenance beside the ledger."""
     import shutil
     import tempfile
 
@@ -5186,7 +5192,17 @@ def stream_neardup_admit_compacted(
         _write_admit_chunks(docs, warm_dir, range(2), bounds)
         _write_admit_chunks(docs, cold_dir, range(2, 4), bounds)
 
-        # phase 1: admission + the index-maintenance sink
+        # phase 1: admission + the index-maintenance sink. The
+        # maintenance foreachBatch appends each microbatch's probe rows
+        # DIRECTLY INTO THE BUCKETED LAYOUT (bucketBy on the probe join
+        # keys — stream_neardup_gate_bucketed's 100 TB shape), so the
+        # compacted index needs no separate re-layout job before a cold
+        # query can join it exchange-free.
+        import hashlib as _hashlib
+
+        tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        idx_table = f"kbkt_admitidx_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
         warm_pairs = _run_to_table(
             bucket_admit_pairs(
                 stream_inrow_band_probe(_admit_stream(spark, warm_dir))
@@ -5195,12 +5211,21 @@ def stream_neardup_admit_compacted(
             mode="append",
             stable=False,
         )
+
+        def _append_bucketed(bdf, _bid) -> None:
+            (
+                bdf.write.mode("append")
+                .bucketBy(8, "lang", "band", "key1", "key2")
+                .sortBy("lang", "band", "key1", "key2")
+                .option("path", index_dir)
+                .saveAsTable(idx_table)
+            )
+
         qi = (
             stream_inrow_band_probe(_admit_stream(spark, warm_dir))
             .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", index_dir)
             .option("checkpointLocation", idx_ckpt)
+            .foreachBatch(_append_bucketed)
             .start()
         )
         try:
@@ -5210,18 +5235,20 @@ def stream_neardup_admit_compacted(
             qi.awaitTermination()
 
         # phase 2: ONE cold query, fresh state — index branch ∪ bucket branch
-        idx = spark.read.parquet(index_dir).selectExpr(
+        idx = spark.table(idx_table).selectExpr(
             "lang", "band", "key1", "key2",
             "doc_id AS partner", "sh_set AS sh_p",
         )
-        from kinesumer_spark.operators.dedup import _maybe_broadcast
 
         # one source read per branch (the evolving pipeline's measured
         # constraint: the groupBy feeding the state operator must see
-        # only probe rows, so the two branches cannot share one read)
+        # only probe rows, so the two branches cannot share one read).
+        # The index side carries its bucket layout + a merge hint, so
+        # the cold probe join is exchange-free on the index side
+        # (asserted below from the executed plan).
         cross = (
             stream_inrow_band_probe(_admit_stream(spark, cold_dir)).join(
-                _maybe_broadcast(idx, int(docs.count())),
+                idx.hint("merge"),
                 ["lang", "band", "key1", "key2"],
             )
             .selectExpr(
@@ -5246,6 +5273,15 @@ def stream_neardup_admit_compacted(
             stable=False,
         )
 
+        # LAYOUT TRIPWIRE: the cold probe join must consume the index's
+        # bucket layout — a bucketed scan (no index-side exchange) under
+        # a SortMergeJoin, never a rebroadcast of the index
+        plan = LAST_STREAM_PLAN.get("ks_admit_cmp_cold_pairs", "")
+        phys = plan.split("== Physical Plan ==")[-1]
+        assert "Bucketed: true" in phys and "SortMergeJoin" in phys, (
+            "cold bootstrap join did not use the compacted index's "
+            "bucketed layout"
+        )
         # INDEX-USED TRIPWIRE: ≥1 cold emission carries a warm partner
         n_cross = cold_pairs.filter(F.col("partner") <= bounds[1]).count()
         assert n_cross >= 1, (
@@ -6360,3 +6396,148 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             cells, "ks_stream_anomaly_zscore", mode="complete", stable=False
         )
     return zscore_from_hours(out)
+
+
+# -- Streaming source governance: token drift + quality ledger on ingest -----
+
+
+def _stream_src_drift_oracle() -> str:
+    from kinesumer_spark.operators.text import _src_drift_oracle
+
+    return _src_drift_oracle()
+
+
+@register(
+    "stream_source_token_drift",
+    oracle=_stream_src_drift_oracle(),
+    tags=("streaming", "text", "quality", "source"),
+)
+def stream_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_token_drift_chi2 ON the ingest stream (the
+    stream_drift_chi2 / stream_anomaly_zscore pattern, applied to the
+    corpus-governance axis): the source x hashed-token-bucket
+    contingency cells accumulate STATEFULLY against the live document
+    feed (state = one counter per cell, <= |sources| x B rows —
+    bounded), and the chi-square tail re-derives per trigger on the
+    drained constant-size cell table. Batch oracle verbatim —
+    batch/stream equivalence driver-proven. A template-spam source now
+    surfaces DURING ingest, not at the end-of-day batch audit."""
+    from kinesumer_spark.operators.text import (
+        src_drift_cells,
+        src_drift_from_cells,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cells = src_drift_cells(stream)
+    with _bounded_state_partitions(spark):  # |sources| x B counters
+        out = _run_to_table(
+            cells,
+            "ks_stream_source_token_drift",
+            mode="complete",
+            stable=False,
+        )
+    return src_drift_from_cells(out)
+
+
+def _stream_src_ledger_oracle() -> str:
+    from kinesumer_spark.operators.text import _SRC_LEDGER_ORACLE
+
+    return _SRC_LEDGER_ORACLE
+
+
+@register(
+    "stream_source_quality_ledger",
+    oracle=_stream_src_ledger_oracle(),
+    tags=("streaming", "text", "quality", "source"),
+)
+def stream_source_quality_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """source_quality_ledger ON the ingest stream — per-source Gopher
+    pass rates and token mass accumulated incrementally, so a source
+    whose keep_pct collapses is cut DURING ingest. Carried under the
+    batch oracle verbatim.
+
+    Shape: the Gopher booleans are the admission pipeline's in-row SQL
+    (same imported constants — zero fork) evaluated map-side per
+    arriving doc; the stateful stage aggregates at (source, lang) grain
+    (bounded: |sources| x |langs| cells — n_langs needs a DISTINCT the
+    stream cannot do, so the cells keep lang in the key and the
+    constant-size batch tail folds it, the drift-cells discipline);
+    keep_pct's division and rounding run batch-side on the drained
+    cells."""
+    from kinesumer_spark.operators.text import (
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MWL_HI,
+        _GOPHER_MWL_LO,
+        _GOPHER_WC_HI,
+        _GOPHER_WC_LO,
+        _STOPLISTS,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    stops = ", ".join(f"'{s}'" for s in _STOPLISTS["en"])
+    per_doc = stream.selectExpr(
+        "source",
+        "lang",
+        "split(text, ' ') AS w",
+        "length(replace(text, ' ', '')) AS n_nonspace",
+    ).selectExpr(
+        "source",
+        "lang",
+        "cast(size(w) AS bigint) AS n_words",
+        f"""(size(w) BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+            AND (n_nonspace / cast(size(w) AS double)
+                   BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+            AND size(filter(array({stops}), st -> array_contains(w, st)))
+                  >= {_GOPHER_MIN_STOP}
+            AND size(filter(w, x -> x rlike '^[a-z]+$'))
+                  / cast(size(w) AS double) >= {_GOPHER_MIN_ALPHA}
+            AS keep""",
+    )
+    cells = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+        F.sum("n_words").cast("bigint").alias("sum_tokens"),
+        F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    with _bounded_state_partitions(spark):  # |sources| x |langs| cells
+        out = _run_to_table(
+            cells,
+            "ks_stream_source_quality_ledger",
+            mode="complete",
+            stable=False,
+        )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_keep").cast("bigint").alias("n_keep"),
+            F.round(
+                F.sum("n_keep") / F.sum("n_docs").cast("double"), 4
+            ).alias("keep_pct"),
+            F.sum("sum_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("kept_tokens").cast("bigint").alias("kept_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
