@@ -430,6 +430,15 @@ def bucket_admit_pairs(probe: DataFrame, horizon: int | None = None) -> DataFram
 # arrivals ascend by the staging contract, so a doc at-or-below the
 # high-water mark was already counted and is skipped (a restarted
 # uncommitted microbatch emits the same verdicts).
+#
+# Bounded-state trade-off, stated precisely: with only (count,
+# high-water) a FRESH out-of-order arrival (doc_id below the mark —
+# a staging-contract violation) is indistinguishable from a replay and
+# would be silently skipped, where the band-bucket index — which keeps
+# the full id list — raises on the same violation. That is the price
+# of O(1) state per source; a deployment that cannot trust its
+# arrival-order contract should carry a per-source id sketch (Bloom)
+# beside the counter and raise on sketch misses below the mark.
 
 CAP_OUTPUT_SCHEMA = (
     "doc_id bigint, source string, arrival_rank bigint, admitted boolean"
