@@ -177,7 +177,10 @@ EXTENDED = [
     "source_domain_cap",
     "source_token_drift_chi2",
     # (stream_anomaly_zscore moved to the protocol-floor front block)
-    # EXCLUDED (r14): stream_source_cap_admit (4 chunked arrival
+    # EXCLUDED (r14): stream_semdedup_admit (the admit family's
+    # 4-microbatch protocol shape with a python-state exact-cosine
+    # verify — ~1M in-cell pairs at sf0.1; the semantic data plane is
+    # benched via stream_semantic_gate), stream_source_cap_admit (4 chunked arrival
     # microbatches through a python-stateful counter — the same
     # multi-microbatch protocol shape as the excluded admit family; its
     # data plane is benched via the batch twin source_domain_cap),

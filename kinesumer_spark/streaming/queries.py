@@ -5432,6 +5432,157 @@ def stream_lang_id_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# -- Within-stream SEMANTIC admission (self-indexing, embedding space) -------
+
+
+def _stream_semadmit_oracle() -> str:
+    from kinesumer_spark.operators.similarity import (
+        _IVF_ANCHOR_BASE,
+        _IVF_CELLS,
+        _SEM_ASSIGN,
+        _SEM_TAU,
+    )
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), a AS (
+  SELECT vec_id - {_IVF_ANCHOR_BASE} AS cell, e AS ae FROM v
+  WHERE vec_id BETWEEN {_IVF_ANCHOR_BASE}
+    AND {_IVF_ANCHOR_BASE + _IVF_CELLS - 1}
+), scored AS (
+  SELECT v.vec_id, a.cell,
+         list_dot_product(v.e, a.ae) / sqrt(list_dot_product(a.ae, a.ae))
+           AS d
+  FROM v CROSS JOIN a
+), asg AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d DESC, cell) AS rnk
+  FROM scored
+  QUALIFY rnk <= {_SEM_ASSIGN}
+), pairs AS (
+  SELECT DISTINCT x.vec_id AS b, y.vec_id AS a
+  FROM asg x JOIN asg y ON x.cell = y.cell AND y.vec_id < x.vec_id
+), vp AS (
+  SELECT p.b, p.a,
+         round(list_dot_product(xv.e, yv.e)
+               / (sqrt(list_dot_product(xv.e, xv.e))
+                  * sqrt(list_dot_product(yv.e, yv.e))), 6) AS cos
+  FROM pairs p
+  JOIN v xv ON xv.vec_id = p.b
+  JOIN v yv ON yv.vec_id = p.a
+), h AS (
+  SELECT b AS vec_id,
+         CAST(COUNT(DISTINCT CASE WHEN cos >= {_SEM_TAU} THEN a END)
+              AS BIGINT) AS n_earlier,
+         MAX(cos) AS max_cos
+  FROM vp GROUP BY b
+)
+SELECT v.vec_id,
+       CAST(COALESCE(h.n_earlier, 0) AS BIGINT) AS n_earlier,
+       COALESCE(h.max_cos, 0.0) AS max_cos,
+       COALESCE(h.n_earlier, 0) = 0 AS admitted
+FROM v LEFT JOIN h ON h.vec_id = v.vec_id
+ORDER BY v.vec_id
+"""
+
+
+@register(
+    "stream_semdedup_admit",
+    oracle=_stream_semadmit_oracle(),
+    tags=("streaming", "similarity", "dedup", "stateful"),
+)
+def stream_semdedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-STREAM SEMANTIC admission — the embedding-space twin of
+    ``stream_neardup_admit``, closing the admission plane's last
+    asymmetry: text had admit-and-index (every arrival joins the
+    index, cross-microbatch dups catch each other) while embeddings
+    only had the STATIC SemDeDup gate (two semantic near-dups arriving
+    the same day both passed). Here every arriving vector is
+    exact-cosine-verified against every EARLIER arrival sharing one of
+    its 3 IVF cells — across microbatches — and then joins the cell
+    history itself (day-one cold start, no pre-built index).
+
+    Shape: 4 vec_id-ordered arrival chunks (arrival = vec_id order);
+    in-row 3-cell assignment on the stream via the gate's own baked
+    codebook (the shared ivf_inrow_assign tier — zero fork with
+    stream_semantic_gate / pipeline_admission_multimodal), then
+    applyInPandasWithState KEYED BY CELL keeps the cell's arrival
+    history: tau-passing pairs emit (doc, partner, cos) and each
+    arriving vector with earlier cell-mates also emits its cell-max
+    cosine (NULL partner), so the per-doc rollup's max_cos covers
+    sub-tau neighbours exactly like the static gate's. The per-doc
+    rollup runs batch-side on the drained pair table (the admit-family
+    discipline). Cosines inside the state fn are LEFT-ASSOCIATED
+    sequential float64 loops + the bucket op's HALF_UP quantize —
+    bit-identical to DuckDB's list_dot_product and the plan-side HOF
+    (numpy's pairwise/BLAS dot is deliberately avoided).
+
+    The oracle replays the full IVF-blocked pair relation over the
+    arrival prefix with (earlier < later) attribution, hash-exact.
+    Cross-microbatch pairs are guaranteed non-vacuous by measurement:
+    27 / 30 / 328 tau-pairs cross the median arrival boundary at
+    sf0.001 / 0.01 / 0.1. Scale: state is per-cell arrival history —
+    the production variant prunes by TTL or caps per-cell membership
+    (the text admit's bounded-state story); cell fan-out is the probe's
+    3 rows/vector; the in-cell verify is linear in cell size.
+    Reference analog: the checkpointed consume loop whose state
+    persists across scans (kinesumer.go:615-704)."""
+    import tempfile
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.similarity import _SEM_TAU
+    from kinesumer_spark.streaming.stateful import semcell_admit_pairs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    v = (
+        read_table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+    )
+    _cell_scores, top3, _hof_dot = ivf_inrow_assign(v)
+
+    staged = v.selectExpr("vec_id AS doc_id", "e")
+    staging = tempfile.mkdtemp(prefix="ks_semadmit_src_")
+    bounds = _admit_chunk_bounds(staged)
+    _write_admit_chunks(staged, staging, range(4), bounds, cols=("doc_id", "e"))
+    stream = _admit_stream(
+        spark, staging, schema="doc_id bigint, e array<double>"
+    )
+    probe = stream.selectExpr("doc_id", "e", _cell_scores("e")).selectExpr(
+        "doc_id",
+        "e",
+        f"explode(transform({top3}, s -> s.cell)) AS cell",
+    )
+    emitted = _run_to_table(
+        semcell_admit_pairs(probe, _SEM_TAU),
+        "ks_stream_semdedup_admit",
+        mode="append",
+        stable=False,
+    )
+    rollup = (
+        emitted.distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "cast(count(DISTINCT partner) AS bigint)"
+            ).alias("n_earlier"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+    return (
+        v.select("vec_id")
+        .join(rollup.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "CAST(COALESCE(n_earlier, 0) AS bigint) AS n_earlier",
+            "COALESCE(max_cos, 0.0) AS max_cos",
+            "COALESCE(n_earlier, 0) = 0 AS admitted",
+        )
+        .orderBy("vec_id")
+    )
+
+
 # -- Evolving admission: static screens + self-indexing near-dup ------------
 
 
@@ -6132,25 +6283,27 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def semantic_inplan_verdicts(v: DataFrame, probe: DataFrame) -> DataFrame:
-    """(vec_id, n_dups, max_cos, is_semdup) — the SemDeDup in-plan
-    verdict plan over an arbitrary ``probe`` relation exposing (vec_id,
-    embedding), against the corpus ``v`` (vec_id, e double[]). Extracted
-    r13 so stream_semantic_gate and the cross-modal batch admission
-    share one copy of the codebook literals, the HOF cell scores, the
-    top-3 rank, and the verify arithmetic (see the gate's docstring for
-    the measured formulation choices and the exactness argument)."""
-    from kinesumer_spark.operators.dedup import _maybe_broadcast
+def ivf_inrow_assign(v: DataFrame):
+    """``(cell_scores_fn, top3_expr, hof_dot_fn)`` — the baked-anchor
+    in-row IVF cell assignment shared by every semantic screen
+    (extracted r14 so the self-indexing semantic admission reuses the
+    gate's exact codebook literals, HOF dots, and top-3 rank — zero
+    fork). The anchors are one bounded codebook pull (16 × 64 doubles,
+    raw components — normalization happens in-plan so both engines fold
+    the same chain).
+
+    EVERY dot is the HOF aggregate-over-zip_with form — measured
+    against the module's unrolled 64-term codegen chains on the gate's
+    single-shot usage (unrolled = ~10 s Janino compile of the post-join
+    stage + 0.2 s/run; HOF = ~4 s first + 1.8 s/run over the 2.25M-pair
+    verify). Accumulation stays left-assoc sequential, so cross-engine
+    exactness vs DuckDB's list_dot_product is unchanged."""
     from kinesumer_spark.operators.similarity import (
         _IVF_ANCHOR_BASE,
         _IVF_CELLS,
         _SEM_ASSIGN,
-        _SEM_TAU,
     )
 
-    n_corpus = v.count()
-    # bounded codebook pull (16 × 64 doubles): raw anchor components —
-    # normalization happens in-plan so both engines fold the same chain
     anchor_rows = sorted(
         v.filter(
             (F.col("vec_id") >= _IVF_ANCHOR_BASE)
@@ -6166,13 +6319,6 @@ def semantic_inplan_verdicts(v: DataFrame, probe: DataFrame) -> DataFrame:
         "array(" + ", ".join(_lit_arr(list(r["e"])) for r in anchor_rows) + ")"
     )
 
-    # EVERY dot in this plan is the HOF aggregate-over-zip_with form —
-    # measured against the module's unrolled 64-term codegen chains on
-    # this op's single-shot usage (each driver/bench invocation builds
-    # and runs the plan once): unrolled = ~10 s Janino compile of the
-    # post-join stage + 0.2 s/run; HOF = ~4 s first + 1.8 s/run over the
-    # 2.25M-pair verify. Accumulation stays left-assoc sequential, so
-    # cross-engine exactness vs list_dot_product is unchanged.
     def _hof_dot(a: str, b: str) -> str:
         return (
             f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
@@ -6192,6 +6338,22 @@ def semantic_inplan_verdicts(v: DataFrame, probe: DataFrame) -> DataFrame:
         " c -> struct(-element_at(ds, c + 1) AS negd, c AS cell))),"
         f" 1, {_SEM_ASSIGN})"
     )
+    return _cell_scores, top3, _hof_dot
+
+
+def semantic_inplan_verdicts(v: DataFrame, probe: DataFrame) -> DataFrame:
+    """(vec_id, n_dups, max_cos, is_semdup) — the SemDeDup in-plan
+    verdict plan over an arbitrary ``probe`` relation exposing (vec_id,
+    embedding), against the corpus ``v`` (vec_id, e double[]). Extracted
+    r13 so stream_semantic_gate and the cross-modal batch admission
+    share one copy of the codebook literals, the HOF cell scores, the
+    top-3 rank, and the verify arithmetic (see the gate's docstring for
+    the measured formulation choices and the exactness argument)."""
+    from kinesumer_spark.operators.dedup import _maybe_broadcast
+    from kinesumer_spark.operators.similarity import _SEM_TAU
+
+    n_corpus = v.count()
+    _cell_scores, top3, _hof_dot = ivf_inrow_assign(v)
     # static corpus index: same in-row assignment over the batch side
     index = (
         v.selectExpr("vec_id AS corpus_id", "e AS e_c", _cell_scores("e"))

@@ -498,3 +498,120 @@ def source_cap_admit(stream: DataFrame, cap: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- Within-stream SEMANTIC admission: per-IVF-cell arrival history ----------
+#
+# The embedding-space twin of the band-bucket text index
+# (_make_bucket_update): state is each IVF cell's arrival history
+# (vec ids + their components), every arriving vector is exact-cosine
+# verified against every earlier arrival in its assigned cells, then
+# joins the cell history itself — admit-and-index in embedding space.
+# Replay-idempotent and order-guarded exactly like the bucket op.
+#
+# Exactness: the cosine runs as a LEFT-ASSOCIATED sequential float64
+# loop in pure Python — bit-identical to DuckDB's list_dot_product and
+# to the plan-side HOF aggregate (numpy's pairwise/BLAS dot is NOT
+# order-stable and is deliberately avoided) — then the same
+# shortest-repr HALF_UP quantize the bucket op uses to match round(·,6).
+
+SEM_ADMIT_OUTPUT_SCHEMA = "doc_id bigint, partner bigint, cos double"
+SEM_ADMIT_STATE_SCHEMA = "ids array<bigint>, vecs array<string>"
+
+
+def make_semcell_update(tau: float):
+    """Build the per-cell update fn for ``semcell_admit_pairs``: emits
+    (doc, earlier_partner, cos) for every tau-passing pair plus one
+    (doc, NULL, cell_max_cos) row per arriving doc that HAD earlier
+    cell-mates (so the per-doc rollup's max_cos covers sub-tau
+    neighbours exactly like the static gate's)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if state.exists:
+            st_ids, st_vecs = state.get
+            ids = list(st_ids)
+            vecs = [json.loads(s) for s in st_vecs]
+        else:
+            ids, vecs = [], []
+        seen = set(ids)
+        q6 = Decimal("0.000001")
+
+        def _dot(a: list, b: list) -> float:
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        out_doc: list[int] = []
+        out_partner: list[int | None] = []
+        out_cos: list[float] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("doc_id", kind="mergesort")
+        for doc_id, e_list in zip(rows["doc_id"], rows["e"]):
+            d = int(doc_id)
+            if d in seen:  # replayed microbatch — already verified
+                continue
+            if ids and d < ids[-1]:
+                raise ValueError(
+                    f"out-of-order arrival: vec {d} after {ids[-1]} "
+                    "in the same cell (staging contract broken)"
+                )
+            e = [float(x) for x in e_list]
+            nrm = math.sqrt(_dot(e, e))
+            cell_max: float | None = None
+            for pid, pv in zip(ids, vecs):
+                c = _dot(e, pv) / (nrm * math.sqrt(_dot(pv, pv)))
+                c = float(
+                    Decimal(repr(c)).quantize(q6, rounding=ROUND_HALF_UP)
+                )
+                if cell_max is None or c > cell_max:
+                    cell_max = c
+                if c >= tau:
+                    out_doc.append(d)
+                    out_partner.append(pid)
+                    out_cos.append(c)
+            if cell_max is not None:
+                out_doc.append(d)
+                out_partner.append(None)
+                out_cos.append(cell_max)
+            ids.append(d)
+            vecs.append(e)
+            seen.add(d)
+        state.update((ids, [json.dumps(v) for v in vecs]))
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "partner": pd.array(out_partner, dtype="Int64"),
+                    "cos": out_cos,
+                }
+            )
+
+    return update
+
+
+def semcell_admit_pairs(probe: DataFrame, tau: float) -> DataFrame:
+    """(doc_id, partner, cos) — tau-passing earlier partners (plus the
+    per-(doc, cell) NULL-partner max rows) from a streaming per-cell
+    probe relation (doc_id, cell, e). One state row per IVF cell; the
+    same pair verifying in two shared cells emits twice with an
+    identical cos, collapsed by the caller's distinct."""
+    return (
+        probe.select("cell", "doc_id", "e")
+        .groupBy("cell")
+        .applyInPandasWithState(
+            make_semcell_update(tau),
+            outputStructType=SEM_ADMIT_OUTPUT_SCHEMA,
+            stateStructType=SEM_ADMIT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

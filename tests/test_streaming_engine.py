@@ -2071,3 +2071,66 @@ def test_ct_inrow_profile_edge_texts(spark):
     for i, t in enumerate(texts):
         for L in _CT_LANGS:
             assert got[i][f"dist_{L}"] == ref_dist(t), (i, t, L)
+
+
+def test_semcell_update_replay_idempotent_and_ordered():
+    """The semantic admit cell's exactly-once contract (the band-bucket
+    discipline in embedding space): a replayed microbatch emits nothing
+    and leaves state unchanged; an out-of-order fresh arrival raises;
+    tau-passing pairs attribute to the LATER side; the cell-max row
+    (NULL partner) carries the sub-tau neighbourhood for max_cos."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from kinesumer_spark.streaming.stateful import make_semcell_update
+
+    class _StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = _StubState()
+    upd = make_semcell_update(0.5)
+    # v1 ⟂ v2, v3 ≈ v1: one tau pair (3, 1) and a cell-max row for 2 & 3
+    b1 = pd.DataFrame(
+        {"doc_id": [1, 2], "e": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]}
+    )
+    out1 = list(upd((0,), iter([b1]), st))
+    # doc 2's only earlier mate is orthogonal: cell-max row, no tau pair
+    assert len(out1) == 1 and len(out1[0]) == 1
+    r = out1[0].iloc[0]
+    assert (r["doc_id"], r["cos"]) == (2, 0.0) and pd.isna(r["partner"])
+    state_1 = st._v
+    assert list(upd((0,), iter([b1]), st)) == []  # replay: nothing
+    assert st._v == state_1
+    b2 = pd.DataFrame({"doc_id": [3], "e": [[1.0, 0.1, 0.0]]})
+    out2 = list(upd((0,), iter([b2]), st))
+    rows = out2[0]
+    tau_rows = rows[rows["partner"].notna()]
+    assert list(tau_rows["partner"]) == [1]  # attribution: later side 3
+    assert list(tau_rows["doc_id"]) == [3]
+    assert float(tau_rows["cos"].iloc[0]) > 0.99
+    # cell-max row present and equals the best cosine
+    mx = rows[rows["partner"].isna()]
+    assert len(mx) == 1 and float(mx["cos"].iloc[0]) == float(
+        tau_rows["cos"].max()
+    )
+    # out-of-order FRESH arrival (id 0 unseen, below the high water):
+    # loud failure, not silent misattribution (a replayed SEEN id is
+    # skipped before this check — that is the idempotence path above)
+    with _pytest.raises(ValueError):
+        list(
+            upd(
+                (0,),
+                iter([pd.DataFrame({"doc_id": [0], "e": [[1.0, 0.0, 0.0]]})]),
+                st,
+            )
+        )
