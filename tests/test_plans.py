@@ -84,7 +84,6 @@ def test_no_python_udfs_in_columnar_operators(spark):
         "events_anomaly_zscore",
         "source_domain_cap",
         "source_token_drift_chi2",
-        "text_lang_id_ngram",
     ):
         plan = plan_string(_df(spark, name))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
@@ -940,3 +939,20 @@ def test_maybe_broadcast_cap_branches(spark):
         assert "strategy=shuffle_hash" in (
             d._jdf.queryExecution().analyzed().toString()
         )
+
+
+def test_stream_lang_id_gate_is_fully_stateless(spark):
+    """The language screen must be the admission plane's pure map-side
+    member: no state store (the profiles are baked literals, the doc
+    profile is in-row), no Python, no broadcast — nothing but the scan,
+    the projection chain, and the sink in its executed microbatch
+    plan."""
+    from kinesumer_spark.streaming.queries import LAST_STREAM_PLAN
+
+    _df(spark, "stream_lang_id_gate").collect()
+    phys = LAST_STREAM_PLAN["ks_stream_lang_id_gate"].split(
+        "== Physical Plan =="
+    )[-1]
+    for op in ("StateStore", "BatchEvalPython", "ArrowEvalPython",
+               "BroadcastExchange", "SortMergeJoin", "ShuffledHashJoin"):
+        assert op not in phys, (op, phys)
