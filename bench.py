@@ -214,6 +214,39 @@ EXTENDED = [
 ]
 
 
+# Host-load gate (r14 verdict #5): two rounds running, the committed
+# headline was a co-tenant load-spike capture (r13: 24.9 s committed vs
+# 14.75 idle; r14: 27.45 vs 14.76 — both re-adjudicated to "flat" by
+# idle re-runs, burning a judge cycle each time). Before the headline
+# block we sample the 1-minute load average; above the threshold we
+# wait (bounded) for the spike to pass, and if it never does the JSON
+# carries loaded=true + the observed load so the artifact
+# self-adjudicates instead of reading as a plan regression.
+_LOAD_THRESH = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESH", "6.0"))
+_LOAD_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+
+
+def _load_gate() -> tuple[float, bool]:
+    """Wait (up to _LOAD_MAX_WAIT s) for 1-min load-avg <= _LOAD_THRESH.
+    Returns (load_at_capture, still_loaded)."""
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        return (-1.0, False)
+    waited = 0.0
+    while load > _LOAD_THRESH and waited < _LOAD_MAX_WAIT:
+        step = 20.0
+        print(
+            f"LOADGATE load-avg {load:.1f} > {_LOAD_THRESH}: waiting {step}s "
+            f"({waited:.0f}/{_LOAD_MAX_WAIT:.0f}s elapsed)",
+            file=sys.stderr,
+        )
+        time.sleep(step)
+        waited += step
+        load = os.getloadavg()[0]
+    return (round(load, 2), load > _LOAD_THRESH)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kinesumer_spark.registry import all_queries
@@ -241,6 +274,7 @@ def main() -> None:
     # code), so default is 3 with an explicit cold/warm split so noise
     # vs. plan-regression is distinguishable from the JSON alone.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_at_capture, still_loaded = _load_gate()
     per_query: dict[str, float] = {}
     per_query_cold: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -329,6 +363,11 @@ def main() -> None:
         "extended_total": extended_total,
         "wall_incl_warm": wall,
         "stream_envelope_rows_per_sec": stream_rows_per_sec,
+        "load_at_capture": load_at_capture,
+        # loaded=true: the host never fell below the load threshold
+        # inside the bounded wait — numbers are suspect, adjudicate
+        # against the round's recorded idle pair, not as a regression
+        **({"loaded": True} if still_loaded else {}),
         # partial=True marks total as NOT comparable round-over-
         # round (a failed query's seconds are missing from it).
         # Error text is clipped hard here so a multi-failure cascade —
@@ -350,10 +389,26 @@ def main() -> None:
             else {}
         ),
     }
+    # build/probe split for the bucketed near-dup index (r14 verdict
+    # #4): run 1 of stream_neardup_gate_bucketed builds the session's
+    # bucketed tables (cost recorded here); runs 2+ reuse them, so the
+    # min-of-N number above IS the steady-state per-microbatch probe
+    # cost the layout models.
+    try:
+        from kinesumer_spark.streaming.queries import INDEX_BUILD_SECONDS
+
+        ndidx_build = INDEX_BUILD_SECONDS.get(sf_dir)
+    except Exception:  # noqa: BLE001
+        ndidx_build = None
     detail = {
         **headline,
         "queries_cold": per_query_cold,
         "queries_extended": per_query_ext,
+        **(
+            {"ndidx_build_sec": ndidx_build}
+            if ndidx_build is not None
+            else {}
+        ),
         **({"errors": errors} if errors else {}),
         **({"errors_extended": errors_ext} if errors_ext else {}),
     }

@@ -516,8 +516,14 @@ def _maybe_broadcast(
     df: DataFrame, n_docs: int | None, cap: int = _STREAM_INDEX_BROADCAST_CAP
 ) -> DataFrame:
     """Size-gated probe-side hint: broadcast at-or-under ``cap`` corpus
-    docs, SHUFFLE_HASH past it (the r14 degrade — see the cap note)."""
-    if n_docs is not None and n_docs <= cap:
+    docs, SHUFFLE_HASH past it (the r14 degrade — see the cap note).
+    When the size is UNKNOWN (``n_docs is None``) the planner is left
+    free: pinning SHUFFLE_HASH there would force a non-spillable build
+    side where the default sort-merge join could spill instead of OOM
+    (r14 driver advice) — unknown is not over-cap."""
+    if n_docs is None:
+        return df
+    if n_docs <= cap:
         return F.broadcast(df)
     return df.hint("shuffle_hash")
 

@@ -922,7 +922,10 @@ def test_stream_neardup_gate_strategy_flips_at_cap(spark):
 def test_maybe_broadcast_cap_branches(spark):
     """_maybe_broadcast: broadcast hint at-or-under the cap, SHUFFLE_HASH
     hint past it (never an unhinted fall-through that sf-scale
-    auto-broadcast would silently re-promote)."""
+    auto-broadcast would silently re-promote), and NO hint when the
+    size is unknown — pinning a non-spillable shuffle-hash build side
+    on an unknown-size index could OOM where the planner's default
+    sort-merge join would spill (r14 driver advice)."""
     from kinesumer_spark.operators.dedup import (
         _STREAM_INDEX_BROADCAST_CAP,
         _maybe_broadcast,
@@ -935,10 +938,11 @@ def test_maybe_broadcast_cap_branches(spark):
     assert "strategy=broadcast" in (
         under._jdf.queryExecution().analyzed().toString()
     )
-    for d in (over, unknown):
-        assert "strategy=shuffle_hash" in (
-            d._jdf.queryExecution().analyzed().toString()
-        )
+    assert "strategy=shuffle_hash" in (
+        over._jdf.queryExecution().analyzed().toString()
+    )
+    unk_plan = unknown._jdf.queryExecution().analyzed().toString()
+    assert "strategy=" not in unk_plan, unk_plan
 
 
 def test_stream_lang_id_gate_is_fully_stateless(spark):
