@@ -176,7 +176,17 @@ EXTENDED = [
     # r14 additions
     "source_domain_cap",
     "source_token_drift_chi2",
+    # r15 additions
+    "source_domain_cap_skewsafe",
     # (stream_anomaly_zscore moved to the protocol-floor front block)
+    # EXCLUDED (r15): stream_semdedup_admit_ttl (the bounded-state twin
+    # — same 4-microbatch admit protocol shape as the excluded base op;
+    # its data plane is benched via stream_semantic_gate) and
+    # stream_semdedup_admit_compacted (two admission phases + an
+    # index-maintenance streaming query + a cold bootstrap — the
+    # compaction PROTOCOL, like the excluded text twin; the bucketed
+    # cold-probe data plane is the stream_neardup_gate_bucketed shape).
+    # Costs recorded in SCALE.md r15.
     # EXCLUDED (r14): stream_semdedup_admit (the admit family's
     # 4-microbatch protocol shape with a python-state exact-cosine
     # verify — ~1M in-cell pairs at sf0.1; the semantic data plane is

@@ -1543,8 +1543,10 @@ def source_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), broadcasts the under-cap source list — those rows pass with
     NO rank work — and runs the rank window only over the few over-cap
     sources' rows, which the cap then truncates to K each; the ledger
-    below is the same relation either way. Reference analog: none (the
-    reference delegates corpus governance to its application)."""
+    below is the same relation either way. That production form is
+    EXECUTED as ``source_domain_cap_skewsafe`` (r15, same oracle,
+    plan-pinned). Reference analog: none (the reference delegates
+    corpus governance to its application)."""
     d = _t(spark, sf_dir)
     r = d.select(
         "doc_id",
@@ -1573,6 +1575,136 @@ def source_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SRC_CAP_SKEWSAFE_ORACLE = """
+WITH dom AS (
+  SELECT doc_id, source || '/' || lang AS domain FROM documents
+), pre AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS id_sum
+  FROM dom GROUP BY domain
+), cap AS (
+  SELECT (SELECT COUNT(*) FROM dom) // (SELECT COUNT(*) FROM pre) AS k
+), r AS (
+  SELECT d.doc_id, d.domain,
+         ROW_NUMBER() OVER (PARTITION BY d.domain ORDER BY d.doc_id)
+           AS arrival_rank
+  FROM dom d JOIN pre p ON p.domain = d.domain
+  WHERE p.n_docs > (SELECT k FROM cap)
+)
+SELECT p.domain, p.n_docs,
+       CAST(COALESCE(o.n_kept, p.n_docs) AS BIGINT) AS n_kept,
+       CAST(COALESCE(o.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(o.kept_id_sum, p.id_sum) AS BIGINT) AS kept_id_sum
+FROM pre p
+LEFT JOIN (
+  SELECT domain,
+         SUM(CASE WHEN arrival_rank <= (SELECT k FROM cap)
+             THEN 1 ELSE 0 END) AS n_kept,
+         SUM(CASE WHEN arrival_rank > (SELECT k FROM cap)
+             THEN 1 ELSE 0 END) AS n_dropped,
+         SUM(CASE WHEN arrival_rank <= (SELECT k FROM cap)
+             THEN doc_id ELSE 0 END) AS kept_id_sum
+  FROM r GROUP BY domain
+) o ON o.domain = p.domain
+ORDER BY p.domain
+"""
+
+
+@register(
+    "source_domain_cap_skewsafe",
+    oracle=_SRC_CAP_SKEWSAFE_ORACLE,
+    tags=("text", "quality", "pipeline", "source", "scale"),
+)
+def source_domain_cap_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``source_domain_cap``'s SKEW-SAFE production form, EXECUTED (r14
+    verdict #3 — the shape was docstring prose; the r14 over-cap gate
+    layouts set the precedent that the degrade path must run): the
+    plain variant ranks EVERY row in a window partitioned by domain,
+    so one hot domain (a mirror farm at 100 TB) is one fat window
+    partition. Here:
+
+    1. ONE map-side pre-aggregate per domain (partial_count/partial_sum
+       combine before the |domains|-row shuffle) carries count + id-sum;
+    2. under-cap domains — at CC scale, the overwhelming majority —
+       take their ledger STRAIGHT from the pre-aggregate: n_kept =
+       n_docs, dropped 0, kept_id_sum = id_sum. No rank work; none of
+       their rows ever enters a window;
+    3. only the few over-cap domains' rows are re-scanned, filtered by
+       a BROADCAST join against the (tiny) over-cap domain list, and
+       ranked — each such window partition is then truncated to K.
+
+    Domain & cap: the fixture's ``source`` column is uniform (every
+    source carries exactly 25/250 docs), so source_domain_cap's fixed
+    K=10 puts EVERY source over-cap — the under-cap branch would be
+    vacuous at every SF, exactly the executed-in-name-only gap this op
+    exists to close. The domain here is the finer source/lang cell and
+    the cap is data-driven (total docs DIV |domains| — integer division,
+    exact in both engines), which splits the branches 67/32, 67/30,
+    80/20 at sf0.001/0.01/0.1 (measured r15): both the rank-free pass
+    and the window truncation execute everywhere.
+
+    Plan pins (tests/test_plans.py): exactly ONE Window operator, fed
+    through a broadcast row filter — under-cap rows see no window
+    exchange. Residual skew note: a single pathological domain still
+    ranks in one partition; the next refinement (per-partition partial
+    top-K before the window) only pays when one domain exceeds a task's
+    row budget — the ledger arithmetic is independent of that choice."""
+    d = _t(spark, sf_dir).selectExpr(
+        "doc_id", "concat(source, '/', lang) AS domain"
+    )
+    pre = d.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+    # data-driven cap: total docs DIV number of domains — one tiny
+    # 1-row relation, broadcast into both branches
+    capdf = (
+        d.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(pre.agg(F.count(F.lit(1)).alias("n_domains")))
+        .selectExpr("n_total DIV n_domains AS k")
+    )
+    pre_k = pre.crossJoin(F.broadcast(capdf))
+    under = pre_k.filter(F.col("n_docs") <= F.col("k")).selectExpr(
+        "domain",
+        "n_docs",
+        "n_docs AS n_kept",
+        "CAST(0 AS bigint) AS n_dropped",
+        "id_sum AS kept_id_sum",
+    )
+    over_domains = pre_k.filter(F.col("n_docs") > F.col("k")).select(
+        "domain", "k"
+    )
+    over = (
+        d.join(F.broadcast(over_domains), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            "k",
+            F.row_number()
+            .over(W.partitionBy("domain").orderBy("doc_id"))
+            .alias("arrival_rank"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("arrival_rank") <= F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("arrival_rank") > F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(
+                    F.col("arrival_rank") <= F.col("k"), F.col("doc_id")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+    )
+    return under.unionByName(over).orderBy("domain")
 
 
 # -- Per-source token-distribution drift (chi-square over hashed buckets) ----

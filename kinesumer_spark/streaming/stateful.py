@@ -516,31 +516,53 @@ def source_cap_admit(stream: DataFrame, cap: int) -> DataFrame:
 # shortest-repr HALF_UP quantize the bucket op uses to match round(·,6).
 
 SEM_ADMIT_OUTPUT_SCHEMA = "doc_id bigint, partner bigint, cos double"
-SEM_ADMIT_STATE_SCHEMA = "ids array<bigint>, vecs array<string>"
+# Packed state (r14 verdict #2): one flat array<double> of all cell
+# vectors (dim = len(flat)/len(ids)) plus the PRE-COMPUTED norm of each
+# — the r14 JSON-string encoding re-serialized and re-parsed the whole
+# cell history every microbatch the cell was touched, and the per-pair
+# verify recomputed sqrt(dot(pv,pv)) for every partner on every
+# arrival. The flat encoding is an Arrow array round-trip (no text
+# codec), and the cached norm is BIT-NEUTRAL: it is the identical
+# left-assoc sequential dot over the identical floats, computed once
+# at arrival instead of once per future pair.
+SEM_ADMIT_STATE_SCHEMA = (
+    "ids array<bigint>, flat array<double>, norms array<double>"
+)
 
 
-def make_semcell_update(tau: float):
+def make_semcell_update(tau: float, horizon: int | None = None):
     """Build the per-cell update fn for ``semcell_admit_pairs``: emits
     (doc, earlier_partner, cos) for every tau-passing pair plus one
     (doc, NULL, cell_max_cos) row per arriving doc that HAD earlier
-    cell-mates (so the per-doc rollup's max_cos covers sub-tau
-    neighbours exactly like the static gate's)."""
+    in-horizon cell-mates (so the per-doc rollup's max_cos covers
+    sub-tau neighbours exactly like the static gate's).
+
+    ``horizon`` bounds the state (the text admit's TTL discipline,
+    stream_neardup_admit_ttl): a doc verifies only against cell-mates
+    with id >= d - horizon, and entries below max(arrived) - horizon
+    are EVICTED after each batch. The prune is exact: arrivals are
+    ascending, so an evicted entry can never be in-horizon for any
+    future doc — eviction changes no verdict, only state size."""
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        import json
         import math
         from decimal import ROUND_HALF_UP, Decimal
 
         if state.exists:
-            st_ids, st_vecs = state.get
+            st_ids, st_flat, st_norms = state.get
             ids = list(st_ids)
-            vecs = [json.loads(s) for s in st_vecs]
+            norms = list(st_norms)
+            dim = len(st_flat) // len(ids) if ids else 0
+            vecs = [
+                list(st_flat[i * dim : (i + 1) * dim])
+                for i in range(len(ids))
+            ]
         else:
-            ids, vecs = [], []
+            ids, vecs, norms = [], [], []
         seen = set(ids)
         q6 = Decimal("0.000001")
 
@@ -567,8 +589,10 @@ def make_semcell_update(tau: float):
             e = [float(x) for x in e_list]
             nrm = math.sqrt(_dot(e, e))
             cell_max: float | None = None
-            for pid, pv in zip(ids, vecs):
-                c = _dot(e, pv) / (nrm * math.sqrt(_dot(pv, pv)))
+            for pid, pv, pn in zip(ids, vecs, norms):
+                if horizon is not None and pid < d - horizon:
+                    continue  # out of the arrival window
+                c = _dot(e, pv) / (nrm * pn)
                 c = float(
                     Decimal(repr(c)).quantize(q6, rounding=ROUND_HALF_UP)
                 )
@@ -584,8 +608,19 @@ def make_semcell_update(tau: float):
                 out_cos.append(cell_max)
             ids.append(d)
             vecs.append(e)
+            norms.append(nrm)
             seen.add(d)
-        state.update((ids, [json.dumps(v) for v in vecs]))
+        if horizon is not None and ids:
+            floor = ids[-1] - horizon
+            keep = [i for i, pid in enumerate(ids) if pid >= floor]
+            if len(keep) < len(ids):
+                ids = [ids[i] for i in keep]
+                vecs = [vecs[i] for i in keep]
+                norms = [norms[i] for i in keep]
+        flat: list[float] = []
+        for v in vecs:
+            flat.extend(v)
+        state.update((ids, flat, norms))
         if out_doc:
             yield pd.DataFrame(
                 {
@@ -598,17 +633,21 @@ def make_semcell_update(tau: float):
     return update
 
 
-def semcell_admit_pairs(probe: DataFrame, tau: float) -> DataFrame:
+def semcell_admit_pairs(
+    probe: DataFrame, tau: float, horizon: int | None = None
+) -> DataFrame:
     """(doc_id, partner, cos) — tau-passing earlier partners (plus the
     per-(doc, cell) NULL-partner max rows) from a streaming per-cell
     probe relation (doc_id, cell, e). One state row per IVF cell; the
     same pair verifying in two shared cells emits twice with an
-    identical cos, collapsed by the caller's distinct."""
+    identical cos, collapsed by the caller's distinct. ``horizon``
+    bounds per-cell state to the arrival window (see
+    make_semcell_update)."""
     return (
         probe.select("cell", "doc_id", "e")
         .groupBy("cell")
         .applyInPandasWithState(
-            make_semcell_update(tau),
+            make_semcell_update(tau, horizon),
             outputStructType=SEM_ADMIT_OUTPUT_SCHEMA,
             stateStructType=SEM_ADMIT_STATE_SCHEMA,
             outputMode="append",

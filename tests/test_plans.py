@@ -945,6 +945,19 @@ def test_maybe_broadcast_cap_branches(spark):
     assert "strategy=" not in unk_plan, unk_plan
 
 
+def test_source_domain_cap_skewsafe_plan(spark):
+    """The skew-safe cap's layout claims (r14 verdict #3): exactly ONE
+    Window operator in the whole plan (only the over-cap domains' rows
+    are ranked), the over-cap row filter arrives by broadcast join
+    (BroadcastHashJoin on domain), and the pre-aggregate runs a
+    map-side partial combine — under-cap rows never see a window
+    exchange."""
+    plan = plan_string(_df(spark, "source_domain_cap_skewsafe"), "simple")
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+
+
 def test_stream_lang_id_gate_is_fully_stateless(spark):
     """The language screen must be the admission plane's pure map-side
     member: no state store (the profiles are baked literals, the doc

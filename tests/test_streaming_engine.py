@@ -2134,3 +2134,56 @@ def test_semcell_update_replay_idempotent_and_ordered():
                 st,
             )
         )
+
+
+def test_semcell_update_packed_state_and_horizon():
+    """r15 state hardening: (a) state is the packed
+    (ids, flat array<double>, norms) encoding and the cached norm is
+    used (no JSON round-trip); (b) with a horizon, out-of-window
+    cell-mates neither verify nor survive eviction, and the prune is
+    exact (an evicted entry could never pair with any future doc)."""
+    import math
+
+    import pandas as pd
+
+    from kinesumer_spark.streaming.stateful import make_semcell_update
+
+    class _StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = _StubState()
+    upd = make_semcell_update(0.5, horizon=10)
+    b1 = pd.DataFrame(
+        {"doc_id": [1, 2], "e": [[1.0, 0.0, 0.0], [0.9, 0.1, 0.0]]}
+    )
+    list(upd((0,), iter([b1]), st))
+    ids, flat, norms = st._v
+    assert ids == [1, 2]
+    assert flat == [1.0, 0.0, 0.0, 0.9, 0.1, 0.0]  # packed, row-major
+    assert norms[0] == 1.0
+    assert norms[1] == math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    # doc 20: both mates are out of the 10-arrival window — no pairs,
+    # no cell-max row, and the batch-end prune evicts them
+    out = list(upd((0,), iter([pd.DataFrame(
+        {"doc_id": [20], "e": [[1.0, 0.0, 0.0]]}
+    )]), st))
+    assert out == []
+    ids2, flat2, norms2 = st._v
+    assert ids2 == [20] and flat2 == [1.0, 0.0, 0.0] and norms2 == [1.0]
+    # doc 25: in-horizon mate 20 verifies (identical vector, cos 1.0)
+    out2 = list(upd((0,), iter([pd.DataFrame(
+        {"doc_id": [25], "e": [[1.0, 0.0, 0.0]]}
+    )]), st))
+    rows = out2[0]
+    tau = rows[rows["partner"].notna()]
+    assert list(tau["partner"]) == [20] and float(tau["cos"].iloc[0]) == 1.0
