@@ -75,6 +75,7 @@ EXTENDED = [
     "stream_lang_id_gate",  # r14: stateless in-row classifier on the stream
     "stream_source_token_drift",    # r14: governance monitors on ingest
     "stream_source_quality_ledger",
+    "stream_source_embedding_drift",  # r15: the vector-axis monitor
     "pipeline_stream_admission",
     "events_attribution",
     "events_attribution_linear",
@@ -178,10 +179,14 @@ EXTENDED = [
     "source_token_drift_chi2",
     # r15 additions
     "source_domain_cap_skewsafe",
+    "source_embedding_drift",
     # (stream_anomaly_zscore moved to the protocol-floor front block)
     # EXCLUDED (r15): stream_semdedup_admit_ttl (the bounded-state twin
     # — same 4-microbatch admit protocol shape as the excluded base op;
-    # its data plane is benched via stream_semantic_gate) and
+    # its data plane is benched via stream_semantic_gate),
+    # stream_semdedup_admit_restart (two streaming queries + a RocksDB
+    # kill/restart + changelog restore — restart-PROTOCOL cost, the
+    # same reason the text restart twin is excluded), and
     # stream_semdedup_admit_compacted (two admission phases + an
     # index-maintenance streaming query + a cold bootstrap — the
     # compaction PROTOCOL, like the excluded text twin; the bucketed

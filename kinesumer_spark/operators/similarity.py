@@ -2782,3 +2782,174 @@ def similarity_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("tier")
+
+
+# -- Per-source embedding drift (the governance matrix's vector axis) --------
+#
+# source_token_drift_chi2 watches the TOKEN mix per source;
+# this watches the EMBEDDING mass: per-vector int8 code profiles
+# (embedding_quantize_int8's affine form — scale-invariant relative
+# positions in [0,255], integer-exact to sum) aggregated to a
+# source × dim cell table, per-dim source-mean vs corpus-mean squared
+# gap, rolled up per source. A source whose vectors drift off the
+# corpus manifold (a broken encoder, an off-domain crawl, an
+# adversarial injection) ranks first — before any pairwise screen.
+
+_EMB_DRIFT_ORACLE = """
+WITH de AS (
+  SELECT d.source, e.embedding::DOUBLE[] AS e
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), s AS (
+  SELECT source, e, list_min(e) AS mn,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM de
+), q AS (
+  SELECT source,
+         CASE WHEN scale = 0
+              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x ->
+                     CAST(round((x - mn) / scale) AS BIGINT)) END AS codes
+  FROM s
+), cell AS (
+  SELECT source, u.dim AS dim,
+         CAST(SUM(u.c) AS BIGINT) AS s_code,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q, UNNEST(list_transform(codes,
+         (c, i) -> struct_pack(dim := i - 1, c := c))) AS t(u)
+  GROUP BY source, u.dim
+), tot AS (
+  SELECT source, dim, s_code, n,
+         SUM(s_code) OVER (PARTITION BY dim) AS ct,
+         SUM(n) OVER (PARTITION BY dim) AS nt
+  FROM cell
+), scored AS (
+  SELECT source, n,
+         round((CAST(s_code AS DOUBLE) / n - CAST(ct AS DOUBLE) / nt)
+             * (CAST(s_code AS DOUBLE) / n - CAST(ct AS DOUBLE) / nt), 6)
+           AS contrib
+  FROM tot
+), per AS (
+  SELECT source,
+         CAST(MAX(n) AS BIGINT) AS n_vecs,
+         CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS drift
+  FROM scored GROUP BY source
+)
+SELECT source, n_vecs, drift,
+       CAST(ROW_NUMBER() OVER (ORDER BY drift DESC, source) AS BIGINT)
+         AS drift_rank
+FROM per ORDER BY source
+"""
+
+
+def emb_drift_cells(de: DataFrame) -> DataFrame:
+    """(source, dim, s_code, n) — the source × dimension cell table of
+    summed int8 code profiles over a (source, e array<double>)
+    relation: the single stream-scale aggregation of the embedding
+    drift monitor, shared by the batch query and its streaming twin
+    (the src_drift_cells discipline applied to the vector axis). The
+    per-vector affine code is embedding_quantize_int8's arithmetic
+    verbatim — round-half-up on non-negative values, where Spark's
+    HALF_UP and DuckDB's ties-away agree — so every summed quantity is
+    an exact integer."""
+    q = de.select(
+        "source",
+        F.when(
+            F.array_max("e") == F.array_min("e"),
+            F.expr("transform(e, x -> CAST(0 AS bigint))"),
+        )
+        .otherwise(
+            F.expr(
+                "transform(e, x -> CAST(round((x - array_min(e))"
+                " / ((array_max(e) - array_min(e)) / 255.0)) AS bigint))"
+            )
+        )
+        .alias("codes"),
+    )
+    return (
+        q.select("source", F.posexplode("codes").alias("dim", "c"))
+        .groupBy("source", "dim")
+        .agg(
+            F.sum("c").cast("bigint").alias("s_code"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def emb_drift_from_cells(cells: DataFrame) -> DataFrame:
+    """Drift tail over a (source, dim, s_code, n) cell relation — runs
+    on the bounded contingency table (≤ |sources| × dim rows), never
+    the corpus/stream. Per-dim source mean vs corpus mean (integer
+    marginals exact in double, TWO divisions + subtract + square —
+    a fixed scalar IEEE chain, identical in both engines), round(·,6),
+    order-independent DECIMAL per-source sum, rank."""
+    tot = cells.select(
+        "source",
+        "s_code",
+        "n",
+        F.sum("s_code").over(W.partitionBy("dim")).alias("ct"),
+        F.sum("n").over(W.partitionBy("dim")).alias("nt"),
+    )
+    scored = tot.selectExpr(
+        "source",
+        "n",
+        "round((cast(s_code AS double) / n - cast(ct AS double) / nt)"
+        " * (cast(s_code AS double) / n - cast(ct AS double) / nt), 6)"
+        " AS contrib",
+    )
+    per = scored.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.sum(F.col("contrib").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("drift"),
+    )
+    return per.select(
+        "source",
+        "n_vecs",
+        "drift",
+        F.row_number()
+        .over(W.orderBy(F.desc("drift"), F.col("source")))
+        .cast("bigint")
+        .alias("drift_rank"),
+    ).orderBy("source")
+
+
+def _emb_drift_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, e) — embeddings joined to their documents' source
+    (doc_id = vec_id, the repo's established alignment —
+    pipelines.py cross-modal admission)."""
+    from kinesumer_spark.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _t(spark, sf_dir).selectExpr(
+        "vec_id AS doc_id", "CAST(embedding AS array<double>) AS e"
+    )
+    return docs.join(emb, "doc_id").select("source", "e")
+
+
+@register(
+    "source_embedding_drift",
+    oracle=_EMB_DRIFT_ORACLE,
+    tags=("similarity", "quality", "source", "analytics"),
+)
+def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EMBEDDING drift — the vector axis of the source
+    governance matrix (token mix: source_token_drift_chi2; quality:
+    source_quality_ledger; volume: source_domain_cap — this closes the
+    embedding column): per-vector int8 code profiles summed to a
+    source × dim cell table, then each source's per-dim mean code
+    against the corpus mean, squared, rounded, DECIMAL-summed and
+    ranked. The code profile (not the raw float centroid) is the
+    monitored quantity: it is scale-invariant per vector, exactly
+    integer-summable cross-engine, and it is what a production
+    pipeline already materializes at 1/4 footprint
+    (embedding_quantize_int8 — same affine arithmetic, zero fork).
+
+    Scale: one scan → map-side (source, dim) combine (the posexplode
+    rides the scan; cells ≤ |sources| × 64); two window sums over the
+    bounded cell relation; the rollup is |sources| rows — the
+    src_drift_cells shape on the vector axis. Exactness: integer cell
+    sums; a fixed 5-op scalar IEEE chain per cell; round(·,6);
+    order-independent DECIMAL sum."""
+    return emb_drift_from_cells(
+        emb_drift_cells(_emb_drift_input(spark, sf_dir))
+    ).orderBy("source")

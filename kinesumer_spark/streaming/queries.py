@@ -5793,6 +5793,133 @@ def stream_semdedup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_semdedup_admit_restart",
+    oracle=_stream_semadmit_oracle(),
+    tags=("streaming", "similarity", "dedup", "stateful", "checkpoint",
+          "scale"),
+)
+def stream_semdedup_admit_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kill/restart exactly-once proof for the semantic admit under the
+    PRODUCTION state backend — and, specifically in r15, the proof that
+    the new PACKED state encoding (ids + flat array<double> + cached
+    norms, replacing r14's JSON strings) round-trips through a real
+    RocksDB snapshot + changelog restore, not just through a live
+    session. Phase 1 streams the first two arrival chunks through the
+    per-cell operator with RocksDB + changelog checkpointing, then the
+    query STOPS; chunks 3–4 land and phase 2 is a brand-new query
+    object resuming from the same checkpoint. Verdicts are correct
+    ONLY if every cell's packed history (including the cached norms
+    the verify now divides by) was rebuilt from checkpointed state:
+    the full-prefix oracle hash-proves it, and the restart twins'
+    tripwires exclude the degenerate passes — a phase-2 tau-pair whose
+    partner arrived in phase 1 (restored state USED; 27/30/328 such
+    pairs at the three SFs), and the source WAL listing no input file
+    twice (phase 1 not reprocessed). Reference analog:
+    restart-from-checkpoint, kinesumer.go:706-729 +
+    statestore.go:260-281. Scale: state restore is per-partition
+    snapshot + changelog replay, O(delta) per batch."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from kinesumer_spark.operators.similarity import _SEM_TAU
+    from kinesumer_spark.streaming.stateful import semcell_admit_pairs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev = {k: spark.conf.get(k, None) for k in (provider_key, changelog_key)}
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(changelog_key, "true")
+    staging = tempfile.mkdtemp(prefix="ks_semadmit_rst_src_")
+    out = tempfile.mkdtemp(prefix="ks_semadmit_rst_out_")
+    ckpt = tempfile.mkdtemp(prefix="ks_semadmit_rst_ckpt_")
+    try:
+        v, probe_of, _ = _semadmit_setup(spark, sf_dir)
+        staged = v.selectExpr("vec_id AS doc_id", "e")
+        bounds = _admit_chunk_bounds(staged)
+        spark.createDataFrame(
+            [], "doc_id bigint, partner bigint, cos double, phase bigint"
+        ).write.mode("overwrite").parquet(out)
+        _write_admit_chunks(
+            staged, staging, range(2), bounds, cols=("doc_id", "e")
+        )
+        schema = "doc_id bigint, e array<double>"
+
+        def run_phase(phase: int) -> None:
+            pairs = semcell_admit_pairs(
+                probe_of(_admit_stream(spark, staging, schema=schema)),
+                _SEM_TAU,
+            )
+            q = (
+                pairs.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda bdf, bid: bdf.withColumn(
+                        "phase", F.lit(phase).cast("bigint")
+                    ).write.mode("append").parquet(out)
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+
+        run_phase(1)  # chunks 1–2: packed cell state accumulates in RocksDB
+        _write_admit_chunks(
+            staged, staging, range(2, 4), bounds, cols=("doc_id", "e")
+        )
+        run_phase(2)  # NEW query object: packed state restored
+        emitted = spark.read.parquet(out)
+        # RESTORE TRIPWIRE: a phase-2 tau-pair with a phase-1 partner
+        # proves the restored packed history (vectors AND norms) is USED
+        n_cross = emitted.filter(
+            (F.col("phase") == 2)
+            & (F.col("partner") <= bounds[1])
+            & (F.col("cos") >= F.lit(float(_SEM_TAU)))
+        ).count()
+        assert n_cross >= 1, (
+            "no phase-2 tau-pair has a phase-1 partner — cell state was "
+            "not restored from the checkpoint"
+        )
+        # REPROCESS TRIPWIRE: no input file appears twice in the source WAL
+        seen_files: list[str] = []
+        for logf in _glob.glob(_os.path.join(ckpt, "sources", "0", "*")):
+            with open(logf) as fh:
+                for line in fh:
+                    if line.startswith("{"):
+                        seen_files.append(_json.loads(line)["path"])
+        assert len(seen_files) == len(set(seen_files)), (
+            "source WAL lists an input file twice — phase 2 reprocessed "
+            "phase-1 chunks instead of restoring state"
+        )
+        res = _semadmit_verdict(v, emitted.drop("phase"))
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for k, val in prev.items():
+            if val is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, val)
+
+
+@register(
     "stream_semdedup_admit_compacted",
     oracle=_stream_semadmit_oracle(),
     tags=("streaming", "similarity", "dedup", "stateful", "checkpoint",
@@ -6996,6 +7123,64 @@ def stream_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable=False,
         )
     return src_drift_from_cells(out)
+
+
+def _stream_emb_drift_oracle() -> str:
+    from kinesumer_spark.operators.similarity import _EMB_DRIFT_ORACLE
+
+    return _EMB_DRIFT_ORACLE
+
+
+@register(
+    "stream_source_embedding_drift",
+    oracle=_stream_emb_drift_oracle(),
+    tags=("streaming", "similarity", "quality", "source"),
+)
+def stream_source_embedding_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """source_embedding_drift ON the ingest stream — the vector axis of
+    the live governance monitors (token drift / quality ledger /
+    volume z-score got streaming twins in r14; the embedding column
+    now has one too): arriving vectors are int8-profiled in-row (the
+    shared emb_drift_cells tier — zero fork with the batch op), their
+    source arrives by a broadcast map-side join against the (doc_id →
+    source) projection (at production scale the source label rides IN
+    the record envelope and the join disappears — the mapping here is
+    fixture plumbing), and the source × dim cells accumulate
+    STATEFULLY (state = one integer pair per cell, ≤ |sources| × 64
+    rows — structurally bounded, so the state-partition count is
+    pinned per _bounded_state_partitions). The drift tail re-derives
+    per trigger on the drained constant-size cell table; batch oracle
+    VERBATIM — a broken encoder or off-manifold source surfaces during
+    ingest, not at the end-of-day audit."""
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.similarity import (
+        emb_drift_cells,
+        emb_drift_from_cells,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("vec_id AS doc_id", "CAST(embedding AS array<double>) AS e")
+        .join(F.broadcast(docs), "doc_id")
+        .select("source", "e")
+    )
+    cells = emb_drift_cells(stream)
+    with _bounded_state_partitions(spark):  # |sources| x 64 integer cells
+        out = _run_to_table(
+            cells,
+            "ks_stream_source_embedding_drift",
+            mode="complete",
+            stable=False,
+        )
+    return emb_drift_from_cells(out)
 
 
 def _stream_src_ledger_oracle() -> str:
