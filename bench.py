@@ -181,7 +181,12 @@ EXTENDED = [
     "source_domain_cap_skewsafe",
     "source_embedding_drift",
     # (stream_anomaly_zscore moved to the protocol-floor front block)
-    # EXCLUDED (r15): stream_semdedup_admit_ttl (the bounded-state twin
+    # EXCLUDED (r15): stream_neardup_admit_fused (the one-read fused
+    # admission+compaction shape — the same 4-microbatch admit protocol
+    # as the excluded text family, plus a per-batch bucketed index
+    # append; its data planes are benched via stream_neardup_gate* and
+    # the compaction cost via the recorded SCALE.md numbers),
+    # stream_semdedup_admit_ttl (the bounded-state twin
     # — same 4-microbatch admit protocol shape as the excluded base op;
     # its data plane is benched via stream_semantic_gate),
     # stream_semdedup_admit_restart (two streaming queries + a RocksDB

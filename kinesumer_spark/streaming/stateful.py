@@ -307,9 +307,21 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
 ADMIT_OUTPUT_SCHEMA = "doc_id bigint, partner bigint, jaccard double"
 ADMIT_STATE_SCHEMA = "ids array<bigint>, sets array<string>"
+# Fused-output schema (r15): the same operator can ALSO pass the
+# index-maintenance rows through its output — kind='pair' rows carry
+# the verified pair columns, kind='idx' rows carry the band-bucket key
+# + the doc's shingle set (the exact rows the compacted index stores)
+# — so ONE source read and ONE state pass feed BOTH the pair sink and
+# the compacted index (the fusion the compacted twin's docstring
+# defers to production).
+ADMIT_FUSED_OUTPUT_SCHEMA = (
+    "kind string, doc_id bigint, partner bigint, jaccard double,"
+    " lang string, band int, key1 bigint, key2 bigint,"
+    " sh_set array<string>"
+)
 
 
-def _make_bucket_update(horizon: int | None):
+def _make_bucket_update(horizon: int | None, emit_index: bool = False):
     """Build the bucket-index update fn. ``horizon=None`` keeps the full
     arrival history; ``horizon=T`` verifies only against partners within
     the last T arrivals (arrival index = doc_id, ascending by the
@@ -317,7 +329,14 @@ def _make_bucket_update(horizon: int | None):
     bounded-state production form: per-bucket state tracks the active
     horizon, not the all-time arrival count. The prune is exact, not
     heuristic: arrivals are ascending, so an entry below
-    max(batch) − T can never verify against any future doc."""
+    max(batch) − T can never verify against any future doc.
+
+    ``emit_index=True`` (the FUSED form, output schema
+    ``ADMIT_FUSED_OUTPUT_SCHEMA``) additionally passes every FRESH
+    arrival's (bucket key, doc_id, sh_set) through the output as a
+    kind='idx' row — replay-idempotent exactly like the pair emission
+    (a replayed doc emits neither), so the downstream index append
+    never sees a duplicate."""
 
     def update(
         key: tuple[Any, ...],
@@ -340,6 +359,8 @@ def _make_bucket_update(horizon: int | None):
         out_doc: list[int] = []
         out_partner: list[int] = []
         out_j: list[float] = []
+        idx_doc: list[int] = []
+        idx_sh: list[list[str]] = []
         rows = pd.concat(list(pdfs), ignore_index=True)
         # arrival order within the microbatch = ascending doc_id (the
         # staging writer feeds chunks in doc_id order; within a chunk
@@ -349,6 +370,9 @@ def _make_bucket_update(horizon: int | None):
             d = int(doc_id)
             if d in seen:  # replayed microbatch — already verified
                 continue
+            if emit_index:
+                idx_doc.append(d)
+                idx_sh.append([str(x) for x in sh_list])
             # ordering tripwire: the staging contract (chunk files fed
             # in ascending-doc_id order) is what makes "partner arrived
             # earlier" equal "partner < doc_id" — a violation must fail
@@ -388,10 +412,63 @@ def _make_bucket_update(horizon: int | None):
         state.update(
             (ids, [json.dumps(sorted(s)) for s in sets])
         )
+        if not emit_index:
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "partner": out_partner,
+                        "jaccard": out_j,
+                    }
+                )
+            return
+        # fused form: pair rows + idx rows through ONE output
+        lang_k, band_k, key1_k, key2_k = key
+        frames = []
         if out_doc:
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "partner": out_partner, "jaccard": out_j}
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": "pair",
+                        "doc_id": out_doc,
+                        "partner": pd.array(out_partner, dtype="Int64"),
+                        "jaccard": out_j,
+                        "lang": None,
+                        "band": pd.array([None] * len(out_doc), dtype="Int32"),
+                        "key1": pd.array([None] * len(out_doc), dtype="Int64"),
+                        "key2": pd.array([None] * len(out_doc), dtype="Int64"),
+                        "sh_set": None,
+                    }
+                )
             )
+        if idx_doc:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": "idx",
+                        "doc_id": idx_doc,
+                        "partner": pd.array(
+                            [None] * len(idx_doc), dtype="Int64"
+                        ),
+                        "jaccard": pd.array(
+                            [None] * len(idx_doc), dtype="Float64"
+                        ),
+                        "lang": lang_k,
+                        "band": pd.array(
+                            [band_k] * len(idx_doc), dtype="Int32"
+                        ),
+                        "key1": pd.array(
+                            [key1_k] * len(idx_doc), dtype="Int64"
+                        ),
+                        "key2": pd.array(
+                            [key2_k] * len(idx_doc), dtype="Int64"
+                        ),
+                        "sh_set": pd.Series(idx_sh, dtype="object"),
+                    }
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return update
 
@@ -413,6 +490,29 @@ def bucket_admit_pairs(probe: DataFrame, horizon: int | None = None) -> DataFram
         .applyInPandasWithState(
             _make_bucket_update(horizon),
             outputStructType=ADMIT_OUTPUT_SCHEMA,
+            stateStructType=ADMIT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def bucket_admit_pairs_fused(probe: DataFrame) -> DataFrame:
+    """The FUSED admit operator: kind='pair' rows (verified pairs) and
+    kind='idx' rows (the band-bucket index maintenance relation —
+    bucket key + each fresh arrival's shingle set) through ONE output,
+    from ONE source read and ONE state pass. The production shape the
+    compacted twin's two-read fixture protocol stands in for: a
+    foreachBatch sink splits the union by ``kind`` into the pair ledger
+    and the bucketed compacted index. Same verify arithmetic — the
+    update fn is _make_bucket_update with index emission switched on,
+    not a fork."""
+    return (
+        probe.select("lang", "band", "key1", "key2", "doc_id", "sh_set")
+        .groupBy("lang", "band", "key1", "key2")
+        .applyInPandasWithState(
+            _make_bucket_update(None, emit_index=True),
+            outputStructType=ADMIT_FUSED_OUTPUT_SCHEMA,
             stateStructType=ADMIT_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
