@@ -5171,6 +5171,24 @@ def stream_neardup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted = _run_to_table(
         pairs, "ks_stream_neardup_admit_ttl", mode="append", stable=False
     )
+    # The semantic TTL twin's tripwires, applied here for symmetry (r15):
+    # STATE-CARRIED — ≥1 in-horizon pair spans a chunk boundary, so the
+    # windowed state provably survived a microbatch commit
+    crosses_any = None
+    for b in bounds:
+        c = (F.col("partner") <= b) & (F.col("doc_id") > b)
+        crosses_any = c if crosses_any is None else (crosses_any | c)
+    assert emitted.filter(crosses_any).count() >= 1, (
+        "no pair crosses any microbatch boundary — windowed state was "
+        "not carried between batches"
+    )
+    # WINDOW-HONORED — nothing outside the horizon was emitted
+    assert (
+        emitted.filter(
+            F.col("partner") < F.col("doc_id") - _ADMIT_TTL
+        ).count()
+        == 0
+    ), "an out-of-window pair was emitted — horizon eviction failed"
     return _admit_verdict(docs, emitted)
 
 

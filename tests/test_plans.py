@@ -958,6 +958,21 @@ def test_source_domain_cap_skewsafe_plan(spark):
     assert "partial_count" in plan and "partial_sum" in plan, plan
 
 
+def test_source_embedding_drift_plan(spark):
+    """The embedding drift monitor's scale shape: pure JVM (the int8
+    code profile is a transform chain + posexplode — never Python), a
+    map-side partial combine before the bounded cell shuffle, the
+    docs→source mapping by broadcast join, and exactly the two corpus
+    scans the relation needs (documents for source, embeddings for
+    vectors) — the drift tail's window sums run over the cell table,
+    not the corpus."""
+    plan = plan_string(_df(spark, "source_embedding_drift"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("FileScan") == 2, plan
+
+
 def test_stream_lang_id_gate_is_fully_stateless(spark):
     """The language screen must be the admission plane's pure map-side
     member: no state store (the profiles are baked literals, the doc
