@@ -2953,3 +2953,143 @@ def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_drift_from_cells(
         emb_drift_cells(_emb_drift_input(spark, sf_dir))
     ).orderBy("source")
+
+
+# -- Semantic (embedding-space) decontamination -------------------------------
+#
+# text_decontaminate catches lexical leakage (shared 3-grams) and
+# text_decontaminate_fuzzy its near-verbatim edits — but a PARAPHRASED
+# eval item shares no n-grams with its source. The embedding screen
+# closes that hole: a training vector whose cosine against any eval
+# vector clears the SemDeDup threshold is flagged, IVF-cell-blocked so
+# the comparison is never all-pairs (the same shared codebook the
+# semantic gate and the cross-modal admission use).
+
+
+def _sem_decontam_oracle() -> str:
+    from kinesumer_spark.operators.text import _EVAL_MOD
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), a AS (
+  SELECT vec_id - {_IVF_ANCHOR_BASE} AS cell, e AS ae FROM v
+  WHERE vec_id BETWEEN {_IVF_ANCHOR_BASE}
+    AND {_IVF_ANCHOR_BASE + _IVF_CELLS - 1}
+), scored AS (
+  SELECT v.vec_id, a.cell,
+         list_dot_product(v.e, a.ae) / sqrt(list_dot_product(a.ae, a.ae))
+           AS d
+  FROM v CROSS JOIN a
+), asg AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d DESC, cell) AS rnk
+  FROM scored
+  QUALIFY rnk <= {_SEM_ASSIGN}
+), pairs AS (
+  SELECT DISTINCT t.vec_id AS tr, ev.vec_id AS ev
+  FROM asg t JOIN asg ev ON t.cell = ev.cell
+  WHERE t.vec_id % {_EVAL_MOD} <> 0 AND ev.vec_id % {_EVAL_MOD} = 0
+), vp AS (
+  SELECT p.tr,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cos,
+         p.ev
+  FROM pairs p JOIN v a ON a.vec_id = p.tr JOIN v b ON b.vec_id = p.ev
+), h AS (
+  SELECT tr AS vec_id,
+         CAST(COUNT(DISTINCT CASE WHEN cos >= {_SEM_TAU} THEN ev END)
+              AS BIGINT) AS n_contaminated,
+         MAX(cos) AS max_cos
+  FROM vp GROUP BY tr
+)
+SELECT t.vec_id,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.max_cos, 0.0) AS max_cos,
+       COALESCE(h.n_contaminated, 0) = 0 AS keep
+FROM (SELECT vec_id FROM v WHERE vec_id % {_EVAL_MOD} <> 0) t
+LEFT JOIN h ON h.vec_id = t.vec_id
+ORDER BY t.vec_id
+"""
+
+
+@register(
+    "semantic_decontaminate",
+    oracle=_sem_decontam_oracle(),
+    tags=("similarity", "text", "quality", "decontam"),
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE decontamination — the screen the lexical tier
+    cannot provide: text_decontaminate (exact 3-grams) and its fuzzy
+    twin catch verbatim and near-verbatim leakage, but a PARAPHRASED
+    eval item shares no n-grams with its source; a training vector
+    whose cosine against any eval vector clears the SemDeDup threshold
+    is flagged here and excised from the mix. Completes the
+    decontamination ladder: exact → fuzzy-lexical → semantic.
+
+    Shape: the asymmetric broadcast-eval form (text_decontaminate_
+    broadcast's scale argument, applied to vectors): the eval side is
+    BOUNDED by construction (a benchmark suite, not a crawl), so its
+    IVF-cell index (3 rows/vector + the vector + its precomputed norm)
+    broadcasts; the 100 TB training side stays map-side — in-row cell
+    assignment (the shared ivf_inrow_assign codebook — zero fork with
+    the semantic gate and the cross-modal admission), LEFT probe join,
+    in-plan HOF left-assoc verify (the gate's proven exact form).
+    IVF-cell blocking keeps the comparison O(cell overlap), never
+    all-pairs; the oracle replays the identical blocked relation, so
+    the approximation is pinned, not hidden. Non-vacuous at every SF:
+    1 / 4 / 21 contaminated training vectors at sf0.001/0.01/0.1
+    (measured r15), with clean rows exercising the LEFT-join zeros
+    everywhere."""
+    from kinesumer_spark.operators.text import _EVAL_MOD
+    from kinesumer_spark.streaming.queries import ivf_inrow_assign
+
+    v = _t(spark, sf_dir).selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS e"
+    )
+    _cell_scores, top3, _hof_dot = ivf_inrow_assign(v)
+    eval_idx = (
+        v.filter(F.col("vec_id") % _EVAL_MOD == 0)
+        .selectExpr("vec_id AS eval_id", "e AS e_c", _cell_scores("e"))
+        .selectExpr(
+            "eval_id",
+            "e_c",
+            f"sqrt({_hof_dot('e_c', 'e_c')}) AS nrm_c",
+            f"explode(transform({top3}, s -> s.cell)) AS cell",
+        )
+    )
+    probed = (
+        v.filter(F.col("vec_id") % _EVAL_MOD != 0)
+        .selectExpr("vec_id", "e", _cell_scores("e"))
+        .selectExpr(
+            "vec_id",
+            "e",
+            f"sqrt({_hof_dot('e', 'e')}) AS nrm",
+            f"explode(transform({top3}, s -> s.cell)) AS cell",
+        )
+        .join(F.broadcast(eval_idx), "cell", "left")
+        .selectExpr(
+            "vec_id",
+            "eval_id",
+            f"round(({_hof_dot('e', 'e_c')}) / (nrm * nrm_c), 6) AS cos",
+        )
+    )
+    return (
+        probed.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "cast(size(collect_set(CASE WHEN cos >= "
+                f"{_SEM_TAU!r}D THEN eval_id END)) AS bigint)"
+            ).alias("n_contaminated"),
+            F.expr("coalesce(max(cos), 0.0D)").alias("max_cos"),
+        )
+        .selectExpr(
+            "vec_id",
+            "n_contaminated",
+            "max_cos",
+            "n_contaminated = 0 AS keep",
+        )
+        .orderBy("vec_id")
+    )
