@@ -181,6 +181,7 @@ EXTENDED = [
     "source_domain_cap_skewsafe",
     "source_embedding_drift",
     "semantic_decontaminate",
+    "source_domain_cap_partialk",
     # (stream_anomaly_zscore moved to the protocol-floor front block)
     # EXCLUDED (r15): stream_neardup_admit_fused (the one-read fused
     # admission+compaction shape — the same 4-microbatch admit protocol

@@ -1648,9 +1648,11 @@ def source_domain_cap_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan pins (tests/test_plans.py): exactly ONE Window operator, fed
     through a broadcast row filter — under-cap rows see no window
     exchange. Residual skew note: a single pathological domain still
-    ranks in one partition; the next refinement (per-partition partial
-    top-K before the window) only pays when one domain exceeds a task's
-    row budget — the ledger arithmetic is independent of that choice."""
+    ranks in one partition; the per-partition partial top-K refinement
+    that removes even that window is EXECUTED as
+    ``source_domain_cap_partialk`` (same oracle, zero Window operators
+    plan-pinned) — it only pays when one domain exceeds a task's row
+    budget, so this broadcast-filter form remains the default."""
     d = _t(spark, sf_dir).selectExpr(
         "doc_id", "concat(source, '/', lang) AS domain"
     )
@@ -3062,3 +3064,90 @@ def text_lang_confusion_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+@register(
+    "source_domain_cap_partialk",
+    oracle=_SRC_CAP_SKEWSAFE_ORACLE,
+    tags=("text", "quality", "pipeline", "source", "scale"),
+)
+def source_domain_cap_partialk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe cap's FINAL refinement, executed (r15 — the
+    ``source_domain_cap_skewsafe`` docstring named per-partition
+    partial top-K as the step that remains when ONE domain exceeds a
+    task's row budget; naming it is prose, this runs it): the over-cap
+    branch's rank window — still one fat partition per pathological
+    domain — is replaced by a TWO-LEVEL top-K with NO window operator
+    anywhere in the plan:
+
+    1. map-side per (domain, input-partition) partials: count, id-sum,
+       and the K smallest doc_ids (array_sort + slice — each task
+       holds at most K ids per domain it sees);
+    2. one |domains|-keyed merge: counts/sums add; the kept set is the
+       K smallest of the union of partials' K-smallest lists (≤ K ×
+       n_partitions ids per domain on ONE row — bounded by the
+       cluster, not the data), its sum via a HOF aggregate.
+
+    Correctness of the two-level K-smallest is the standard
+    order-statistic argument: any global top-K element is a top-K
+    element of its own partition, so the union of partial top-Ks
+    contains the global top-K. All arithmetic is integer; the under-cap
+    branch is the skewsafe op's pre-aggregate verbatim (shared oracle —
+    the three cap formulations must agree cell-for-cell). Plan pins:
+    ZERO Window operators, partial aggregation present. Cost note: at
+    fixture scale this pays collect_list materialization the window
+    variant avoids — the shape exists for the one-hot-domain regime,
+    and the skewsafe op's broadcast-filter form remains the default."""
+    d = _t(spark, sf_dir).selectExpr(
+        "doc_id", "concat(source, '/', lang) AS domain"
+    )
+    pre = d.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+    capdf = (
+        d.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(pre.agg(F.count(F.lit(1)).alias("n_domains")))
+        .selectExpr("n_total DIV n_domains AS k")
+    )
+    pre_k = pre.crossJoin(F.broadcast(capdf))
+    under = pre_k.filter(F.col("n_docs") <= F.col("k")).selectExpr(
+        "domain",
+        "n_docs",
+        "n_docs AS n_kept",
+        "CAST(0 AS bigint) AS n_dropped",
+        "id_sum AS kept_id_sum",
+    )
+    over_domains = pre_k.filter(F.col("n_docs") > F.col("k")).select(
+        "domain", "k"
+    )
+    partials = (
+        d.join(F.broadcast(over_domains), "domain")
+        .groupBy("domain", F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("pn"),
+            F.expr("slice(array_sort(collect_list(doc_id)), 1, "
+                   "int(first(k))) AS topk"),
+            F.first("k").alias("k"),
+        )
+    )
+    over = (
+        partials.groupBy("domain")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_docs"),
+            F.expr(
+                "slice(array_sort(flatten(collect_list(topk))), 1,"
+                " int(first(k))) AS kept"
+            ),
+            F.first("k").alias("k"),
+        )
+        .selectExpr(
+            "domain",
+            "n_docs",
+            "CAST(size(kept) AS bigint) AS n_kept",
+            "n_docs - CAST(size(kept) AS bigint) AS n_dropped",
+            "aggregate(kept, CAST(0 AS bigint), (acc, x) -> acc + x)"
+            " AS kept_id_sum",
+        )
+    )
+    return under.unionByName(over).orderBy("domain")

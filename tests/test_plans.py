@@ -958,6 +958,18 @@ def test_source_domain_cap_skewsafe_plan(spark):
     assert "partial_count" in plan and "partial_sum" in plan, plan
 
 
+def test_source_domain_cap_partialk_no_window(spark):
+    """The two-level top-K cap must carry NO window operator at all —
+    the whole point of the refinement is that even a pathological
+    one-domain skew never becomes one fat window partition — while
+    keeping the map-side partial combine and the broadcast over-cap
+    filter."""
+    plan = plan_string(_df(spark, "source_domain_cap_partialk"), "simple")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+
+
 def test_source_embedding_drift_plan(spark):
     """The embedding drift monitor's scale shape: pure JVM (the int8
     code profile is a transform chain + posexplode — never Python), a
