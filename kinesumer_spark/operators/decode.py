@@ -12,6 +12,7 @@ decode(encode(x)) == x, including double round-tripping through JSON
 
 from __future__ import annotations
 
+from kinesumer_spark.tmpdirs import session_mkdtemp
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -257,7 +258,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = read_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="ks_orc_") + "/events_orc"
+    path = session_mkdtemp(prefix="ks_orc_") + "/events_orc"
     e.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     from kinesumer_spark.functions.exact import exact_sum
@@ -320,7 +321,7 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     batch = d.filter(F.col("doc_id") < _BINFILE_N)
-    stage = tempfile.mkdtemp(prefix="ks_binfile_")
+    stage = session_mkdtemp(prefix="ks_binfile_")
     try:
         for row in batch.collect():  # test plumbing: simulate the
             # external filesystem the source would read in production
@@ -484,7 +485,7 @@ def publish_wap(
     spark = df.sparkSession
     parent = os.path.dirname(os.path.abspath(final_dir)) or "."
     os.makedirs(parent, exist_ok=True)
-    staging = tempfile.mkdtemp(prefix=".wap_staging_", dir=parent)
+    staging = session_mkdtemp(prefix=".wap_staging_", dir=parent)
     try:
         df.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
@@ -535,7 +536,7 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = read_table(spark, sf_dir, "events").filter(F.col("value") >= 0)
-    final = tempfile.mkdtemp(prefix="ks_wap_") + "/events_published"
+    final = session_mkdtemp(prefix="ks_wap_") + "/events_published"
     publish_wap(
         e,
         final,
@@ -594,7 +595,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = read_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="ks_evolve_") + "/events_evolved"
+    base = session_mkdtemp(prefix="ks_evolve_") + "/events_evolved"
     v1 = e.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
     v2 = (
         e.filter(F.col("event_id") % 2 == 1)
@@ -680,7 +681,7 @@ def decode_dlq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = parsed.filter(
         F.col("payload").isNotNull() & F.col("payload.event_id").isNotNull()
     )
-    dlq_dir = tempfile.mkdtemp(prefix="ks_dlq_") + "/dead_letters"
+    dlq_dir = session_mkdtemp(prefix="ks_dlq_") + "/dead_letters"
     bad.select(
         "stream", "shard_id", "sequence_number", "partition_key", "data", "arrival_ts"
     ).write.mode("overwrite").parquet(dlq_dir)

@@ -17,6 +17,7 @@ the identical envelope (streaming/envelope.py).
 
 from __future__ import annotations
 
+from kinesumer_spark.tmpdirs import session_mkdtemp
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -613,9 +614,9 @@ def stream_stateful_totals_rocksdb_restart(
         "RocksDBStateStoreProvider",
     )
     spark.conf.set(changelog_key, "true")
-    staging = tempfile.mkdtemp(prefix="ks_rocks_staging_")
-    out = tempfile.mkdtemp(prefix="ks_rocks_out_")
-    ckpt = tempfile.mkdtemp(prefix="ks_rocks_ckpt_")
+    staging = session_mkdtemp(prefix="ks_rocks_staging_")
+    out = session_mkdtemp(prefix="ks_rocks_out_")
+    ckpt = session_mkdtemp(prefix="ks_rocks_ckpt_")
     try:
         ev = read_table(spark, sf_dir, "events").select(
             "event_id",
@@ -977,7 +978,7 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = _events_stream(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="ks_rollup_mv_")
+    work = session_mkdtemp(prefix="ks_rollup_mv_")
     return incremental_hourly_rollup(spark, ev, work)
 
 
@@ -1131,7 +1132,7 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .filter(F.col("o_custkey") < _SCD2_MAX_CUST)
     )
-    work = tempfile.mkdtemp(prefix="ks_scd2_mv_")
+    work = session_mkdtemp(prefix="ks_scd2_mv_")
     return incremental_scd2_apply(spark, orders, work)
 
 
@@ -1786,7 +1787,7 @@ def stream_kinesis_wire_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_reshard_")
+    work = session_mkdtemp(prefix="ks_wire_reshard_")
     try:
         with FakeKinesisServer(
             resharded_stream("wire", _WIRE_RESHARD_PER)
@@ -1882,7 +1883,7 @@ def stream_kinesis_efo_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_efo_reshard_")
+    work = session_mkdtemp(prefix="ks_efo_reshard_")
     try:
         with FakeKinesisServer(
             resharded_stream("wire", _WIRE_RESHARD_PER)
@@ -2039,7 +2040,7 @@ def stream_kinesis_wire_live_split(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_split_")
+    work = session_mkdtemp(prefix="ks_wire_split_")
     parent = _Shard(_PARENT_SHARD, _WIRE_RESHARD_PER)
     parent._prefill("wire", 0)
     try:
@@ -2188,7 +2189,7 @@ def stream_kinesis_wire_live_merge(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_merge_")
+    work = session_mkdtemp(prefix="ks_wire_merge_")
     half = _split_ranges(2)
     parents = ["shardId-000000000000", "shardId-000000000001"]
     s0 = _Shard(parents[0], _WIRE_RESHARD_PER, hash_range=half[0])
@@ -2341,7 +2342,7 @@ def stream_kinesis_wire_multistream(
             sh._prefill(stream, pos)
         return shards
 
-    work = tempfile.mkdtemp(prefix="ks_wire_multi_")
+    work = session_mkdtemp(prefix="ks_wire_multi_")
     try:
         with FakeKinesisServer(
             {"orders": make("orders", 2), "clicks": make("clicks", 3)}
@@ -2434,7 +2435,7 @@ def stream_kinesis_wire_iterator_expiry(
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_expiry_")
+    work = session_mkdtemp(prefix="ks_wire_expiry_")
     try:
         with FakeKinesisServer(
             simple_stream("wire", 3, _WIRE_RESHARD_PER)
@@ -2526,7 +2527,7 @@ def stream_kinesis_wire_paged_topology(
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_paged_")
+    work = session_mkdtemp(prefix="ks_wire_paged_")
     try:
         with FakeKinesisServer(
             simple_stream("wire", 5, _WIRE_RESHARD_PER)
@@ -2600,7 +2601,7 @@ def stream_kinesis_wire_throttled(
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_throttle_")
+    work = session_mkdtemp(prefix="ks_wire_throttle_")
     try:
         with FakeKinesisServer(
             simple_stream("wire", 3, _WIRE_RESHARD_PER)
@@ -2678,7 +2679,7 @@ def stream_kinesis_efo_renewal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_efo_renew_")
+    work = session_mkdtemp(prefix="ks_wire_efo_renew_")
     try:
         with FakeKinesisServer(
             simple_stream("wire", 3, _WIRE_RESHARD_PER)
@@ -2792,7 +2793,7 @@ def sink_kinesis_wire_putrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_put_")
+    work = session_mkdtemp(prefix="ks_wire_put_")
     try:
         with FakeKinesisServer(open_stream("wire", 4)) as srv:
             srv.api.put_fail_every = 7
@@ -2929,7 +2930,7 @@ def stream_kinesis_wire_stream_deletion(
             sh._prefill(stream, pos)
         return shards
 
-    work = tempfile.mkdtemp(prefix="ks_wire_del_")
+    work = session_mkdtemp(prefix="ks_wire_del_")
     try:
         with FakeKinesisServer(
             {"orders": make("orders", 2), "clicks": make("clicks", 2)}
@@ -3183,7 +3184,7 @@ def stream_kinesis_wire_dynamo_restore(
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_wire_restore_")
+    work = session_mkdtemp(prefix="ks_wire_restore_")
     try:
         with FakeKinesisServer(
             simple_stream("wire", 2, _WIRE_RESHARD_PER)
@@ -3425,7 +3426,7 @@ def coordination_multiclient_handoff(
     from kinesumer_spark.streaming.assignment import full_assignment
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_handoff_")
+    work = session_mkdtemp(prefix="ks_handoff_")
     clock = [100.0]
     try:
         with FakeKinesisServer(
@@ -3599,7 +3600,7 @@ def stream_kinesis_efo_shared_registry(
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_efo_shared_")
+    work = session_mkdtemp(prefix="ks_efo_shared_")
     try:
         with FakeKinesisServer(
             simple_stream("wire", _WIRE_SHARDS, _WIRE_PER_SHARD)
@@ -3759,7 +3760,7 @@ def coordination_multiclient_lineage(
     )
 
     register_wire_source(spark)
-    work = tempfile.mkdtemp(prefix="ks_mc_lineage_")
+    work = session_mkdtemp(prefix="ks_mc_lineage_")
     parent = "shardId-000000000000"
     kids = ("shardId-000000000001", "shardId-000000000002")
     try:
@@ -4320,7 +4321,7 @@ def _neardup_bucket_index(
     run_tag = hashlib.sha1(
         f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
     ).hexdigest()[:12]
-    base = tempfile.mkdtemp(prefix=f"ks_ndidx_{run_tag}_")
+    base = session_mkdtemp(prefix=f"ks_ndidx_{run_tag}_")
     t0 = time.monotonic()
 
     def _build(df: DataFrame, name: str, keys: list[str]) -> str:
@@ -4864,7 +4865,7 @@ def stream_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    staging = tempfile.mkdtemp(prefix="ks_admit_src_")
+    staging = session_mkdtemp(prefix="ks_admit_src_")
     bounds = _admit_chunk_bounds(docs)
     _write_admit_chunks(docs, staging, range(4), bounds)
     pairs = bucket_admit_pairs(
@@ -5023,9 +5024,9 @@ def stream_neardup_admit_restart(
         "RocksDBStateStoreProvider",
     )
     spark.conf.set(changelog_key, "true")
-    staging = tempfile.mkdtemp(prefix="ks_admit_rst_src_")
-    out = tempfile.mkdtemp(prefix="ks_admit_rst_out_")
-    ckpt = tempfile.mkdtemp(prefix="ks_admit_rst_ckpt_")
+    staging = session_mkdtemp(prefix="ks_admit_rst_src_")
+    out = session_mkdtemp(prefix="ks_admit_rst_out_")
+    ckpt = session_mkdtemp(prefix="ks_admit_rst_ckpt_")
     try:
         docs = read_table(spark, sf_dir, "documents").select(
             "doc_id", "lang", "text"
@@ -5161,7 +5162,7 @@ def stream_neardup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    staging = tempfile.mkdtemp(prefix="ks_admit_ttl_src_")
+    staging = session_mkdtemp(prefix="ks_admit_ttl_src_")
     bounds = _admit_chunk_bounds(docs)
     _write_admit_chunks(docs, staging, range(4), bounds)
     pairs = bucket_admit_pairs(
@@ -5258,11 +5259,11 @@ def stream_neardup_admit_compacted(
     import hashlib as _hashlib
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    warm_dir = tempfile.mkdtemp(prefix="ks_admit_cmp_warm_")
-    cold_dir = tempfile.mkdtemp(prefix="ks_admit_cmp_cold_")
-    index_dir = tempfile.mkdtemp(prefix="ks_admit_cmp_idx_")
-    idx_ckpt = tempfile.mkdtemp(prefix="ks_admit_cmp_idx_ckpt_")
-    idx_marks = tempfile.mkdtemp(prefix="ks_admit_cmp_idx_marks_")
+    warm_dir = session_mkdtemp(prefix="ks_admit_cmp_warm_")
+    cold_dir = session_mkdtemp(prefix="ks_admit_cmp_cold_")
+    index_dir = session_mkdtemp(prefix="ks_admit_cmp_idx_")
+    idx_ckpt = session_mkdtemp(prefix="ks_admit_cmp_idx_ckpt_")
+    idx_marks = session_mkdtemp(prefix="ks_admit_cmp_idx_marks_")
     idx_table = (
         f"kbkt_admitidx_{_hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}"
     )
@@ -5462,11 +5463,11 @@ def stream_neardup_admit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesumer_spark.streaming.stateful import bucket_admit_pairs_fused
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    staging = tempfile.mkdtemp(prefix="ks_admit_fus_src_")
-    out = tempfile.mkdtemp(prefix="ks_admit_fus_out_")
-    ckpt = tempfile.mkdtemp(prefix="ks_admit_fus_ckpt_")
-    index_dir = tempfile.mkdtemp(prefix="ks_admit_fus_idx_")
-    idx_marks = tempfile.mkdtemp(prefix="ks_admit_fus_marks_")
+    staging = session_mkdtemp(prefix="ks_admit_fus_src_")
+    out = session_mkdtemp(prefix="ks_admit_fus_out_")
+    ckpt = session_mkdtemp(prefix="ks_admit_fus_ckpt_")
+    index_dir = session_mkdtemp(prefix="ks_admit_fus_idx_")
+    idx_marks = session_mkdtemp(prefix="ks_admit_fus_marks_")
     run_tag = hashlib.sha1(
         f"{spark.sparkContext.applicationId}:{sf_dir}:fused".encode()
     ).hexdigest()[:12]
@@ -5600,7 +5601,7 @@ def stream_source_cap_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    staging = tempfile.mkdtemp(prefix="ks_srccap_src_")
+    staging = session_mkdtemp(prefix="ks_srccap_src_")
     bounds = _admit_chunk_bounds(docs)
     _write_admit_chunks(
         docs, staging, range(4), bounds, cols=("doc_id", "source")
@@ -5836,7 +5837,7 @@ def _semadmit_stream_pairs(
     from kinesumer_spark.streaming.stateful import semcell_admit_pairs
 
     staged = v.selectExpr("vec_id AS doc_id", "e")
-    staging = tempfile.mkdtemp(prefix="ks_semadmit_src_")
+    staging = session_mkdtemp(prefix="ks_semadmit_src_")
     bounds = _admit_chunk_bounds(staged)
     _write_admit_chunks(staged, staging, range(4), bounds, cols=("doc_id", "e"))
     stream = _admit_stream(
@@ -6005,9 +6006,9 @@ def stream_semdedup_admit_restart(
         "RocksDBStateStoreProvider",
     )
     spark.conf.set(changelog_key, "true")
-    staging = tempfile.mkdtemp(prefix="ks_semadmit_rst_src_")
-    out = tempfile.mkdtemp(prefix="ks_semadmit_rst_out_")
-    ckpt = tempfile.mkdtemp(prefix="ks_semadmit_rst_ckpt_")
+    staging = session_mkdtemp(prefix="ks_semadmit_rst_src_")
+    out = session_mkdtemp(prefix="ks_semadmit_rst_out_")
+    ckpt = session_mkdtemp(prefix="ks_semadmit_rst_ckpt_")
     try:
         v, probe_of, _ = _semadmit_setup(spark, sf_dir)
         staged = v.selectExpr("vec_id AS doc_id", "e")
@@ -6137,11 +6138,11 @@ def stream_semdedup_admit_compacted(
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     v, probe_of, hof_dot = _semadmit_setup(spark, sf_dir)
-    warm_dir = tempfile.mkdtemp(prefix="ks_semadmit_cmp_warm_")
-    cold_dir = tempfile.mkdtemp(prefix="ks_semadmit_cmp_cold_")
-    index_dir = tempfile.mkdtemp(prefix="ks_semadmit_cmp_idx_")
-    idx_ckpt = tempfile.mkdtemp(prefix="ks_semadmit_cmp_idx_ckpt_")
-    idx_marks = tempfile.mkdtemp(prefix="ks_semadmit_cmp_idx_marks_")
+    warm_dir = session_mkdtemp(prefix="ks_semadmit_cmp_warm_")
+    cold_dir = session_mkdtemp(prefix="ks_semadmit_cmp_cold_")
+    index_dir = session_mkdtemp(prefix="ks_semadmit_cmp_idx_")
+    idx_ckpt = session_mkdtemp(prefix="ks_semadmit_cmp_idx_ckpt_")
+    idx_marks = session_mkdtemp(prefix="ks_semadmit_cmp_idx_marks_")
     run_tag = hashlib.sha1(
         f"{spark.sparkContext.applicationId}:{sf_dir}:semadmit".encode()
     ).hexdigest()[:12]
@@ -6404,7 +6405,7 @@ def pipeline_stream_admission_evolving(
         .withColumn("banned_hit", F.lit(1))
     )
     ingested = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
-    staging = tempfile.mkdtemp(prefix="ks_admit_evolving_src_")
+    staging = session_mkdtemp(prefix="ks_admit_evolving_src_")
     bounds = _admit_chunk_bounds(ingested)
     _write_admit_chunks(ingested, staging, range(4), bounds)
 
@@ -6726,7 +6727,7 @@ def pipeline_stream_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     )
 
-    staging = tempfile.mkdtemp(prefix="ks_stream_training_src_")
+    staging = session_mkdtemp(prefix="ks_stream_training_src_")
     bounds = _admit_chunk_bounds(ingested)
     _write_admit_chunks(ingested, staging, range(4), bounds)
 
