@@ -804,6 +804,11 @@ def sink_putrecords_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         "ks_sink_rt_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
     )
+    # deterministic path (idempotent overwrite semantics), but still
+    # removed at session end like every other fixture dir
+    from kinesumer_spark.tmpdirs import register_tmpdir
+
+    register_tmpdir(d)
     ev = read_table(spark, sf_dir, "events")
     (
         ev.filter(F.col("event_type") == "purchase")

@@ -27,13 +27,19 @@ def _cleanup() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def session_mkdtemp(prefix: str, dir: str | None = None) -> str:
-    """``tempfile.mkdtemp`` + atexit removal (idempotent with any
-    explicit ``finally`` rmtree a caller already performs)."""
+def register_tmpdir(path: str) -> str:
+    """Register an existing (or deterministic, caller-created) path for
+    atexit removal. Idempotent per path."""
     global _registered
-    d = tempfile.mkdtemp(prefix=prefix, dir=dir)
-    _DIRS.append(d)
+    if path not in _DIRS:
+        _DIRS.append(path)
     if not _registered:
         atexit.register(_cleanup)
         _registered = True
-    return d
+    return path
+
+
+def session_mkdtemp(prefix: str, dir: str | None = None) -> str:
+    """``tempfile.mkdtemp`` + atexit removal (idempotent with any
+    explicit ``finally`` rmtree a caller already performs)."""
+    return register_tmpdir(tempfile.mkdtemp(prefix=prefix, dir=dir))
