@@ -76,6 +76,7 @@ EXTENDED = [
     "stream_source_token_drift",    # r14: governance monitors on ingest
     "stream_source_quality_ledger",
     "stream_source_embedding_drift",  # r15: the vector-axis monitor
+    "stream_semantic_decontaminate_gate",  # r15: paraphrase screen at arrival
     "pipeline_stream_admission",
     "events_attribution",
     "events_attribution_linear",

@@ -3044,11 +3044,27 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured r15), with clean rows exercising the LEFT-join zeros
     everywhere."""
     from kinesumer_spark.operators.text import _EVAL_MOD
-    from kinesumer_spark.streaming.queries import ivf_inrow_assign
 
     v = _t(spark, sf_dir).selectExpr(
         "vec_id", "CAST(embedding AS array<double>) AS e"
     )
+    train = v.filter(F.col("vec_id") % _EVAL_MOD != 0)
+    return sem_decontam_verdicts(v, train).orderBy("vec_id")
+
+
+def sem_decontam_verdicts(v: DataFrame, probe: DataFrame) -> DataFrame:
+    """(vec_id, n_contaminated, max_cos, keep) — the semantic
+    decontamination verdict plan over an arbitrary ``probe`` relation
+    exposing (vec_id, e array<double>) — batch or stream — against the
+    broadcast eval-slice IVF index built from the full corpus ``v``
+    (the codebook anchors live in v, not the eval slice, so the shared
+    ivf_inrow_assign tier stays intact). Extracted r15 so
+    semantic_decontaminate and its streaming admission gate share one
+    copy of the index build, the probe chain, and the verdict
+    aggregate."""
+    from kinesumer_spark.operators.text import _EVAL_MOD
+    from kinesumer_spark.streaming.queries import ivf_inrow_assign
+
     _cell_scores, top3, _hof_dot = ivf_inrow_assign(v)
     eval_idx = (
         v.filter(F.col("vec_id") % _EVAL_MOD == 0)
@@ -3061,8 +3077,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probed = (
-        v.filter(F.col("vec_id") % _EVAL_MOD != 0)
-        .selectExpr("vec_id", "e", _cell_scores("e"))
+        probe.selectExpr("vec_id", "e", _cell_scores("e"))
         .selectExpr(
             "vec_id",
             "e",
@@ -3091,5 +3106,4 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cos",
             "n_contaminated = 0 AS keep",
         )
-        .orderBy("vec_id")
     )

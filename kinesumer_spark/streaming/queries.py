@@ -7085,6 +7085,64 @@ def semantic_inplan_verdicts(v: DataFrame, probe: DataFrame) -> DataFrame:
     )
 
 
+def _stream_sem_decontam_oracle() -> str:
+    from kinesumer_spark.operators.similarity import _sem_decontam_oracle
+
+    return _sem_decontam_oracle()
+
+
+@register(
+    "stream_semantic_decontaminate_gate",
+    oracle=_stream_sem_decontam_oracle(),
+    tags=("streaming", "similarity", "quality", "decontam"),
+)
+def stream_semantic_decontaminate_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination ON the ingest stream — the admission
+    plane's decontamination screen was lexical-only (exact 3-gram probe
+    via stream_decontaminate_gate), so a PARAPHRASED eval item passed
+    admission untouched even after r15's batch screen closed that hole
+    offline; this gate closes it AT ARRIVAL. Same asymmetric shape as
+    the batch twin (semantic_decontaminate — shared
+    sem_decontam_verdicts tier, zero fork): the bounded eval-slice IVF
+    index broadcasts with precomputed norms, each arriving training
+    vector's 3-cell assignment is pure in-row arithmetic via the baked
+    codebook, and the tau verify is the in-plan HOF left-assoc chain.
+    Batch oracle VERBATIM — batch/stream equivalence driver-proven
+    vector-for-vector (the stream_lang_id_gate discipline).
+
+    Scale: per-arrival work is 16 anchor dots + top-3 + |eval-cell|-
+    bounded verifies; the only stream-side shuffle before the verdict
+    aggregate is the deliberate microbatch fan-out repartition (the
+    single-file-microbatch lesson — dropped in production where the
+    source arrives pre-split). Eval indexes are bounded by construction
+    (a benchmark suite, not a crawl), so the broadcast never needs the
+    over-cap degrade the near-dup index carries."""
+    from kinesumer_spark.operators.similarity import sem_decontam_verdicts
+    from kinesumer_spark.operators.text import _EVAL_MOD
+    from kinesumer_spark.operators.similarity import _t as _emb
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    v = _emb(spark, sf_dir).selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS e"
+    )
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.col("vec_id") % _EVAL_MOD != 0)
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+    )
+    return _run_to_table(
+        sem_decontam_verdicts(v, stream),
+        "ks_stream_semantic_decontaminate_gate",
+        stable=False,
+    ).orderBy("vec_id")
+
+
 # -- Streaming DSIR importance gate ------------------------------------------
 
 
