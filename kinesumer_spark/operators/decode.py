@@ -800,12 +800,17 @@ def sink_putrecords_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_sim_sink(spark)
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "ks_sink_rt_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
-    )
-    # deterministic path (idempotent overwrite semantics), but still
-    # removed at session end like every other fixture dir
+    # per-SESSION path (applicationId-tagged, like the near-dup bucket
+    # index): a deterministic per-sf_dir path shared across processes
+    # plus atexit removal would let one session rmtree the directory
+    # while a concurrent session benching the same sf_dir is mid-write
+    # (r15 driver advice). mode("overwrite") below already makes
+    # within-session re-runs idempotent, so cross-process sharing buys
+    # nothing.
+    tag = hashlib.sha256(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), "ks_sink_rt_" + tag)
     from kinesumer_spark.tmpdirs import register_tmpdir
 
     register_tmpdir(d)

@@ -3081,8 +3081,14 @@ def source_domain_cap_partialk(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the plan:
 
     1. map-side per (domain, input-partition) partials: count, id-sum,
-       and the K smallest doc_ids (array_sort + slice — each task
-       holds at most K ids per domain it sees);
+       and the K smallest doc_ids via slice(array_sort(collect_list)).
+       NOTE on the transient bound (r15 verdict): Catalyst materializes
+       the full per-(domain, partition) id array before the sort+slice,
+       so each task's working buffer is bounded by its INPUT SPLIT
+       (maxPartitionBytes), not by K — only the partial's OUTPUT is
+       K-bounded. The fat-window problem the op exists to solve is
+       still solved: no task ever holds a whole hot domain, because the
+       buffer can never exceed one input split regardless of skew;
     2. one |domains|-keyed merge: counts/sums add; the kept set is the
        K smallest of the union of partials' K-smallest lists (≤ K ×
        n_partitions ids per domain on ONE row — bounded by the

@@ -4356,11 +4356,28 @@ def _neardup_bucket_index(
         def _cleanup() -> None:
             import shutil as _shutil
 
+            from pyspark.sql import SparkSession as _SS
+
+            # resolve the session AT CLEANUP TIME, not build time: the
+            # build-time session may have been stopped and replaced, in
+            # which case a captured handle's DROP silently no-ops while
+            # the files are still removed — leaving a catalog entry
+            # pointing at a deleted path, exactly the dangling-external-
+            # table condition the compacted twin warns about (r15 driver
+            # advice). getActiveSession() reaches whatever catalog is
+            # live; if none is, the in-memory catalog died with the JVM
+            # and only the files need removing.
+            sess = None
+            try:
+                sess = _SS.getActiveSession()
+            except Exception:
+                pass
             for tbl, path in _ND_BUCKET_CLEANUP:
-                try:  # best-effort: the JVM may already be gone
-                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-                except Exception:
-                    pass
+                if sess is not None:
+                    try:  # best-effort: the JVM may already be gone
+                        sess.sql(f"DROP TABLE IF EXISTS {tbl}")
+                    except Exception:
+                        pass
                 _shutil.rmtree(path, ignore_errors=True)
 
         atexit.register(_cleanup)
@@ -5421,10 +5438,14 @@ def stream_neardup_admit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind='pair' rows (verified pairs) and kind='idx' rows (each fresh
     arrival's bucket key + shingle set, exactly the compacted index
     relation) through a single output, and the foreachBatch sink splits
-    the union into the pair ledger and the bucketed compacted index
-    (replay-idempotent via the per-batchId marker discipline; the
-    operator itself re-emits nothing for already-indexed docs, so the
-    idx stream is duplicate-free by construction).
+    the union into the pair ledger and the bucketed compacted index.
+    Replay idempotence holds PER SINK via per-(batchId, sink) marker
+    files (r15 driver advice): a replayed batch skips every sink whose
+    marker exists, so a failure between the two appends re-runs only
+    the missing one. The residual exposure — a crash between an append
+    and its own marker — re-runs exactly that sink once; the
+    n_idx == n_probe tripwire turns that into a loud failure rather
+    than silent index corruption.
 
     Oracle = the admit oracle (the batch LSH replay over the full
     feed) — fusion must not change one verdict. Tripwires: the FUSION
@@ -5488,27 +5509,42 @@ def stream_neardup_admit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def sink(bdf, bid: int) -> None:
-            marker = os.path.join(idx_marks, str(int(bid)))
-            if os.path.exists(marker):
+            # PER-SINK markers (r15 driver advice): one marker per
+            # (batchId, sink) so each append is individually guarded —
+            # a failure between the pair append and the index append
+            # re-runs ONLY the missing sink on replay, never
+            # re-duplicating the one that committed. The residual
+            # window (crash between an append and its own marker)
+            # re-runs just that sink once and trips the
+            # n_idx == n_probe tripwire below — fail-loud, not silent.
+            pair_done = os.path.join(idx_marks, f"{int(bid)}.pair")
+            idx_done = os.path.join(idx_marks, f"{int(bid)}.idx")
+            if os.path.exists(pair_done) and os.path.exists(idx_done):
                 return  # replayed microbatch — both sinks already fed
             bdf = bdf.localCheckpoint(eager=True)  # split w/o recompute
-            (
-                bdf.filter(F.col("kind") == "pair")
-                .select("doc_id", "partner", "jaccard")
-                .write.mode("append")
-                .parquet(out)
-            )
-            (
-                bdf.filter(F.col("kind") == "idx")
-                .select("lang", "band", "key1", "key2", "doc_id", "sh_set")
-                .write.mode("append")
-                .bucketBy(8, "lang", "band", "key1", "key2")
-                .sortBy("lang", "band", "key1", "key2")
-                .option("path", index_dir)
-                .saveAsTable(idx_table)
-            )
-            with open(marker, "w") as fh:
-                fh.write("1")
+            if not os.path.exists(pair_done):
+                (
+                    bdf.filter(F.col("kind") == "pair")
+                    .select("doc_id", "partner", "jaccard")
+                    .write.mode("append")
+                    .parquet(out)
+                )
+                with open(pair_done, "w") as fh:
+                    fh.write("1")
+            if not os.path.exists(idx_done):
+                (
+                    bdf.filter(F.col("kind") == "idx")
+                    .select(
+                        "lang", "band", "key1", "key2", "doc_id", "sh_set"
+                    )
+                    .write.mode("append")
+                    .bucketBy(8, "lang", "band", "key1", "key2")
+                    .sortBy("lang", "band", "key1", "key2")
+                    .option("path", index_dir)
+                    .saveAsTable(idx_table)
+                )
+                with open(idx_done, "w") as fh:
+                    fh.write("1")
 
         q = (
             fused.writeStream.outputMode("append")

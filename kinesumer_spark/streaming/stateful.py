@@ -657,12 +657,24 @@ def make_semcell_update(tau: float, horizon: int | None = None):
             ids = list(st_ids)
             norms = list(st_norms)
             dim = len(st_flat) // len(ids) if ids else 0
+            # packing guard: dim is INFERRED from the flat buffer, so a
+            # ragged pack (schema drift upstream delivering mixed-length
+            # vectors into one cell) must fail loudly here — silent
+            # truncation would misalign EVERY stored vector and produce
+            # wrong cosines with no error (r15 driver advice)
+            if ids and len(st_flat) != dim * len(ids):
+                raise ValueError(
+                    f"packed semcell state violated: {len(st_flat)} floats "
+                    f"for {len(ids)} ids (not a multiple) — mixed vector "
+                    "dims entered one cell"
+                )
             vecs = [
                 list(st_flat[i * dim : (i + 1) * dim])
                 for i in range(len(ids))
             ]
         else:
             ids, vecs, norms = [], [], []
+            dim = 0
         seen = set(ids)
         q6 = Decimal("0.000001")
 
@@ -687,6 +699,12 @@ def make_semcell_update(tau: float, horizon: int | None = None):
                     "in the same cell (staging contract broken)"
                 )
             e = [float(x) for x in e_list]
+            if dim and len(e) != dim:
+                raise ValueError(
+                    f"vector dim drift: doc {d} arrived with {len(e)} "
+                    f"floats in a cell packed at dim {dim}"
+                )
+            dim = dim or len(e)
             nrm = math.sqrt(_dot(e, e))
             cell_max: float | None = None
             for pid, pv, pn in zip(ids, vecs, norms):
