@@ -270,6 +270,32 @@ def _load_gate() -> tuple[float, bool]:
     return (round(load, 2), load > _LOAD_THRESH)
 
 
+def _block_mark(spark, callables, sf_dir) -> dict:
+    """Load + heat context taken at a block boundary (r15 verdict #3).
+
+    The 1-min loadavg sampled once before the headline block cannot see
+    heat that builds DURING the run: r15's committed capture had
+    extended rows 3-7x their idle bands (stream_semantic_gate 23.6 s vs
+    3.09 idle) with nothing in the JSON to flag them, so they read as
+    plan regressions. Each block boundary now records (a) the loadavg
+    and (b) a fixed sentinel query's wall-time — q6, the cheapest
+    headline row, whose drift measures session heat in the same units
+    as the rows themselves. A hot extended row whose block mark shows
+    an inflated sentinel self-adjudicates as heat, not regression."""
+    try:
+        load = round(os.getloadavg()[0], 2)
+    except OSError:
+        load = -1.0
+    sentinel = None
+    try:
+        t0 = time.perf_counter()
+        callables["q6_forecast_revenue"](spark, sf_dir).collect()
+        sentinel = round(time.perf_counter() - t0, 4)
+    except Exception:  # noqa: BLE001 — context capture must never kill bench
+        pass
+    return {"load": load, "sentinel_sec": sentinel}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kinesumer_spark.registry import all_queries
@@ -298,6 +324,8 @@ def main() -> None:
     # vs. plan-regression is distinguishable from the JSON alone.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     load_at_capture, still_loaded = _load_gate()
+    block_marks: dict[str, dict] = {}
+    block_marks["headline"] = _block_mark(spark, callables, sf_dir)
     per_query: dict[str, float] = {}
     per_query_cold: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -335,6 +363,7 @@ def main() -> None:
     # headline's "partial" comparability flag
     per_query_ext: dict[str, float] = {}
     errors_ext: dict[str, str] = {}
+    block_marks["extended"] = _block_mark(spark, callables, sf_dir)
     for name in extended_names:
         best = float("inf")
         for _ in range(runs):
@@ -348,6 +377,7 @@ def main() -> None:
         if name not in errors_ext and best < float("inf"):
             per_query_ext[name] = round(best, 4)
     extended_total = round(sum(per_query_ext.values()), 4)
+    block_marks["end"] = _block_mark(spark, callables, sf_dir)
     wall = round(time.perf_counter() - t_all, 4)
 
     # BASELINE.md comparison: the reference's delivery ceiling is the
@@ -387,6 +417,10 @@ def main() -> None:
         "wall_incl_warm": wall,
         "stream_envelope_rows_per_sec": stream_rows_per_sec,
         "load_at_capture": load_at_capture,
+        # per-block load + fixed-sentinel (q6) wall-time at each block
+        # boundary (r15 verdict #3): an extended row far above its idle
+        # band adjudicates against its block's mark, not the headline's
+        "block_marks": block_marks,
         # loaded=true: the host never fell below the load threshold
         # inside the bounded wait — numbers are suspect, adjudicate
         # against the round's recorded idle pair, not as a regression
