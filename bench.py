@@ -194,7 +194,12 @@ EXTENDED = [
     # its data plane is benched via stream_semantic_gate),
     # stream_semdedup_admit_restart (two streaming queries + a RocksDB
     # kill/restart + changelog restore — restart-PROTOCOL cost, the
-    # same reason the text restart twin is excluded), and
+    # same reason the text restart twin is excluded),
+    # stream_semdedup_admit_cap (r16: the membership-cap bounded-state
+    # twin — the same 4-microbatch admit protocol shape as the TTL
+    # twin, plus its batch-side CAP-HONORED re-derivation tripwire; its
+    # data plane is benched via stream_semantic_gate; ~19.3 s at sf0.1,
+    # recorded in SCALE.md r16), and
     # stream_semdedup_admit_compacted (two admission phases + an
     # index-maintenance streaming query + a cold bootstrap — the
     # compaction PROTOCOL, like the excluded text twin; the bucketed

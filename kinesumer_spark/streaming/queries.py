@@ -5210,6 +5210,83 @@ def stream_neardup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _admit_verdict(docs, emitted)
 
 
+def stream_neardup_admit_ttl_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TTL admit on ``transformWithStateInPandas`` — the r15
+    fused-probe adjudication's open question (r15 verdict #5) as a
+    runnable, same-oracle twin of ``stream_neardup_admit_ttl``: SAME
+    staging protocol, SAME verify kernel (stateful._bucket_verify_rows,
+    shared — not a fork), SAME horizon and verdict rollup; the only
+    variable is the state channel (monolithic per-batch state tuple vs
+    named ListState with incremental append). Registered behind
+    ``tws_supported()`` like stream_transform_with_state: the new API's
+    state server needs the Python protobuf package, absent in this
+    container (installs out of scope) — the measurement it exists for
+    is recorded as ENVIRONMENT-BLOCKED in SCALE.md r16 and lights up
+    wherever protobuf exists. RocksDB provider pinned for this query
+    only (API constraint), restored after."""
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.operators.dedup import stream_inrow_band_probe
+    from kinesumer_spark.streaming.stateful import bucket_admit_pairs_tws
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    staging = session_mkdtemp(prefix="ks_admit_ttl_tws_src_")
+    bounds = _admit_chunk_bounds(docs)
+    _write_admit_chunks(docs, staging, range(4), bounds)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        pairs = bucket_admit_pairs_tws(
+            stream_inrow_band_probe(_admit_stream(spark, staging)),
+            horizon=_ADMIT_TTL,
+        )
+        emitted = _run_to_table(
+            pairs,
+            "ks_stream_neardup_admit_ttl_tws",
+            mode="append",
+            stable=False,
+        )
+        # the TTL twin's tripwires, verbatim: state carried across a
+        # microbatch commit, and nothing outside the horizon emitted
+        crosses_any = None
+        for b in bounds:
+            c = (F.col("partner") <= b) & (F.col("doc_id") > b)
+            crosses_any = c if crosses_any is None else (crosses_any | c)
+        assert emitted.filter(crosses_any).count() >= 1, (
+            "no pair crosses any microbatch boundary — ListState was "
+            "not carried between batches"
+        )
+        assert (
+            emitted.filter(
+                F.col("partner") < F.col("doc_id") - _ADMIT_TTL
+            ).count()
+            == 0
+        ), "an out-of-window pair was emitted — horizon eviction failed"
+        return _admit_verdict(docs, emitted).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+if tws_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_neardup_admit_ttl_tws",
+        oracle=_stream_admit_ttl_oracle(),
+        tags=("streaming", "dedup", "stateful", "scale"),
+    )(stream_neardup_admit_ttl_tws)
+
+
 @register(
     "stream_neardup_admit_compacted",
     oracle=_stream_admit_oracle(),
@@ -5725,7 +5802,9 @@ def stream_lang_id_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Within-stream SEMANTIC admission (self-indexing, embedding space) -------
 
 
-def _stream_semadmit_oracle(horizon: int | None = None) -> str:
+def _stream_semadmit_oracle(
+    horizon: int | None = None, cap: int | None = None
+) -> str:
     from kinesumer_spark.operators.similarity import (
         _IVF_ANCHOR_BASE,
         _IVF_CELLS,
@@ -5733,9 +5812,32 @@ def _stream_semadmit_oracle(horizon: int | None = None) -> str:
         _SEM_TAU,
     )
 
-    hz = (
-        f" AND x.vec_id - y.vec_id <= {horizon}" if horizon is not None else ""
-    )
+    if cap is not None:
+        # membership-cap restriction: a pair (a, b) is eligible iff a
+        # is among b's cap most recent cell-mates in AT LEAST ONE
+        # shared cell — recency = row_number over earlier same-cell
+        # entries by descending vec_id (recency <= cap ⇔ fewer than
+        # cap entries arrived between a and b in that cell). Mutually
+        # exclusive with horizon (stateful.make_semcell_update).
+        assert horizon is None, "horizon and cap are mutually exclusive"
+        pairs_cte = f"""pairs AS (
+  SELECT DISTINCT b, a FROM (
+    SELECT x.vec_id AS b, y.vec_id AS a,
+           ROW_NUMBER() OVER (PARTITION BY x.cell, x.vec_id
+                              ORDER BY y.vec_id DESC) AS recency
+    FROM asg x JOIN asg y ON x.cell = y.cell AND y.vec_id < x.vec_id
+  ) WHERE recency <= {cap}
+)"""
+    else:
+        hz = (
+            f" AND x.vec_id - y.vec_id <= {horizon}"
+            if horizon is not None
+            else ""
+        )
+        pairs_cte = f"""pairs AS (
+  SELECT DISTINCT x.vec_id AS b, y.vec_id AS a
+  FROM asg x JOIN asg y ON x.cell = y.cell AND y.vec_id < x.vec_id{hz}
+)"""
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -5754,10 +5856,7 @@ WITH v AS (
                             ORDER BY d DESC, cell) AS rnk
   FROM scored
   QUALIFY rnk <= {_SEM_ASSIGN}
-), pairs AS (
-  SELECT DISTINCT x.vec_id AS b, y.vec_id AS a
-  FROM asg x JOIN asg y ON x.cell = y.cell AND y.vec_id < x.vec_id{hz}
-), vp AS (
+), {pairs_cte}, vp AS (
   SELECT p.b, p.a,
          round(list_dot_product(xv.e, yv.e)
                / (sqrt(list_dot_product(xv.e, xv.e))
@@ -5864,6 +5963,7 @@ def _semadmit_stream_pairs(
     probe_of,
     sink: str,
     horizon: int | None = None,
+    cap: int | None = None,
 ):
     """Stage the 4 arrival chunks, run the per-cell admit operator over
     them, and return (emitted_pair_table, chunk_bounds)."""
@@ -5880,7 +5980,9 @@ def _semadmit_stream_pairs(
         spark, staging, schema="doc_id bigint, e array<double>"
     )
     emitted = _run_to_table(
-        semcell_admit_pairs(probe_of(stream), _SEM_TAU, horizon=horizon),
+        semcell_admit_pairs(
+            probe_of(stream), _SEM_TAU, horizon=horizon, cap=cap
+        ),
         sink,
         mode="append",
         stable=False,
@@ -5988,6 +6090,107 @@ def stream_semdedup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     assert n_expired == 0, (
         "an out-of-window pair was emitted — horizon eviction failed"
+    )
+    return _semadmit_verdict(v, emitted)
+
+
+# Per-cell membership cap for the count-bounded semantic admit: at 32
+# the tau-pair sets split retained/dropped 32/24 (sf0.001), 28/26
+# (sf0.01), 142/590 (sf0.1) — both the cap-keeps and the cap-drops
+# semantics are exercised at every SF (measured r16; max observed
+# recency 113/120/409, so the cap binds hard everywhere).
+_SEM_ADMIT_CAP = 32
+
+
+@register(
+    "stream_semdedup_admit_cap",
+    oracle=_stream_semadmit_oracle(cap=_SEM_ADMIT_CAP),
+    tags=("streaming", "similarity", "dedup", "stateful", "scale"),
+)
+def stream_semdedup_admit_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_semdedup_admit`` bounded by MEMBERSHIP COUNT — the
+    guard the TTL twin doesn't give when arrivals cluster (r15 verdict
+    #6): one hot IVF cell at 100 TB can accumulate an unbounded
+    in-horizon population (TTL bounds the arrival WINDOW, not how many
+    of the window's arrivals share a cell), so the production deploy
+    needs the count bound too. A vector verifies only against its
+    cell's C=``_SEM_ADMIT_CAP`` most RECENT arrivals, and each cell
+    keeps only its last C entries after every batch — per-cell state is
+    a hard C×(dim+2) floats regardless of skew.
+
+    The eviction is verdict-safe by the order-statistic analog of the
+    TTL argument: arrivals are ascending, so a cell's last-C set only
+    changes by appending newer entries — an entry that has fallen out
+    of the last C can never re-enter it for any future vector; eviction
+    changes no verdict, only state size. Same packed array<double>
+    state + precomputed norms, same left-assoc exact cosine kernel
+    (make_semcell_update — cap is a parameter, not a fork).
+
+    Oracle = the semadmit oracle with the pair relation restricted by
+    RECENCY RANK: (a, b) eligible iff fewer than C same-cell entries
+    arrived between a and b in at least one shared cell (row_number
+    over earlier cell-mates by descending vec_id ≤ C) — hash-exact and
+    NON-VACUOUS by measurement: tau-pairs split retained/dropped
+    32/24, 28/26, 142/590 at the three SFs. Tripwires: STATE-CARRIED
+    (≥1 retained tau-pair spans a microbatch boundary) and CAP-HONORED
+    (every emitted pair is re-derived eligible from the batch-side
+    probe relation — a violation means eviction or the tail slice
+    broke)."""
+    from pyspark.sql import Window
+
+    from kinesumer_spark.operators.similarity import _SEM_TAU
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    v, probe_of, _ = _semadmit_setup(spark, sf_dir)
+    emitted, bounds = _semadmit_stream_pairs(
+        spark,
+        v,
+        probe_of,
+        "ks_stream_semdedup_admit_cap",
+        cap=_SEM_ADMIT_CAP,
+    )
+    # STATE-CARRIED TRIPWIRE: ≥1 retained tau-pair spans a chunk
+    # boundary — the capped history survived a microbatch commit
+    crosses_any = None
+    for b in bounds:
+        c = (
+            (F.col("cos") >= F.lit(float(_SEM_TAU)))
+            & (F.col("partner") <= b)
+            & (F.col("doc_id") > b)
+        )
+        crosses_any = c if crosses_any is None else (crosses_any | c)
+    assert emitted.filter(crosses_any).count() >= 1, (
+        "no tau-pair crosses any microbatch boundary — capped state "
+        "was not carried between batches"
+    )
+    # CAP-HONORED TRIPWIRE: every emitted pair must be re-derivable as
+    # cap-eligible from the batch-side probe relation (same codebook,
+    # same 3-cell assignment — zero fork)
+    asg = probe_of(v.selectExpr("vec_id AS doc_id", "e")).select(
+        "cell", "doc_id"
+    )
+    w = Window.partitionBy("b_cell", "b").orderBy(F.desc("a"))
+    elig = (
+        asg.selectExpr("cell AS b_cell", "doc_id AS b")
+        .join(
+            asg.selectExpr("cell AS a_cell", "doc_id AS a"),
+            (F.col("a_cell") == F.col("b_cell")) & (F.col("a") < F.col("b")),
+        )
+        .withColumn("recency", F.row_number().over(w))
+        .filter(F.col("recency") <= _SEM_ADMIT_CAP)
+        .select("b", "a")
+        .distinct()
+    )
+    violations = (
+        emitted.filter(F.col("partner").isNotNull())
+        .selectExpr("doc_id AS b", "partner AS a")
+        .distinct()
+        .join(elig, ["b", "a"], "left_anti")
+        .count()
+    )
+    assert violations == 0, (
+        f"{violations} emitted pair(s) are not cap-eligible — the "
+        "last-C tail slice or the eviction broke"
     )
     return _semadmit_verdict(v, emitted)
 

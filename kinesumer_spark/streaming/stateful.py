@@ -321,6 +321,87 @@ ADMIT_FUSED_OUTPUT_SCHEMA = (
 )
 
 
+def _bucket_verify_rows(
+    ids: list,
+    sets: list,
+    rows,
+    horizon: int | None,
+):
+    """The admit family's ONE verify kernel, shared verbatim by the
+    applyInPandasWithState update fn (_make_bucket_update) and the
+    transformWithStateInPandas processor (BucketAdmitProcessor) — the
+    two state APIs must never fork the arithmetic (the r15 fused-probe
+    rule: adjudicate state-API economics with the SAME kernel, or the
+    measurement measures the fork).
+
+    ``rows`` is a pandas frame sorted ascending by doc_id carrying
+    (doc_id, sh_set). Mutates ids/sets in place (appends each fresh
+    arrival) and returns (out_doc, out_partner, out_j, fresh_doc,
+    fresh_sh): the tau-passing pairs plus the fresh arrivals (for index
+    emission / state append). Replay-idempotent: a doc already in ids
+    is neither re-verified nor re-appended."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    seen = set(ids)
+    q6 = Decimal("0.000001")
+    out_doc: list[int] = []
+    out_partner: list[int] = []
+    out_j: list[float] = []
+    fresh_doc: list[int] = []
+    fresh_sh: list[list[str]] = []
+    for doc_id, sh_list in zip(rows["doc_id"], rows["sh_set"]):
+        d = int(doc_id)
+        if d in seen:  # replayed microbatch — already verified
+            continue
+        fresh_doc.append(d)
+        fresh_sh.append([str(x) for x in sh_list])
+        # ordering tripwire: the staging contract (chunk files fed
+        # in ascending-doc_id order) is what makes "partner arrived
+        # earlier" equal "partner < doc_id" — a violation must fail
+        # loudly, not silently mis-attribute the rejection side
+        if ids and d < ids[-1]:
+            raise ValueError(
+                f"out-of-order arrival: doc {d} after {ids[-1]} "
+                "in the same bucket (staging contract broken)"
+            )
+        s = frozenset(sh_list)
+        ns = len(s)
+        for pid, ps in zip(ids, sets):
+            if horizon is not None and pid < d - horizon:
+                continue  # expired for THIS doc (prune happens after)
+            shared = len(s & ps)
+            if shared == 0:
+                continue
+            # IEEE double division then shortest-repr HALF_UP
+            # rounding — bit-compatible with Spark's round(x, 6)
+            j = float(
+                Decimal(repr(shared / (ns + len(ps) - shared))).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+            )
+            if j >= 0.5:
+                out_doc.append(d)
+                out_partner.append(pid)
+                out_j.append(j)
+        ids.append(d)
+        sets.append(s)
+        seen.add(d)
+    return out_doc, out_partner, out_j, fresh_doc, fresh_sh
+
+
+def _prune_horizon(ids: list, sets: list, horizon: int | None):
+    """Exact TTL prune shared by both state APIs: drop entries below
+    max(ids) − horizon. Arrivals are ascending, so a dropped entry can
+    never be in-horizon for any future doc — eviction changes no
+    verdict, only state size. Returns (ids, sets, pruned_any)."""
+    if horizon is not None and ids:
+        cut = max(ids) - horizon
+        keep = [i for i, pid in enumerate(ids) if pid >= cut]
+        if len(keep) < len(ids):
+            return [ids[i] for i in keep], [sets[i] for i in keep], True
+    return ids, sets, False
+
+
 def _make_bucket_update(horizon: int | None, emit_index: bool = False):
     """Build the bucket-index update fn. ``horizon=None`` keeps the full
     arrival history; ``horizon=T`` verifies only against partners within
@@ -334,9 +415,11 @@ def _make_bucket_update(horizon: int | None, emit_index: bool = False):
     ``emit_index=True`` (the FUSED form, output schema
     ``ADMIT_FUSED_OUTPUT_SCHEMA``) additionally passes every FRESH
     arrival's (bucket key, doc_id, sh_set) through the output as a
-    kind='idx' row — replay-idempotent exactly like the pair emission
-    (a replayed doc emits neither), so the downstream index append
-    never sees a duplicate."""
+    kind='idx' row — replay-idempotent exactly like the pair emission:
+    a replay of a COMMITTED batch (doc already in state) emits neither,
+    so it contributes no duplicate idx rows; a replay of an UNCOMMITTED
+    batch re-emits, which the sink's per-(batchId, sink) markers guard
+    (queries.py stream_neardup_admit_fused)."""
 
     def update(
         key: tuple[Any, ...],
@@ -344,7 +427,6 @@ def _make_bucket_update(horizon: int | None, emit_index: bool = False):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         import json
-        from decimal import ROUND_HALF_UP, Decimal
 
         ids: list[int]
         if state.exists:
@@ -353,62 +435,16 @@ def _make_bucket_update(horizon: int | None, emit_index: bool = False):
             sets = [frozenset(json.loads(s)) for s in st_sets]
         else:
             ids, sets = [], []
-        seen = set(ids)
-        q6 = Decimal("0.000001")
 
-        out_doc: list[int] = []
-        out_partner: list[int] = []
-        out_j: list[float] = []
-        idx_doc: list[int] = []
-        idx_sh: list[list[str]] = []
         rows = pd.concat(list(pdfs), ignore_index=True)
         # arrival order within the microbatch = ascending doc_id (the
         # staging writer feeds chunks in doc_id order; within a chunk
         # the sort below is the arrival tiebreak)
         rows = rows.sort_values("doc_id", kind="mergesort")
-        for doc_id, sh_list in zip(rows["doc_id"], rows["sh_set"]):
-            d = int(doc_id)
-            if d in seen:  # replayed microbatch — already verified
-                continue
-            if emit_index:
-                idx_doc.append(d)
-                idx_sh.append([str(x) for x in sh_list])
-            # ordering tripwire: the staging contract (chunk files fed
-            # in ascending-doc_id order) is what makes "partner arrived
-            # earlier" equal "partner < doc_id" — a violation must fail
-            # loudly, not silently mis-attribute the rejection side
-            if ids and d < ids[-1]:
-                raise ValueError(
-                    f"out-of-order arrival: doc {d} after {ids[-1]} "
-                    "in the same bucket (staging contract broken)"
-                )
-            s = frozenset(sh_list)
-            ns = len(s)
-            for pid, ps in zip(ids, sets):
-                if horizon is not None and pid < d - horizon:
-                    continue  # expired for THIS doc (prune happens below)
-                shared = len(s & ps)
-                if shared == 0:
-                    continue
-                # IEEE double division then shortest-repr HALF_UP
-                # rounding — bit-compatible with Spark's round(x, 6)
-                j = float(
-                    Decimal(repr(shared / (ns + len(ps) - shared))).quantize(
-                        q6, rounding=ROUND_HALF_UP
-                    )
-                )
-                if j >= 0.5:
-                    out_doc.append(d)
-                    out_partner.append(pid)
-                    out_j.append(j)
-            ids.append(d)
-            sets.append(s)
-            seen.add(d)
-        if horizon is not None and ids:
-            cut = max(ids) - horizon
-            keep = [i for i, pid in enumerate(ids) if pid >= cut]
-            ids = [ids[i] for i in keep]
-            sets = [sets[i] for i in keep]
+        out_doc, out_partner, out_j, idx_doc, idx_sh = _bucket_verify_rows(
+            ids, sets, rows, horizon
+        )
+        ids, sets, _ = _prune_horizon(ids, sets, horizon)
         state.update(
             (ids, [json.dumps(sorted(s)) for s in sets])
         )
@@ -516,6 +552,100 @@ def bucket_admit_pairs_fused(probe: DataFrame) -> DataFrame:
             stateStructType=ADMIT_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class BucketAdmitProcessor(StatefulProcessor):
+    """The TTL admit operator on Spark 4's transformWithStateInPandas —
+    the r15 fused-probe adjudication's open question made runnable: its
+    design rule ("fuse source reads only when the stateful operator is
+    JVM-side") left the new API's Arrow-native state channel as the one
+    measurable unknown in the admit family's economics. This processor
+    is the applyInPandasWithState TTL twin re-expressed on the named-
+    state API with the SAME verify kernel (_bucket_verify_rows — not a
+    fork), so a bench row comparing the two measures ONLY the state
+    channel: one monolithic (ids[], sets[]) tuple re-serialized per
+    batch (old API) vs a ListState of (doc_id, sh_json) rows appended
+    incrementally and rewritten only on prune (new API).
+
+    State: ListState "entries" (doc_id bigint, sh_json string), one
+    list per band bucket, appended per fresh arrival; the TTL prune
+    (exact, ascending-arrival argument — _prune_horizon) rewrites the
+    list via put() only when something expired. At 100 TB the append-
+    only steady state is the win candidate: the old API re-ships the
+    whole bucket history through Arrow every batch, the new API ships
+    only the delta.
+
+    NOTE (r16): transformWithStateInPandas requires the Python
+    ``protobuf`` package (its state server speaks proto to the JVM);
+    this container ships without it and installs are out of scope, so
+    the measurement is ENVIRONMENT-BLOCKED here — the query registers
+    behind tws_supported() exactly like stream_transform_with_state,
+    and SCALE.md r16 records the blocked verdict. The wiring is real
+    and the kernel is the shared one, so the bench row lights up
+    wherever protobuf exists."""
+
+    def __init__(self, horizon: int | None = None):
+        self._horizon = horizon
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._entries = handle.getListState(
+            "entries", "doc_id bigint, sh_json string"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import json
+
+        ids: list[int] = []
+        sets: list[frozenset] = []
+        for r in self._entries.get():
+            ids.append(int(r[0]))
+            sets.append(frozenset(json.loads(r[1])))
+        n_stored = len(ids)
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        out_doc, out_partner, out_j, _, _ = _bucket_verify_rows(
+            ids, sets, pdf, self._horizon
+        )
+        ids, sets, pruned = _prune_horizon(ids, sets, self._horizon)
+        packed = [(d, json.dumps(sorted(s))) for d, s in zip(ids, sets)]
+        if pruned:
+            # something expired: rewrite the whole (post-prune) list
+            self._entries.put(packed)
+        elif len(packed) > n_stored:
+            # steady state: ship only the fresh arrivals' rows
+            self._entries.appendList(packed[n_stored:])
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "partner": out_partner,
+                    "jaccard": out_j,
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def bucket_admit_pairs_tws(
+    probe: DataFrame, horizon: int | None = None
+) -> DataFrame:
+    """bucket_admit_pairs on the transformWithStateInPandas API — same
+    probe relation, same kernel, same output schema, so the TTL twin's
+    oracle carries over unchanged (the old-API/new-API/batch three-way
+    equivalence discipline of running_user_totals_tws). Requires the
+    RocksDB state-store provider (API constraint) and the Python
+    protobuf package (see BucketAdmitProcessor)."""
+    return (
+        probe.select("lang", "band", "key1", "key2", "doc_id", "sh_set")
+        .groupBy("lang", "band", "key1", "key2")
+        .transformWithStateInPandas(
+            statefulProcessor=BucketAdmitProcessor(horizon),
+            outputStructType=ADMIT_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
         )
     )
 
@@ -630,11 +760,13 @@ SEM_ADMIT_STATE_SCHEMA = (
 )
 
 
-def make_semcell_update(tau: float, horizon: int | None = None):
+def make_semcell_update(
+    tau: float, horizon: int | None = None, cap: int | None = None
+):
     """Build the per-cell update fn for ``semcell_admit_pairs``: emits
     (doc, earlier_partner, cos) for every tau-passing pair plus one
     (doc, NULL, cell_max_cos) row per arriving doc that HAD earlier
-    in-horizon cell-mates (so the per-doc rollup's max_cos covers
+    eligible cell-mates (so the per-doc rollup's max_cos covers
     sub-tau neighbours exactly like the static gate's).
 
     ``horizon`` bounds the state (the text admit's TTL discipline,
@@ -642,7 +774,21 @@ def make_semcell_update(tau: float, horizon: int | None = None):
     with id >= d - horizon, and entries below max(arrived) - horizon
     are EVICTED after each batch. The prune is exact: arrivals are
     ascending, so an evicted entry can never be in-horizon for any
-    future doc — eviction changes no verdict, only state size."""
+    future doc — eviction changes no verdict, only state size.
+
+    ``cap`` bounds the state by MEMBERSHIP COUNT instead (r15 verdict
+    #6 — the guard TTL doesn't give when arrivals cluster in one cell):
+    a doc verifies only against the cap most RECENT cell-mates, and
+    each cell keeps only its last cap entries after every batch. The
+    eviction is verdict-safe by the order-statistic analog of the TTL
+    argument: arrivals are ascending, so the last-cap set only ever
+    changes by appending newer entries — an entry that has fallen out
+    of the last cap can never re-enter it for any future doc. The two
+    bounds are mutually exclusive (a combined form would need recency
+    ranked before the horizon filter, a different relation than either
+    oracle)."""
+    if horizon is not None and cap is not None:
+        raise ValueError("horizon and cap are mutually exclusive bounds")
 
     def update(
         key: tuple[Any, ...],
@@ -707,7 +853,14 @@ def make_semcell_update(tau: float, horizon: int | None = None):
             dim = dim or len(e)
             nrm = math.sqrt(_dot(e, e))
             cell_max: float | None = None
-            for pid, pv, pn in zip(ids, vecs, norms):
+            # cap bound: only the cap most recent cell-mates are
+            # eligible partners (ids is ascending, so the tail slice
+            # IS the most-recent set)
+            if cap is not None:
+                p_iter = zip(ids[-cap:], vecs[-cap:], norms[-cap:])
+            else:
+                p_iter = zip(ids, vecs, norms)
+            for pid, pv, pn in p_iter:
                 if horizon is not None and pid < d - horizon:
                     continue  # out of the arrival window
                 c = _dot(e, pv) / (nrm * pn)
@@ -735,6 +888,11 @@ def make_semcell_update(tau: float, horizon: int | None = None):
                 ids = [ids[i] for i in keep]
                 vecs = [vecs[i] for i in keep]
                 norms = [norms[i] for i in keep]
+        if cap is not None and len(ids) > cap:
+            # membership-cap eviction: keep only the last cap arrivals
+            ids = ids[-cap:]
+            vecs = vecs[-cap:]
+            norms = norms[-cap:]
         flat: list[float] = []
         for v in vecs:
             flat.extend(v)
@@ -752,20 +910,23 @@ def make_semcell_update(tau: float, horizon: int | None = None):
 
 
 def semcell_admit_pairs(
-    probe: DataFrame, tau: float, horizon: int | None = None
+    probe: DataFrame,
+    tau: float,
+    horizon: int | None = None,
+    cap: int | None = None,
 ) -> DataFrame:
     """(doc_id, partner, cos) — tau-passing earlier partners (plus the
     per-(doc, cell) NULL-partner max rows) from a streaming per-cell
     probe relation (doc_id, cell, e). One state row per IVF cell; the
     same pair verifying in two shared cells emits twice with an
     identical cos, collapsed by the caller's distinct. ``horizon``
-    bounds per-cell state to the arrival window (see
-    make_semcell_update)."""
+    bounds per-cell state to the arrival window, ``cap`` to the last
+    cap arrivals (mutually exclusive — see make_semcell_update)."""
     return (
         probe.select("cell", "doc_id", "e")
         .groupBy("cell")
         .applyInPandasWithState(
-            make_semcell_update(tau, horizon),
+            make_semcell_update(tau, horizon, cap),
             outputStructType=SEM_ADMIT_OUTPUT_SCHEMA,
             stateStructType=SEM_ADMIT_STATE_SCHEMA,
             outputMode="append",

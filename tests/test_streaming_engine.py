@@ -2187,3 +2187,212 @@ def test_semcell_update_packed_state_and_horizon():
     rows = out2[0]
     tau = rows[rows["partner"].notna()]
     assert list(tau["partner"]) == [20] and float(tau["cos"].iloc[0]) == 1.0
+
+
+class _StubGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in (the shape
+    the semcell/bucket update fns consume)."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_semcell_update_membership_cap():
+    """r16 cap twin (r15 verdict #6): with cap=C a doc verifies only
+    against the C most recent cell-mates, eviction keeps exactly the
+    last C entries, and the cap/horizon bounds are mutually exclusive
+    (a combined form would be a third relation neither oracle models)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from kinesumer_spark.streaming.stateful import make_semcell_update
+
+    with _pytest.raises(ValueError):
+        make_semcell_update(0.5, horizon=10, cap=2)
+
+    st = _StubGroupState()
+    upd = make_semcell_update(0.5, cap=2)
+    # three near-identical vectors arrive: state must keep only 2
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "e": [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]],
+        }
+    )
+    out1 = list(upd((0,), iter([b1]), st))
+    ids, flat, norms = st._v
+    assert ids == [2, 3], "cap eviction must keep the LAST cap entries"
+    assert flat == [1.0, 0.0, 1.0, 0.0] and norms == [1.0, 1.0]
+    # within the batch, doc 3 saw both 1 and 2 (cap=2 ⇒ last-2 = both)
+    tau1 = pd.concat(out1)
+    tau1 = tau1[tau1["partner"].notna()]
+    assert sorted(
+        map(tuple, tau1[["doc_id", "partner"]].astype(int).values)
+    ) == [(2, 1), (3, 1), (3, 2)]
+    # doc 4: eligible partners are the last 2 = {2, 3}; 1 is evicted
+    out2 = list(upd((0,), iter([pd.DataFrame(
+        {"doc_id": [4], "e": [[1.0, 0.0]]}
+    )]), st))
+    tau2 = out2[0]
+    tau2 = tau2[tau2["partner"].notna()]
+    assert sorted(map(int, tau2["partner"])) == [2, 3]
+    assert st._v[0] == [3, 4]
+
+
+def test_semcell_update_packed_state_guards():
+    """r15 driver advice: a ragged packed state (flat length not a
+    multiple of the id count) and an arrival whose dim differs from the
+    cell's packing must both fail loudly — silent slicing would
+    misalign every stored vector."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from kinesumer_spark.streaming.stateful import make_semcell_update
+
+    upd = make_semcell_update(0.5)
+    # corrupted state: 2 ids but 5 floats (not a multiple)
+    st = _StubGroupState()
+    st._v = ([1, 2], [1.0, 0.0, 0.0, 1.0, 9.9], [1.0, 1.0])
+    st.exists = True
+    with _pytest.raises(ValueError, match="packed semcell state"):
+        list(upd((0,), iter([pd.DataFrame(
+            {"doc_id": [3], "e": [[1.0, 0.0]]}
+        )]), st))
+    # dim drift: cell packed at dim 2, arrival carries dim 3
+    st2 = _StubGroupState()
+    list(upd((0,), iter([pd.DataFrame(
+        {"doc_id": [1], "e": [[1.0, 0.0]]}
+    )]), st2))
+    with _pytest.raises(ValueError, match="dim drift"):
+        list(upd((0,), iter([pd.DataFrame(
+            {"doc_id": [2], "e": [[1.0, 0.0, 0.0]]}
+        )]), st2))
+    # in-batch drift with empty prior state must also fail
+    st3 = _StubGroupState()
+    with _pytest.raises(ValueError, match="dim drift"):
+        list(upd((0,), iter([pd.DataFrame(
+            {"doc_id": [1, 2], "e": [[1.0, 0.0], [1.0, 0.0, 0.0]]}
+        )]), st3))
+
+
+class _StubListState:
+    """Minimal transformWithStateInPandas ListState stand-in recording
+    which mutation path (appendList vs put) the processor took."""
+
+    def __init__(self):
+        self.rows: list[tuple] = []
+        self.calls: list[str] = []
+
+    def get(self):
+        return iter(list(self.rows))
+
+    def appendList(self, new):
+        self.calls.append("appendList")
+        self.rows.extend(new)
+
+    def put(self, new):
+        self.calls.append("put")
+        self.rows = list(new)
+
+    def clear(self):
+        self.calls.append("clear")
+        self.rows = []
+
+
+def test_bucket_admit_processor_matches_old_api():
+    """r15 verdict #5: the transformWithStateInPandas port of the TTL
+    admit must produce the IDENTICAL pair stream as the
+    applyInPandasWithState form on the same arrivals (shared kernel),
+    while using the incremental ListState path: appendList on a
+    no-prune batch, put only when something expired."""
+    import json
+
+    import pandas as pd
+
+    from kinesumer_spark.streaming.stateful import (
+        BucketAdmitProcessor,
+        _make_bucket_update,
+    )
+
+    class _Handle:
+        def __init__(self, ls):
+            self._ls = ls
+
+        def getListState(self, name, schema):
+            return self._ls
+
+    def run_tws(batches, horizon):
+        ls = _StubListState()
+        p = BucketAdmitProcessor(horizon)
+        p.init(_Handle(ls))
+        outs = []
+        for b in batches:
+            outs.extend(p.handleInputRows(("en", 0, 1, 2), iter([b]), None))
+        return outs, ls
+
+    def run_old(batches, horizon):
+        st = _StubGroupState()
+        upd = _make_bucket_update(horizon)
+        outs = []
+        for b in batches:
+            outs.extend(upd(("en", 0, 1, 2), iter([b]), st))
+        return outs, st
+
+    b1 = pd.DataFrame(
+        {"doc_id": [1, 2], "sh_set": [["a", "b", "c"], ["a", "b", "c"]]}
+    )
+    b2 = pd.DataFrame({"doc_id": [4], "sh_set": [["a", "b", "d"]]})
+    for horizon in (None, 100, 2):
+        new_out, ls = run_tws([b1, b2], horizon)
+        old_out, _ = run_old([b1, b2], horizon)
+        a = pd.concat(new_out, ignore_index=True) if new_out else None
+        b = pd.concat(old_out, ignore_index=True) if old_out else None
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            pd.testing.assert_frame_equal(
+                a.astype({"doc_id": int, "partner": int}),
+                b.astype({"doc_id": int, "partner": int}),
+            )
+        # state content matches the old API's packed encoding
+        if horizon == 2:
+            # doc 4 expired docs 1..2 (cut = 4-2 = 2 keeps only id>=2)
+            assert "put" in ls.calls, "prune must rewrite via put()"
+        else:
+            assert ls.calls and set(ls.calls) == {"appendList"}, ls.calls
+        decoded = sorted(int(r[0]) for r in ls.rows)
+        assert decoded[-1] == 4
+        for r in ls.rows:
+            json.loads(r[1])  # every stored set is valid sorted JSON
+
+
+def test_neardup_admit_ttl_tws_capability_gate():
+    """The TWS admit twin registers only where protobuf exists — the
+    stream_transform_with_state gate pattern, applied to the r15
+    verdict-#5 measurement op. The processor and wiring are always
+    importable; the registry entry is environment-gated."""
+    from kinesumer_spark.registry import all_queries
+    from kinesumer_spark.streaming.queries import (
+        stream_neardup_admit_ttl_tws,
+        tws_supported,
+    )
+    from kinesumer_spark.streaming.stateful import (
+        BucketAdmitProcessor,
+        bucket_admit_pairs_tws,
+    )
+
+    BucketAdmitProcessor(100)
+    assert callable(bucket_admit_pairs_tws)
+    assert callable(stream_neardup_admit_ttl_tws)
+    assert ("stream_neardup_admit_ttl_tws" in all_queries()) == (
+        tws_supported()
+    )
