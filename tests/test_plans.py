@@ -1000,3 +1000,31 @@ def test_stream_lang_id_gate_is_fully_stateless(spark):
     for op in ("StateStore", "BatchEvalPython", "ArrowEvalPython",
                "BroadcastExchange", "SortMergeJoin", "ShuffledHashJoin"):
         assert op not in phys, (op, phys)
+
+
+def test_stream_semdedup_admit_cap_plan_shape(spark, tmp_path):
+    """The cap twin's streaming plan matches the admit family's shape:
+    exactly ONE source read feeding the 3-cell probe, and the capped
+    cross-microbatch state lives in a single
+    FlatMapGroupsInPandasWithState operator — the cap is enforced
+    inside the one state pass (a tail slice + eviction), never as a
+    second stateful stage."""
+    import pandas as pd
+
+    from kinesumer_spark.streaming.stateful import semcell_admit_pairs
+
+    src = tmp_path / "semcap_plan_src"
+    src.mkdir()
+    pd.DataFrame(
+        [(1, [1.0] * 4)], columns=["doc_id", "e"]
+    ).to_parquet(src / "chunk_0.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id bigint, e array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    probe = stream.selectExpr("doc_id", "e", "doc_id % 16 AS cell")
+    df = semcell_admit_pairs(probe, 0.4, cap=32)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("StreamingRelation") == 1, plan
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1, plan
