@@ -1218,6 +1218,76 @@ if tws_supported():  # pragma: no cover - environment-dependent
     )(stream_transform_with_state)
 
 
+def jvm_state_supported() -> bool:
+    """True iff the Scala/Java transformWithState operators can be
+    BUILT here: the container ships a full JDK 17, so
+    kinesumer_spark/jvm compiles its StatefulProcessor source with
+    javac against the pyspark distribution's own jars at first use —
+    no protobuf, no pip, no network. This unblocks in THIS environment
+    the state-channel measurement that tws_supported() (the Python
+    transformWithStateInPandas gate above) cannot run."""
+    from kinesumer_spark.jvm import jvm_state_supported as _ok
+
+    return _ok()
+
+
+def stream_transform_with_state_jvm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user running totals on the Scala/Java ``transformWithState``
+    API — the THIRD stateful surface (applyInPandasWithState →
+    transformWithStateInPandas → JVM transformWithState), carried to
+    the same batch GROUP BY oracle as the other two so the driver
+    hash-proves the three-way equivalence. State (one ValueState row
+    per user) lives entirely inside the JVM: no Arrow transfer, no
+    Python worker in the stateful stage — the property the r15
+    fused-probe design rule names as the precondition for source-read
+    fusion. Operator source: kinesumer_spark/jvm/src/ksjvm/AdmitJvm.java
+    (TotalsProcessor), compiled on demand; wiring via
+    kinesumer_spark.jvm.running_totals_jvm. RocksDB provider pinned for
+    this query only (API constraint), restored after."""
+    from kinesumer_spark.jvm import running_totals_jvm
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value"),
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        emitted = _run_to_table(
+            running_totals_jvm(spark, ev), "ks_stream_tws_jvm", mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (
+                F.max_by("total_value", "n_events").cast("double") / 1_000_000
+            ).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+if jvm_state_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_transform_with_state_jvm",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "jvm"),
+    )(stream_transform_with_state_jvm)
+
+
 def _stream_rfm_oracle() -> str:
     from kinesumer_spark.operators.analytics import _RFM_ORACLE
 
@@ -5121,6 +5191,57 @@ def stream_neardup_admit_restart(
 _ADMIT_TTL = 100  # arrival-index horizon for the bounded-state variant
 
 
+def _assert_admit_ttl_state_carried(docs, emitted, bounds) -> None:
+    """STATE-CARRIED tripwire for the text TTL admit family,
+    DATA-ADAPTIVE (r16): the original form asserted unconditionally
+    that ≥1 emitted in-horizon pair crosses a microbatch boundary —
+    but whether such a pair EXISTS is a property of the corpus and the
+    chunking, not of the implementation. At sf0.01 the two in-horizon
+    tau-pairs (301, 285) and (462, 458) both fall inside one arrival
+    chunk of the [124, 249, 374] bounds, so the old assert was
+    UNSATISFIABLE there by any correct operator — a latent red this
+    round's JVM twin surfaced (both the Python and JVM forms emit the
+    identical, oracle-exact pair set and both tripped it). The fix
+    replays the expectation batch-side with the SAME LSH tier the
+    oracle uses (minhash_pairs_df — zero fork) and asserts exact
+    agreement in both directions: a crossing must be emitted iff one
+    exists. Where no crossing exists the cross-boundary state proof is
+    vacuous at that SF (sf0.001 and sf0.1 carry it; the oracle hash
+    still proves full-output exactness everywhere)."""
+    from kinesumer_spark.operators.dedup import minhash_pairs_df
+
+    crosses_emitted = None
+    crosses_expected = None
+    for b in bounds:
+        ce = (F.col("partner") <= b) & (F.col("doc_id") > b)
+        cx = (F.col("doc_a") <= b) & (F.col("doc_b") > b)
+        crosses_emitted = (
+            ce if crosses_emitted is None else (crosses_emitted | ce)
+        )
+        crosses_expected = (
+            cx if crosses_expected is None else (crosses_expected | cx)
+        )
+    expected = (
+        minhash_pairs_df(docs)
+        .filter(F.col("doc_b") - F.col("doc_a") <= _ADMIT_TTL)
+        .filter(crosses_expected)
+        .count()
+    )
+    got = emitted.filter(crosses_emitted).count()
+    if expected > 0:
+        assert got >= 1, (
+            f"{expected} in-horizon pair(s) cross a microbatch boundary "
+            "in the batch replay but none was emitted — windowed state "
+            "was not carried between batches"
+        )
+    else:
+        assert got == 0, (
+            f"{got} emitted pair(s) cross a boundary but the batch "
+            "replay has none — the stream emitted pairs the corpus "
+            "does not contain"
+        )
+
+
 def _stream_admit_ttl_oracle() -> str:
     from kinesumer_spark.operators.dedup import _minhash_cte
 
@@ -5189,17 +5310,11 @@ def stream_neardup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted = _run_to_table(
         pairs, "ks_stream_neardup_admit_ttl", mode="append", stable=False
     )
-    # The semantic TTL twin's tripwires, applied here for symmetry (r15):
-    # STATE-CARRIED — ≥1 in-horizon pair spans a chunk boundary, so the
-    # windowed state provably survived a microbatch commit
-    crosses_any = None
-    for b in bounds:
-        c = (F.col("partner") <= b) & (F.col("doc_id") > b)
-        crosses_any = c if crosses_any is None else (crosses_any | c)
-    assert emitted.filter(crosses_any).count() >= 1, (
-        "no pair crosses any microbatch boundary — windowed state was "
-        "not carried between batches"
-    )
+    # The semantic TTL twin's tripwires, for symmetry — STATE-CARRIED
+    # made data-adaptive r16 (see _assert_admit_ttl_state_carried: at
+    # sf0.01 no in-horizon pair crosses a chunk boundary, so the old
+    # unconditional form was a latent red there)
+    _assert_admit_ttl_state_carried(docs, emitted, bounds)
     # WINDOW-HONORED — nothing outside the horizon was emitted
     assert (
         emitted.filter(
@@ -5255,16 +5370,9 @@ def stream_neardup_admit_ttl_tws(
             mode="append",
             stable=False,
         )
-        # the TTL twin's tripwires, verbatim: state carried across a
-        # microbatch commit, and nothing outside the horizon emitted
-        crosses_any = None
-        for b in bounds:
-            c = (F.col("partner") <= b) & (F.col("doc_id") > b)
-            crosses_any = c if crosses_any is None else (crosses_any | c)
-        assert emitted.filter(crosses_any).count() >= 1, (
-            "no pair crosses any microbatch boundary — ListState was "
-            "not carried between batches"
-        )
+        # the TTL twin's tripwires, verbatim (STATE-CARRIED is the
+        # shared data-adaptive form, r16)
+        _assert_admit_ttl_state_carried(docs, emitted, bounds)
         assert (
             emitted.filter(
                 F.col("partner") < F.col("doc_id") - _ADMIT_TTL
@@ -5285,6 +5393,82 @@ if tws_supported():  # pragma: no cover - environment-dependent
         oracle=_stream_admit_ttl_oracle(),
         tags=("streaming", "dedup", "stateful", "scale"),
     )(stream_neardup_admit_ttl_tws)
+
+
+def stream_neardup_admit_ttl_jvm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TTL admit with JVM-SIDE state — the r15 fused-probe
+    adjudication's open question ANSWERED IN THIS ENVIRONMENT: the
+    Python transformWithStateInPandas twin is protobuf-blocked, but the
+    Scala/Java transformWithState API needs only a compiler, and the
+    container ships JDK 17 — so kinesumer_spark/jvm builds the operator
+    from source (AdmitJvm.BucketAdmitProcessor: the
+    stateful._bucket_verify_rows semantics with ListState entries that
+    NEVER cross the Python/Arrow boundary; Jaccard rounding is
+    Double.toString → BigDecimal HALF_UP at 6, bit-compatible with the
+    Python kernel's repr → Decimal quantize — proven by distinct-equal
+    output on the same staged arrivals). Same staging protocol, same
+    horizon, same verdict rollup, same oracle as
+    stream_neardup_admit_ttl — the only variable is WHERE the state
+    lives, so the bench delta between the two rows IS the state-channel
+    cost (SCALE.md r16 records the measurement).
+
+    Registered behind jvm_state_supported() (javac-gated, the
+    tws_supported() pattern)."""
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.jvm import bucket_admit_pairs_jvm
+    from kinesumer_spark.operators.dedup import stream_inrow_band_probe
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    staging = session_mkdtemp(prefix="ks_admit_ttl_jvm_src_")
+    bounds = _admit_chunk_bounds(docs)
+    _write_admit_chunks(docs, staging, range(4), bounds)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        pairs = bucket_admit_pairs_jvm(
+            spark,
+            stream_inrow_band_probe(_admit_stream(spark, staging)),
+            horizon=_ADMIT_TTL,
+        )
+        emitted = _run_to_table(
+            pairs,
+            "ks_stream_neardup_admit_ttl_jvm",
+            mode="append",
+            stable=False,
+        )
+        # the TTL twin's tripwires, verbatim (STATE-CARRIED is the
+        # shared data-adaptive form, r16)
+        _assert_admit_ttl_state_carried(docs, emitted, bounds)
+        assert (
+            emitted.filter(
+                F.col("partner") < F.col("doc_id") - _ADMIT_TTL
+            ).count()
+            == 0
+        ), "an out-of-window pair was emitted — horizon eviction failed"
+        return _admit_verdict(docs, emitted).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+if jvm_state_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_neardup_admit_ttl_jvm",
+        oracle=_stream_admit_ttl_oracle(),
+        tags=("streaming", "dedup", "stateful", "scale", "jvm"),
+    )(stream_neardup_admit_ttl_jvm)
 
 
 @register(
@@ -5663,6 +5847,158 @@ def stream_neardup_admit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(idx_marks, ignore_errors=True)
+
+
+def stream_neardup_admit_fused_jvm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The one-read FUSED admission+compaction with JVM-SIDE state —
+    the r15 adjudication's reserved production shape, EXECUTED AND
+    MEASURED (r16): the Python-state fusion lost (56.4 s vs the
+    two-read ~22 s at sf0.1) because the kind='idx' rows pay the Arrow
+    boundary twice; its recorded design rule was "fuse only when the
+    stateful operator is JVM-side". The container's JDK makes that
+    buildable (kinesumer_spark/jvm — AdmitJvm.bucketAdmitPairsFused,
+    the same verify arithmetic with ListState entries and output rows
+    that never leave the JVM), so the rule's consequent is now a
+    measurement, not prose: min-of-3 at sf0.1 the fused-JVM form runs
+    13.5 s vs 56.4 s Python-fused (4.2×) and ~22 s for the two-read
+    compacted protocol — fusion WINS with JVM state, exactly as the
+    rule predicted (SCALE.md r16).
+
+    Protocol is stream_neardup_admit_fused verbatim: one streaming
+    query, a foreachBatch sink splitting the union by ``kind`` into the
+    pair parquet ledger and the bucketed compacted index, per-(batchId,
+    sink) replay markers, the n_idx == n_probe index-faithful tripwire,
+    and the same full-admit oracle. The FUSION PIN asserts exactly ONE
+    streaming scan and ONE TransformWithState operator — and ZERO
+    Python eval nodes: the whole admission+maintenance plane runs
+    JVM-side. Registered behind jvm_state_supported()."""
+    import hashlib
+    import os
+    import shutil
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.jvm import bucket_admit_pairs_fused_jvm
+    from kinesumer_spark.operators.dedup import stream_inrow_band_probe
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staging = session_mkdtemp(prefix="ks_admit_fusj_src_")
+    out = session_mkdtemp(prefix="ks_admit_fusj_out_")
+    ckpt = session_mkdtemp(prefix="ks_admit_fusj_ckpt_")
+    index_dir = session_mkdtemp(prefix="ks_admit_fusj_idx_")
+    idx_marks = session_mkdtemp(prefix="ks_admit_fusj_marks_")
+    run_tag = hashlib.sha1(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:fusedjvm".encode()
+    ).hexdigest()[:12]
+    idx_table = f"kbkt_admitidx_fusj_{run_tag}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        bounds = _admit_chunk_bounds(docs)
+        _write_admit_chunks(docs, staging, range(4), bounds)
+        spark.createDataFrame(
+            [], "doc_id bigint, partner bigint, jaccard double"
+        ).write.mode("overwrite").parquet(out)
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+
+        fused = bucket_admit_pairs_fused_jvm(
+            spark, stream_inrow_band_probe(_admit_stream(spark, staging))
+        )
+
+        def sink(bdf, bid: int) -> None:
+            # per-(batchId, sink) markers — the r15-advice discipline
+            # shared with the Python fused op
+            pair_done = os.path.join(idx_marks, f"{int(bid)}.pair")
+            idx_done = os.path.join(idx_marks, f"{int(bid)}.idx")
+            if os.path.exists(pair_done) and os.path.exists(idx_done):
+                return
+            bdf = bdf.localCheckpoint(eager=True)
+            if not os.path.exists(pair_done):
+                (
+                    bdf.filter(F.col("kind") == "pair")
+                    .select("doc_id", "partner", "jaccard")
+                    .write.mode("append")
+                    .parquet(out)
+                )
+                with open(pair_done, "w") as fh:
+                    fh.write("1")
+            if not os.path.exists(idx_done):
+                (
+                    bdf.filter(F.col("kind") == "idx")
+                    .select(
+                        "lang", "band", "key1", "key2", "doc_id", "sh_set"
+                    )
+                    .write.mode("append")
+                    .bucketBy(8, "lang", "band", "key1", "key2")
+                    .sortBy("lang", "band", "key1", "key2")
+                    .option("path", index_dir)
+                    .saveAsTable(idx_table)
+                )
+                with open(idx_done, "w") as fh:
+                    fh.write("1")
+
+        q = (
+            fused.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            plan = q._jsq.explainInternal(True)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+        # FUSION PIN: one streaming scan, one JVM stateful operator,
+        # ZERO Python eval nodes — the whole plane rode one JVM query
+        phys = plan.split("== Physical Plan ==")[-1]
+        assert phys.count("TransformWithState") == 1, phys
+        assert "FlatMapGroupsInPandasWithState" not in phys, phys
+        assert "ArrowEvalPython" not in phys and "BatchEvalPython" not in phys, phys
+        analyzed = plan.split("== Analyzed Logical Plan ==")[-1].split(
+            "== Optimized Logical Plan =="
+        )[0]
+        assert analyzed.count("StreamingDataSourceV2ScanRelation") <= 1, (
+            analyzed
+        )
+        # INDEX-FAITHFUL TRIPWIRE: every probe row landed exactly once
+        n_idx = spark.table(idx_table).count()
+        n_probe = stream_inrow_band_probe(docs).count()
+        assert n_idx == n_probe, (n_idx, n_probe)
+        emitted = spark.read.parquet(out)
+        return _admit_verdict(docs, emitted).localCheckpoint(eager=True)
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+        except Exception:
+            pass
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(idx_marks, ignore_errors=True)
+
+
+if jvm_state_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_neardup_admit_fused_jvm",
+        oracle=_stream_admit_oracle(),
+        tags=("streaming", "dedup", "stateful", "scale", "jvm"),
+    )(stream_neardup_admit_fused_jvm)
 
 
 # -- Per-source admission cap on the stream ----------------------------------

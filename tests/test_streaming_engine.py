@@ -2396,3 +2396,122 @@ def test_neardup_admit_ttl_tws_capability_gate():
     assert ("stream_neardup_admit_ttl_tws" in all_queries()) == (
         tws_supported()
     )
+
+
+def test_jvm_state_capability_gate(spark):
+    """The JVM-state family (transformWithState via in-repo Java source
+    compiled with the container's javac) registers only where the JDK
+    exists and the compile is green — the tws_supported() pattern. In
+    THIS container the JDK is present, so the three queries must be
+    registered and the build must be cached/idempotent."""
+    from kinesumer_spark.jvm import build_jar, jvm_state_supported
+    from kinesumer_spark.registry import all_queries
+
+    names = (
+        "stream_transform_with_state_jvm",
+        "stream_neardup_admit_ttl_jvm",
+        "stream_neardup_admit_fused_jvm",
+    )
+    if jvm_state_supported():
+        jar1 = build_jar()
+        assert jar1 == build_jar()  # content-addressed, cached
+        import os
+
+        assert os.path.exists(jar1)
+        for n in names:
+            assert n in all_queries(), n
+    else:
+        for n in names:
+            assert n not in all_queries(), n
+
+
+def test_jvm_bucket_admit_matches_python_operator(spark, tmp_path):
+    """The JVM BucketAdmitProcessor and the Python applyInPandasWithState
+    form must emit the IDENTICAL pair relation (including the HALF_UP
+    round-6 jaccards) on the same two-chunk staged arrivals — the
+    distinct-equality that licensed registering the JVM twins under the
+    Python twins' oracles."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from kinesumer_spark.jvm import bucket_admit_pairs_jvm, jvm_state_supported
+    from kinesumer_spark.operators.dedup import stream_inrow_band_probe
+    from kinesumer_spark.streaming.stateful import bucket_admit_pairs
+
+    if not jvm_state_supported():
+        _pytest.skip("no JDK in this environment")
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en"] * 4,
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog today",
+                "a completely different document about spark streaming",
+                "the quick brown fox jumps over the lazy dog yesterday",
+            ],
+        }
+    )
+    src = tmp_path / "jvm_admit_src"
+    src.mkdir()
+    docs[docs.doc_id <= 2].to_parquet(src / "chunk_0.parquet", index=False)
+    docs[docs.doc_id > 2].to_parquet(src / "chunk_1.parquet", index=False)
+
+    def run(builder, tag, provider):
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        try:
+            stream = (
+                spark.readStream.schema(
+                    "doc_id bigint, lang string, text string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            pairs = builder(stream_inrow_band_probe(stream))
+            ckpt = tmp_path / f"jvm_admit_ckpt_{tag}"
+            q = (
+                pairs.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(f"jvm_admit_{tag}")
+                .option("checkpointLocation", str(ckpt))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            return (
+                spark.sql(f"select * from jvm_admit_{tag}")
+                .toPandas()[["doc_id", "partner", "jaccard"]]
+                .drop_duplicates()
+                .sort_values(["doc_id", "partner"])
+                .reset_index(drop=True)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+    j = run(lambda p: bucket_admit_pairs_jvm(spark, p, horizon=100), "j", True)
+    p = run(lambda p: bucket_admit_pairs(p, horizon=100), "p", False)
+    assert len(j) >= 1  # the near-identical docs must pair
+    pd.testing.assert_frame_equal(
+        j.astype({"doc_id": int, "partner": int}),
+        p.astype({"doc_id": int, "partner": int}),
+    )
+    # a cross-chunk pair must exist (doc 4 pairs with 1 or 2): JVM
+    # ListState carried state between microbatches
+    assert (j["doc_id"] == 4).any()
