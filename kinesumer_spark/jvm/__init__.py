@@ -170,3 +170,20 @@ def bucket_admit_pairs_jvm(spark, probe, horizon: int | None = None):
     jvm = spark._jvm
     h = jvm.java.lang.Long(int(horizon) if horizon is not None else 0)
     return _invoke_static(spark, "bucketAdmitPairs", probe._jdf, h)
+
+
+def semcell_admit_pairs_jvm(
+    spark, probe, tau: float, horizon: int | None = None,
+    cap: int | None = None
+):
+    """JVM-state per-cell SEMANTIC admission (append mode) — the
+    stateful.semcell_admit_pairs semantics (tau pairs + NULL-partner
+    cell-max rows, horizon/cap bounds mutually exclusive) with the
+    cell history held in JVM ListState. ``probe`` carries
+    (cell, doc_id, e); cell is cast to int for the group key."""
+    jvm = spark._jvm
+    h = jvm.java.lang.Long(int(horizon) if horizon is not None else 0)
+    c = jvm.java.lang.Long(int(cap) if cap is not None else 0)
+    t = jvm.java.lang.Double(float(tau))
+    p = probe.selectExpr("CAST(cell AS int) AS cell", "doc_id", "e")
+    return _invoke_static(spark, "semcellAdmitPairs", p._jdf, t, h, c)

@@ -350,4 +350,200 @@ public final class AdmitJvm {
         new BucketAdmitProcessor(0L, true), TimeMode.None(),
         OutputMode.Append(), Encoders.row(out));
   }
+
+  // ---- per-IVF-cell SEMANTIC admission (append mode) ----------------------
+
+  /** stateful.py make_semcell_update, JVM-side: per-cell arrival
+   * history (doc_id, vector, precomputed norm) as ListState rows;
+   * every arriving vector is exact-cosine verified against its cell's
+   * eligible earlier arrivals (horizon window OR last-cap membership —
+   * mutually exclusive bounds, both with the exact ascending-arrival
+   * eviction argument), emitting tau-passing pairs plus one
+   * NULL-partner cell-max row per doc with eligible mates. Cosines are
+   * LEFT-ASSOCIATED sequential double loops (Java double arithmetic is
+   * IEEE-754-strict, identical to CPython float) and HALF_UP-rounded
+   * at 6 via the shortest-repr decimal — bit-compatible with the
+   * Python operator and DuckDB's list_dot_product oracle. */
+  public static final class SemCellAdmitProcessor
+      extends StatefulProcessor<Integer, Row, Row> {
+    private final double tau;
+    private final long horizon;
+    private final long cap;
+    private transient ListState<Row> entries;
+
+    public SemCellAdmitProcessor(double tau, long horizon, long cap) {
+      if (horizon > 0 && cap > 0) {
+        throw new IllegalArgumentException(
+            "horizon and cap are mutually exclusive bounds");
+      }
+      this.tau = tau;
+      this.horizon = horizon;
+      this.cap = cap;
+    }
+
+    @Override
+    public void init(OutputMode outputMode, TimeMode timeMode) {
+      StructType st =
+          new StructType()
+              .add("doc_id", DataTypes.LongType)
+              .add("e", DataTypes.createArrayType(DataTypes.DoubleType))
+              .add("nrm", DataTypes.DoubleType);
+      entries = getHandle().getListState("entries", Encoders.row(st),
+          TTLConfig.NONE());
+    }
+
+    private static double round6(double x) {
+      return new BigDecimal(Double.toString(x))
+          .setScale(6, RoundingMode.HALF_UP)
+          .doubleValue();
+    }
+
+    /** left-associated sequential dot — the exactness discipline */
+    private static double dot(double[] a, double[] b) {
+      double acc = 0.0;
+      for (int i = 0; i < a.length; i++) {
+        acc = acc + a[i] * b[i];
+      }
+      return acc;
+    }
+
+    private static double[] toVec(List<Double> l) {
+      double[] v = new double[l.size()];
+      for (int i = 0; i < v.length; i++) {
+        v[i] = l.get(i);
+      }
+      return v;
+    }
+
+    @Override
+    public scala.collection.Iterator<Row> handleInputRows(
+        Integer key, scala.collection.Iterator<Row> rows, TimerValues tv) {
+      List<Long> ids = new ArrayList<>();
+      List<double[]> vecs = new ArrayList<>();
+      List<Double> norms = new ArrayList<>();
+      if (entries.exists()) {
+        scala.collection.Iterator<Row> it = entries.get();
+        while (it.hasNext()) {
+          Row r = it.next();
+          ids.add(r.getLong(0));
+          vecs.add(toVec(r.<Double>getList(1)));
+          norms.add(r.getDouble(2));
+        }
+      }
+      int nStored = ids.size();
+      HashSet<Long> seen = new HashSet<>(ids);
+      int dim = vecs.isEmpty() ? 0 : vecs.get(0).length;
+
+      List<Row> batch = new ArrayList<>();
+      while (rows.hasNext()) {
+        batch.add(rows.next());
+      }
+      batch.sort(
+          (a, b) ->
+              Long.compare(
+                  a.getLong(a.fieldIndex("doc_id")),
+                  b.getLong(b.fieldIndex("doc_id"))));
+
+      List<Row> out = new ArrayList<>();
+      for (Row r : batch) {
+        long d = r.getLong(r.fieldIndex("doc_id"));
+        if (seen.contains(d)) {
+          continue; // replayed microbatch — already verified
+        }
+        if (!ids.isEmpty() && d < ids.get(ids.size() - 1)) {
+          throw new IllegalStateException(
+              "out-of-order arrival: vec " + d + " after "
+                  + ids.get(ids.size() - 1)
+                  + " in the same cell (staging contract broken)");
+        }
+        double[] e = toVec(r.<Double>getList(r.fieldIndex("e")));
+        if (dim > 0 && e.length != dim) {
+          throw new IllegalStateException(
+              "vector dim drift: doc " + d + " arrived with " + e.length
+                  + " floats in a cell packed at dim " + dim);
+        }
+        if (dim == 0) {
+          dim = e.length;
+        }
+        double nrm = Math.sqrt(dot(e, e));
+        Double cellMax = null;
+        int start = (cap > 0 && ids.size() > cap)
+            ? (int) (ids.size() - cap) : 0;
+        for (int i = start; i < ids.size(); i++) {
+          long pid = ids.get(i);
+          if (horizon > 0 && pid < d - horizon) {
+            continue; // out of the arrival window
+          }
+          double c = round6(dot(e, vecs.get(i)) / (nrm * norms.get(i)));
+          if (cellMax == null || c > cellMax) {
+            cellMax = c;
+          }
+          if (c >= tau) {
+            out.add(RowFactory.create(d, pid, c));
+          }
+        }
+        if (cellMax != null) {
+          out.add(RowFactory.create(d, null, cellMax));
+        }
+        ids.add(d);
+        vecs.add(e);
+        norms.add(nrm);
+        seen.add(d);
+      }
+
+      int from = 0;
+      if (horizon > 0 && !ids.isEmpty()) {
+        long floor = ids.get(ids.size() - 1) - horizon;
+        while (from < ids.size() && ids.get(from) < floor) {
+          from++;
+        }
+      }
+      if (cap > 0 && ids.size() - from > cap) {
+        from = (int) (ids.size() - cap);
+      }
+      if (from > 0) {
+        Row[] kept = new Row[ids.size() - from];
+        for (int i = from; i < ids.size(); i++) {
+          kept[i - from] = packVec(ids.get(i), vecs.get(i), norms.get(i));
+        }
+        entries.put(kept); // something evicted: rewrite the list
+      } else if (ids.size() > nStored) {
+        Row[] fresh = new Row[ids.size() - nStored];
+        for (int i = nStored; i < ids.size(); i++) {
+          fresh[i - nStored] = packVec(ids.get(i), vecs.get(i),
+              norms.get(i));
+        }
+        entries.appendList(fresh); // steady state: only the delta
+      }
+      return toScala(out);
+    }
+
+    private static Row packVec(long id, double[] e, double nrm) {
+      Double[] boxed = new Double[e.length];
+      for (int i = 0; i < e.length; i++) {
+        boxed[i] = e[i];
+      }
+      return RowFactory.create(id, boxed, nrm);
+    }
+  }
+
+  /** probe: (cell int, doc_id bigint, e array&lt;double&gt;) ->
+   * (doc_id, partner, cos) tau pairs + NULL-partner cell-max rows,
+   * append mode. horizon/cap &lt;= 0 = unbounded on that axis. */
+  public static Dataset<Row> semcellAdmitPairs(Dataset<Row> probe,
+      double tau, long horizon, long cap) {
+    KeyValueGroupedDataset<Integer, Row> g =
+        probe.groupByKey(
+            (MapFunction<Row, Integer>)
+                (Row r) -> r.getInt(r.fieldIndex("cell")),
+            Encoders.INT());
+    StructType out =
+        new StructType()
+            .add("doc_id", DataTypes.LongType)
+            .add("partner", DataTypes.LongType)
+            .add("cos", DataTypes.DoubleType);
+    return g.transformWithState(
+        new SemCellAdmitProcessor(tau, horizon, cap), TimeMode.None(),
+        OutputMode.Append(), Encoders.row(out));
+  }
 }

@@ -6300,6 +6300,7 @@ def _semadmit_stream_pairs(
     sink: str,
     horizon: int | None = None,
     cap: int | None = None,
+    jvm: bool = False,
 ):
     """Stage the 4 arrival chunks, run the per-cell admit operator over
     them, and return (emitted_pair_table, chunk_bounds)."""
@@ -6315,10 +6316,18 @@ def _semadmit_stream_pairs(
     stream = _admit_stream(
         spark, staging, schema="doc_id bigint, e array<double>"
     )
-    emitted = _run_to_table(
-        semcell_admit_pairs(
+    if jvm:
+        from kinesumer_spark.jvm import semcell_admit_pairs_jvm
+
+        pairs = semcell_admit_pairs_jvm(
+            spark, probe_of(stream), _SEM_TAU, horizon=horizon, cap=cap
+        )
+    else:
+        pairs = semcell_admit_pairs(
             probe_of(stream), _SEM_TAU, horizon=horizon, cap=cap
-        ),
+        )
+    emitted = _run_to_table(
+        pairs,
         sink,
         mode="append",
         stable=False,
@@ -6428,6 +6437,78 @@ def stream_semdedup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "an out-of-window pair was emitted — horizon eviction failed"
     )
     return _semadmit_verdict(v, emitted)
+
+
+def stream_semdedup_admit_ttl_jvm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SEMANTIC TTL admit with JVM-SIDE state — completing the
+    r16 state-channel symmetry (the text family has
+    stream_neardup_admit_ttl_jvm): the per-cell arrival history
+    (vector + precomputed norm) lives in JVM ListState, so neither the
+    packed vectors nor the emitted pairs ever cross the Python/Arrow
+    boundary. The cosine kernel is the same left-associated sequential
+    double loop + HALF_UP round-6 as the Python operator (Java double
+    arithmetic is IEEE-754-strict like CPython's float — the exactness
+    discipline carries over verbatim; AdmitJvm.SemCellAdmitProcessor),
+    under the IDENTICAL horizon, protocol, tripwires, and oracle as
+    stream_semdedup_admit_ttl — the bench delta between the two rows
+    is the state channel alone (SCALE.md r16). Registered behind
+    jvm_state_supported()."""
+    from kinesumer_spark.operators.similarity import _SEM_TAU
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    v, probe_of, _ = _semadmit_setup(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        emitted, bounds = _semadmit_stream_pairs(
+            spark,
+            v,
+            probe_of,
+            "ks_stream_semdedup_admit_ttl_jvm",
+            horizon=_SEM_ADMIT_TTL,
+            jvm=True,
+        )
+        # the Python TTL twin's tripwires, verbatim
+        crosses_any = None
+        for b in bounds:
+            c = (
+                (F.col("cos") >= F.lit(float(_SEM_TAU)))
+                & (F.col("partner") <= b)
+                & (F.col("doc_id") > b)
+            )
+            crosses_any = c if crosses_any is None else (crosses_any | c)
+        assert emitted.filter(crosses_any).count() >= 1, (
+            "no tau-pair crosses any microbatch boundary — JVM ListState "
+            "was not carried between batches"
+        )
+        n_expired = emitted.filter(
+            F.col("partner") < F.col("doc_id") - _SEM_ADMIT_TTL
+        ).count()
+        assert n_expired == 0, (
+            "an out-of-window pair was emitted — horizon eviction failed"
+        )
+        return _semadmit_verdict(v, emitted).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+if jvm_state_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_semdedup_admit_ttl_jvm",
+        oracle=_stream_semadmit_oracle(horizon=_SEM_ADMIT_TTL),
+        tags=("streaming", "similarity", "dedup", "stateful", "scale",
+              "jvm"),
+    )(stream_semdedup_admit_ttl_jvm)
 
 
 # Per-cell membership cap for the count-bounded semantic admit: at 32

@@ -2411,6 +2411,7 @@ def test_jvm_state_capability_gate(spark):
         "stream_transform_with_state_jvm",
         "stream_neardup_admit_ttl_jvm",
         "stream_neardup_admit_fused_jvm",
+        "stream_semdedup_admit_ttl_jvm",
     )
     if jvm_state_supported():
         jar1 = build_jar()
