@@ -202,15 +202,16 @@ EXTENDED = [
     # recorded in SCALE.md r16),
     # the r16 JVM-state family (stream_transform_with_state_jvm,
     # stream_neardup_admit_ttl_jvm, stream_neardup_admit_fused_jvm,
-    # stream_semdedup_admit_ttl_jvm):
+    # stream_semdedup_admit_ttl_jvm, stream_semdedup_admit_fused_jvm):
     # environment-gated registrations (jvm_state_supported()) — a bench
     # row that exists only where a JDK does would break round-over-
     # round comparability of extended_total; they are also the same
     # multi-microbatch admit/restart protocol shapes as the excluded
     # Python twins. Their state-channel measurements (the round's
     # headline result: text TTL 27.3 -> 10.5 s, fused 56.4 -> 13.5 s,
-    # semantic TTL 8.84 -> 5.72 s min-of-3 at sf0.1 — JVM-state fusion
-    # WINS) are recorded in SCALE.md r16, and
+    # semantic TTL 8.84 -> 5.72 s, semantic fused 7.84 s vs the 19.9 s
+    # two-read protocol, min-of-3 at sf0.1 — JVM-state fusion WINS on
+    # both planes) are recorded in SCALE.md r16, and
     # stream_semdedup_admit_compacted (two admission phases + an
     # index-maintenance streaming query + a cold bootstrap — the
     # compaction PROTOCOL, like the excluded text twin; the bucketed

@@ -162,6 +162,17 @@ def bucket_admit_pairs_fused_jvm(spark, probe):
     return _invoke_static(spark, "bucketAdmitPairsFused", probe._jdf)
 
 
+def semcell_admit_pairs_fused_jvm(spark, probe, tau: float):
+    """The FUSED JVM-state semantic admit: kind='pair' + kind='idx'
+    rows (cell, doc_id, vector, precomputed norm — the compacted
+    semantic index relation) through one output from one source read
+    and one state pass (AdmitJvm.semcellAdmitPairsFused)."""
+    jvm = spark._jvm
+    t = jvm.java.lang.Double(float(tau))
+    p = probe.selectExpr("CAST(cell AS int) AS cell", "doc_id", "e")
+    return _invoke_static(spark, "semcellAdmitPairsFused", p._jdf, t)
+
+
 def bucket_admit_pairs_jvm(spark, probe, horizon: int | None = None):
     """JVM-state band-bucket near-dup admission (append mode) — the
     stateful.bucket_admit_pairs semantics with state that never leaves

@@ -369,9 +369,20 @@ public final class AdmitJvm {
     private final double tau;
     private final long horizon;
     private final long cap;
+    private final boolean emitIndex;
     private transient ListState<Row> entries;
 
     public SemCellAdmitProcessor(double tau, long horizon, long cap) {
+      this(tau, horizon, cap, false);
+    }
+
+    /** emitIndex=true is the FUSED form: every FRESH arrival also
+     * emits a kind='idx' row (cell, doc_id, vector, precomputed norm
+     * — exactly the compacted semantic index relation) through the
+     * same output, so one source read and one JVM state pass feed
+     * both the pair sink and the cell-bucketed index. */
+    public SemCellAdmitProcessor(double tau, long horizon, long cap,
+        boolean emitIndex) {
       if (horizon > 0 && cap > 0) {
         throw new IllegalArgumentException(
             "horizon and cap are mutually exclusive bounds");
@@ -379,6 +390,7 @@ public final class AdmitJvm {
       this.tau = tau;
       this.horizon = horizon;
       this.cap = cap;
+      this.emitIndex = emitIndex;
     }
 
     @Override
@@ -466,6 +478,13 @@ public final class AdmitJvm {
           dim = e.length;
         }
         double nrm = Math.sqrt(dot(e, e));
+        if (emitIndex) {
+          Double[] boxed = new Double[e.length];
+          for (int i = 0; i < e.length; i++) {
+            boxed[i] = e[i];
+          }
+          out.add(RowFactory.create("idx", d, null, null, key, boxed, nrm));
+        }
         Double cellMax = null;
         int start = (cap > 0 && ids.size() > cap)
             ? (int) (ids.size() - cap) : 0;
@@ -479,11 +498,16 @@ public final class AdmitJvm {
             cellMax = c;
           }
           if (c >= tau) {
-            out.add(RowFactory.create(d, pid, c));
+            out.add(emitIndex
+                ? RowFactory.create("pair", d, pid, c, null, null, null)
+                : RowFactory.create(d, pid, c));
           }
         }
         if (cellMax != null) {
-          out.add(RowFactory.create(d, null, cellMax));
+          out.add(emitIndex
+              ? RowFactory.create("pair", d, null, cellMax, null, null,
+                  null)
+              : RowFactory.create(d, null, cellMax));
         }
         ids.add(d);
         vecs.add(e);
@@ -544,6 +568,31 @@ public final class AdmitJvm {
             .add("cos", DataTypes.DoubleType);
     return g.transformWithState(
         new SemCellAdmitProcessor(tau, horizon, cap), TimeMode.None(),
+        OutputMode.Append(), Encoders.row(out));
+  }
+
+  /** The FUSED semantic admit: kind='pair' rows (tau pairs + the
+   * NULL-partner cell-max rows) and kind='idx' rows (cell, doc_id,
+   * vector, precomputed norm — the compacted semantic index relation)
+   * through ONE output from ONE source read and ONE JVM state pass. */
+  public static Dataset<Row> semcellAdmitPairsFused(Dataset<Row> probe,
+      double tau) {
+    KeyValueGroupedDataset<Integer, Row> g =
+        probe.groupByKey(
+            (MapFunction<Row, Integer>)
+                (Row r) -> r.getInt(r.fieldIndex("cell")),
+            Encoders.INT());
+    StructType out =
+        new StructType()
+            .add("kind", DataTypes.StringType)
+            .add("doc_id", DataTypes.LongType)
+            .add("partner", DataTypes.LongType)
+            .add("cos", DataTypes.DoubleType)
+            .add("cell", DataTypes.IntegerType)
+            .add("e", DataTypes.createArrayType(DataTypes.DoubleType))
+            .add("nrm", DataTypes.DoubleType);
+    return g.transformWithState(
+        new SemCellAdmitProcessor(tau, 0L, 0L, true), TimeMode.None(),
         OutputMode.Append(), Encoders.row(out));
   }
 }

@@ -6511,6 +6511,158 @@ if jvm_state_supported():  # pragma: no cover - environment-dependent
     )(stream_semdedup_admit_ttl_jvm)
 
 
+def stream_semdedup_admit_fused_jvm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The one-read FUSED semantic admission+compaction with JVM-side
+    state — completing the r16 fused matrix (the text plane has
+    stream_neardup_admit_fused_jvm, measured 13.5 s vs 56.4 s
+    Python-fused): ONE source read, ONE JVM state pass emitting
+    kind='pair' rows (tau pairs + NULL-partner cell-max rows) and
+    kind='idx' rows (cell, doc_id, vector, precomputed norm — exactly
+    the compacted semantic index relation,
+    stream_semdedup_admit_compacted's (cell, partner, e_p, nrm_p)),
+    with a foreachBatch sink splitting the union into the pair ledger
+    and the cell-bucketed index under per-(batchId, sink) replay
+    markers. FUSION PIN: one streaming scan, one TransformWithState,
+    ZERO Python eval nodes. INDEX-FAITHFUL: n_idx equals the batch
+    probe relation's count (3 rows/vector, delivered exactly once).
+    Oracle = the full semadmit oracle. Registered behind
+    jvm_state_supported(); cost recorded in SCALE.md r16."""
+    import hashlib
+    import os
+    import shutil
+
+    from kinesumer_spark.jvm import semcell_admit_pairs_fused_jvm
+    from kinesumer_spark.operators.similarity import _SEM_TAU
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    v, probe_of, _ = _semadmit_setup(spark, sf_dir)
+    staging = session_mkdtemp(prefix="ks_semadmit_fusj_src_")
+    out = session_mkdtemp(prefix="ks_semadmit_fusj_out_")
+    ckpt = session_mkdtemp(prefix="ks_semadmit_fusj_ckpt_")
+    index_dir = session_mkdtemp(prefix="ks_semadmit_fusj_idx_")
+    idx_marks = session_mkdtemp(prefix="ks_semadmit_fusj_marks_")
+    run_tag = hashlib.sha1(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:semfusj".encode()
+    ).hexdigest()[:12]
+    idx_table = f"kbkt_semadmitidx_fusj_{run_tag}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        staged = v.selectExpr("vec_id AS doc_id", "e")
+        bounds = _admit_chunk_bounds(staged)
+        _write_admit_chunks(
+            staged, staging, range(4), bounds, cols=("doc_id", "e")
+        )
+        spark.createDataFrame(
+            [], "doc_id bigint, partner bigint, cos double"
+        ).write.mode("overwrite").parquet(out)
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+
+        fused = semcell_admit_pairs_fused_jvm(
+            spark,
+            probe_of(
+                _admit_stream(
+                    spark, staging, schema="doc_id bigint, e array<double>"
+                )
+            ),
+            _SEM_TAU,
+        )
+
+        def sink(bdf, bid: int) -> None:
+            pair_done = os.path.join(idx_marks, f"{int(bid)}.pair")
+            idx_done = os.path.join(idx_marks, f"{int(bid)}.idx")
+            if os.path.exists(pair_done) and os.path.exists(idx_done):
+                return
+            bdf = bdf.localCheckpoint(eager=True)
+            if not os.path.exists(pair_done):
+                (
+                    bdf.filter(F.col("kind") == "pair")
+                    .select("doc_id", "partner", "cos")
+                    .write.mode("append")
+                    .parquet(out)
+                )
+                with open(pair_done, "w") as fh:
+                    fh.write("1")
+            if not os.path.exists(idx_done):
+                (
+                    bdf.filter(F.col("kind") == "idx")
+                    .selectExpr(
+                        "cell",
+                        "doc_id AS partner",
+                        "e AS e_p",
+                        "nrm AS nrm_p",
+                    )
+                    .write.mode("append")
+                    .bucketBy(8, "cell")
+                    .sortBy("cell")
+                    .option("path", index_dir)
+                    .saveAsTable(idx_table)
+                )
+                with open(idx_done, "w") as fh:
+                    fh.write("1")
+
+        q = (
+            fused.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            plan = q._jsq.explainInternal(True)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+        phys = plan.split("== Physical Plan ==")[-1]
+        assert phys.count("TransformWithState") == 1, phys
+        assert "FlatMapGroupsInPandasWithState" not in phys, phys
+        assert (
+            "ArrowEvalPython" not in phys and "BatchEvalPython" not in phys
+        ), phys
+        analyzed = plan.split("== Analyzed Logical Plan ==")[-1].split(
+            "== Optimized Logical Plan =="
+        )[0]
+        assert analyzed.count("StreamingDataSourceV2ScanRelation") <= 1, (
+            analyzed
+        )
+        n_idx = spark.table(idx_table).count()
+        n_probe = probe_of(staged).count()
+        assert n_idx == n_probe, (n_idx, n_probe)
+        emitted = spark.read.parquet(out)
+        return _semadmit_verdict(v, emitted).localCheckpoint(eager=True)
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+        except Exception:
+            pass
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(idx_marks, ignore_errors=True)
+
+
+if jvm_state_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_semdedup_admit_fused_jvm",
+        oracle=_stream_semadmit_oracle(),
+        tags=("streaming", "similarity", "dedup", "stateful", "scale",
+              "jvm"),
+    )(stream_semdedup_admit_fused_jvm)
+
+
 # Per-cell membership cap for the count-bounded semantic admit: at 32
 # the tau-pair sets split retained/dropped 32/24 (sf0.001), 28/26
 # (sf0.01), 142/590 (sf0.1) — both the cap-keeps and the cap-drops
