@@ -211,7 +211,10 @@ EXTENDED = [
     # headline result: text TTL 27.3 -> 10.5 s, fused 56.4 -> 13.5 s,
     # semantic TTL 8.84 -> 5.72 s, semantic fused 7.84 s vs the 19.9 s
     # two-read protocol, min-of-3 at sf0.1 — JVM-state fusion WINS on
-    # both planes) are recorded in SCALE.md r16, and
+    # both planes) are recorded in SCALE.md r16 and, since r17,
+    # RE-MEASURED every round by the env-gated jvm_state_block below
+    # (a separate metric line with its own block mark — still never in
+    # extended_total, preserving cross-host comparability), and
     # stream_semdedup_admit_compacted (two admission phases + an
     # index-maintenance streaming query + a cold bootstrap — the
     # compaction PROTOCOL, like the excluded text twin; the bucketed
@@ -394,6 +397,53 @@ def main() -> None:
         if name not in errors_ext and best < float("inf"):
             per_query_ext[name] = round(best, 4)
     extended_total = round(sum(per_query_ext.values()), 4)
+
+    # jvm_state_block (r16 verdict #5): the four state-channel numbers
+    # (text/semantic × TTL/fused, min-of-N like everything else) that
+    # were r16's headline RESULT — JVM-state fusion wins on both
+    # planes — re-measured every round instead of living as a one-time
+    # SCALE.md entry. Emitted as a SEPARATE metric line (and a compact
+    # key on the headline line), NEVER in extended_total: the rows are
+    # environment-gated (jvm_state_supported()), and a total that
+    # exists only where a JDK does would break cross-host
+    # comparability — the exact reason the r16 exclusion gives.
+    # Env gate: SPARK_GRAFT_BENCH_JVM_BLOCK=0 disables; default "auto"
+    # runs iff the JVM operators are registered in this environment.
+    jvm_block = None
+    _jvm_gate = os.environ.get("SPARK_GRAFT_BENCH_JVM_BLOCK", "auto").lower()
+    if _jvm_gate not in ("0", "false", "off"):
+        _jvm_names = [
+            "stream_neardup_admit_ttl_jvm",
+            "stream_neardup_admit_fused_jvm",
+            "stream_semdedup_admit_ttl_jvm",
+            "stream_semdedup_admit_fused_jvm",
+        ]
+        _jvm_present = [n for n in _jvm_names if n in callables]
+        if _jvm_present:
+            jvm_mark = _block_mark(spark, callables, sf_dir)
+            per_jvm: dict[str, float] = {}
+            errors_jvm: dict[str, str] = {}
+            for name in _jvm_present:
+                best = float("inf")
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    try:
+                        callables[name](spark, sf_dir).collect()
+                    except Exception as exc:  # noqa: BLE001
+                        errors_jvm[name] = f"{type(exc).__name__}: {exc}"[:200]
+                        break
+                    best = min(best, time.perf_counter() - t0)
+                if name not in errors_jvm and best < float("inf"):
+                    per_jvm[name] = round(best, 4)
+            jvm_block = {
+                "metric": "jvm_state_block",
+                "unit": "sec",
+                "queries": per_jvm,
+                "total": round(sum(per_jvm.values()), 4),
+                "block_mark": jvm_mark,
+                **({"errors": errors_jvm} if errors_jvm else {}),
+            }
+
     block_marks["end"] = _block_mark(spark, callables, sf_dir)
     wall = round(time.perf_counter() - t_all, 4)
 
@@ -486,6 +536,12 @@ def main() -> None:
         **({"errors": errors} if errors else {}),
         **({"errors_extended": errors_ext} if errors_ext else {}),
     }
+    if jvm_block is not None:
+        # the separate metric line precedes the headline line: the
+        # driver json-parses the FINAL stdout line (still the headline)
+        # and keeps a 2000-char tail, which comfortably carries both
+        detail["jvm_state_block"] = jvm_block
+        print(json.dumps(jvm_block))
     print("DETAIL " + json.dumps(detail), file=sys.stderr)
     try:
         detail_path = os.path.join(

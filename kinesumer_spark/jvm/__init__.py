@@ -54,8 +54,22 @@ def build_jar() -> str:
     try:
         with open(_MAIN, "rb") as fh:
             digest = hashlib.sha256(fh.read()).hexdigest()[:16]
-        jar = os.path.join(tempfile.gettempdir(), f"ksjvm_{digest}.jar")
-        if os.path.exists(jar):
+        # Cache under a per-user 0700 directory, NOT the world-writable
+        # tempdir: a predictable /tmp path lets any local user pre-plant
+        # or symlink-swap the jar and have their classes loaded into the
+        # driver/executor JVM (driver ADVICE r16, medium). XDG cache dir
+        # with os.makedirs(mode=0o700) + an explicit chmod on pre-existing
+        # dirs; refuse symlinked cache dirs outright.
+        cache_root = os.environ.get(
+            "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+        )
+        cache_dir = os.path.join(cache_root, "ksjvm")
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        if os.path.islink(cache_dir):
+            raise RuntimeError(f"ksjvm cache dir is a symlink: {cache_dir}")
+        os.chmod(cache_dir, 0o700)
+        jar = os.path.join(cache_dir, f"ksjvm_{digest}.jar")
+        if os.path.exists(jar) and not os.path.islink(jar):
             _jar_path = jar
             return jar
         javac = shutil.which("javac")
@@ -78,7 +92,13 @@ def build_jar() -> str:
                 capture_output=True,
                 text=True,
             )
-            os.replace(tmp_jar, jar)  # atomic publish
+            # Atomic publish via a same-directory temp name (os.replace
+            # across filesystems — /tmp build dir vs ~/.cache — would
+            # raise EXDEV; and the 0700 dir means no one else can race
+            # the rename).
+            stage = os.path.join(cache_dir, f".ksjvm_{digest}.{os.getpid()}.tmp")
+            shutil.copyfile(tmp_jar, stage)
+            os.replace(stage, jar)
         finally:
             shutil.rmtree(build, ignore_errors=True)
         _jar_path = jar
@@ -177,7 +197,17 @@ def bucket_admit_pairs_jvm(spark, probe, horizon: int | None = None):
     """JVM-state band-bucket near-dup admission (append mode) — the
     stateful.bucket_admit_pairs semantics with state that never leaves
     the JVM. ``probe`` is the stream_inrow_band_probe relation;
-    ``horizon`` bounds state to the arrival window (None = unbounded)."""
+    ``horizon`` bounds state to the arrival window (None = unbounded).
+
+    horizon=0 is rejected: AdmitJvm encodes "unbounded" as <=0, while
+    the Python twin (stateful.bucket_admit_pairs) treats horizon=0 as
+    "no eligible earlier partner" — opposite semantics, so an explicit
+    0 must not silently pick either (driver ADVICE r16)."""
+    if horizon is not None and int(horizon) <= 0:
+        raise ValueError(
+            "horizon must be a positive int or None (got "
+            f"{horizon!r}); the JVM sentinel for unbounded is None"
+        )
     jvm = spark._jvm
     h = jvm.java.lang.Long(int(horizon) if horizon is not None else 0)
     return _invoke_static(spark, "bucketAdmitPairs", probe._jdf, h)
@@ -191,7 +221,19 @@ def semcell_admit_pairs_jvm(
     stateful.semcell_admit_pairs semantics (tau pairs + NULL-partner
     cell-max rows, horizon/cap bounds mutually exclusive) with the
     cell history held in JVM ListState. ``probe`` carries
-    (cell, doc_id, e); cell is cast to int for the group key."""
+    (cell, doc_id, e); cell is cast to int for the group key.
+
+    horizon=0 / cap=0 are rejected for the same reason as
+    bucket_admit_pairs_jvm: the JVM encodes unbounded as <=0 while the
+    Python twin gives 0 a different meaning (driver ADVICE r16)."""
+    if horizon is not None and int(horizon) <= 0:
+        raise ValueError(
+            f"horizon must be a positive int or None (got {horizon!r})"
+        )
+    if cap is not None and int(cap) <= 0:
+        raise ValueError(
+            f"cap must be a positive int or None (got {cap!r})"
+        )
     jvm = spark._jvm
     h = jvm.java.lang.Long(int(horizon) if horizon is not None else 0)
     c = jvm.java.lang.Long(int(cap) if cap is not None else 0)

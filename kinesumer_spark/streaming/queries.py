@@ -4434,14 +4434,34 @@ def _neardup_bucket_index(
             # the files are still removed — leaving a catalog entry
             # pointing at a deleted path, exactly the dangling-external-
             # table condition the compacted twin warns about (r15 driver
-            # advice). getActiveSession() reaches whatever catalog is
-            # live; if none is, the in-memory catalog died with the JVM
-            # and only the files need removing.
+            # advice). getActiveSession() is THREAD-LOCAL, though — if
+            # the session was created on another thread or atexit runs
+            # off-thread it returns None while the catalog is still
+            # live, and rmtree'ing the paths would create exactly the
+            # dangling-entry condition this hook exists to prevent
+            # (driver ADVICE r16) — so fall back to the process-wide
+            # handles (_instantiatedSession, then the default session)
+            # before giving up on the DROP. Only if every handle is
+            # None did the in-memory catalog die with the JVM, and
+            # only the files need removing.
             sess = None
             try:
                 sess = _SS.getActiveSession()
             except Exception:
                 pass
+            if sess is None:
+                try:
+                    sess = _SS._instantiatedSession
+                except Exception:
+                    pass
+            if sess is not None:
+                # a stopped session's catalog is gone too — treat it
+                # like no session rather than let DROP raise per-table
+                try:
+                    if sess.sparkContext._jsc is None:
+                        sess = None
+                except Exception:
+                    sess = None
             for tbl, path in _ND_BUCKET_CLEANUP:
                 if sess is not None:
                     try:  # best-effort: the JVM may already be gone
@@ -5149,17 +5169,37 @@ def stream_neardup_admit_restart(
         _write_admit_chunks(docs, staging, range(2, 4), bounds)
         run_phase(2)  # NEW query object: state restored from checkpoint
         emitted = spark.read.parquet(out)
-        # RESTORE TRIPWIRE: a phase-2 doc verified against a phase-1
-        # arrival (partner <= the median boundary) proves the restored
-        # bucket history is USED, not just present (3/3/35 such pairs
-        # exist at sf0.001/0.01/0.1 — checked at build time)
+        # RESTORE TRIPWIRE, data-adaptive (r17 assert sweep): a phase-2
+        # doc verified against a phase-1 arrival (partner <= the median
+        # boundary) proves the restored bucket history is USED, not
+        # just present — required iff the batch LSH replay contains a
+        # pair crossing the restart boundary at this SF×chunking
+        # (3/3/35 such pairs at sf0.001/0.01/0.1, but the expectation
+        # is replayed, not baked)
+        from kinesumer_spark.operators.dedup import minhash_pairs_df
+
+        expected_cross = (
+            minhash_pairs_df(docs)
+            .filter(
+                (F.col("doc_a") <= bounds[1]) & (F.col("doc_b") > bounds[1])
+            )
+            .count()
+        )
         n_cross = emitted.filter(
             (F.col("phase") == 2) & (F.col("partner") <= bounds[1])
         ).count()
-        assert n_cross >= 1, (
-            "no phase-2 pair has a phase-1 partner — bucket state was "
-            "not restored from the checkpoint"
-        )
+        if expected_cross > 0:
+            assert n_cross >= 1, (
+                f"{expected_cross} pair(s) cross the restart boundary in "
+                "the batch replay but no phase-2 pair has a phase-1 "
+                "partner — bucket state was not restored from the "
+                "checkpoint"
+            )
+        else:
+            assert n_cross == 0, (
+                f"{n_cross} phase-2 pair(s) claim phase-1 partners the "
+                "batch replay does not contain"
+            )
         # REPROCESS TRIPWIRE: across all committed source-log entries,
         # no input file may appear twice (phase 2 must resume, not
         # re-list phase 1's chunks)
@@ -5471,6 +5511,163 @@ if jvm_state_supported():  # pragma: no cover - environment-dependent
     )(stream_neardup_admit_ttl_jvm)
 
 
+def stream_neardup_admit_ttl_jvm_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kill/restart exactly-once proof for the JVM-STATE admit (r16
+    verdict #3) — the last gap between the named production shape
+    (one-read fused, JVM state, bounded by TTL) and the proofs backing
+    it: the Python family had restart discipline
+    (stream_neardup_admit_restart) but the JVM ListState path's
+    changelog restore was asserted only by analogy. Phase 1 streams
+    arrival chunks 1–2 through AdmitJvm.BucketAdmitProcessor under the
+    RocksDB provider + changelog checkpointing with a real Spark
+    checkpoint, then the query STOPS; chunks 3–4 land; phase 2 is a
+    brand-new query object resuming from the same checkpoint — its
+    verdicts are correct ONLY if every band bucket's windowed arrival
+    history was rebuilt from the checkpointed JVM state (transform-
+    WithState snapshots + changelog replay, the same recovery path a
+    1000-executor job takes on task loss). Oracle =
+    _stream_admit_ttl_oracle() (the TTL twin's own, hash-exact).
+    Tripwires: RESTORE (a phase-2 pair whose in-horizon partner
+    arrived in phase 1 — data-adaptive, the batch LSH replay decides
+    whether such a pair must exist at this SF×chunking), REPROCESS
+    (source WAL lists no input file twice), WINDOW-HONORED (no
+    emission outside the horizon), and the shared data-adaptive
+    STATE-CARRIED. Reference analog: restart-from-checkpoint,
+    kinesumer.go:706-729 + statestore.go:260-281. Registered behind
+    jvm_state_supported(); bench-excluded like the other restart
+    protocols (two sequential queries + checkpoint restore measure
+    recovery, not throughput — cost recorded in SCALE.md r17)."""
+    import shutil
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.jvm import bucket_admit_pairs_jvm
+    from kinesumer_spark.operators.dedup import (
+        minhash_pairs_df,
+        stream_inrow_band_probe,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev = {k: spark.conf.get(k, None) for k in (provider_key, changelog_key)}
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(changelog_key, "true")
+    staging = session_mkdtemp(prefix="ks_admit_ttl_jvm_rst_src_")
+    out = session_mkdtemp(prefix="ks_admit_ttl_jvm_rst_out_")
+    ckpt = session_mkdtemp(prefix="ks_admit_ttl_jvm_rst_ckpt_")
+    try:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        bounds = _admit_chunk_bounds(docs)
+        spark.createDataFrame(
+            [], "doc_id bigint, partner bigint, jaccard double, phase bigint"
+        ).write.mode("overwrite").parquet(out)
+        _write_admit_chunks(docs, staging, range(2), bounds)
+
+        def run_phase(phase: int) -> None:
+            pairs = bucket_admit_pairs_jvm(
+                spark,
+                stream_inrow_band_probe(_admit_stream(spark, staging)),
+                horizon=_ADMIT_TTL,
+            )
+            q = (
+                pairs.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda bdf, bid: bdf.withColumn(
+                        "phase", F.lit(phase).cast("bigint")
+                    ).write.mode("append").parquet(out)
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+
+        run_phase(1)  # chunks 1–2: windowed bucket state in JVM RocksDB
+        _write_admit_chunks(docs, staging, range(2, 4), bounds)
+        run_phase(2)  # NEW query object: JVM state restored from ckpt
+        emitted = spark.read.parquet(out)
+        # RESTORE TRIPWIRE, data-adaptive: a phase-2 doc verified
+        # against a phase-1 arrival proves the restored JVM bucket
+        # history is USED — required iff the batch LSH replay contains
+        # an in-horizon pair crossing the phase boundary (bounds[1])
+        expected_cross = (
+            minhash_pairs_df(docs)
+            .filter(F.col("doc_b") - F.col("doc_a") <= _ADMIT_TTL)
+            .filter(
+                (F.col("doc_a") <= bounds[1]) & (F.col("doc_b") > bounds[1])
+            )
+            .count()
+        )
+        n_cross = emitted.filter(
+            (F.col("phase") == 2) & (F.col("partner") <= bounds[1])
+        ).count()
+        if expected_cross > 0:
+            assert n_cross >= 1, (
+                f"{expected_cross} in-horizon pair(s) cross the restart "
+                "boundary in the batch replay but no phase-2 pair has a "
+                "phase-1 partner — JVM bucket state was not restored"
+            )
+        else:
+            assert n_cross == 0, (
+                f"{n_cross} phase-2 pair(s) claim phase-1 partners the "
+                "batch replay does not contain"
+            )
+        # REPROCESS TRIPWIRE: phase 2 must resume, not re-list chunks
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        seen_files: list[str] = []
+        for logf in _glob.glob(_os.path.join(ckpt, "sources", "0", "*")):
+            with open(logf) as fh:
+                for line in fh:
+                    if line.startswith("{"):
+                        seen_files.append(_json.loads(line)["path"])
+        assert len(seen_files) == len(set(seen_files)), (
+            "source WAL lists an input file twice — phase 2 reprocessed "
+            "phase-1 chunks instead of restoring state"
+        )
+        # the TTL twin's own tripwires hold across the restart too
+        _assert_admit_ttl_state_carried(docs, emitted, bounds)
+        assert (
+            emitted.filter(
+                F.col("partner") < F.col("doc_id") - _ADMIT_TTL
+            ).count()
+            == 0
+        ), "an out-of-window pair was emitted — horizon eviction failed"
+        return _admit_verdict(docs, emitted).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+if jvm_state_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_neardup_admit_ttl_jvm_restart",
+        oracle=_stream_admit_ttl_oracle(),
+        tags=("streaming", "dedup", "stateful", "checkpoint", "scale",
+              "jvm"),
+    )(stream_neardup_admit_ttl_jvm_restart)
+
+
 @register(
     "stream_neardup_admit_compacted",
     oracle=_stream_admit_oracle(),
@@ -5655,12 +5852,30 @@ def stream_neardup_admit_compacted(
             "cold bootstrap join did not use the compacted index's "
             "bucketed layout"
         )
-        # INDEX-USED TRIPWIRE: ≥1 cold emission carries a warm partner
-        n_cross = cold_pairs.filter(F.col("partner") <= bounds[1]).count()
-        assert n_cross >= 1, (
-            "no cold pair has a warm partner — the compacted index was "
-            "not used (or the boundary went vacuous)"
+        # INDEX-USED TRIPWIRE, data-adaptive (r17 assert sweep): a cold
+        # emission carrying a warm partner is required iff the batch
+        # LSH replay has a pair crossing the warm/cold boundary
+        from kinesumer_spark.operators.dedup import minhash_pairs_df
+
+        expected_cross = (
+            minhash_pairs_df(docs)
+            .filter(
+                (F.col("doc_a") <= bounds[1]) & (F.col("doc_b") > bounds[1])
+            )
+            .count()
         )
+        n_cross = cold_pairs.filter(F.col("partner") <= bounds[1]).count()
+        if expected_cross > 0:
+            assert n_cross >= 1, (
+                f"{expected_cross} warm/cold-crossing pair(s) exist in "
+                "the batch replay but no cold pair has a warm partner — "
+                "the compacted index was not used"
+            )
+        else:
+            assert n_cross == 0, (
+                f"{n_cross} cold pair(s) claim warm partners the batch "
+                "replay does not contain"
+            )
         # NO-REPLAY TRIPWIRE: the cold query never saw a warm arrival
         n_replayed = cold_pairs.filter(F.col("doc_id") <= bounds[1]).count()
         assert n_replayed == 0, (
@@ -6368,6 +6583,130 @@ def _semadmit_verdict(v: DataFrame, emitted: DataFrame) -> DataFrame:
     )
 
 
+def _semadmit_eligible_pairs(
+    v: DataFrame,
+    probe_of,
+    horizon: int | None = None,
+    cap: int | None = None,
+) -> DataFrame:
+    """Batch-side replay of the bounded semantic admit's ELIGIBLE pair
+    relation — (a, b) with a < b sharing ≥1 of b's 3 IVF cells,
+    restricted by the arrival-window horizon (b − a ≤ T) or by the
+    membership cap (a among b's C most recent cell-mates in ≥1 shared
+    cell), mirroring _stream_semadmit_oracle's pairs CTE with the SAME
+    probe tier the stream uses (probe_of — zero fork). Shared by the
+    STATE-CARRIED tripwires (data-adaptive form) and the cap twin's
+    CAP-HONORED check."""
+    from pyspark.sql import Window
+
+    asg = probe_of(v.selectExpr("vec_id AS doc_id", "e")).select(
+        "cell", "doc_id"
+    )
+    joined = asg.selectExpr("cell AS b_cell", "doc_id AS b").join(
+        asg.selectExpr("cell AS a_cell", "doc_id AS a"),
+        (F.col("a_cell") == F.col("b_cell")) & (F.col("a") < F.col("b")),
+    )
+    if cap is not None:
+        assert horizon is None, "horizon and cap are mutually exclusive"
+        w = Window.partitionBy("b_cell", "b").orderBy(F.desc("a"))
+        joined = joined.withColumn("recency", F.row_number().over(w)).filter(
+            F.col("recency") <= cap
+        )
+    elif horizon is not None:
+        joined = joined.filter(F.col("b") - F.col("a") <= horizon)
+    return joined.select("b", "a").distinct()
+
+
+def _semadmit_tau_pairs(
+    v: DataFrame,
+    probe_of,
+    hof_dot,
+    horizon: int | None = None,
+    cap: int | None = None,
+) -> DataFrame:
+    """(a, b) — the batch replay of the admit family's TAU-PASSING
+    pair relation under the given bound: _semadmit_eligible_pairs
+    joined back to the embeddings with the in-plan HOF cosine
+    (left-assoc fold, round-6 HALF_UP — the oracle's own arithmetic)
+    filtered at tau. The data-adaptive tripwires compare emitted
+    crossings against THIS relation."""
+    from kinesumer_spark.operators.similarity import _SEM_TAU
+
+    ve = v.selectExpr("vec_id", "e")
+    return (
+        _semadmit_eligible_pairs(v, probe_of, horizon=horizon, cap=cap)
+        .join(ve.selectExpr("vec_id AS b", "e AS eb"), "b")
+        .join(ve.selectExpr("vec_id AS a", "e AS ea"), "a")
+        .selectExpr(
+            "a",
+            "b",
+            f"round(({hof_dot('ea', 'eb')})"
+            f" / (sqrt({hof_dot('ea', 'ea')})"
+            f" * sqrt({hof_dot('eb', 'eb')})), 6) AS cos",
+        )
+        .filter(F.col("cos") >= F.lit(float(_SEM_TAU)))
+        .select("a", "b")
+    )
+
+
+def _assert_semadmit_state_carried(
+    v: DataFrame,
+    probe_of,
+    hof_dot,
+    emitted: DataFrame,
+    bounds,
+    horizon: int | None = None,
+    cap: int | None = None,
+) -> None:
+    """STATE-CARRIED tripwire for the bounded semantic admit family,
+    DATA-ADAPTIVE (r17; driver ADVICE r16): the unconditional form
+    asserted that ≥1 emitted tau-pair crosses a microbatch boundary —
+    but whether such a pair EXISTS under the horizon/cap restriction is
+    a property of the corpus and the chunking, not the implementation
+    (the exact latent-red class _assert_admit_ttl_state_carried fixed
+    for the text family r16: green at one SF, unsatisfiable at
+    another). The fix replays the expectation batch-side with the
+    oracle's own restricted pair relation (_semadmit_eligible_pairs +
+    the in-plan HOF cosine, round-6 HALF_UP — the same arithmetic the
+    oracle's list_dot_product chain folds) and asserts exact agreement
+    in both directions: a crossing must be emitted iff one exists."""
+    from kinesumer_spark.operators.similarity import _SEM_TAU
+
+    crosses_emitted = None
+    crosses_expected = None
+    for b in bounds:
+        ce = (
+            (F.col("cos") >= F.lit(float(_SEM_TAU)))
+            & (F.col("partner") <= b)
+            & (F.col("doc_id") > b)
+        )
+        cx = (F.col("a") <= b) & (F.col("b") > b)
+        crosses_emitted = (
+            ce if crosses_emitted is None else (crosses_emitted | ce)
+        )
+        crosses_expected = (
+            cx if crosses_expected is None else (crosses_expected | cx)
+        )
+    expected = (
+        _semadmit_tau_pairs(v, probe_of, hof_dot, horizon=horizon, cap=cap)
+        .filter(crosses_expected)
+        .count()
+    )
+    got = emitted.filter(crosses_emitted).count()
+    if expected > 0:
+        assert got >= 1, (
+            f"{expected} eligible tau-pair(s) cross a microbatch boundary "
+            "in the batch replay but none was emitted — bounded state was "
+            "not carried between batches"
+        )
+    else:
+        assert got == 0, (
+            f"{got} emitted tau-pair(s) cross a boundary but the batch "
+            "replay has none — the stream emitted pairs the corpus does "
+            "not contain under this bound"
+        )
+
+
 # Arrival-window horizon for the bounded-state semantic admit: at 200
 # the tau-pair sets split retained/expired 37/19 (sf0.001), 30/24
 # (sf0.01), 160/572 (sf0.1) — both the window-keeps and the
@@ -6404,10 +6743,8 @@ def stream_semdedup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded state is carried BETWEEN batches, not merely within one),
     and NO emission violates the window (partner < doc − T would mean
     eviction failed)."""
-    from kinesumer_spark.operators.similarity import _SEM_TAU
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    v, probe_of, _ = _semadmit_setup(spark, sf_dir)
+    v, probe_of, hof_dot = _semadmit_setup(spark, sf_dir)
     emitted, bounds = _semadmit_stream_pairs(
         spark,
         v,
@@ -6415,19 +6752,12 @@ def stream_semdedup_admit_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ks_stream_semdedup_admit_ttl",
         horizon=_SEM_ADMIT_TTL,
     )
-    # STATE-CARRIED TRIPWIRE: ≥1 in-horizon tau-pair spans a chunk
-    # boundary — the windowed history survived a microbatch commit
-    crosses_any = None
-    for b in bounds:
-        c = (
-            (F.col("cos") >= F.lit(float(_SEM_TAU)))
-            & (F.col("partner") <= b)
-            & (F.col("doc_id") > b)
-        )
-        crosses_any = c if crosses_any is None else (crosses_any | c)
-    assert emitted.filter(crosses_any).count() >= 1, (
-        "no tau-pair crosses any microbatch boundary — windowed state "
-        "was not carried between batches"
+    # STATE-CARRIED TRIPWIRE (data-adaptive r17): a tau-pair crossing a
+    # chunk boundary is emitted iff the batch replay of the in-horizon
+    # pair relation contains one — the windowed history survived a
+    # microbatch commit wherever the corpus makes that provable
+    _assert_semadmit_state_carried(
+        v, probe_of, hof_dot, emitted, bounds, horizon=_SEM_ADMIT_TTL
     )
     # WINDOW-HONORED TRIPWIRE: nothing outside the horizon was emitted
     n_expired = emitted.filter(
@@ -6455,10 +6785,8 @@ def stream_semdedup_admit_ttl_jvm(
     stream_semdedup_admit_ttl — the bench delta between the two rows
     is the state channel alone (SCALE.md r16). Registered behind
     jvm_state_supported()."""
-    from kinesumer_spark.operators.similarity import _SEM_TAU
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    v, probe_of, _ = _semadmit_setup(spark, sf_dir)
+    v, probe_of, hof_dot = _semadmit_setup(spark, sf_dir)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)
     spark.conf.set(
@@ -6475,18 +6803,10 @@ def stream_semdedup_admit_ttl_jvm(
             horizon=_SEM_ADMIT_TTL,
             jvm=True,
         )
-        # the Python TTL twin's tripwires, verbatim
-        crosses_any = None
-        for b in bounds:
-            c = (
-                (F.col("cos") >= F.lit(float(_SEM_TAU)))
-                & (F.col("partner") <= b)
-                & (F.col("doc_id") > b)
-            )
-            crosses_any = c if crosses_any is None else (crosses_any | c)
-        assert emitted.filter(crosses_any).count() >= 1, (
-            "no tau-pair crosses any microbatch boundary — JVM ListState "
-            "was not carried between batches"
+        # the Python TTL twin's tripwires, verbatim (STATE-CARRIED is
+        # the data-adaptive batch-side replay — driver ADVICE r16)
+        _assert_semadmit_state_carried(
+            v, probe_of, hof_dot, emitted, bounds, horizon=_SEM_ADMIT_TTL
         )
         n_expired = emitted.filter(
             F.col("partner") < F.col("doc_id") - _SEM_ADMIT_TTL
@@ -6705,12 +7025,8 @@ def stream_semdedup_admit_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every emitted pair is re-derived eligible from the batch-side
     probe relation — a violation means eviction or the tail slice
     broke)."""
-    from pyspark.sql import Window
-
-    from kinesumer_spark.operators.similarity import _SEM_TAU
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    v, probe_of, _ = _semadmit_setup(spark, sf_dir)
+    v, probe_of, hof_dot = _semadmit_setup(spark, sf_dir)
     emitted, bounds = _semadmit_stream_pairs(
         spark,
         v,
@@ -6718,38 +7034,17 @@ def stream_semdedup_admit_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ks_stream_semdedup_admit_cap",
         cap=_SEM_ADMIT_CAP,
     )
-    # STATE-CARRIED TRIPWIRE: ≥1 retained tau-pair spans a chunk
-    # boundary — the capped history survived a microbatch commit
-    crosses_any = None
-    for b in bounds:
-        c = (
-            (F.col("cos") >= F.lit(float(_SEM_TAU)))
-            & (F.col("partner") <= b)
-            & (F.col("doc_id") > b)
-        )
-        crosses_any = c if crosses_any is None else (crosses_any | c)
-    assert emitted.filter(crosses_any).count() >= 1, (
-        "no tau-pair crosses any microbatch boundary — capped state "
-        "was not carried between batches"
+    # STATE-CARRIED TRIPWIRE (data-adaptive r17; driver ADVICE r16): a
+    # retained tau-pair crossing a chunk boundary is emitted iff the
+    # batch replay of the cap-restricted pair relation contains one
+    _assert_semadmit_state_carried(
+        v, probe_of, hof_dot, emitted, bounds, cap=_SEM_ADMIT_CAP
     )
     # CAP-HONORED TRIPWIRE: every emitted pair must be re-derivable as
     # cap-eligible from the batch-side probe relation (same codebook,
-    # same 3-cell assignment — zero fork)
-    asg = probe_of(v.selectExpr("vec_id AS doc_id", "e")).select(
-        "cell", "doc_id"
-    )
-    w = Window.partitionBy("b_cell", "b").orderBy(F.desc("a"))
-    elig = (
-        asg.selectExpr("cell AS b_cell", "doc_id AS b")
-        .join(
-            asg.selectExpr("cell AS a_cell", "doc_id AS a"),
-            (F.col("a_cell") == F.col("b_cell")) & (F.col("a") < F.col("b")),
-        )
-        .withColumn("recency", F.row_number().over(w))
-        .filter(F.col("recency") <= _SEM_ADMIT_CAP)
-        .select("b", "a")
-        .distinct()
-    )
+    # same 3-cell assignment — zero fork; _semadmit_eligible_pairs is
+    # the oracle's pairs CTE verbatim)
+    elig = _semadmit_eligible_pairs(v, probe_of, cap=_SEM_ADMIT_CAP)
     violations = (
         emitted.filter(F.col("partner").isNotNull())
         .selectExpr("doc_id AS b", "partner AS a")
@@ -6762,6 +7057,75 @@ def stream_semdedup_admit_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last-C tail slice or the eviction broke"
     )
     return _semadmit_verdict(v, emitted)
+
+
+def stream_semdedup_admit_cap_jvm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MEMBERSHIP-CAP semantic admit with JVM-SIDE state — closing
+    the {TTL, cap} × {Python, JVM} production matrix (r16 verdict #4):
+    the deploy shape for a skewed 100 TB ingest bounds per-cell state
+    by COUNT (cap survives the hot-cell clustering TTL can't), and the
+    state channel that wins at scale is the JVM one (r16 measured the
+    TTL/fused rows 1.6–2.5× cheaper with ListState that never crosses
+    the Arrow boundary) — so the production row is cap × JVM, executed
+    here. AdmitJvm.SemCellAdmitProcessor already implements the cap
+    bound (verify against the last-C cell entries, last-C tail-slice
+    eviction after every batch — AdmitJvm.java:515, :551; horizon/cap
+    mutually exclusive like the Python kernel); this registers it
+    under the cap twin's IDENTICAL protocol, oracle
+    (recency-rank-restricted pair relation), and tripwires
+    (data-adaptive STATE-CARRIED + CAP-HONORED re-derivation).
+    Registered behind jvm_state_supported()."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    v, probe_of, hof_dot = _semadmit_setup(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        emitted, bounds = _semadmit_stream_pairs(
+            spark,
+            v,
+            probe_of,
+            "ks_stream_semdedup_admit_cap_jvm",
+            cap=_SEM_ADMIT_CAP,
+            jvm=True,
+        )
+        # the Python cap twin's tripwires, verbatim
+        _assert_semadmit_state_carried(
+            v, probe_of, hof_dot, emitted, bounds, cap=_SEM_ADMIT_CAP
+        )
+        elig = _semadmit_eligible_pairs(v, probe_of, cap=_SEM_ADMIT_CAP)
+        violations = (
+            emitted.filter(F.col("partner").isNotNull())
+            .selectExpr("doc_id AS b", "partner AS a")
+            .distinct()
+            .join(elig, ["b", "a"], "left_anti")
+            .count()
+        )
+        assert violations == 0, (
+            f"{violations} emitted pair(s) are not cap-eligible — the "
+            "JVM last-C tail slice or the eviction broke"
+        )
+        return _semadmit_verdict(v, emitted).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+if jvm_state_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_semdedup_admit_cap_jvm",
+        oracle=_stream_semadmit_oracle(cap=_SEM_ADMIT_CAP),
+        tags=("streaming", "similarity", "dedup", "stateful", "scale",
+              "jvm"),
+    )(stream_semdedup_admit_cap_jvm)
 
 
 @register(
@@ -6818,7 +7182,7 @@ def stream_semdedup_admit_restart(
     out = session_mkdtemp(prefix="ks_semadmit_rst_out_")
     ckpt = session_mkdtemp(prefix="ks_semadmit_rst_ckpt_")
     try:
-        v, probe_of, _ = _semadmit_setup(spark, sf_dir)
+        v, probe_of, hof_dot = _semadmit_setup(spark, sf_dir)
         staged = v.selectExpr("vec_id AS doc_id", "e")
         bounds = _admit_chunk_bounds(staged)
         spark.createDataFrame(
@@ -6856,17 +7220,32 @@ def stream_semdedup_admit_restart(
         )
         run_phase(2)  # NEW query object: packed state restored
         emitted = spark.read.parquet(out)
-        # RESTORE TRIPWIRE: a phase-2 tau-pair with a phase-1 partner
-        # proves the restored packed history (vectors AND norms) is USED
+        # RESTORE TRIPWIRE, data-adaptive (r17 assert sweep): a phase-2
+        # tau-pair with a phase-1 partner proves the restored packed
+        # history (vectors AND norms) is USED — required iff the batch
+        # replay has a tau-pair crossing the restart boundary
+        expected_cross = (
+            _semadmit_tau_pairs(v, probe_of, hof_dot)
+            .filter((F.col("a") <= bounds[1]) & (F.col("b") > bounds[1]))
+            .count()
+        )
         n_cross = emitted.filter(
             (F.col("phase") == 2)
             & (F.col("partner") <= bounds[1])
             & (F.col("cos") >= F.lit(float(_SEM_TAU)))
         ).count()
-        assert n_cross >= 1, (
-            "no phase-2 tau-pair has a phase-1 partner — cell state was "
-            "not restored from the checkpoint"
-        )
+        if expected_cross > 0:
+            assert n_cross >= 1, (
+                f"{expected_cross} tau-pair(s) cross the restart boundary "
+                "in the batch replay but no phase-2 tau-pair has a "
+                "phase-1 partner — cell state was not restored from the "
+                "checkpoint"
+            )
+        else:
+            assert n_cross == 0, (
+                f"{n_cross} phase-2 tau-pair(s) claim phase-1 partners "
+                "the batch replay does not contain"
+            )
         # REPROCESS TRIPWIRE: no input file appears twice in the source WAL
         seen_files: list[str] = []
         for logf in _glob.glob(_os.path.join(ckpt, "sources", "0", "*")):
@@ -7043,15 +7422,29 @@ def stream_semdedup_admit_compacted(
             "cold bootstrap join did not use the compacted index's "
             "bucketed layout"
         )
-        # INDEX-USED TRIPWIRE: ≥1 cold tau-pair carries a warm partner
+        # INDEX-USED TRIPWIRE, data-adaptive (r17 assert sweep): a cold
+        # tau-pair carrying a warm partner is required iff the batch
+        # replay has a tau-pair crossing the warm/cold boundary
+        expected_cross = (
+            _semadmit_tau_pairs(v, probe_of, hof_dot)
+            .filter((F.col("a") <= bounds[1]) & (F.col("b") > bounds[1]))
+            .count()
+        )
         n_cross = cold_pairs.filter(
             (F.col("partner") <= bounds[1])
             & (F.col("cos") >= F.lit(float(_SEM_TAU)))
         ).count()
-        assert n_cross >= 1, (
-            "no cold tau-pair has a warm partner — the compacted index "
-            "was not used (or the boundary went vacuous)"
-        )
+        if expected_cross > 0:
+            assert n_cross >= 1, (
+                f"{expected_cross} warm/cold-crossing tau-pair(s) exist "
+                "in the batch replay but no cold tau-pair has a warm "
+                "partner — the compacted index was not used"
+            )
+        else:
+            assert n_cross == 0, (
+                f"{n_cross} cold tau-pair(s) claim warm partners the "
+                "batch replay does not contain"
+            )
         # NO-REPLAY TRIPWIRE: the cold query never saw a warm arrival
         n_replayed = cold_pairs.filter(F.col("doc_id") <= bounds[1]).count()
         assert n_replayed == 0, (

@@ -2410,9 +2410,11 @@ def test_jvm_state_capability_gate(spark):
     names = (
         "stream_transform_with_state_jvm",
         "stream_neardup_admit_ttl_jvm",
+        "stream_neardup_admit_ttl_jvm_restart",
         "stream_neardup_admit_fused_jvm",
         "stream_semdedup_admit_ttl_jvm",
         "stream_semdedup_admit_fused_jvm",
+        "stream_semdedup_admit_cap_jvm",
     )
     if jvm_state_supported():
         jar1 = build_jar()
@@ -2517,3 +2519,80 @@ def test_jvm_bucket_admit_matches_python_operator(spark, tmp_path):
     # a cross-chunk pair must exist (doc 4 pairs with 1 or 2): JVM
     # ListState carried state between microbatches
     assert (j["doc_id"] == 4).any()
+
+
+def test_jvm_wrapper_rejects_zero_bounds(spark):
+    """horizon=0 / cap=0 must raise, not silently pick a semantics: the
+    JVM encodes unbounded as <= 0 while the Python twins treat 0 as 'no
+    eligible earlier partner' — opposite meanings for the same explicit
+    input (driver ADVICE r16). The two state surfaces the suite claims
+    equivalent must agree on EVERY input, so 0 is rejected at the
+    wrapper before it reaches either."""
+    import pytest as _pytest
+
+    from kinesumer_spark.jvm import (
+        bucket_admit_pairs_jvm,
+        jvm_state_supported,
+        semcell_admit_pairs_jvm,
+    )
+
+    if not jvm_state_supported():
+        _pytest.skip("no JDK in this environment")
+    probe = spark.createDataFrame(
+        [], "lang string, band int, key1 bigint, key2 bigint,"
+        " doc_id bigint, sh_set array<string>"
+    )
+    with _pytest.raises(ValueError):
+        bucket_admit_pairs_jvm(spark, probe, horizon=0)
+    sem_probe = spark.createDataFrame(
+        [], "cell int, doc_id bigint, e array<double>"
+    )
+    with _pytest.raises(ValueError):
+        semcell_admit_pairs_jvm(spark, sem_probe, 0.9, horizon=0)
+    with _pytest.raises(ValueError):
+        semcell_admit_pairs_jvm(spark, sem_probe, 0.9, cap=0)
+
+
+def test_jvm_round6_matches_python_repr_quantize(spark):
+    """AdmitJvm.round6Shared derives the SHORTEST round-trip decimal
+    itself (JDK 17's Double.toString predates the JDK-19 shortest-repr
+    fix and can emit non-minimal digits that flip HALF_UP at an exact
+    6th-decimal tie — driver ADVICE r16); it must equal CPython's
+    repr-based Decimal HALF_UP quantize, the kernel's exactness
+    discipline, on random and adversarial values."""
+    import random
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest as _pytest
+
+    from kinesumer_spark.jvm import _admit_jvm_class, jvm_state_supported
+
+    if not jvm_state_supported():
+        _pytest.skip("no JDK in this environment")
+    cls = _admit_jvm_class(spark)
+    meth = [m for m in cls.getMethods() if m.getName() == "round6Shared"][0]
+    gw = spark.sparkContext._gateway
+    jvm = spark._jvm
+
+    def jvm_round6(x: float) -> float:
+        arr = gw.new_array(jvm.java.lang.Object, 1)
+        arr[0] = jvm.java.lang.Double(float(x))
+        return float(meth.invoke(None, arr))
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-1.0, 1.0) for _ in range(200)]
+    # adversarial: values engineered near the 6th-decimal HALF_UP tie
+    vals += [
+        round(rng.uniform(0, 1), 7) + rng.choice([0.0, 5e-8, -5e-8])
+        for _ in range(200)
+    ]
+    # random bit patterns in the cosine-plausible range
+    for _ in range(100):
+        x = struct.unpack("<d", struct.pack("<Q", rng.getrandbits(64)))[0]
+        if x == x and abs(x) < 1e6:
+            vals.append(x)
+    q = Decimal("0.000001")
+    for v in vals:
+        py = float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+        assert jvm_round6(v) == py, repr(v)
