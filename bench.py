@@ -200,9 +200,15 @@ EXTENDED = [
     # twin, plus its batch-side CAP-HONORED re-derivation tripwire; its
     # data plane is benched via stream_semantic_gate; ~19.3 s at sf0.1,
     # recorded in SCALE.md r16),
-    # the r16 JVM-state family (stream_transform_with_state_jvm,
+    # the r16/r17 JVM-state family (stream_transform_with_state_jvm,
     # stream_neardup_admit_ttl_jvm, stream_neardup_admit_fused_jvm,
-    # stream_semdedup_admit_ttl_jvm, stream_semdedup_admit_fused_jvm):
+    # stream_semdedup_admit_ttl_jvm, stream_semdedup_admit_fused_jvm;
+    # r17 adds stream_semdedup_admit_cap_jvm — the cap protocol shape,
+    # like the excluded Python cap twin — and the two restart twins
+    # stream_neardup_admit_ttl_jvm_restart /
+    # stream_neardup_admit_fused_jvm_restart, which are
+    # recovery-PROTOCOL cost like every excluded restart op; r17 costs
+    # in SCALE.md r17):
     # environment-gated registrations (jvm_state_supported()) — a bench
     # row that exists only where a JDK does would break round-over-
     # round comparability of extended_total; they are also the same

@@ -6216,6 +6216,216 @@ if jvm_state_supported():  # pragma: no cover - environment-dependent
     )(stream_neardup_admit_fused_jvm)
 
 
+def stream_neardup_admit_fused_jvm_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kill/restart exactly-once proof for THE NAMED PRODUCTION SHAPE
+    itself — the one-read fused admission+compaction with JVM state
+    (r16's headline measurement; r16 verdict "What's missing" #2 named
+    exactly this gap: the fused JVM admit had no checkpoint-recovery
+    twin while its Python relatives did). Phase 1 streams arrival
+    chunks 1–2 through AdmitJvm.bucketAdmitPairsFused under RocksDB +
+    changelog checkpointing, feeding BOTH sinks (pair parquet ledger +
+    bucketed compacted index) through the per-(batchId, sink) replay
+    markers; the query stops; chunks 3–4 land; phase 2 is a new query
+    object on the same checkpoint AND the same marker directory — so
+    the proof covers the full production recovery contract: (a) the
+    fused ListState is rebuilt from snapshot + changelog, (b) the
+    dual-sink markers keep both sinks exactly-once across the kill,
+    (c) the resumed plan is still the fused one (FUSION PIN re-checked
+    on phase 2's plan). Oracle = the full-admit oracle, hash-exact.
+    Tripwires: data-adaptive RESTORE (a phase-2 pair with a phase-1
+    partner iff the batch LSH replay has a boundary-crossing pair),
+    WAL REPROCESS, INDEX-FAITHFUL across both phases
+    (n_idx == n_probe — a replayed or lost idx append after the kill
+    would break the equality). Registered behind jvm_state_supported();
+    bench-excluded like every restart protocol (recovery cost, not
+    throughput — SCALE.md r17)."""
+    import hashlib
+    import os
+    import shutil
+
+    from kinesumer_spark.catalog import read_table
+    from kinesumer_spark.jvm import bucket_admit_pairs_fused_jvm
+    from kinesumer_spark.operators.dedup import (
+        minhash_pairs_df,
+        stream_inrow_band_probe,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staging = session_mkdtemp(prefix="ks_admit_fusjr_src_")
+    out = session_mkdtemp(prefix="ks_admit_fusjr_out_")
+    ckpt = session_mkdtemp(prefix="ks_admit_fusjr_ckpt_")
+    index_dir = session_mkdtemp(prefix="ks_admit_fusjr_idx_")
+    idx_marks = session_mkdtemp(prefix="ks_admit_fusjr_marks_")
+    run_tag = hashlib.sha1(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:fusedjvmrst".encode()
+    ).hexdigest()[:12]
+    idx_table = f"kbkt_admitidx_fusjr_{run_tag}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev = {k: spark.conf.get(k, None) for k in (provider_key, changelog_key)}
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(changelog_key, "true")
+    try:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        bounds = _admit_chunk_bounds(docs)
+        _write_admit_chunks(docs, staging, range(2), bounds)
+        spark.createDataFrame(
+            [], "doc_id bigint, partner bigint, jaccard double,"
+            " phase bigint"
+        ).write.mode("overwrite").parquet(out)
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+
+        def make_sink(phase: int):
+            def sink(bdf, bid: int) -> None:
+                pair_done = os.path.join(idx_marks, f"{int(bid)}.pair")
+                idx_done = os.path.join(idx_marks, f"{int(bid)}.idx")
+                if os.path.exists(pair_done) and os.path.exists(idx_done):
+                    return
+                bdf = bdf.localCheckpoint(eager=True)
+                if not os.path.exists(pair_done):
+                    (
+                        bdf.filter(F.col("kind") == "pair")
+                        .select("doc_id", "partner", "jaccard")
+                        .withColumn(
+                            "phase", F.lit(phase).cast("bigint")
+                        )
+                        .write.mode("append")
+                        .parquet(out)
+                    )
+                    with open(pair_done, "w") as fh:
+                        fh.write("1")
+                if not os.path.exists(idx_done):
+                    (
+                        bdf.filter(F.col("kind") == "idx")
+                        .select(
+                            "lang", "band", "key1", "key2", "doc_id",
+                            "sh_set",
+                        )
+                        .write.mode("append")
+                        .bucketBy(8, "lang", "band", "key1", "key2")
+                        .sortBy("lang", "band", "key1", "key2")
+                        .option("path", index_dir)
+                        .saveAsTable(idx_table)
+                    )
+                    with open(idx_done, "w") as fh:
+                        fh.write("1")
+
+            return sink
+
+        def run_phase(phase: int) -> str:
+            fused = bucket_admit_pairs_fused_jvm(
+                spark,
+                stream_inrow_band_probe(_admit_stream(spark, staging)),
+            )
+            q = (
+                fused.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(make_sink(phase))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                return q._jsq.explainInternal(True)
+            finally:
+                q.stop()
+                q.awaitTermination()
+
+        run_phase(1)  # chunks 1–2: fused state + both sinks
+        _write_admit_chunks(docs, staging, range(2, 4), bounds)
+        plan2 = run_phase(2)  # NEW query object on the same ckpt+marks
+
+        # FUSION PIN on the RESUMED plan: recovery must not degrade
+        # the one-read/one-operator shape
+        phys = plan2.split("== Physical Plan ==")[-1]
+        assert phys.count("TransformWithState") == 1, phys
+        assert "FlatMapGroupsInPandasWithState" not in phys, phys
+        assert (
+            "ArrowEvalPython" not in phys and "BatchEvalPython" not in phys
+        ), phys
+
+        emitted = spark.read.parquet(out)
+        # RESTORE TRIPWIRE, data-adaptive: phase-2 pair with phase-1
+        # partner iff the batch LSH replay crosses the restart boundary
+        expected_cross = (
+            minhash_pairs_df(docs)
+            .filter(
+                (F.col("doc_a") <= bounds[1]) & (F.col("doc_b") > bounds[1])
+            )
+            .count()
+        )
+        n_cross = emitted.filter(
+            (F.col("phase") == 2) & (F.col("partner") <= bounds[1])
+        ).count()
+        if expected_cross > 0:
+            assert n_cross >= 1, (
+                f"{expected_cross} pair(s) cross the restart boundary in "
+                "the batch replay but no phase-2 pair has a phase-1 "
+                "partner — fused JVM state was not restored"
+            )
+        else:
+            assert n_cross == 0, (
+                f"{n_cross} phase-2 pair(s) claim phase-1 partners the "
+                "batch replay does not contain"
+            )
+        # REPROCESS TRIPWIRE: phase 2 resumed, did not re-list chunks
+        import glob as _glob
+        import json as _json
+
+        seen_files: list[str] = []
+        for logf in _glob.glob(os.path.join(ckpt, "sources", "0", "*")):
+            with open(logf) as fh:
+                for line in fh:
+                    if line.startswith("{"):
+                        seen_files.append(_json.loads(line)["path"])
+        assert len(seen_files) == len(set(seen_files)), (
+            "source WAL lists an input file twice — phase 2 reprocessed "
+            "phase-1 chunks instead of restoring state"
+        )
+        # INDEX-FAITHFUL ACROSS THE KILL: every probe row landed in the
+        # compacted index exactly once across both phases
+        n_idx = spark.table(idx_table).count()
+        n_probe = stream_inrow_band_probe(docs).count()
+        assert n_idx == n_probe, (n_idx, n_probe)
+        return _admit_verdict(docs, emitted.drop("phase")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+        except Exception:
+            pass
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(idx_marks, ignore_errors=True)
+
+
+if jvm_state_supported():  # pragma: no cover - environment-dependent
+    register(
+        "stream_neardup_admit_fused_jvm_restart",
+        oracle=_stream_admit_oracle(),
+        tags=("streaming", "dedup", "stateful", "checkpoint", "scale",
+              "jvm"),
+    )(stream_neardup_admit_fused_jvm_restart)
+
+
 # -- Per-source admission cap on the stream ----------------------------------
 
 

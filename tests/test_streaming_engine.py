@@ -2412,6 +2412,7 @@ def test_jvm_state_capability_gate(spark):
         "stream_neardup_admit_ttl_jvm",
         "stream_neardup_admit_ttl_jvm_restart",
         "stream_neardup_admit_fused_jvm",
+        "stream_neardup_admit_fused_jvm_restart",
         "stream_semdedup_admit_ttl_jvm",
         "stream_semdedup_admit_fused_jvm",
         "stream_semdedup_admit_cap_jvm",
