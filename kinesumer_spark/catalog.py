@@ -123,6 +123,92 @@ def events_raw_schema(spark: SparkSession, sf_dir: str):
     return parquet_file_schema(spark, table_path(sf_dir, "events"))
 
 
+_SPLITS_CACHE: dict[tuple, int] = {}
+
+# Spark's default spark.sql.files.maxPartitionBytes. Used only to BOUND
+# the scan-task estimate below; precision is irrelevant to the gate's
+# purpose (distinguish "tiny local fixture" from "real multi-split layout"),
+# so reading the live conf is not worth coupling this to a session.
+_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def scan_task_bound(sf_dir: str, name: str) -> int:
+    """Upper bound on the scan tasks Spark can extract from a table's
+    CURRENT file layout.
+
+    Parquet row groups are atomic to Spark's reader (a row group goes to
+    the split containing its midpoint), so a file contributes at most
+    ``min(num_row_groups, ceil(size / maxPartitionBytes))`` non-empty
+    scan tasks. The testdata tables are each ONE file with ONE row
+    group → bound 1: every scan's map stage is single-threaded no matter
+    what split-size confs say. At production scale (thousands of files /
+    row groups) the bound exceeds any cluster's parallelism and the
+    fan-out gate below turns itself off. Cached per file-state (same
+    invalidation rule as the schema cache)."""
+    path = table_path(sf_dir, name)
+    key = (path, _path_state(path))
+    if key not in _SPLITS_CACHE:
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else [
+                os.path.join(path, e.name)
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+        )
+        total = 0
+        for f in files:
+            try:
+                rgs = pq.ParquetFile(f).metadata.num_row_groups
+            except Exception:  # noqa: BLE001 — non-parquet sidecar etc.
+                rgs = 1
+            by_size = -(-os.path.getsize(f) // _MAX_PARTITION_BYTES) or 1
+            total += max(1, min(rgs, by_size))
+        _SPLITS_CACHE[key] = max(1, total)
+    return _SPLITS_CACHE[key]
+
+
+def fan_out(df: DataFrame, sf_dir: str, *names: str) -> DataFrame:
+    """Scale-adaptive fan-out for CPU-heavy map chains above a scan.
+
+    The local fixtures are single-file/single-row-group parquet, so a
+    scan's map stage runs in ONE task and any expensive per-row chain
+    (sha256 shingling, per-word hashing, unrolled dot products) is
+    single-threaded until the first exchange — measured 2-10x of several
+    operators' wall time at sf0.1 (OPTIMIZATION_r17.md). At 100 TB the
+    same chain has thousands of natural scan splits and a repartition
+    would shuffle the whole corpus to gain nothing — the documented
+    reason dedup_cdc_chunking REJECTED an unconditional repartition
+    (SCALE.md r11).
+
+    This helper reconciles the two: round-robin repartition to the
+    session's ``defaultParallelism`` ONLY when the source tables'
+    combined file layout cannot feed that many scan tasks
+    (:func:`scan_task_bound`). The gate reads the layout, not an env
+    constant, so the driver's lower-core bench run and a real cluster
+    both get the right decision automatically. Callers apply it AFTER
+    scan-side filters/projections (pushdown/pruning stay at the scan;
+    the exchange carries only the surviving, projected rows).
+
+    Determinism: round-robin repartition sorts before partitioning
+    (spark.sql.execution.sortBeforeRepartition, default on), and every
+    consumer below a fan-out is order-independent (decimal sums, min
+    aggregates, counts, windows with total orders) — oracle-checked.
+    ``SPARK_GRAFT_FANOUT=0`` disables the helper (A/B harness hook).
+    """
+    if os.environ.get("SPARK_GRAFT_FANOUT", "auto").lower() in ("0", "off"):
+        return df
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    bound = sum(scan_task_bound(sf_dir, n) for n in names)
+    if bound >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing engine-specific physical types
     (see normalize_event_ts for the ``events.ts`` variants)."""

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesumer_spark.catalog import read_table
+from kinesumer_spark.catalog import fan_out, read_table
 from kinesumer_spark.registry import register
 
 
@@ -371,8 +371,14 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       build; one parse-on-the-JVM string costs none of that.
     - Min over the hash MULTISET equals min over the set (duplicates
       can't lower a minimum), so signatures need no distinct.
+    - The shingle regexp + sha256 chain runs in the scan stage, so on a
+      single-split input both per-doc branches are single-threaded; the
+      gated fan_out (r17) parallelizes them and turns itself off on a
+      multi-split layout (see catalog.fan_out).
     """
-    return minhash_pairs_df(_t(spark, sf_dir, "documents"))
+    return minhash_pairs_df(
+        fan_out(_t(spark, sf_dir, "documents"), sf_dir, "documents")
+    )
 
 
 def minhash_band_keys(d: DataFrame) -> DataFrame:
@@ -1930,8 +1936,14 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel. A production deployment swaps the sha window hash for a
     gear/rolling hash inside the same lambda. Boundary decisions are
     per-position independent (basic CDC), which is exactly what makes
-    this expressible without a sequential pass."""
-    d = _t(spark, sf_dir, "documents")
+    this expressible without a sequential pass.
+
+    r17: "embarrassingly parallel" only materializes when the scan has
+    splits — on the single-split fixtures the whole O(len·w) chain ran
+    in ONE task (the documented repartition-rejection was about an
+    UNCONDITIONAL repartition at 100 TB; the gated fan_out is identity
+    exactly there, so both sides of that trade now hold)."""
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, "documents")
     chunked = (
         d.select(
             "doc_id", "text", F.expr(_cdc_bounds_spark()).alias("cdc_bounds")
@@ -2062,8 +2074,11 @@ def dedup_cdc_chunking_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the per-position constant dropped from a sha256 compression
     run to 8 int64 multiply-mods on an O(1)-indexed code-point array
     (see the block comment above for why stateless-per-position beats
-    a sequential rolling carry in a distributed HOF setting)."""
-    d = _t(spark, sf_dir, "documents")
+    a sequential rolling carry in a distributed HOF setting).
+
+    r17: gated fan_out above the chain (same rationale as the sha
+    twin — the scan stage is the whole operator)."""
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, "documents")
     chunked = (
         d.select(
             "doc_id",
@@ -2118,7 +2133,13 @@ def dedup_cdc_chunking_vectorized(
     embarrassingly parallel across file splits; per-chunk identity
     stays sha256-derived so a chunk store built by ANY of the three
     variants interoperates. Plan-pinned: exactly one MapInPandas, no
-    Exchange below the sort, no row-at-a-time BatchEvalPython."""
+    Exchange below the sort, no row-at-a-time BatchEvalPython.
+
+    r17 measured, deliberately NOT fanned out: a gated fan_out above
+    the kernel bought only 1.12x at sf0.1 (1.19 -> 1.07 s interleaved
+    A/B — the numpy kernel is already fast, so the fixed session cost
+    dominates) and would cost the exchange-free-kernel plan pin below;
+    the sha/HOF twins carry the fan-out where it pays 4-6x."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     out_schema = (

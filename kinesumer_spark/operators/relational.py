@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesumer_spark.catalog import load_tables, read_table
+from kinesumer_spark.catalog import fan_out, load_tables, read_table
 from kinesumer_spark.functions.exact import exact_avg, exact_sum, oracle_avg, oracle_sum
 from kinesumer_spark.registry import register
 
@@ -60,12 +60,25 @@ ORDER BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "flagship"))
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pricing summary report: 2 group keys, 8 aggregates, total order."""
+    """Pricing summary report: 2 group keys, 8 aggregates, total order.
+
+    The partial (map-side) aggregation — 8 decimal aggregates over the
+    ~98%-surviving rows — is the dominant cost and runs entirely in the
+    scan stage, so on a single-split input it is single-threaded; the
+    gated fan_out parallelizes it (r17 interleaved A/B at sf0.1:
+    1.53 → 1.01 s min, 1.5x) and disables itself on a multi-split
+    layout where the scan already feeds every core. Filter stays below
+    the fan-out, so pushdown is unchanged (PushedFilters: l_shipdate —
+    plans/r17)."""
     l = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        l.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        fan_out(
+            l.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp")),
+            sf_dir,
+            "lineitem",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum("l_quantity", "sum_qty"),

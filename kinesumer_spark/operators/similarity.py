@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
-from kinesumer_spark.catalog import read_table
+from kinesumer_spark.catalog import fan_out, read_table
 from kinesumer_spark.registry import register
 
 _TOP_K = 5
@@ -115,14 +115,21 @@ ORDER BY q_id, rnk
 @register("similarity_cosine_topk", oracle=_COSINE_ORACLE, tags=("similarity",))
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast query set × corpus scan × window
-    rank. The corpus is never shuffled — only (q_id, candidate) scores.
-    Norms are computed once per row (corpus side) / once per query, not
-    once per pair."""
-    v = _t(spark, sf_dir).select(
+    rank. The corpus is never hash-shuffled — only (q_id, candidate)
+    scores. Norms are computed once per row (corpus side) / once per
+    query, not once per pair.
+
+    r17: the nq·N unrolled dot products run in the corpus scan stage —
+    single-threaded on a single-split input — so the scored side goes
+    through the gated fan_out (catalog.fan_out; identity on multi-split
+    layouts). The broadcast query side stays on the raw scan, keeping
+    its vec_id pushdown."""
+    v0 = _t(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("e")
     ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    v = fan_out(v0, sf_dir, "embeddings")
     q = (
-        v.filter(F.col("vec_id") < _N_QUERIES)
+        v0.filter(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("e").alias("qe"),

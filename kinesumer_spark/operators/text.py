@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from kinesumer_spark.catalog import read_table
+from kinesumer_spark.catalog import fan_out, read_table
 from kinesumer_spark.operators.dedup import _sha32, _sha32_duck
 from kinesumer_spark.registry import register
 
@@ -289,7 +289,12 @@ ORDER BY doc_id
 
 @register("text_fingerprint", oracle=_FPRINT_ORACLE, tags=("text",))
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive document fingerprint (positional rolling hash)."""
+    """Order-sensitive document fingerprint (positional rolling hash).
+
+    r17 measured, deliberately NOT fanned out: the per-word md5 chain is
+    light enough that a pre-explode fan-out regresses it (interleaved
+    A/B at sf0.1: 0.505 s single-task vs 0.614 s fanned — the shuffled
+    text + exchange overhead exceed the saved map time)."""
     d = _t(spark, sf_dir)
     e = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
