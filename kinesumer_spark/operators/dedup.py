@@ -861,7 +861,11 @@ def dedup_lsh_param_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     never touching text again. The exact pair set is corpus-wide ngram
     Jaccard — affordable at audit time on a SAMPLE at 100 TB (the
     documented dedup_ngram_jaccard caveat); candidates stay banded."""
-    d = _t(spark, sf_dir, "documents")
+    # gated fan_out (r17): both heavy chains — the 64-permutation
+    # signature build and the exact-pair shingle path — are per-row
+    # sha/regexp work in the scan stage, ONE task on the single-split
+    # local fixtures (identity on multi-split layouts).
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, "documents")
     tri = _shingles_raw(d).withColumn("h", F.expr(_sha32("shingle")))
     min_exprs = [
         F.expr(f"min(({a}L * h + {b}L) % {_P32}L) AS h{i}")

@@ -826,7 +826,14 @@ def ivf_candidates(
         "vec_id", "label", _as_double("embedding").alias("e")
     ).withColumn("nrm", F.sqrt(_dot("e", "e")))
     assign_cell, probe_cells = _make_cell_udfs(_ivf_anchor_matrix(v))
-    corpus_cells = v.withColumn("cell", assign_cell(F.col("e")))
+    # asNondeterministic (guide §4.4): the broadcast join on "cell" pushes
+    # an implicit isnotnull(cell) beneath the projection, duplicating the
+    # ArrowEvalPython node — every corpus vector paid the BLAS cell
+    # assignment TWICE (plan: 2 identical assign_cell nodes → 1). The UDF
+    # is pure; blocking reorder/duplication cannot change results.
+    corpus_cells = v.withColumn(
+        "cell", assign_cell.asNondeterministic()(F.col("e"))
+    )
     query_cells = (
         v.filter(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -1170,7 +1177,13 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtab = ((qm[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
     q_ids = [int(r["vec_id"]) for r in queries]
 
-    adc = _pq_adc_udf(cb, qtab)
+    # asNondeterministic (guide §4.4): the posexplode below plants an
+    # implicit `size(ds) > 0 AND isnotnull(ds)` filter that the optimizer
+    # pushes beneath the projection, duplicating the ArrowEvalPython node —
+    # every corpus vector paid the M-matmul ADC scoring TWICE (plan-pinned
+    # in tests). The UDF is pure, so blocking reorder/duplication cannot
+    # change results; it only removes the second evaluation.
+    adc = _pq_adc_udf(cb, qtab).asNondeterministic()
     scored = (
         qv.select("vec_id", adc("q").alias("ds"))
         .select("vec_id", F.posexplode("ds").alias("qi", "adc_dist"))
@@ -1372,7 +1385,10 @@ def _ivfpq_body(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
     qtab = ((qres[:, :, :, None, :] - cb[None, None, :, :, :]) ** 2).sum(axis=4)
 
-    adc = _ivfpq_adc_udf(cent, cb, qtab, len(q_ids))
+    # asNondeterministic (guide §4.4): same duplicated-ArrowEvalPython fix
+    # as similarity_pq_topk above — without it the assign+encode+ADC stage
+    # runs twice per corpus vector under the posexplode's implicit filter.
+    adc = _ivfpq_adc_udf(cent, cb, qtab, len(q_ids)).asNondeterministic()
     scored = (
         qv.select("vec_id", adc("q").alias("ds"))
         .select("vec_id", F.posexplode("ds").alias("qi", "adc_dist"))
