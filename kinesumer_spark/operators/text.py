@@ -1385,7 +1385,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonspace-chars / words so both engines divide identical integers.
     One scan, zero shuffles beyond the cosmetic final sort — at 100 TB
     this runs at parquet-scan speed like the rest of the text ladder."""
-    d = _t(spark, sf_dir)
+    # gated fan_out (r17): the per-word rlike/HOF chain runs in the scan
+    # stage — ONE task on the single-split local fixtures (identity on
+    # multi-split layouts).
+    d = fan_out(_t(spark, sf_dir), sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(words)
     n_nonspace = F.length(F.regexp_replace("text", " ", ""))

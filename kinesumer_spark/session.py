@@ -52,6 +52,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r17 (guide §3.1/§9): let the planner use shuffled-hash join when
+        # its size conditions hold instead of always preferring sort-merge,
+        # and let AQE rewrite SMJ→SHJ when every post-shuffle partition is
+        # under the local-map threshold. Measured at sf0.1: −16/−23 % on
+        # two independent join-heavy A/B sets (q3 1.76→1.29, q10 1.20→0.89,
+        # events_asof_join 1.21→0.90, join_left_outer 0.84→0.65 s). Both
+        # knobs stay size-gated — an over-threshold build side still gets
+        # sort-merge, so the 100 TB risk profile is unchanged; ops that
+        # NEED merge (bucketed SMB probes, salted skew join) pin it with
+        # explicit hints and are unaffected. Env-parameterized for
+        # cluster-side tuning; defaults are the production recommendation.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

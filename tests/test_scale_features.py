@@ -91,8 +91,14 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     )
     # at this SF the dim side would broadcast (also shuffle-free, but it
     # hides the bucketing property under test); force the sort-merge path
+    # (incl. past the r17 session default preferSortMergeJoin=false — this
+    # test pins SMJ-specific machinery, not the session's join choice)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0"
+    )
     try:
         j = spark.table("b_lineitem").join(
             spark.table("b_orders"),
@@ -110,6 +116,10 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+        spark.conf.unset(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+        )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
@@ -176,6 +186,10 @@ def test_aqe_skew_join_split_fires(spark):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2048",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # pin SMJ past the r17 session default (this test exercises
+        # OptimizeSkewedJoin's SMJ pattern, not the session join choice)
+        "spark.sql.join.preferSortMergeJoin": "true",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0",
     }
     prev = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
