@@ -372,13 +372,15 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - Min over the hash MULTISET equals min over the set (duplicates
       can't lower a minimum), so signatures need no distinct.
     - The shingle regexp + sha256 chain runs in the scan stage, so on a
-      single-split input both per-doc branches are single-threaded; the
-      gated fan_out (r17) parallelizes them and turns itself off on a
-      multi-split layout (see catalog.fan_out).
+      single-split input both per-doc branches are single-threaded. A
+      gated fan_out here was tried in r17 and REVERTED: with BOTH
+      branches re-executing the exchange (bands + sets each pay the
+      text shuffle), four independent interleaved A/B sessions read
+      0.79-0.86x — the added exchanges outweigh the parallelism at this
+      chain weight. Single-consumer or much heavier chains (CDC
+      chunkers, the DSIR bigram features, q1) keep their fan_out.
     """
-    return minhash_pairs_df(
-        fan_out(_t(spark, sf_dir, "documents"), sf_dir, "documents")
-    )
+    return minhash_pairs_df(_t(spark, sf_dir, "documents"))
 
 
 def minhash_band_keys(d: DataFrame) -> DataFrame:
@@ -2252,7 +2254,11 @@ def dedup_cdc_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (128-bit fingerprint, length) pairs — ~40 bytes — shuffle, never
     chunk text, and the distinct-pair aggregate is the same
     partial-combine shape as dedup_exact. One corpus scan."""
-    d = _t(spark, sf_dir, "documents")
+    # gated fan_out (r17): the O(len·w) window-hash chunker runs in the
+    # scan stage — ONE task on the single-split local fixtures (identity
+    # on multi-split layouts); same rationale and win profile as
+    # dedup_cdc_chunking (6.4x in the r17 interleaved A/B).
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, "documents")
     fp = (
         d.select(
             "doc_id", "text", F.expr(_cdc_bounds_spark()).alias("cdc_bounds")

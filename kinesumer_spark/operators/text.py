@@ -2779,7 +2779,13 @@ def text_dsir_importance_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤{_DSIR_B} rows), scoring aggregates per doc_id, TakeOrdered
     top-k. The feature stream is ~2× the unigram stream — same
     asymptotics, measured cost in BENCH extended."""
-    d = read_table(spark, sf_dir, "documents")
+    # gated fan_out (r17): both fit and score passes run the 2n-1
+    # feature chain (HOF zip_with + sha per feature) in the scan stage —
+    # ONE task on the single-split local fixtures (identity on
+    # multi-split layouts). The unigram twin measured a LOSS under the
+    # same treatment (0.78x) — its chain is half the weight — and stays
+    # on the raw scan.
+    d = fan_out(read_table(spark, sf_dir, "documents"), sf_dir, "documents")
     tok = (
         d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
         .select(
