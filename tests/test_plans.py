@@ -1028,3 +1028,55 @@ def test_stream_semdedup_admit_cap_plan_shape(spark, tmp_path):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert plan.count("StreamingRelation") == 1, plan
     assert plan.count("FlatMapGroupsInPandasWithState") == 1, plan
+
+
+def test_ann_adc_udf_evaluates_once(spark):
+    """r17 (guide §4.4): the posexplode over the ADC pandas UDF plants an
+    implicit size/isnotnull filter that — without the asNondeterministic
+    mark — duplicates the ArrowEvalPython node, so every corpus vector
+    pays the BLAS/ADC scoring twice. Pin exactly ONE Arrow eval node in
+    the PQ and IVF-PQ plans (the numbered operator list prints each node
+    once in the tree and once in the details — count the tree form)."""
+    import re
+
+    for name in ("similarity_pq_topk", "similarity_ivfpq_topk"):
+        plan = plan_string(_df(spark, name))
+        nodes = re.findall(r"\(\d+\) ArrowEvalPython", plan)
+        assert len(nodes) == 1, f"{name}: {len(nodes)} Arrow nodes: {plan[:2000]}"
+
+
+def test_ivf_assign_cell_evaluates_once(spark):
+    """r17 (guide §4.4): the broadcast join on "cell" pushes an implicit
+    isnotnull(cell) beneath the corpus projection; without the
+    asNondeterministic mark the BLAS assign_cell UDF ran twice per
+    corpus vector. similarity_ivf_topk must carry exactly one
+    assign_cell and one probe_cells Arrow node."""
+    import re
+
+    plan = plan_string(_df(spark, "similarity_ivf_topk"))
+    args = re.findall(r"Arguments: \[(assign_cell|probe_cells)\(", plan)
+    assert sorted(args) == ["assign_cell", "probe_cells"], args
+
+
+def test_fan_out_is_gated_by_layout_and_env(spark):
+    """r17: catalog.fan_out must round-robin-repartition above a
+    single-split scan (the local fixtures), be the identity when the
+    env gate disables it, and be the identity when the source layout
+    can already feed the session's parallelism (scale-adaptiveness —
+    the driver's lower-core runs and a multi-split production layout
+    both take the identity path)."""
+    import os
+
+    from kinesumer_spark.catalog import fan_out, read_table, scan_task_bound
+
+    d = read_table(spark, SF_SMALL, "documents")
+    # single-split fixture: bound is 1 < defaultParallelism -> repartition
+    assert scan_task_bound(SF_SMALL, "documents") == 1
+    fanned = fan_out(d, SF_SMALL, "documents")
+    assert "RoundRobinPartitioning" in fanned._jdf.queryExecution().toString()
+    # env gate off -> identity
+    os.environ["SPARK_GRAFT_FANOUT"] = "0"
+    try:
+        assert fan_out(d, SF_SMALL, "documents") is d
+    finally:
+        os.environ["SPARK_GRAFT_FANOUT"] = "auto"
