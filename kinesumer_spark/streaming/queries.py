@@ -6842,11 +6842,20 @@ def _semadmit_tau_pairs(
     crossings against THIS relation."""
     from kinesumer_spark.operators.similarity import _SEM_TAU
 
+    # merge hints (r17, guide §3.1 — pick the strategy deliberately):
+    # under the session's SHJ-preferring posture these two joins may
+    # hash-build a side carrying packed float arrays; pinning merge
+    # keeps the wide-array joins sort-based in the STATE-CARRIED /
+    # CAP-HONORED replay paths (the TTL and cap admit twins) at every
+    # scale. Results are unchanged (strategy hint only). An apparent
+    # conf regression on the FUSED jvm twin motivated the investigation
+    # but did not survive an alternated-session test — that op's
+    # variance adjudicated as host drift (SCALE.md r17).
     ve = v.selectExpr("vec_id", "e")
     return (
         _semadmit_eligible_pairs(v, probe_of, horizon=horizon, cap=cap)
-        .join(ve.selectExpr("vec_id AS b", "e AS eb"), "b")
-        .join(ve.selectExpr("vec_id AS a", "e AS ea"), "a")
+        .join(ve.selectExpr("vec_id AS b", "e AS eb").hint("merge"), "b")
+        .join(ve.selectExpr("vec_id AS a", "e AS ea").hint("merge"), "a")
         .selectExpr(
             "a",
             "b",
