@@ -1008,7 +1008,15 @@ def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             new[r["cell"], r["dim"]] = r["c"]
         cent = new
 
-    final = _km_assign_udf(cent)
+    # asNondeterministic (r17, guide §4.4): the stats branch is the
+    # build side of the left join below, so the planner pushes its
+    # isnotnull(cell) join-key filter beneath the getItem projection —
+    # cell is THIS UDF's output, and the pushed filter duplicated the
+    # ArrowEvalPython node (plan: assign(q) evaluated twice per corpus
+    # row in one stage, no exchange between — AQE reuse can't collapse
+    # it). The UDF is pure integer math; blocking reorder/duplication
+    # cannot change results (oracle-verified unchanged).
+    final = _km_assign_udf(cent).asNondeterministic()
     asg = qv.select(final("q").alias("cd")).select(
         F.col("cd").getItem(0).cast("int").alias("cell"),
         F.col("cd").getItem(1).alias("dist"),

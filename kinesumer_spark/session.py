@@ -55,9 +55,11 @@ def get_spark(
         # r17 (guide §3.1/§9): let the planner use shuffled-hash join when
         # its size conditions hold instead of always preferring sort-merge,
         # and let AQE rewrite SMJ→SHJ when every post-shuffle partition is
-        # under the local-map threshold. Measured at sf0.1: −16/−23 % on
-        # two independent join-heavy A/B sets (q3 1.76→1.29, q10 1.20→0.89,
-        # events_asof_join 1.21→0.90, join_left_outer 0.84→0.65 s). Both
+        # under the local-map threshold. Evidence is PLAN-level (the
+        # apparent local timing wins failed a same-conf null test — see
+        # OPTIMIZATION_r17.md "Measurement discipline"): split_leakage_
+        # audit's band-key join flips SMJ→SHJ (one sort removed); the
+        # broadcast-dominated headline joins are plan-identical. Both
         # knobs stay size-gated — an over-threshold build side still gets
         # sort-merge, so the 100 TB risk profile is unchanged; ops that
         # NEED merge (bucketed SMB probes, salted skew join) pin it with

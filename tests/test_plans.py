@@ -1058,6 +1058,21 @@ def test_ivf_assign_cell_evaluates_once(spark):
     assert sorted(args) == ["assign_cell", "probe_cells"], args
 
 
+def test_km_final_assign_evaluates_once(spark):
+    """r17 (guide §4.4): similarity_ivf_train's final stats branch is
+    the broadcast build side of a left join on "cell" — the planner
+    pushes isnotnull(cell) beneath the getItem projection, and without
+    the asNondeterministic mark the k-means assign UDF (one int64
+    matmul per batch) evaluated twice per corpus vector in a single
+    stage (no exchange between the two Arrow nodes, so AQE reuse could
+    not collapse them). Pin exactly one Arrow eval node."""
+    import re
+
+    plan = plan_string(_df(spark, "similarity_ivf_train"))
+    nodes = re.findall(r"\(\d+\) ArrowEvalPython", plan)
+    assert len(nodes) == 1, f"{len(nodes)} Arrow nodes: {plan[:2000]}"
+
+
 def test_fan_out_is_gated_by_layout_and_env(spark):
     """r17: catalog.fan_out must round-robin-repartition above a
     single-split scan (the local fixtures), be the identity when the
