@@ -76,11 +76,31 @@ def main() -> int:
         sigs = [re.sub(r"#\d+", "#", e) for e in evals]
         dups = {s for s in sigs if sigs.count(s) > 1}
         n_nl = len(re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", text))
+        # guide §2.3: payload columns (document text / embeddings /
+        # shingle arrays) flowing into an Exchange — each flag is a
+        # shuffle carrying heavy bytes; adjudicate per-op (some are the
+        # measured-cheapest layout, e.g. carrying verify sets).
+        wide_ex = 0
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", text):
+            cols = m.group(1)
+            if re.search(r"\b(text|body|sh|sh_set|sh_c|e|ea|eb|emb|embedding)#", cols):
+                wide_ex += 1
+        # guide §6: a Filter directly above a parquet scan whose
+        # PushedFilters is empty — the predicate did not reach the scan.
+        unpushed = len(
+            re.findall(
+                r"\+- Filter \((\d+)\)\n\s*\+- Scan parquet", text
+            )
+        ) and bool(re.search(r"PushedFilters: \[\]", text))
         notes = []
         if dups:
             notes.append(f"DUP-PYEVAL x{len(dups)}: " + "; ".join(sorted(dups))[:160])
         if n_nl and name not in NONEQUI_OK:
             notes.append(f"NONEQUI x{n_nl}")
+        if unpushed:
+            notes.append("UNPUSHED-FILTER")
+        if wide_ex:
+            notes.append(f"WIDE-EXCHANGE x{wide_ex}")
         rows.append((name, n_ex, len(evals), n_nl, " | ".join(notes)))
 
     rows.sort(key=lambda r: (-len(r[4]), -r[1]))
