@@ -388,6 +388,7 @@ def main() -> None:
     # isolated error channel — an extended failure must not flip the
     # headline's "partial" comparability flag
     per_query_ext: dict[str, float] = {}
+    per_query_ext_load: dict[str, float] = {}
     errors_ext: dict[str, str] = {}
     block_marks["extended"] = _block_mark(spark, callables, sf_dir)
     for name in extended_names:
@@ -400,6 +401,14 @@ def main() -> None:
                 errors_ext[name] = f"{type(exc).__name__}: {exc}"[:500]
                 break
             best = min(best, time.perf_counter() - t0)
+        # per-row load mark (r17 verdict #5/#7): block marks cannot see
+        # heat that builds mid-block, and every round's adjudication of a
+        # hot extended row needed exactly this number in prose. Recorded
+        # in the detail sidecar only (the headline line must stay short).
+        try:
+            per_query_ext_load[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
         if name not in errors_ext and best < float("inf"):
             per_query_ext[name] = round(best, 4)
     extended_total = round(sum(per_query_ext.values()), 4)
@@ -428,6 +437,7 @@ def main() -> None:
         if _jvm_present:
             jvm_mark = _block_mark(spark, callables, sf_dir)
             per_jvm: dict[str, float] = {}
+            per_jvm_load: dict[str, float] = {}
             errors_jvm: dict[str, str] = {}
             for name in _jvm_present:
                 best = float("inf")
@@ -439,6 +449,10 @@ def main() -> None:
                         errors_jvm[name] = f"{type(exc).__name__}: {exc}"[:200]
                         break
                     best = min(best, time.perf_counter() - t0)
+                try:
+                    per_jvm_load[name] = round(os.getloadavg()[0], 2)
+                except OSError:
+                    pass
                 if name not in errors_jvm and best < float("inf"):
                     per_jvm[name] = round(best, 4)
             jvm_block = {
@@ -447,6 +461,10 @@ def main() -> None:
                 "queries": per_jvm,
                 "total": round(sum(per_jvm.values()), 4),
                 "block_mark": jvm_mark,
+                # per-row load marks (r17 verdict #7): these four rows are
+                # the slowest in the artifact and always run last — heat
+                # adjudication needs the load at each row, not the block
+                "loads": per_jvm_load,
                 **({"errors": errors_jvm} if errors_jvm else {}),
             }
 
@@ -494,6 +512,14 @@ def main() -> None:
         # boundary (r15 verdict #3): an extended row far above its idle
         # band adjudicates against its block's mark, not the headline's
         "block_marks": block_marks,
+        # compact form of the r18 per-row load marks (full per-row dict
+        # lives in bench_detail.json's queries_extended_load): the peak
+        # load any extended row ran under, visible in the driver's tail
+        **(
+            {"extended_load_max": max(per_query_ext_load.values())}
+            if per_query_ext_load
+            else {}
+        ),
         # loaded=true: the host never fell below the load threshold
         # inside the bounded wait — numbers are suspect, adjudicate
         # against the round's recorded idle pair, not as a regression
@@ -534,6 +560,10 @@ def main() -> None:
         **headline,
         "queries_cold": per_query_cold,
         "queries_extended": per_query_ext,
+        # per-row load marks (r17 verdict #7): loadavg sampled right
+        # after each extended row finished — the heat context every
+        # round's hot-row adjudication needed in prose until now
+        "queries_extended_load": per_query_ext_load,
         **(
             {"ndidx_build_sec": ndidx_build}
             if ndidx_build is not None

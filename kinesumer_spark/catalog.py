@@ -131,6 +131,11 @@ _SPLITS_CACHE: dict[tuple, int] = {}
 # so reading the live conf is not worth coupling this to a session.
 _MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
+# Bound returned when the layout cannot be probed (non-local path, races).
+# Large enough to exceed any cluster's parallelism, so fan_out becomes the
+# identity — the correct decision on every real multi-split layout.
+_FAIL_OPEN_BOUND = 1 << 30
+
 
 def scan_task_bound(sf_dir: str, name: str) -> int:
     """Upper bound on the scan tasks Spark can extract from a table's
@@ -144,31 +149,41 @@ def scan_task_bound(sf_dir: str, name: str) -> int:
     what split-size confs say. At production scale (thousands of files /
     row groups) the bound exceeds any cluster's parallelism and the
     fan-out gate below turns itself off. Cached per file-state (same
-    invalidation rule as the schema cache)."""
-    path = table_path(sf_dir, name)
-    key = (path, _path_state(path))
-    if key not in _SPLITS_CACHE:
-        import pyarrow.parquet as pq
+    invalidation rule as the schema cache).
 
-        files = (
-            [path]
-            if os.path.isfile(path)
-            else [
-                os.path.join(path, e.name)
-                for e in os.scandir(path)
-                if e.is_file() and not e.name.startswith(("_", "."))
-            ]
-        )
-        total = 0
-        for f in files:
-            try:
-                rgs = pq.ParquetFile(f).metadata.num_row_groups
-            except Exception:  # noqa: BLE001 — non-parquet sidecar etc.
-                rgs = 1
-            by_size = -(-os.path.getsize(f) // _MAX_PARTITION_BYTES) or 1
-            total += max(1, min(rgs, by_size))
-        _SPLITS_CACHE[key] = max(1, total)
-    return _SPLITS_CACHE[key]
+    The probe uses the local filesystem; a path it cannot stat/list (an
+    object-store URI like ``s3a://...``, or a file replaced mid-probe)
+    FAILS OPEN: it returns a bound larger than any parallelism, making
+    :func:`fan_out` the identity, rather than raising out of the gate and
+    taking the query down. On such layouts the identity is also the right
+    answer — object-store tables at scale have plenty of natural splits."""
+    path = table_path(sf_dir, name)
+    try:
+        key = (path, _path_state(path))
+        if key not in _SPLITS_CACHE:
+            import pyarrow.parquet as pq
+
+            files = (
+                [path]
+                if os.path.isfile(path)
+                else [
+                    os.path.join(path, e.name)
+                    for e in os.scandir(path)
+                    if e.is_file() and not e.name.startswith(("_", "."))
+                ]
+            )
+            total = 0
+            for f in files:
+                try:
+                    rgs = pq.ParquetFile(f).metadata.num_row_groups
+                except Exception:  # noqa: BLE001 — non-parquet sidecar etc.
+                    rgs = 1
+                by_size = -(-os.path.getsize(f) // _MAX_PARTITION_BYTES) or 1
+                total += max(1, min(rgs, by_size))
+            _SPLITS_CACHE[key] = max(1, total)
+        return _SPLITS_CACHE[key]
+    except OSError:
+        return _FAIL_OPEN_BOUND
 
 
 def fan_out(df: DataFrame, sf_dir: str, *names: str) -> DataFrame:

@@ -1065,12 +1065,24 @@ def test_km_final_assign_evaluates_once(spark):
     the asNondeterministic mark the k-means assign UDF (one int64
     matmul per batch) evaluated twice per corpus vector in a single
     stage (no exchange between the two Arrow nodes, so AQE reuse could
-    not collapse them). Pin exactly one Arrow eval node."""
+    not collapse them). Pin NO DUPLICATED eval signature (r17 ADVICE:
+    a global count==1 pin would also fail on a legitimate second,
+    DISTINCT UDF; §4.4's failure mode is the same signature twice)."""
     import re
 
     plan = plan_string(_df(spark, "similarity_ivf_train"))
-    nodes = re.findall(r"\(\d+\) ArrowEvalPython", plan)
-    assert len(nodes) == 1, f"{len(nodes)} Arrow nodes: {plan[:2000]}"
+    blocks = re.findall(
+        r"^\(\d+\) (?:ArrowEvalPython|BatchEvalPython)\s*\n(.*?)(?=^\(\d+\) |\Z)",
+        plan,
+        flags=re.S | re.M,
+    )
+    sigs = []
+    for blk in blocks:
+        m = re.search(r"^Arguments: \[(.*?)\], \[", blk, flags=re.M)
+        if m:
+            sigs.append(re.sub(r"#\d+", "#", m.group(1)))
+    assert blocks and len(sigs) == len(blocks), plan[:2000]
+    assert len(sigs) == len(set(sigs)), sigs
 
 
 def test_fan_out_is_gated_by_layout_and_env(spark):
@@ -1095,3 +1107,19 @@ def test_fan_out_is_gated_by_layout_and_env(spark):
         assert fan_out(d, SF_SMALL, "documents") is d
     finally:
         os.environ["SPARK_GRAFT_FANOUT"] = "auto"
+
+
+def test_scan_task_bound_fails_open_on_non_local_paths(spark):
+    """r18 (r17 verdict #3): the layout probe uses the local filesystem;
+    on an object-store URI (the 100 TB deployment the gate exists for)
+    os.scandir raises. The gate must FAIL OPEN — return a bound larger
+    than any parallelism so fan_out is the identity — instead of raising
+    out of 8 hot query paths."""
+    from kinesumer_spark.catalog import _FAIL_OPEN_BOUND, fan_out, read_table, scan_task_bound
+
+    for sf_dir in ("s3a://bucket/prefix", "/nonexistent/dir/xyzzy"):
+        bound = scan_task_bound(sf_dir, "documents")
+        assert bound == _FAIL_OPEN_BOUND, (sf_dir, bound)
+    # and fan_out over the unprobeable layout is the identity, not an error
+    d = read_table(spark, SF_SMALL, "documents")
+    assert fan_out(d, "s3a://bucket/prefix", "documents") is d

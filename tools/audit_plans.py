@@ -65,14 +65,28 @@ def main() -> int:
             rows.append((name, -1, 0, 0, f"BUILD FAILED: {type(exc).__name__}: {exc}"[:200]))
             continue
         n_ex = text.count("Exchange")
-        # Python-eval duplication: collect the UDF expression list printed
-        # on each ArrowEvalPython/BatchEvalPython summary line.
-        # formatted mode prints the node header bare and the UDF list on
-        # the following detail block's "Arguments:" line
-        evals = re.findall(
-            r"\) (?:ArrowEvalPython|BatchEvalPython)\n[^\n]*\nArguments: \[(.*?)\], \[",
+        # Python-eval duplication: collect the UDF expression list from
+        # each ArrowEvalPython/BatchEvalPython node's WHOLE detail block
+        # (r17 ADVICE: a fixed one-line lookahead between the header and
+        # the Arguments line silently parses 0 evals if a Spark version
+        # emits extra detail lines — match within the block instead, and
+        # warn when a plan mentions EvalPython but zero evals parse).
+        eval_blocks = re.findall(
+            r"^\(\d+\) (?:ArrowEvalPython|BatchEvalPython)\s*\n(.*?)(?=^\(\d+\) |\Z)",
             text,
+            flags=re.S | re.M,
         )
+        evals = []
+        for blk in eval_blocks:
+            m = re.search(r"^Arguments: \[(.*?)\], \[", blk, flags=re.M)
+            if m:
+                evals.append(m.group(1))
+        if "EvalPython" in text and not evals:
+            print(
+                f"WARN {name}: plan mentions EvalPython but zero eval "
+                "signatures parsed — detail format drifted?",
+                file=sys.stderr,
+            )
         sigs = [re.sub(r"#\d+", "#", e) for e in evals]
         dups = {s for s in sigs if sigs.count(s) > 1}
         n_nl = len(re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", text))
@@ -85,20 +99,35 @@ def main() -> int:
             cols = m.group(1)
             if re.search(r"\b(text|body|sh|sh_set|sh_c|e|ea|eb|emb|embedding)#", cols):
                 wide_ex += 1
-        # guide §6: a Filter directly above a parquet scan whose
-        # PushedFilters is empty — the predicate did not reach the scan.
-        unpushed = len(
-            re.findall(
-                r"\+- Filter \((\d+)\)\n\s*\+- Scan parquet", text
+        # guide §6: a Filter directly above a parquet scan whose OWN
+        # PushedFilters is empty — the predicate did not reach that scan.
+        # (r17 ADVICE: the old check conjoined two plan-wide conditions —
+        # any Filter→Scan pair anywhere AND any empty PushedFilters
+        # anywhere, even on different scans — and its tree regex could
+        # not match ':'-prefixed nested tree lines. Pair each Filter with
+        # ITS child scan via the node id and read that scan's detail.)
+        unpushed = 0
+        tree_lines = text.splitlines()
+        for i in range(len(tree_lines) - 1):
+            if not re.search(r"\+- Filter \(\d+\)\s*$", tree_lines[i]):
+                continue
+            m2 = re.search(r"\+- Scan parquet\s*\((\d+)\)\s*$", tree_lines[i + 1])
+            if not m2:
+                continue
+            blk = re.search(
+                r"^\(%s\) Scan parquet\s*\n(.*?)(?=^\(\d+\) |\Z)" % m2.group(1),
+                text,
+                flags=re.S | re.M,
             )
-        ) and bool(re.search(r"PushedFilters: \[\]", text))
+            if blk and re.search(r"^PushedFilters: \[\]", blk.group(1), flags=re.M):
+                unpushed += 1
         notes = []
         if dups:
             notes.append(f"DUP-PYEVAL x{len(dups)}: " + "; ".join(sorted(dups))[:160])
         if n_nl and name not in NONEQUI_OK:
             notes.append(f"NONEQUI x{n_nl}")
         if unpushed:
-            notes.append("UNPUSHED-FILTER")
+            notes.append(f"UNPUSHED-FILTER x{unpushed}")
         if wide_ex:
             notes.append(f"WIDE-EXCHANGE x{wide_ex}")
         rows.append((name, n_ex, len(evals), n_nl, " | ".join(notes)))
