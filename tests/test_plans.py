@@ -1109,6 +1109,34 @@ def test_fan_out_is_gated_by_layout_and_env(spark):
         os.environ["SPARK_GRAFT_FANOUT"] = "auto"
 
 
+def test_runtime_exchange_reuse_pins(spark):
+    """r18 (r17 verdict #4): the r17 adjudications that left
+    dedup_minhash_lsh and dedup_semantic / similarity_ivf_probe alone
+    rest on RUNTIME exchange reuse — AQE collapses their canonically
+    identical duplicated subtrees (the shingle chain across join sides;
+    the probe_cells branches), so the apparent static-plan duplication
+    costs nothing. That only holds while the branches stay canonically
+    IDENTICAL: a refactor forking their early projections would silently
+    reintroduce the double compute with no test to catch it. Pin the
+    ReusedExchange count in the EXECUTED plan (the same QueryExecution
+    the action drove — a noop write's qe would show the unexecuted
+    isFinalPlan=false plan, the r17 pitfall)."""
+    from kinesumer_spark.registry import all_queries
+
+    registry = all_queries()
+    expect_min = {
+        "dedup_minhash_lsh": 1,   # shingle-set chain shared across verify sides
+        "dedup_semantic": 1,      # probe_cells branches collapse at runtime
+        "similarity_ivf_probe": 1,
+    }
+    for name, n_min in expect_min.items():
+        df = registry[name].spark(spark, SF_SMALL)
+        df.collect()
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        n = simple.count("ReusedExchange")
+        assert n >= n_min, f"{name}: ReusedExchange x{n} < {n_min}"
+
+
 def test_scan_task_bound_fails_open_on_non_local_paths(spark):
     """r18 (r17 verdict #3): the layout probe uses the local filesystem;
     on an object-store URI (the 100 TB deployment the gate exists for)
