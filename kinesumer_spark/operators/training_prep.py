@@ -406,6 +406,11 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kinesumer_spark.operators.dedup import minhash_pairs_df
 
+    # r18: a single materialization point (gated fan_out + lazy
+    # localCheckpoint above the four text consumers) was TRIED here and
+    # REJECTED on idle interleaved A/B: 0.85x (the r17 plain fan_out read
+    # 0.86x) — the checkpoint materialization + extra stage boundaries
+    # cost more than the parallelism recovers at this chain weight.
     d = _t(spark, sf_dir)
     sp = d.selectExpr(
         "doc_id", f"{_split_case(_SPLIT_EXPR_SPARK)} AS split"
@@ -1689,6 +1694,8 @@ def split_repair_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_pairs_df,
     )
 
+    # r18: the single-materialization-point retry (see
+    # split_leakage_audit) read 0.87x idle here — rejected like its twin.
     d = _t(spark, sf_dir)
     sp = d.selectExpr(
         "doc_id", f"{_split_case(_SPLIT_EXPR_SPARK)} AS split"
