@@ -1151,3 +1151,43 @@ def test_scan_task_bound_fails_open_on_non_local_paths(spark):
     # and fan_out over the unprobeable layout is the identity, not an error
     d = read_table(spark, SF_SMALL, "documents")
     assert fan_out(d, "s3a://bucket/prefix", "documents") is d
+
+
+def test_scratch_base_resolution(monkeypatch):
+    """r18: per-run scratch (staging chunks, streaming checkpoints,
+    scratch sinks) prefers a RAM-backed /dev/shm under the default
+    "auto" — the RocksDB commit's zip+fsync of ephemeral state to a
+    virtual disk measures the sandbox's disk, not the computation —
+    and stays overridable: an explicit path wins, "disk"/"0" forces
+    the tempfile default, and an unusable path falls back cleanly."""
+    import os
+
+    from kinesumer_spark.tmpdirs import scratch_base, session_mkdtemp
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", "disk")
+    assert scratch_base() is None
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", "0")
+    assert scratch_base() is None
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", "/nonexistent/dir/xyzzy")
+    assert scratch_base() is None  # unusable explicit path: fall back
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        monkeypatch.setenv("SPARK_GRAFT_SCRATCH", "auto")
+        assert scratch_base() == "/dev/shm"
+        d = session_mkdtemp(prefix="ks_scratch_test_")
+        try:
+            assert d.startswith("/dev/shm/")
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+    # a caller-pinned dir= is never redirected
+    import tempfile
+
+    pinned = tempfile.mkdtemp(prefix="ks_scratch_pin_")
+    try:
+        d2 = session_mkdtemp(prefix="x_", dir=pinned)
+        assert d2.startswith(pinned)
+    finally:
+        import shutil
+
+        shutil.rmtree(pinned, ignore_errors=True)
